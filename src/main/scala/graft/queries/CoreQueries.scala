@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.engine.Seed
+
+/** The declared core query set Q1–Q20 (SURVEY.md §2.10): Tier A operators the
+  * reference literally executes, plus the Tier B analytical surface over the
+  * TPC-H-ish driver data.
+  *
+  * Every query is deterministic (fixed timestamp anchors, total ORDER BY)
+  * and has a DuckDB oracle twin. Plans are declarative DataFrame API so
+  * Catalyst handles pushdown/pruning/join-strategy; scale notes per query.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** events.ts is nanosecond-precision in the driver parquet; Spark reads it
+    * truncated to microseconds, so the oracle casts to µs TIMESTAMP too. */
+  private val oracleTsCast = "CAST(ts AS TIMESTAMP)"
+
+  // ---------------------------------------------------------------- Q1–Q7
+  // Seed-replica surface (Tier A: seed.sh + Superset-generated shapes).
+
+  /** Q1 (S3): constant scan — the reference's liveness probe, seed.sh:34. */
+  val q01 = GQuery("q01_select_one",
+    (s, _) => s.sql("SELECT 1 AS one"),
+    Some("SELECT 1 AS one"))
+
+  /** Q2 (S5-S9, P1, P3-P6, F1-F5): the full seeded events table —
+    * exercises the sequence generator, CASE, concat, interval arithmetic. */
+  val q02 = GQuery("q02_seed_events",
+    (s, _) => Seed.events(s).orderBy("id"),
+    Some(SeedSql.withDemo(
+      "SELECT id, ts, event_type, payload, user_id, amount FROM demo_events ORDER BY id")))
+
+  /** Q3 (A1, U1, O1): the reference's verification union, seed.sh:118 —
+    * golden counts 200/50/150/20/300. */
+  val q03 = GQuery("q03_seed_counts",
+    (s, _) =>
+      Seed.all(s).map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"), col("n_rows"))
+      }.reduce(_ unionAll _).orderBy("table_name"),
+    Some(SeedSql.withDemo(
+      """SELECT 'events' AS table_name, count(*) AS n_rows FROM demo_events
+        |UNION ALL SELECT 'users', count(*) FROM demo_users
+        |UNION ALL SELECT 'orders', count(*) FROM demo_orders
+        |UNION ALL SELECT 'products', count(*) FROM demo_products
+        |UNION ALL SELECT 'transactions', count(*) FROM demo_transactions
+        |ORDER BY table_name""".stripMargin)))
+
+  /** Q4 (S1): full table scan of the driver events table, README.md:65 shape. */
+  val q04 = GQuery("q04_scan_events",
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id"),
+    Some(s"""SELECT event_id, $oracleTsCast AS ts, user_id, event_type, value, props
+            |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Q5 (P2, P8, O3): Superset raw-mode chart query — explicit column list +
+    * row limit (init_db.py:151-154). */
+  val q05 = GQuery("q05_chart_raw",
+    (s, _) => Seed.events(s)
+      .select("id", "ts", "event_type", "user_id", "amount", "payload")
+      .orderBy("id").limit(100),
+    Some(SeedSql.withDemo(
+      "SELECT id, ts, event_type, user_id, amount, payload FROM demo_events ORDER BY id LIMIT 100")))
+
+  /** Q6 (A2, O2): Superset agg-mode chart — groupby + count metric, ordered
+    * by metric desc (init_db.py:149-153). */
+  val q06 = GQuery("q06_chart_agg",
+    (s, _) => Seed.events(s)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type")),
+    Some(SeedSql.withDemo(
+      """SELECT event_type, count(*) AS cnt FROM demo_events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin)))
+
+  /** Q7 (P7): Superset time-range filter shape (init_db.py:145-147). */
+  val q07 = GQuery("q07_time_filter",
+    (s, _) => Seed.events(s)
+      .filter(col("ts") >= lit("2025-12-15 00:00:00").cast("timestamp")
+        && col("ts") < lit("2026-01-01 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("cnt")),
+    Some(SeedSql.withDemo(
+      """SELECT count(*) AS cnt FROM demo_events
+        |WHERE ts >= TIMESTAMP '2025-12-15 00:00:00' AND ts < TIMESTAMP '2026-01-01 00:00:00'""".stripMargin)))
+
+  // --------------------------------------------------------------- Q8–Q20
+  // Analytical Tier B surface over the TPC-H-ish star schema.
+
+  /** Q8 (J1, A2): FK equi-join + group-by. Scale note: orders is the fact
+    * side; customer joins on its key — Catalyst/AQE picks broadcast vs
+    * shuffled hash by size, and the aggregation is partial (map-side) first. */
+  val q08 = GQuery("q08_join_agg",
+    (s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("order_cnt"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, count(*) AS order_cnt
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Q9 (J5, A3, P3): 3-way star join with revenue sum. DECIMAL arithmetic
+    * keeps the aggregate exact and order-independent (double sums are not
+    * associative ⇒ shuffle order would break hash equality). */
+  val q09 = GQuery("q09_star_join_revenue", (s, d) => {
+    val revenue = sum(
+      col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1) - col("l_discount").cast("decimal(18,2)")))
+      .cast("decimal(38,4)").as("revenue")
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(revenue)
+      .orderBy("c_nationkey")
+  },
+    Some("""SELECT c_nationkey,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  /** Q10 (J2): left outer join keeping zero-order customers. */
+  val q10 = GQuery("q10_left_join", (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS order_cnt
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
+
+  /** Q11 (J3): anti join — customers with no finished ('F') orders
+    * (NOT EXISTS). The status filter is pushed below the join so the anti
+    * join's build side shrinks before the shuffle. */
+  val q11 = GQuery("q11_anti_join", (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Q12 (J4): non-equi self-join — supplier pairs in the same nation with
+    * close account balances. The nation key acts as the blocking key so the
+    * plan stays an equi-join with a residual range predicate (a raw cross
+    * join would not survive 100× scale). */
+  val q12 = GQuery("q12_nonequi_join", (s, d) => {
+    val a = t(s, d, "supplier").select(
+      col("s_suppkey").as("s1"), col("s_nationkey").as("n1"), col("s_acctbal").as("b1"))
+    val b = t(s, d, "supplier").select(
+      col("s_suppkey").as("s2"), col("s_nationkey").as("n2"), col("s_acctbal").as("b2"))
+    a.join(b, col("n1") === col("n2") && col("s1") < col("s2")
+        && abs(col("b1") - col("b2")) < 100)
+      .select("s1", "s2")
+      .orderBy("s1", "s2")
+  },
+    Some("""SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+           |FROM supplier a JOIN supplier b
+           |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+           |  AND abs(a.s_acctbal - b.s_acctbal) < 100
+           |ORDER BY s1, s2""".stripMargin))
+
+  /** Q13 (A4): exact vs approximate distinct count. The approx value itself
+    * is engine-specific (HLL++ vs DuckDB's sketch), so the checked output is
+    * the exact count plus a both-sides-computed 5%-tolerance flag. */
+  val q13 = GQuery("q13_distinct_count", (s, d) =>
+    t(s, d, "orders").agg(
+      countDistinct(col("o_custkey")).as("exact_cnt"),
+      approx_count_distinct(col("o_custkey"), 0.005).as("approx"))
+      .select(col("exact_cnt"),
+        (abs(col("approx") - col("exact_cnt")) <= col("exact_cnt") * 0.05).as("approx_ok")),
+    Some("""SELECT count(DISTINCT o_custkey) AS exact_cnt,
+           |  abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) <= count(DISTINCT o_custkey) * 0.05 AS approx_ok
+           |FROM orders""".stripMargin))
+
+  /** Q14 (§2.5): latest event per user via row_number. */
+  val q14 = GQuery("q14_window_latest", (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  },
+    Some(s"""SELECT user_id, event_id, event_type FROM (
+            |  SELECT user_id, event_id, event_type,
+            |    row_number() OVER (PARTITION BY user_id ORDER BY $oracleTsCast DESC, event_id DESC) AS rn
+            |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  /** Q15 (O3): top-k — ORDER BY + LIMIT fuses to TakeOrderedAndProject
+    * (per-partition heaps, no global sort; survives any scale). */
+  val q15 = GQuery("q15_topk", (s, d) =>
+    t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** Q16 (§2.5 frame): running sum per user. DECIMAL so the prefix sums are
+    * exact; the frame order is fully tie-broken (ts, event_id). */
+  val q16 = GQuery("q16_running_sum", (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").as("running_value"))
+      .orderBy("user_id", "event_id")
+  },
+    Some(s"""SELECT user_id, event_id,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            |    PARTITION BY user_id ORDER BY $oracleTsCast, event_id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+            |FROM events ORDER BY user_id, event_id""".stripMargin))
+
+  /** Q17 (U1): UNION ALL of per-table counts (the seed.sh:118 shape over the
+    * driver tables). */
+  val q17 = GQuery("q17_union_counts", (s, d) =>
+    Seq("region", "nation", "supplier").map { name =>
+      t(s, d, name).agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"), col("n_rows"))
+    }.reduce(_ unionAll _).orderBy("table_name"),
+    Some("""SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+           |UNION ALL SELECT 'nation', count(*) FROM nation
+           |UNION ALL SELECT 'supplier', count(*) FROM supplier
+           |ORDER BY table_name""".stripMargin))
+
+  /** Q18 (P6, A2): searched-CASE bucketing + group-by. */
+  val q18 = GQuery("q18_case_buckets", (s, d) =>
+    t(s, d, "orders")
+      .select(when(col("o_totalprice") < 50000, "small")
+        .when(col("o_totalprice") < 150000, "medium")
+        .otherwise("large").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket"),
+    Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+           |            WHEN o_totalprice < 150000 THEN 'medium'
+           |            ELSE 'large' END AS bucket, count(*) AS cnt
+           |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
+
+  /** Q19 (F4, P7): timestamp-range filter on the fact table — pushed to the
+    * Parquet scan (check PushedFilters in explain). */
+  val q19 = GQuery("q19_date_filter", (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-06-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT count(*) AS cnt FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin))
+
+  /** Q20 (F1, F2, F8): string ops — concat, cast-to-string, lower. */
+  val q20 = GQuery("q20_string_ops", (s, d) =>
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, lower(p_name) AS name_lower,
+           |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}

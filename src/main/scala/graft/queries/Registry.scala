@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: a Spark implementation plus (when SQL-expressible) an
+  * equivalent ANSI SQL text for the DuckDB oracle over the same tables.
+  *
+  * Contract (driver gate): the oracle result and the Spark result must
+  * hash-match after sorting columns by name — so every computed column is
+  * aliased identically on both sides, every query has a total ORDER BY, and
+  * float aggregations are cast to DECIMAL (exact, order-independent) or
+  * rounded.
+  */
+final case class GQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    description: String = "")
+
+object Registry {
+  lazy val all: Seq[GQuery] =
+    CoreQueries.all ++ ExtQueries.all
+
+  lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+}
