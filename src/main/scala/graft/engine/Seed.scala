@@ -40,7 +40,7 @@ object Seed {
         "WHEN 3 THEN 'login' ELSE 'logout' END AS event_type",
       "'Event ' || CAST(n AS STRING) AS payload",
       "(n % 50) + 1 AS user_id",
-      "(n * 10.5) + 100.0 AS amount")
+      "CAST((n * 10.5) + 100.0 AS DOUBLE) AS amount")
 
   /** seed.sh:85 — 50 users. */
   def users(spark: SparkSession): DataFrame =
@@ -61,7 +61,7 @@ object Seed {
       "(n % 50) + 1 AS user_id",
       "(n % 20) + 1 AS product_id",
       "CAST((n % 5) + 1 AS INT) AS quantity",
-      "(n * 15.75) + 50.0 AS price",
+      "CAST((n * 15.75) + 50.0 AS DOUBLE) AS price",
       s"$Anchor - INTERVAL '1' DAY * (n % 60) AS order_date",
       "CASE (n % 4) WHEN 0 THEN 'completed' WHEN 1 THEN 'pending' WHEN 2 THEN 'shipped' " +
         "ELSE 'cancelled' END AS status")
@@ -73,7 +73,7 @@ object Seed {
       "'Product ' || CAST(n AS STRING) AS name",
       "CASE (n % 5) WHEN 0 THEN 'Electronics' WHEN 1 THEN 'Clothing' WHEN 2 THEN 'Books' " +
         "WHEN 3 THEN 'Home' ELSE 'Sports' END AS category",
-      "(n * 25.50) + 10.0 AS price",
+      "CAST((n * 25.50) + 10.0 AS DOUBLE) AS price",
       "CAST((n * 10) + 50 AS INT) AS stock",
       s"$Anchor - INTERVAL '1' DAY * n AS created_at")
 
@@ -83,7 +83,7 @@ object Seed {
     rows(spark, 300).selectExpr(
       "n AS transaction_id",
       "(n % 50) + 1 AS user_id",
-      "(n * 12.34) + 5.0 AS amount",
+      "CAST((n * 12.34) + 5.0 AS DOUBLE) AS amount",
       "CASE (n % 3) WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'GBP' END AS currency",
       "CASE (n % 3) WHEN 0 THEN 'payment' WHEN 1 THEN 'refund' ELSE 'transfer' END AS transaction_type",
       s"$Anchor - INTERVAL '1' HOUR * (n % 720) AS `timestamp`",

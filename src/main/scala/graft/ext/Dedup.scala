@@ -1,0 +1,199 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora — the LLM-training-data
+  * pipeline surface (exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard).
+  *
+  * Scale design (the point of every choice here):
+  *
+  *   - Exact dedup is one hash-partitioned shuffle on the dedup key with
+  *     map-side partial aggregation — never a driver collect.
+  *   - Near-dup candidate generation is MinHash + banded LSH: cost is
+  *     O(docs × shingles) string hashing plus O(docs × shingles × k) cheap
+  *     long re-hashes map-side, then one shuffle of SLIM rows
+  *     (doc_id, band_id, band_key) — the shingle sets themselves never ride
+  *     through the band shuffle. The all-pairs O(n²) comparison never
+  *     happens; only bucket-mates are compared. Skewed buckets (boilerplate
+  *     docs) are handled by AQE skew-join splitting.
+  *   - Candidates are then *verified* with exact Jaccard on the shingle
+  *     sets (joined back by id), so the emitted pairs have exact-threshold
+  *     semantics. With bands=32, rows=4 the LSH miss probability at j=0.8
+  *     is (1-0.8^4)^32 ≈ 5e-8 — vanishing at the j≥0.9 similarities real
+  *     corpora dedup at.
+  *   - Every stage is a separate projection with multi-referenced columns
+  *     (see TextPrep's evaluation-cost discipline) so tokenizing/hashing
+  *     happens exactly once per row, not once per band/permutation.
+  */
+object Dedup {
+
+  /** Exact duplicate removal on a key: keep the smallest `idCol` per
+    * distinct key — deterministic, unlike dropDuplicates (which keeps an
+    * arbitrary row per key). One shuffle, map-side combine. */
+  def exactKeepFirst(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Per-group duplicate stats (the monitoring twin of exactKeepFirst). */
+  def exactStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("doc_cnt"),
+        countDistinct(col(textCol)).as("distinct_cnt"),
+        (count(lit(1)) - countDistinct(col(textCol))).as("dup_cnt"))
+
+  /** (doc_id, sh) shingle sets for docs with ≥1 shingle — the shared
+    * verify-side input. Built via the staged (non-collapsible) pipeline. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    TextPrep.stagedShingles(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__text", shingleK, "sh")
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    * Jaccard over distinct word-`shingleK`-shingles; emits pairs with
+    * rounded Jaccard ≥ threshold, each pair once (id_a < id_b).
+    *
+    * Output: (id_a, id_b, jaccard) — jaccard rounded to 6 places so
+    * ordering/comparison is engine-stable.
+    */
+  def minHashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
+
+    // Staged sketch: shingles → base hashes → signature → band keys, each
+    // its own projection (multi-ref columns; nothing recomputed per band).
+    val banded = sh
+      .withColumn("hs", TextPrep.baseHashes(col("sh")))
+      .withColumn("sig", TextPrep.minHashSignatureFromHashes(col("hs"), numHashes))
+      .select(col("doc_id"),
+        posexplode(TextPrep.lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band_id", "band_key")))
+
+    // Slim bucket-mate equi-join on (band_id, band_key): rows are 24 bytes,
+    // not shingle arrays. A pair surfacing in several bands collapses to one
+    // row BEFORE the (comparatively costly) exact-Jaccard verification.
+    val a = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band_id", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    // Verify: join shingle sets back by id (both sides shuffle `sh` on
+    // doc_id — identical subplans, so ReuseExchange scans/hashes it once).
+    candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextPrep.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate candidate pairs: 64-bit SimHash per doc from
+    * token hashes, banded into `bands` equal bit-bands (any shared band ⇒
+    * candidate), then filtered by Hamming distance ≤ maxHamming.
+    *
+    * Band-count math (recall vs candidate volume): a candidate needs one
+    * EXACT band match, so with flip probability p per bit and w = 64/bands
+    * bits per band, P(candidate) = 1-(1-(1-p)^w)^bands. For near-dups at
+    * hamming ≈ 6 (p ≈ 0.1), 4×16 bands recall only ≈ 0.56 — 8×8 bands
+    * reach ≈ 0.99. Fewer/wider bands ⇒ fewer, tighter buckets (cheaper at
+    * scale, lower recall); more/narrower bands ⇒ the reverse. Pigeonhole:
+    * pairs with hamming < bands are ALWAYS candidates.
+    *
+    * Output: (id_a, id_b, hamming). The sketch is engine-specific
+    * (xxhash64-based) so this operator is verified by spec against the
+    * MinHash+exact-Jaccard pairs, not by a SQL oracle.
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 8,
+      bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bandBits = 64 / bands
+    val bandMask = (1L << bandBits) - 1
+    // bit b of simhash = majority vote of bit b across distinct token
+    // hashes. `hs` is a materialized column (guard gives it 2 refs) — the
+    // per-bit loop re-walks an 8-byte-element array, never re-hashes text.
+    def simhashFromHashes(hs: Column): Column =
+      when(size(hs) === 0, lit(0L)).otherwise(
+        aggregate(
+          sequence(lit(0), lit(63)),
+          lit(0L),
+          (acc, bit) => acc + when(
+            aggregate(hs, lit(0),
+              (cnt, h) => cnt + when(
+                call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1)
+                .otherwise(-1)) > 0,
+            call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(0L)))
+
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__toks", array_distinct(TextPrep.tokens(col("__text"))))
+      .withColumn("hs", TextPrep.baseHashes(col("__toks")))
+      .withColumn("sig", simhashFromHashes(col("hs")))
+      .select(col("doc_id"), col("sig"))
+
+    // `bands` bands of 64/bands bits; slim (doc_id, band, sig) rows join.
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        call_function("shiftright", col("sig"), lit(b * bandBits)).bitwiseAND(bandMask)): _*))
+        .as(Seq("band_id", "band_val")))
+
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_val")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for an explicit pair list — the
+    * verification primitive on its own (J4-style blocked join at scale:
+    * the pair list is the blocking structure). */
+  def ngramJaccard(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
+      .select(col("doc_id").as("jid"), col("sh").as("jsh"))
+    pairs
+      .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextPrep.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: exact blocked all-pairs cosine ≥
+    * threshold. The corpus side is broadcast when small; at scale swap the
+    * candidate stage for Similarity.lshBuckets (same verify tail).
+    * Output: (id_a, id_b, cos_sim rounded). */
+  def embeddingNearDup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = embeddings.select(col(idCol).as("eid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = e.select(col("eid").as("id_a"), col("v").as("v_a"))
+    val b = e.select(col("eid").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

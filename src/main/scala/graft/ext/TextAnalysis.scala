@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over document corpora: language identification,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure Catalyst expression trees (codegen'd, distributed); each has an
+  * exact DuckDB-SQL twin documented with it so the driver oracle can
+  * hash-match results.
+  */
+object TextAnalysis {
+
+  /** Marker-word profiles for the n-gram/stopword language-ID heuristic.
+    * Deterministic and tiny (broadcast as literals into the plan). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Language-ID: argmax of marker-word hits over the distinct token set,
+    * ties broken by profile order (en > de > es > fr > zh), 'und'
+    * (undetermined) when nothing hits.
+    * DuckDB twin: chained CASE over len(list_intersect(...)) ≥ pairwise max.
+    */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(TextPrep.tokens(text))
+    val hits = langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), elseCol) =>
+      when(h === best && h > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality-score feature columns + composite score.
+    *
+    * Features (each oracle-expressible):
+    *   n_chars (length), n_tokens (whitespace), punct_ratio (punctuation
+    *   chars / chars), stop_ratio (stopword tokens / tokens), mean_tok_len.
+    * Composite: a clamped linear score in [0,1] — a document is "good" when
+    * it's long enough, not punctuation-soup, and has natural word lengths.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = TextPrep.tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    val stopHits = size(filter(toks, t => t.isin("the", "a", "and", "of", "to", "is"): Column))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "punct_ratio" -> round(punct.cast("double") / greatest(nChars, lit(1)), 6),
+      "stop_ratio" -> round(stopHits.cast("double") / greatest(nToks, lit(1)), 6),
+      "mean_tok_len" -> round((length(regexp_replace(lower(trim(text)), "\\s+", "")).cast("double"))
+        / greatest(nToks, lit(1)), 6))
+  }
+
+  /** Composite quality score in [0,1]: rewards 200–2000 chars, penalizes
+    * punctuation soup and stopword-free (unnatural) text. Deterministic
+    * arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenScore = least(f("n_chars").cast("double") / 400.0, lit(1.0))
+    val punctPenalty = least(f("punct_ratio") * 5.0, lit(1.0))
+    round(greatest(least(lenScore - punctPenalty * 0.5 + f("stop_ratio") * 0.2, lit(1.0)), lit(0.0)), 6)
+  }
+
+  /** Whitespace token count. DuckDB: len(string_split_regex(trim(text),'\s+')). */
+  def wsTokenCount(text: Column): Column = size(TextPrep.tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token — the standard pre-tokenizer shape.
+    * DuckDB twin: len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Document fingerprint: minimum md5 over word-`k`-shingles (a 1-hash
+    * MinHash with an engine-portable hash). Equal fingerprints ⇒ high
+    * shingle overlap with high probability; used for cheap near-dup
+    * clustering and incremental corpus diffing.
+    * DuckDB twin: list_min(list_transform(shingles, s -> md5(s))).
+    */
+  def fingerprint(text: Column, shingleK: Int = 5): Column =
+    coalesce(
+      array_min(transform(TextPrep.shingles(text, shingleK), s => md5(s))),
+      md5(lower(trim(text))))
+}

@@ -51,7 +51,7 @@ object ExtQueries {
       .orderBy("lang")
   },
     Some("""SELECT lang, count(*) AS doc_cnt,
-           |  SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+           |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
            |  round(AVG(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming pipeline over the stream-shaped `events` entity
+  * (event-time `ts`, categorical `event_type` —
+  * /root/reference/compose/seed.sh:72 is the reference's stream-shaped
+  * table; no streaming service exists in its compose stack, so this is the
+  * declared Tier C surface, SURVEY.md §2.9).
+  *
+  * Shape: source → withWatermark → tumbling-window count → sink. The
+  * transformation is factored out ([[windowedCounts]]) so the exact same
+  * plan is testable in batch mode (Q25) and runnable as a stream —
+  * Structured Streaming's contract is that the two agree up to late-data
+  * drops, which is what the spec asserts.
+  *
+  * Scale: stateful agg state is per (window, event_type) — bounded by the
+  * watermark horizon; the shuffle is on the group key like any batch agg.
+  */
+object EventsStream {
+
+  /** The shared (batch = stream) transformation: tumbling 1-day counts per
+    * event_type, watermarked 1 hour when streaming. */
+  def windowedCounts(events: DataFrame, watermark: Boolean): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+  }
+
+  /** File-source replay: read the events parquet directory as a stream
+    * (maxFilesPerTrigger simulates arrival), apply the windowed count. */
+  def fromParquetDir(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame = {
+    val src = spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    windowedCounts(src, watermark = true)
+  }
+
+  /** Run the stream to completion against a memory sink; returns the final
+    * in-memory table. Complete mode because windows re-fire as files land. */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

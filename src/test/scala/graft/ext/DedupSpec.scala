@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  /** Ground truth: exact all-pairs 3-gram Jaccard ≥ 0.8 (small corpus only —
+    * this is exactly what LSH exists to avoid at scale). */
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id"), TextPrep.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        round(TextPrep.jaccard(col("a.sh"), col("b.sh")), 6).as("j"))
+      .where(col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minHashLshPairs finds exactly the all-pairs-exact near-dup set") {
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "test corpus should contain planted near-dups")
+    assert(lsh === exactPairs)
+  }
+
+  test("simHashPairs recalls the high-similarity pairs") {
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SimHash is a different sketch; require it to recover most of the
+    // exact near-dup set (these pairs have jaccard ≥ 0.8, typically ≥ 0.9).
+    val recalled = exactPairs.intersect(sim).size.toDouble / exactPairs.size
+    assert(recalled >= 0.8, s"simhash recall $recalled over ${exactPairs.size} pairs")
+  }
+
+  test("exactKeepFirst: dedup(x ++ x) == dedup(x) and keeps min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "text")
+    val once = Dedup.exactKeepFirst(df, "text", "id")
+    val twice = Dedup.exactKeepFirst(df.unionAll(df), "text", "id")
+    assert(once.select("text", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("a", 1L), ("b", 3L)))
+    assert(twice.select("text", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("a", 1L), ("b", 3L)))
+  }
+
+  test("ngramJaccard: identical text has jaccard 1.0; disjoint has 0.0") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(d, pairs, "doc_id", "text", 3)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+    // note: ngramJaccard output column order is (id_a, id_b, jaccard) after joins
+    val byPair = Dedup.ngramJaccard(d, pairs, "doc_id", "text", 3)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(byPair((1L, 2L)) === 1.0)
+    assert(byPair((1L, 3L)) === 0.0)
+  }
+
+  test("embeddingNearDup is symmetric-free (each pair once) and thresholded") {
+    val out = Dedup.embeddingNearDup(Tables.embeddings(spark, sf0001), "vec_id", "embedding", 0.4)
+      .collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(2) >= 0.4))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).collect().head.get(0)
+
+  test("langId picks the profile with most marker hits, deterministic ties") {
+    assert(one("the cat and the dog is a pet", TextAnalysis.langId(col("text"))) === "en")
+    assert(one("der hund und die katze ist ein tier", TextAnalysis.langId(col("text"))) === "de")
+    assert(one("el perro y la casa de que es", TextAnalysis.langId(col("text"))) === "es")
+    assert(one("le chat et les maisons est une", TextAnalysis.langId(col("text"))) === "fr")
+    assert(one("xyzzy plugh foobar", TextAnalysis.langId(col("text"))) === "und")
+  }
+
+  test("token counts: whitespace vs BPE-ish pre-tokenizer") {
+    assert(one("hello world", TextAnalysis.wsTokenCount(col("text"))) === 2)
+    // "hello, world42!" → [hello][,][world][42][!] = 5
+    assert(one("hello, world42!", TextAnalysis.bpeishTokenCount(col("text"))) === 5)
+  }
+
+  test("quality score stays in [0,1] and rewards longer natural text") {
+    val lo = one("x", TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    val hi = one(("the quick brown fox jumps over the lazy dog and runs to a barn " * 10),
+      TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(lo >= 0.0 && lo <= 1.0 && hi >= 0.0 && hi <= 1.0)
+    assert(hi > lo)
+  }
+
+  test("fingerprint: equal for identical text, short-text fallback works") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "zz")).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text"), 5).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(3L) !== fps(1L))
+    assert(fps(3L).length === 32) // md5 hex fallback
+  }
+
+  test("shingles: k-grams over tokens, distinct, empty under k tokens") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(TextPrep.shingles(col("text"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+    val empty = Seq("a b").toDF("text")
+      .select(TextPrep.shingles(col("text"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+}
