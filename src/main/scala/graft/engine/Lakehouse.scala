@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog/DDL surface — the Spark-native stand-in for the reference's
+  * Nessie-catalog + MinIO-warehouse tier (SURVEY.md §1.1, §2.1 S2-S8):
+  *
+  *   - `SHOW CATALOGS` readiness probe (seed.sh:49)        → listDatabases
+  *   - `CREATE SCHEMA ... WITH (location=...)` (seed.sh:65) → createSchema
+  *   - `CREATE TABLE` typed DDL (seed.sh:72...)             → createTable
+  *   - `DROP TABLE IF EXISTS` (seed.sh:69...)               → dropTable
+  *   - `INSERT INTO ... VALUES` (README.md:62)              → plain spark.sql
+  *   - `INSERT INTO ... SELECT` (seed.sh:75...)             → plain spark.sql
+  *
+  * Everything routes through `spark.sql` so the exercised surface is the
+  * real SQL parser/analyzer path, not a private API. Catalog versioning
+  * (Nessie ref `main`) is out of scope — no Iceberg runtime jar (SURVEY.md
+  * §7.3.7).
+  */
+object Lakehouse {
+
+  /** `SELECT 1` liveness probe (seed.sh:34, S3). */
+  def ping(spark: SparkSession): Boolean =
+    spark.sql("SELECT 1").collect().head.getInt(0) == 1
+
+  /** `SHOW CATALOGS`-equivalent readiness probe (seed.sh:49, S2). */
+  def listSchemas(spark: SparkSession): Seq[String] =
+    spark.sql("SHOW DATABASES").collect().map(_.getString(0)).toSeq
+
+  /** CREATE SCHEMA IF NOT EXISTS with optional explicit location
+    * (seed.sh:65, S4). */
+  def createSchema(spark: SparkSession, name: String, location: Option[String] = None): Unit = {
+    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $name$loc")
+  }
+
+  /** Typed CREATE TABLE ... USING parquet (seed.sh:72-112, S5/S10);
+    * `columns` are (name, sparkType) pairs. */
+  def createTable(spark: SparkSession, fqName: String, columns: Seq[(String, String)]): Unit = {
+    val cols = columns.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $fqName ($cols) USING parquet")
+  }
+
+  /** External-location table registration (iceberg.properties:19, S11). */
+  def registerExternal(spark: SparkSession, fqName: String, path: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $fqName USING parquet LOCATION '$path'")
+
+  /** DROP TABLE IF EXISTS (seed.sh:69, S6). */
+  def dropTable(spark: SparkSession, fqName: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $fqName")
+
+  /** Ad-hoc SQL entry point (README.md:49-50, §3.3) — the full statement
+    * surface is whatever Spark SQL parses. */
+  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
+}

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SketchExprs
 
 /** Deduplication operators for large text corpora — the LLM-training-data
   * pipeline surface (exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard).
@@ -43,14 +44,21 @@ object Dedup {
         (count(lit(1)) - countDistinct(col(textCol))).as("dup_cnt"))
 
   /** (doc_id, sh) shingle sets for docs with ≥1 shingle — the shared
-    * verify-side input. Built via the staged (non-collapsible) pipeline. */
+    * verify-side input. Built via the staged (non-collapsible) pipeline.
+    *
+    * The ≥1-shingle condition is expressed as `tokens ≥ k` BEFORE the
+    * shingle projection (they are equivalent): a `size(sh) > 0` filter
+    * AFTER it would be alias-substituted and pushed below the projection by
+    * PushPredicateThroughNonJoin, re-evaluating the whole shingle pipeline
+    * (with the tokenizer re-inlined into the per-index lambda) once per
+    * row — measured 5× the query's entire runtime at sf0.1. */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =
     TextPrep.stagedShingles(
-        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+          .filter(size(TextPrep.tokens(col("__text"))) >= shingleK),
         "__text", shingleK, "sh")
       .select(col("doc_id"), col("sh"))
-      .filter(size(col("sh")) > 0)
 
   /** Near-duplicate pairs via MinHash + banded LSH, verified with exact
     * Jaccard over distinct word-`shingleK`-shingles; emits pairs with
@@ -72,13 +80,14 @@ object Dedup {
 
     val sh = shingleSets(docs, idCol, textCol, shingleK)
 
-    // Staged sketch: shingles → base hashes → signature → band keys, each
-    // its own projection (multi-ref columns; nothing recomputed per band).
+    // Sketch: base hashes (one string hash per shingle) → native codegen'd
+    // MinHash signature → native band keys (org.apache.spark.sql.graft
+    // .SketchExprs — tight k×n loops, no interpreted lambdas).
     val banded = sh
       .withColumn("hs", TextPrep.baseHashes(col("sh")))
-      .withColumn("sig", TextPrep.minHashSignatureFromHashes(col("hs"), numHashes))
       .select(col("doc_id"),
-        posexplode(TextPrep.lshBandKeys(col("sig"), bands, rowsPerBand))
+        posexplode(SketchExprs.lshBands(
+          SketchExprs.minHashSig(col("hs"), numHashes), bands, rowsPerBand))
           .as(Seq("band_id", "band_key")))
 
     // Slim bucket-mate equi-join on (band_id, band_key): rows are 24 bytes,
@@ -127,25 +136,11 @@ object Dedup {
     val bandBits = 64 / bands
     val bandMask = (1L << bandBits) - 1
     // bit b of simhash = majority vote of bit b across distinct token
-    // hashes. `hs` is a materialized column (guard gives it 2 refs) — the
-    // per-bit loop re-walks an 8-byte-element array, never re-hashes text.
-    def simhashFromHashes(hs: Column): Column =
-      when(size(hs) === 0, lit(0L)).otherwise(
-        aggregate(
-          sequence(lit(0), lit(63)),
-          lit(0L),
-          (acc, bit) => acc + when(
-            aggregate(hs, lit(0),
-              (cnt, h) => cnt + when(
-                call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1)
-                .otherwise(-1)) > 0,
-            call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(0L)))
-
+    // hashes (native codegen'd 64×n loop over the materialized hash array).
     val sigs = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__toks", array_distinct(TextPrep.tokens(col("__text"))))
-      .withColumn("hs", TextPrep.baseHashes(col("__toks")))
-      .withColumn("sig", simhashFromHashes(col("hs")))
+      .withColumn("sig", SketchExprs.simHash64(TextPrep.baseHashes(col("__toks"))))
       .select(col("doc_id"), col("sig"))
 
     // `bands` bands of 64/bands bits; slim (doc_id, band, sig) rows join.
@@ -171,7 +166,12 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, pairs: DataFrame,
       idCol: String, textCol: String, shingleK: Int): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    // Only shingle docs the pair list references (left-semi prune): the
+    // verify set is typically orders of magnitude smaller than the corpus.
+    val ids = pairs.select(col("id_a").as("jid"))
+      .union(pairs.select(col("id_b").as("jid"))).distinct()
+    val needed = docs.join(ids, col(idCol) === col("jid"), "left_semi")
+    val sh = shingleSets(needed, idCol, textCol, shingleK)
       .select(col("doc_id").as("jid"), col("sh").as("jsh"))
     pairs
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))

@@ -85,9 +85,22 @@ object TextAnalysis {
     * shingle overlap with high probability; used for cheap near-dup
     * clustering and incremental corpus diffing.
     * DuckDB twin: list_min(list_transform(shingles, s -> md5(s))).
-    */
+    *
+    * Convenience single-expression form — fine for small inputs/specs; hot
+    * paths use [[withFingerprint]], which stages the token array so the
+    * tokenizer isn't re-evaluated per shingle index. */
   def fingerprint(text: Column, shingleK: Int = 5): Column =
     coalesce(
       array_min(transform(TextPrep.shingles(text, shingleK), s => md5(s))),
       md5(lower(trim(text))))
+
+  /** df + fingerprint column `out`, staged (tokens materialized once per
+    * row, shingles once, then the md5 fold). */
+  def withFingerprint(df: DataFrame, textCol: String, shingleK: Int, out: String): DataFrame =
+    TextPrep.stagedShingles(df, textCol, shingleK, "__sh")
+      .withColumn(out,
+        coalesce(
+          array_min(transform(col("__sh"), s => md5(s))),
+          md5(lower(trim(col(textCol))))))
+      .drop("__sh")
 }

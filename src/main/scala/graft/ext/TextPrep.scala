@@ -69,37 +69,11 @@ object TextPrep {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** One 64-bit base hash per shingle — the ONLY string hashing the MinHash
-    * pipeline does. Permutations derive from this via long re-hash. */
+  /** One 64-bit base hash per shingle/token — the ONLY string hashing the
+    * sketch pipelines do. MinHash permutations and SimHash bit votes derive
+    * from this via native long re-hash loops
+    * (org.apache.spark.sql.graft.SketchExprs — codegen'd; no DuckDB twin:
+    * oracle checks run on the *verified outputs*, not the sketches). */
   def baseHashes(shingleSet: Column): Column =
     transform(shingleSet, s => xxhash64(s))
-
-  /** MinHash signature from *materialized* base hashes: k independent
-    * minima of `xxhash64(h, i)` — a fixed-width (8-byte input, seeded)
-    * re-hash per permutation instead of k full string re-hashes.
-    * Empty/null hash arrays yield Long.MaxValue sentinels.
-    *
-    * The emptiness guard is load-bearing twice over: it short-circuits the
-    * degenerate case AND gives `hashes` a second reference so the
-    * base-hash projection is never inlined into the per-permutation lambda.
-    *
-    * No DuckDB twin (engine-specific hash); oracle checks run on the
-    * *verified output* of LSH (exact-Jaccard-filtered pairs), not the sketch.
-    */
-  def minHashSignatureFromHashes(hashes: Column, k: Int): Column =
-    when(size(hashes) === 0, array_repeat(lit(Long.MaxValue), k))
-      .otherwise(transform(sequence(lit(0), lit(k - 1)), i =>
-        coalesce(array_min(transform(hashes, h => xxhash64(h, i))),
-          lit(Long.MaxValue))))
-
-  /** LSH band keys from a *materialized* signature column: `bands` keys,
-    * each hashing `rowsPerBand` consecutive signature values. Unrolled per
-    * band (bands is a plan-time constant) so `signature` is a multi-ref
-    * attribute — computed once per row, sliced 32×, never recomputed. */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        transform(slice(signature, lit(b * rowsPerBand + 1), lit(rowsPerBand)),
-          v => v.cast("string"))), lit(b))
-    }: _*)
 }

@@ -173,9 +173,12 @@ object CoreQueries {
     * is engine-specific (HLL++ vs DuckDB's sketch), so the checked output is
     * the exact count plus a both-sides-computed 5%-tolerance flag. */
   val q13 = GQuery("q13_distinct_count", (s, d) =>
+    // rsd 0.02 ⇒ ~2^12 HLL registers. Tighter precision (0.005) means 64K+
+    // registers per partial buffer, which forces the agg off the fast hash
+    // path and cost 25s at sf0.1 for zero checked benefit (the check is 5%).
     t(s, d, "orders").agg(
       countDistinct(col("o_custkey")).as("exact_cnt"),
-      approx_count_distinct(col("o_custkey"), 0.005).as("approx"))
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
       .select(col("exact_cnt"),
         (abs(col("approx") - col("exact_cnt")) <= col("exact_cnt") * 0.05).as("approx_ok")),
     Some("""SELECT count(DISTINCT o_custkey) AS exact_cnt,
@@ -268,6 +271,49 @@ object CoreQueries {
            |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size
            |FROM part ORDER BY p_partkey""".stripMargin))
 
+  /** Q40 (J2 completion): FULL OUTER join — order counts per customer
+    * keeping both unmatched customers and (synthetically filtered) orphan
+    * orders. Completes the left/right/full outer surface next to Q10. */
+  val q40 = GQuery("q40_full_outer_join", (s, d) => {
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      .filter(col("c_custkey") % 3 =!= 0)
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .filter(col("o_custkey") % 3 =!= 1)
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
+      .agg(count(col("o_orderkey")).as("order_cnt"),
+        max(col("c_mktsegment")).as("mktsegment"))
+      .orderBy("custkey")
+  },
+    Some("""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0),
+           |o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 3 <> 1)
+           |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           |  count(o_orderkey) AS order_cnt, max(c_mktsegment) AS mktsegment
+           |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+           |GROUP BY 1 ORDER BY custkey""".stripMargin))
+
+  /** Q41 (§2.5 lag/lead): inter-event gap per user — lag over the event-time
+    * order, the standard sessionization primitive. */
+  val q41 = GQuery("q41_lag_lead", (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        // -1 sentinels keep the columns total: the boundary nulls (first
+        // lag / last lead per partition) round-trip as NaN≠NaN otherwise.
+        // Exact integer microseconds (unix_micros/epoch_us) — second-level
+        // truncation differs between engines (DuckDB epoch() is fractional).
+        coalesce(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)),
+          lit(-1L)).as("gap_us"),
+        coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event_id"))
+      .orderBy("user_id", "event_id")
+  },
+    Some(s"""SELECT user_id, event_id,
+            |  coalesce(epoch_us($oracleTsCast) - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w), -1) AS gap_us,
+            |  coalesce(lead(event_id, 1) OVER w, -1) AS next_event_id
+            |FROM events
+            |WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTsCast, event_id)
+            |ORDER BY user_id, event_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q40, q41)
 }

@@ -174,8 +174,9 @@ object PipelineQueries {
   /** Q34 (text analysis / fingerprinting): min-md5-over-5-shingles document
     * fingerprint (portable 1-hash MinHash) + cluster sizes. */
   val q34 = GQuery("q34_fingerprint", (s, d) => {
-    val fp = t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 5).as("fp"))
+    val fp = TextAnalysis.withFingerprint(
+        t(s, d, "documents").select("doc_id", "text"), "text", 5, "fp")
+      .select("doc_id", "fp")
     fp.groupBy("fp").agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("min_doc_id"))
       .orderBy("min_doc_id")
   },

@@ -1,0 +1,169 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native codegen'd sketch expressions over a *materialized* base-hash
+  * array (`xxhash64` per token/shingle — the only string hashing done).
+  *
+  * The higher-order-function formulations evaluate k×n (MinHash: 128×n)
+  * or 64×n (SimHash) interpreted lambda calls per row; these generate one
+  * tight primitive loop using Spark's own XXH64 long-rehash. The sketch
+  * values are engine-internal (candidate generation only — emitted pairs
+  * are exact-verified), so the hash-family change is behavior-neutral for
+  * every oracle-checked output.
+  */
+
+/** k-permutation MinHash signature of an ARRAY<BIGINT> of base hashes:
+  * sig[i] = min_j XXH64.hashLong(h_j, seed=i), Long.MaxValue when empty. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashLong(h, i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $n = $hs.numElements();
+         |for (int j = 0; j < $n; j++) {
+         |  long h = $hs.getLong(j);
+         |  for (int i = 0; i < $k; i++) {
+         |    long v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, i);
+         |    if (v < $sig[i]) $sig[i] = v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of an ARRAY<BIGINT> of base hashes: bit b is set iff the
+  * majority of hashes have bit b set (strict majority; ties clear). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val cnt = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (cnt(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val cnt = ctx.freshName("cnt")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $cnt = new int[64];
+         |int $n = $hs.numElements();
+         |for (int j = 0; j < $n; j++) {
+         |  long h = $hs.getLong(j);
+         |  for (int b = 0; b < 64; b++) {
+         |    if (((h >>> b) & 1L) == 1L) $cnt[b]++; else $cnt[b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int b = 0; b < 64; b++) { if ($cnt[b] > 0) $sig |= (1L << b); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band keys of an ARRAY<BIGINT> MinHash signature: bands keys, each
+  * the XXH64 chain over its rowsPerBand signature values (seeded by the
+  * band index so identical band contents in different bands collide only
+  * by chance). */
+case class LshBands(child: Expression, bands: Int, rowsPerBand: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_bands"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = XXH64.hashLong(sig.getLong(b * rowsPerBand + r), acc)
+        r += 1
+      }
+      keys(b) = acc
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sig => {
+      val keys = ctx.freshName("keys")
+      s"""
+         |long[] $keys = new long[$bands];
+         |for (int b = 0; b < $bands; b++) {
+         |  long acc = (long) b;
+         |  for (int r = 0; r < $rowsPerBand; r++) {
+         |    acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+         |      $sig.getLong(b * $rowsPerBand + r), acc);
+         |  }
+         |  $keys[b] = acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SketchExprs {
+  private def e(c: Column) = ExpressionUtils.expression(c)
+  def minHashSig(hashes: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(e(hashes), k))
+  def simHash64(hashes: Column): Column =
+    ExpressionUtils.column(SimHash64(e(hashes)))
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    ExpressionUtils.column(LshBands(e(sig), bands, rowsPerBand))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.engine.Lakehouse
+
+/** Exercises the literal SQL DDL/DML surface the reference seeds through
+  * (seed.sh:34-118, README.md:62): schema creation, typed table DDL,
+  * INSERT VALUES, INSERT SELECT with the sequence generator, idempotent
+  * drop/re-create. */
+class LakehouseSpec extends SparkSpec {
+
+  test("liveness + catalog probes (seed.sh:34,49)") {
+    assert(Lakehouse.ping(spark))
+    assert(Lakehouse.listSchemas(spark).contains("default"))
+  }
+
+  test("full seed.sh DDL/DML round-trip as literal SQL") {
+    Lakehouse.createSchema(spark, "lh_demo")
+    Lakehouse.dropTable(spark, "lh_demo.mini_events")
+    // seed.sh:72 shape, trimmed
+    Lakehouse.createTable(spark, "lh_demo.mini_events",
+      Seq("id" -> "BIGINT", "event_type" -> "STRING", "amount" -> "DOUBLE"))
+    // README.md:62 — INSERT INTO ... VALUES
+    spark.sql("INSERT INTO lh_demo.mini_events VALUES (999, 'click', 123.45)")
+    // seed.sh:75 — INSERT INTO ... SELECT over the row generator, with the
+    // reference's CASE / modulo / concat expression shapes
+    spark.sql(
+      """INSERT INTO lh_demo.mini_events
+        |SELECT n AS id,
+        |  CASE (n % 5) WHEN 0 THEN 'click' WHEN 1 THEN 'purchase' WHEN 2 THEN 'view'
+        |       WHEN 3 THEN 'login' ELSE 'logout' END AS event_type,
+        |  CAST((n * 10.5) + 100.0 AS DOUBLE) AS amount
+        |FROM (SELECT explode(sequence(1, 200)) AS n)""".stripMargin)
+    assert(spark.table("lh_demo.mini_events").count() === 201)
+    // re-seed idempotency: drop + recreate converges (seed.sh:69 pattern)
+    Lakehouse.dropTable(spark, "lh_demo.mini_events")
+    Lakehouse.createTable(spark, "lh_demo.mini_events",
+      Seq("id" -> "BIGINT", "event_type" -> "STRING", "amount" -> "DOUBLE"))
+    assert(spark.table("lh_demo.mini_events").count() === 0)
+  }
+
+  test("external table registration reads driver parquet in place (S11)") {
+    Lakehouse.createSchema(spark, "lh_demo")
+    Lakehouse.dropTable(spark, "lh_demo.ext_nation")
+    Lakehouse.registerExternal(spark, "lh_demo.ext_nation", s"$sf0001/nation.parquet")
+    assert(spark.table("lh_demo.ext_nation").count() === 25)
+  }
+}
