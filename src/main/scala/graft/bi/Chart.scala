@@ -1,6 +1,7 @@
 package graft.bi
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BI query-generation surface: the Spark-native equivalent of Superset's
@@ -9,13 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * A [[ChartSpec]] mirrors the form_data fields the reference exercises:
   * datasource table, viz type, raw-mode column list (`all_columns`),
-  * agg-mode `groupby` + `metrics`, time column + range
-  * (`granularity_sqla` / `time_range`), `order_by` [(metric, asc)],
-  * `row_limit`. [[ChartCompiler.compile]] lowers it onto a DataFrame plan —
-  * the same Catalyst path ad-hoc SQL takes — so every chart inherits
-  * pushdown/pruning/limit fusion for free.
+  * agg-mode `groupby` + `metrics` + `percent_metrics`, time column + range
+  * + grain (`granularity_sqla` / `time_range` / `time_grain_sqla`,
+  * init_db.py:145-147), simple adhoc filters, `order_by` [(metric, asc)],
+  * `row_limit` (init_db.py:154). [[ChartCompiler.compile]] lowers it onto a
+  * DataFrame plan — the same Catalyst path ad-hoc SQL takes — so every
+  * chart inherits pushdown/pruning/limit fusion for free.
   */
 final case class Metric(fn: String, column: Option[String], alias: String)
+
+/** One Superset SIMPLE adhoc-filter clause: col op value. */
+final case class SimpleFilter(column: String, op: String, value: Any)
 
 final case class ChartSpec(
     datasource: String,
@@ -24,8 +29,11 @@ final case class ChartSpec(
     allColumns: Seq[String] = Nil,                   // raw mode projection
     groupby: Seq[String] = Nil,                      // agg mode keys
     metrics: Seq[Metric] = Nil,                      // agg mode measures
+    percentMetrics: Seq[Metric] = Nil,               // percent-of-total twins
+    filters: Seq[SimpleFilter] = Nil,                // adhoc_filters (SIMPLE)
     timeColumn: Option[String] = None,               // granularity_sqla
     timeRange: Option[(String, String)] = None,      // [from, to) literals
+    timeGrain: Option[String] = None,                // time_grain_sqla (e.g. "day")
     orderBy: Seq[(String, Boolean)] = Nil,           // (column, ascending)
     rowLimit: Int = 100)                             // init_db.py:154
 
@@ -44,20 +52,46 @@ object ChartCompiler {
     c.as(m.alias)
   }
 
-  /** form_data → DataFrame. Time filter first (pushes to the scan), then
-    * raw projection or groupBy/agg, then order + limit (fuses to top-k). */
+  private def filterCol(f: SimpleFilter): Column = {
+    val c = col(f.column)
+    f.op.toUpperCase match {
+      case "=" | "==" => c === lit(f.value)
+      case "!=" | "<>" => c =!= lit(f.value)
+      case ">" => c > lit(f.value)
+      case ">=" => c >= lit(f.value)
+      case "<" => c < lit(f.value)
+      case "<=" => c <= lit(f.value)
+      case "IN" => c.isin(f.value.asInstanceOf[Seq[Any]]: _*)
+      case "LIKE" => c.like(f.value.toString)
+      case other => throw new IllegalArgumentException(s"unsupported filter op: $other")
+    }
+  }
+
+  /** form_data → DataFrame. Filters first (they push to the scan), then raw
+    * projection or groupBy/agg (with the time-grain bucket as an extra
+    * dimension), percent-of-total windows, then order + limit (fuses to
+    * top-k). */
   def compile(spark: SparkSession, spec: ChartSpec, table: String => DataFrame): DataFrame = {
     var df = table(spec.datasource)
     for ((from, to) <- spec.timeRange; tc <- spec.timeColumn)
       df = df.filter(col(tc) >= lit(from).cast("timestamp") && col(tc) < lit(to).cast("timestamp"))
+    spec.filters.foreach(f => df = df.filter(filterCol(f)))
     df = spec.queryMode match {
       case "raw" =>
         if (spec.allColumns.nonEmpty) df.select(spec.allColumns.map(col): _*) else df
       case "aggregate" =>
+        val grainKey = for (g <- spec.timeGrain; tc <- spec.timeColumn)
+          yield date_trunc(g, col(tc)).as(s"__timestamp") // Superset's grain alias
+        val keys = grainKey.toSeq ++ spec.groupby.map(col)
         val aggs = spec.metrics.map(metricCol)
-        if (spec.groupby.nonEmpty)
-          df.groupBy(spec.groupby.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        else df.agg(aggs.head, aggs.tail: _*)
+        val grouped =
+          if (keys.nonEmpty) df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+          else df.agg(aggs.head, aggs.tail: _*)
+        // percent metrics: metric / sum(metric) over the whole result
+        spec.percentMetrics.foldLeft(grouped) { (acc, m) =>
+          acc.withColumn(s"pct_${m.alias}",
+            col(m.alias) / sum(col(m.alias)).over(Window.partitionBy()))
+        }
       case other => throw new IllegalArgumentException(s"unsupported query_mode: $other")
     }
     if (spec.orderBy.nonEmpty)
@@ -81,4 +115,29 @@ object Datasets {
   def listAll(spark: SparkSession, database: String): Seq[DatasetDef] =
     spark.catalog.listTables(database).collect().toSeq
       .map(t => describe(spark, database, t.name))
+}
+
+/** Dashboard: layout-only metadata, the reference's v2 grid JSON
+  * (init_db.py:273-307) — two charts per row, width 6, height 50. No
+  * computation happens at this layer; each chart's query is its ChartSpec. */
+object Dashboard {
+  final case class ChartCell(id: String, chartName: String, row: Int, colOffset: Int,
+      width: Int = 6, height: Int = 50)
+  final case class DashboardDef(title: String, cells: Seq[ChartCell])
+
+  /** Grid placement exactly as the reference: 2 per row, each 6 wide. */
+  def grid(title: String, chartNames: Seq[String]): DashboardDef =
+    DashboardDef(title, chartNames.zipWithIndex.map { case (name, idx) =>
+      ChartCell(s"CHART-${idx + 1}", name, row = idx / 2, colOffset = (idx % 2) * 6)
+    })
+
+  /** Minimal v2-shaped JSON rendering (ROOT → GRID → CHART-i). */
+  def toJson(d: DashboardDef): String = {
+    val cells = d.cells.map { c =>
+      s""""${c.id}":{"type":"CHART","meta":{"sliceName":"${c.chartName}","width":${c.width},"height":${c.height}},"parents":["ROOT_ID","GRID_ID"]}"""
+    }.mkString(",")
+    val children = d.cells.map(c => s""""${c.id}"""").mkString(",")
+    s"""{"DASHBOARD_VERSION_KEY":"v2","ROOT_ID":{"type":"ROOT","children":["GRID_ID"]},""" +
+      s""""GRID_ID":{"type":"GRID","children":[$children],"parents":["ROOT_ID"]},$cells}"""
+  }
 }

@@ -264,6 +264,24 @@ object PipelineQueries {
         |WHERE ts >= TIMESTAMP '2025-12-10 00:00:00' AND ts < TIMESTAMP '2026-01-01 00:00:00'
         |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 100""".stripMargin)))
 
+  /** Q42 (BI / time-grain + percent metrics): agg-mode form_data with
+    * `time_grain_sqla` bucketing (date_trunc dimension, Superset's
+    * `__timestamp` alias) and a percent-of-total metric twin
+    * (init_db.py:145-153 fields `time_grain_sqla`, `percent_metrics`). */
+  val q42 = GQuery("q42_chart_timegrain",
+    (s, _) => ChartCompiler.compile(s,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        metrics = Seq(Metric("count", None, "cnt")),
+        percentMetrics = Seq(Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        orderBy = Seq(("__timestamp", true)), rowLimit = 100),
+      _ => Seed.events(s))
+      .withColumn("pct_cnt", round(col("pct_cnt"), 6)),
+    Some(SeedSql.withDemo(
+      """SELECT date_trunc('day', ts) AS __timestamp, count(*) AS cnt,
+        |  round(count(*) / sum(count(*)) OVER (), 6) AS pct_cnt
+        |FROM demo_events GROUP BY 1 ORDER BY __timestamp LIMIT 100""".stripMargin)))
+
   val all: Seq[GQuery] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39)
+    q35, q36, q37, q38, q39, q42)
 }

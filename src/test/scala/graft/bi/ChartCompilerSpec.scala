@@ -57,6 +57,40 @@ class ChartCompilerSpec extends SparkSpec {
     }
   }
 
+  test("time grain buckets to __timestamp; percent metrics sum to 1") {
+    val df = ChartCompiler.compile(spark,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        metrics = Seq(Metric("count", None, "cnt")),
+        percentMetrics = Seq(Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        orderBy = Seq(("__timestamp", true)), rowLimit = 1000),
+      _ => events)
+    val rows = df.collect()
+    assert(df.columns.toSeq === Seq("__timestamp", "cnt", "pct_cnt"))
+    assert(rows.map(_.getLong(1)).sum === 200L)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+  }
+
+  test("simple adhoc filters compile to predicates") {
+    val df = ChartCompiler.compile(spark,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        metrics = Seq(Metric("count", None, "cnt")),
+        filters = Seq(SimpleFilter("event_type", "=", "click"),
+          SimpleFilter("user_id", "<=", 25)),
+        rowLimit = 1),
+      _ => events)
+    val expected = events.filter("event_type = 'click' AND user_id <= 25").count()
+    assert(df.collect().head.getLong(0) === expected && expected > 0)
+  }
+
+  test("dashboard grid lays out 2-per-row, width 6 (init_db.py:273-307)") {
+    val d = Dashboard.grid("Demo", Seq("a", "b", "c"))
+    assert(d.cells.map(c => (c.row, c.colOffset)) === Seq((0, 0), (0, 6), (1, 0)))
+    val json = Dashboard.toJson(d)
+    assert(json.contains("\"DASHBOARD_VERSION_KEY\":\"v2\""))
+    assert(json.contains("\"CHART-3\""))
+  }
+
   test("dataset registry introspects columns like the Superset inspector") {
     Seed.seedCatalog(spark, "demo_bi")
     val ds = Datasets.describe(spark, "demo_bi", "events")

@@ -27,4 +27,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("watermark drops late rows in append mode (the semantics Q25 cannot see)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = EventsStream.windowedCounts(
+      ms.toDF().toDF("ts", "event_type"), watermark = true)
+    val q = stream.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      // batch 1: two on-time rows in the Jan-1 window
+      ms.addData((ts("2026-01-01 10:00:00"), "click"), (ts("2026-01-01 11:00:00"), "click"))
+      q.processAllAvailable()
+      // batch 2: jump event time to Jan 5 → watermark (max-1h) passes the
+      // Jan-1 window end; its finalized count is emitted
+      ms.addData((ts("2026-01-05 10:00:00"), "click"))
+      q.processAllAvailable()
+      // batch 3: a LATE Jan-1 row, far below the watermark → dropped
+      ms.addData((ts("2026-01-01 12:00:00"), "click"), (ts("2026-01-06 10:00:00"), "click"))
+      q.processAllAvailable()
+      ms.addData((ts("2026-01-09 10:00:00"), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_drop")
+      .collect().map(r => (r.get(0).toString, r.getLong(2))).toMap
+    // Jan-1 window closed at count 2; the late third row did not reopen it
+    assert(out("2026-01-01 00:00:00.0") === 2L)
+    // the Jan-5/Jan-6 windows eventually finalized with their on-time rows
+    assert(out.get("2026-01-05 00:00:00.0").contains(1L))
+    assert(out.get("2026-01-06 00:00:00.0").contains(1L))
+  }
 }
