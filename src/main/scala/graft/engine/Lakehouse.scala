@@ -52,4 +52,10 @@ object Lakehouse {
   /** Ad-hoc SQL entry point (README.md:49-50, §3.3) — the full statement
     * surface is whatever Spark SQL parses. */
   def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
+
+  /** Result delivery as CSV-with-header — the Trino-CLI `--output-format
+    * CSV` shape (seed.sh:9, S12). Distributed write; callers coalesce(1)
+    * if they need the single-file CLI shape. */
+  def deliverCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
 }

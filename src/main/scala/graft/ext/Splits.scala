@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting / sampling — the train/val/test
+  * primitive of a training-data pipeline.
+  *
+  * Assignment is a pure function of the key column (never `rand()`):
+  * re-running the pipeline, adding columns, or re-partitioning can never
+  * move a document between splits — the property that keeps eval sets
+  * uncontaminated across pipeline versions. Two hash modes:
+  *
+  *   - `xxhash64` (default): codegen'd, uniform, the production path.
+  *   - portable md5-prefix mode: the first 8 hex chars of md5(key) are
+  *     uniform in [0, 2^32), and lowercase-hex STRING comparison equals
+  *     numeric comparison ('0'<'9'<'a'<'f' in ASCII) — so fraction
+  *     thresholds become plain string literals any engine evaluates
+  *     identically (the DuckDB oracle twin for q43 uses this).
+  *
+  * Scale: a narrow map — no shuffle, no sampling pass, no driver state.
+  */
+object Splits {
+
+  /** Bucket in [0, buckets) from xxhash64 of the key (production mode). */
+  def hashBucket(key: Column, buckets: Int, seed: Int = 42): Column =
+    pmod(xxhash64(key, lit(seed)), lit(buckets))
+
+  /** First 8 hex chars of md5(key) — the portable uniform draw. */
+  def md5Prefix(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** 8-char lowercase-hex threshold for a cumulative fraction in [0,1]. */
+  def hexThreshold(fraction: Double): String =
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  /** Assign a split label by weight list, e.g. Seq(("train",8),("val",1),
+    * ("test",1)) — weights are shares of their sum. */
+  def assign(df: DataFrame, keyCol: String, weights: Seq[(String, Int)],
+      out: String = "split", portable: Boolean = false): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum.toDouble
+    val cum = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val label =
+      if (portable) {
+        val draw = md5Prefix(col(keyCol))
+        weights.zip(cum).init.foldRight(lit(weights.last._1): Column) {
+          case (((name, _), c), otherwise) =>
+            when(draw < lit(hexThreshold(c / total)), lit(name)).otherwise(otherwise)
+        }
+      } else {
+        val bucket = hashBucket(col(keyCol), weights.map(_._2).sum)
+        weights.zip(cum).init.foldRight(lit(weights.last._1): Column) {
+          case (((name, _), c), otherwise) =>
+            when(bucket < c, lit(name)).otherwise(otherwise)
+        }
+      }
+    df.withColumn(out, label)
+  }
+
+  /** Deterministic fraction sample — the no-shuffle, re-runnable corpus
+    * sampler (portable mode shares the md5 draw with [[assign]]). */
+  def sampleByKey(df: DataFrame, keyCol: String, frac: Double,
+      portable: Boolean = false): DataFrame =
+    if (portable) df.filter(md5Prefix(col(keyCol)) < lit(hexThreshold(frac)))
+    else df.filter(hashBucket(col(keyCol), 1000000) < (frac * 1000000).toLong)
+}

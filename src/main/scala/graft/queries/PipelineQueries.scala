@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.bi.{ChartCompiler, ChartSpec, Metric}
 import graft.engine.Seed
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
 
 /** Declared queries Q26–Q39: the training-data-pipeline operator surface
   * (dedup family, ANN family, text analysis, multimodal plumbing, BI chart
@@ -282,6 +282,45 @@ object PipelineQueries {
         |  round(count(*) / sum(count(*)) OVER (), 6) AS pct_cnt
         |FROM demo_events GROUP BY 1 ORDER BY __timestamp LIMIT 100""".stripMargin)))
 
+  /** Q43 (pipeline / deterministic splits): 80/10/10 train/val/test
+    * assignment as a pure function of doc_id (portable md5-prefix mode, so
+    * the oracle reproduces the exact assignment; thresholds
+    * 0.8→'cccccccc', 0.9→'e6666666' — lowercase-hex string order IS
+    * numeric order). */
+  val q43 = GQuery("q43_train_val_test",
+    (s, d) => Splits.assign(t(s, d, "documents"), "doc_id",
+        Seq(("train", 8), ("val", 1), ("test", 1)), portable = true)
+      .groupBy("split").agg(count(lit(1)).as("cnt"))
+      .orderBy("split"),
+    Some("""WITH s AS (SELECT CASE
+           |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+           |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+           |    ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT split, count(*) AS cnt FROM s GROUP BY split ORDER BY split""".stripMargin))
+
+  /** Q44 (streaming/state twin): gap-based sessionization of the events
+    * table — the batch ground truth of Sessionize.stream
+    * (flatMapGroupsWithState). 6-hour gap over the driver event cadence. */
+  val q44 = GQuery("q44_sessionize",
+    (s, d) => graft.streaming.Sessionize.batch(
+        t(s, d, "events").select("user_id", "ts"), gapMinutes = 360)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |g AS (SELECT user_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1
+           |         ELSE 0 END AS new_s
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |s AS (SELECT user_id, ts,
+           |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM g)
+           |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           |  count(*) AS n_events
+           |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q42)
+    q35, q36, q37, q38, q39, q42, q43, q44)
 }

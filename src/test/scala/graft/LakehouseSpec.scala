@@ -38,6 +38,14 @@ class LakehouseSpec extends SparkSpec {
     assert(spark.table("lh_demo.mini_events").count() === 0)
   }
 
+  test("CSV result delivery round-trips with header (S12, seed.sh:9)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    Lakehouse.deliverCsv(
+      Lakehouse.sql(spark, "SELECT 1 AS a, 'x' AS b").coalesce(1), out)
+    val back = spark.read.option("header", "true").csv(out).collect()
+    assert(back.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("1", "x")))
+  }
+
   test("external table registration reads driver parquet in place (S11)") {
     Lakehouse.createSchema(spark, "lh_demo")
     Lakehouse.dropTable(spark, "lh_demo.ext_nation")

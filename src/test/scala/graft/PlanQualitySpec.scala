@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+import graft.queries.Registry
+
+/** Plan-shape regression tests: the physical plans PLANS.md documents are
+  * asserted here so a refactor can't silently trade them away. These are
+  * the properties that survive a 100× scale-up — top-k fusion, scan-level
+  * filter pushdown, column pruning, broadcast of bounded sides. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def run(name: String): DataFrame = Registry.byName(name).run(spark, sf0001)
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("q15 fuses ORDER BY + LIMIT into TakeOrderedAndProject (no global sort)") {
+    val plan = executed(run("q15_topk"))
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty, plan.toString)
+  }
+
+  test("q19's time-range filter reaches the parquet scan as data filters") {
+    val plan = executed(run("q19_date_filter"))
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.head.dataFilters.size >= 2, s"expected pushed range filters: ${scans.head}")
+    // and the scan reads only the filter column (count needs nothing else)
+    assert(scans.head.requiredSchema.fieldNames.toSeq === Seq("l_shipdate"))
+  }
+
+  test("q09 star join broadcasts both dimension sides and prunes lineitem to 3 columns") {
+    val plan = executed(run("q09_star_join_revenue"))
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size === 2, plan.toString)
+    val lineitemScan = plan.collect { case s: FileSourceScanExec => s }
+      .find(_.requiredSchema.fieldNames.contains("l_extendedprice")).get
+    assert(lineitemScan.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_extendedprice", "l_discount"))
+  }
+
+  test("q24 broadcasts the probe side, not the corpus") {
+    val plan = executed(run("q24_cosine_topk"))
+    val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.nonEmpty, plan.toString)
+  }
+
+  test("q26's band join shuffles slim rows only (no text/shingles through the exchange)") {
+    val plan = executed(run("q26_minhash_neardup"))
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    // every shuffled row schema stays narrow: no `text` or shingle arrays
+    shuffles.foreach { e =>
+      val fields = e.child.schema.fieldNames.toSet
+      assert(!fields.contains("text"), s"text column rides a shuffle: $fields")
+    }
+  }
+}
