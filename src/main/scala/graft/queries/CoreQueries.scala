@@ -314,6 +314,48 @@ object CoreQueries {
             |WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTsCast, event_id)
             |ORDER BY user_id, event_id""".stripMargin))
 
+  /** Q45: the seed star schema's analytical intent — orders⋈users⋈products
+    * revenue per (country, category). This is the join the reference's FK
+    * columns exist for (seed.sh:92 referencing :82,:102; Superset describes
+    * orders as "Order records with product and user information",
+    * init_db.py:32). quantity×price is exactly representable (price grids on
+    * .25), so the DECIMAL cast is unambiguous in both engines. */
+  val q45 = GQuery("q45_demo_star_join", (s, _) => {
+    val o = Seed.orders(s).select("order_id", "user_id", "product_id", "quantity", "price")
+    val u = Seed.users(s).select("user_id", "country")
+    val p = Seed.products(s).select("product_id", "category")
+    o.join(u, "user_id").join(p, "product_id")
+      .groupBy("country", "category")
+      .agg(count(lit(1)).as("order_cnt"),
+        sum((col("quantity") * col("price")).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("revenue"))
+      .orderBy("country", "category")
+  },
+    Some(SeedSql.withDemo(
+      """SELECT country, category, count(*) AS order_cnt,
+        |  CAST(SUM(CAST(o.quantity * o.price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        |FROM demo_orders o
+        |JOIN demo_users u USING (user_id)
+        |JOIN demo_products p USING (product_id)
+        |GROUP BY country, category ORDER BY country, category""".stripMargin)))
+
+  /** Q46: the transactions table with its reserved-word `timestamp` column
+    * (seed.sh:112; dialect trap SURVEY.md §7.3.3) — filtered aggregate per
+    * currency and type. */
+  val q46 = GQuery("q46_transactions_agg", (s, _) =>
+    Seed.transactions(s)
+      .filter(col("timestamp") >= lit("2025-12-20 00:00:00").cast("timestamp"))
+      .groupBy("currency", "transaction_type")
+      .agg(count(lit(1)).as("txn_cnt"),
+        sum(col("amount").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_amount"))
+      .orderBy("currency", "transaction_type"),
+    Some(SeedSql.withDemo(
+      """SELECT currency, transaction_type, count(*) AS txn_cnt,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_amount
+        |FROM demo_transactions
+        |WHERE "timestamp" >= TIMESTAMP '2025-12-20 00:00:00'
+        |GROUP BY currency, transaction_type ORDER BY currency, transaction_type""".stripMargin)))
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q40, q41)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q40, q41, q45, q46)
 }
