@@ -181,8 +181,8 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: exact blocked all-pairs cosine ≥
-    * threshold. The corpus side is broadcast when small; at scale swap the
-    * candidate stage for Similarity.lshBuckets (same verify tail).
+    * threshold — the O(n²) ground truth for small/blocked inputs; at scale
+    * use [[embeddingNearDupLsh]] (same verify tail, LSH candidate stage).
     * Output: (id_a, id_b, cos_sim rounded). */
   def embeddingNearDup(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -192,6 +192,30 @@ object Dedup {
     val a = e.select(col("eid").as("id_a"), col("v").as("v_a"))
     val b = e.select(col("eid").as("id_b"), col("v").as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** LSH-accelerated embedding near-dup — the 100 TB path: candidates are
+    * random-hyperplane bucket-mates (≥1 of `tables` tables), exact-cosine
+    * verified, so every emitted pair is true-positive; recall follows the
+    * table/bit parameters (more tables ⇒ higher recall, bigger candidate
+    * set). Same output contract as [[embeddingNearDup]]. */
+  def embeddingNearDupLsh(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col(idCol).as("eid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val buckets = Similarity.lshBuckets(e, "eid", "v", tables, bits, dim)
+    val a = buckets.select(col("table_id"), col("bucket"), col("eid").as("id_a"))
+    val b = buckets.select(col("table_id"), col("bucket"), col("eid").as("id_b"))
+    val candidates = a.join(b, Seq("table_id", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(e.select(col("eid").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(e.select(col("eid").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)

@@ -73,8 +73,8 @@ object Similarity {
       idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
       k: Int, tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
     val cb = lshBuckets(corpus, idCol, vecCol, tables, bits, dim)
-    val pb = lshBuckets(probes.select(col(probeIdCol).as("pid")).join(
-        probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")), "pid"),
+    val pb = lshBuckets(
+      probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")),
       "pid", "pv", tables, bits, dim)
     val candidates = cb.join(pb, Seq("table_id", "bucket"))
       .select(col("pid").as(probeIdCol), col(idCol)).distinct()

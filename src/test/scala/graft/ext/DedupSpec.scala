@@ -66,4 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
     assert(out.forall(r => r.getDouble(2) >= 0.4))
   }
+
+  test("embeddingNearDupLsh emits only true pairs (subset of exact) with real recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.4)
+      .collect().map(key).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 0.4,
+      tables = 12, bits = 4).collect().map(key).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs are exact-verified, so never false positives")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    // uniform-random vectors at cos 0.4 are ANN's hardest case; the bucket
+    // stage must still recover a solid majority of the true pairs
+    assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
+  }
 }
