@@ -42,12 +42,4 @@ object Layout {
       .sortBy(keyCol)
       .saveAsTable(table)
 
-  /** True iff the executed plan of `df` contains a shuffle (Exchange). */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange")
-
-  /** True iff the plan prunes partitions for the given filter (its
-    * FileSourceScan carries non-empty PartitionFilters). */
-  def partitionFilterCount(spark: SparkSession, table: String): Long =
-    spark.table(table).inputFiles.length.toLong
 }
