@@ -70,6 +70,16 @@ object TextAnalysis {
     round(greatest(least(lenScore - punctPenalty * 0.5 + f("stop_ratio") * 0.2, lit(1.0)), lit(0.0)), 6)
   }
 
+  /** Canonical text normalization for ingest: strip C0 control chars →
+    * Unicode NFC (native expression, engine has no built-in) → collapse
+    * whitespace runs → trim. DuckDB twin:
+    * `trim(regexp_replace(nfc_normalize(regexp_replace(text,'[\x00-\x1f]',' ','g')),'\s+',' ','g'))`. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      org.apache.spark.sql.graft.NfcNormalize(
+        regexp_replace(text, "[\\x00-\\x1f]", " ")),
+      "\\s+", " "))
+
   /** Whitespace token count. DuckDB: len(string_split_regex(trim(text),'\s+')). */
   def wsTokenCount(text: Column): Column = size(TextPrep.tokens(text))
 

@@ -321,6 +321,21 @@ object PipelineQueries {
            |  count(*) AS n_events
            |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
 
+  /** Q47 (text analysis / normalization): canonical ingest normalization —
+    * control-strip → NFC (native expression) → whitespace collapse → trim;
+    * emitted as per-doc normalized length + an unchanged flag so the oracle
+    * verifies the exact transform, not just counts. */
+  val q47 = GQuery("q47_normalize_text",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        length(TextAnalysis.normalizeText(col("text"))).as("norm_len"),
+        (TextAnalysis.normalizeText(col("text")) === col("text")).as("unchanged"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  length(trim(regexp_replace(nfc_normalize(regexp_replace(text, '[\x00-\x1f]', ' ', 'g')), '\s+', ' ', 'g'))) AS norm_len,
+           |  trim(regexp_replace(nfc_normalize(regexp_replace(text, '[\x00-\x1f]', ' ', 'g')), '\s+', ' ', 'g')) = text AS unchanged
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34,
-    q35, q36, q37, q38, q39, q42, q43, q44)
+    q35, q36, q37, q38, q39, q42, q43, q44, q47)
 }
