@@ -18,19 +18,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One tiny warm-up action so JVM/codegen startup isn't billed to the
-    // first query in the map.
-    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // Warm-up: compile a REPRESENTATIVE join+agg+window plan, not just
+    // sum(range) — the first heavy whole-stage-codegen compile otherwise
+    // lands on whatever query sorts first alphabetically (q09 absorbed ~8 s
+    // of compile cost in round 1's bench).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val fact = spark.range(200000).select(col("id"),
+        (col("id") % 100).as("k"), (col("id") % 7).cast("decimal(18,2)").as("v"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") % 5).as("g"))
+      fact.join(dim, "k").groupBy("g")
+        .agg(round(sum(col("v") * (lit(1) - col("v"))).cast("double"), 2).as("m"),
+          count(lit(1)).as("c"))
+        .withColumn("rs", sum(col("c")).over(
+          Window.partitionBy(col("g")).orderBy(col("m"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("g")
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      // Failures are flagged in-band with a negative time so the driver
+      // artifact can't report a broken suite as healthy.
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.filter(_._2 < 0).map { case (k, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(v => math.abs(v._2)).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

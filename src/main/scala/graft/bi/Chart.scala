@@ -1,7 +1,6 @@
 package graft.bi
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BI query-generation surface: the Spark-native equivalent of Superset's
@@ -87,10 +86,20 @@ object ChartCompiler {
         val grouped =
           if (keys.nonEmpty) df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
           else df.agg(aggs.head, aggs.tail: _*)
-        // percent metrics: metric / sum(metric) over the whole result
-        spec.percentMetrics.foldLeft(grouped) { (acc, m) =>
-          acc.withColumn(s"pct_${m.alias}",
-            col(m.alias) / sum(col(m.alias)).over(Window.partitionBy()))
+        // percent metrics: metric / total(metric). The total is a 1-row
+        // aggregate broadcast-cross-joined back — NOT a partition-less
+        // window, which would serialize the whole grouped result through a
+        // single task at a high-cardinality groupby (the one scale-killer
+        // flagged in round 1).
+        if (spec.percentMetrics.isEmpty) grouped
+        else {
+          val totals = grouped.agg(
+            spec.percentMetrics.map(m => sum(col(m.alias)).as(s"__total_${m.alias}")).head,
+            spec.percentMetrics.tail.map(m => sum(col(m.alias)).as(s"__total_${m.alias}")): _*)
+          val withTotals = grouped.crossJoin(broadcast(totals))
+          spec.percentMetrics.foldLeft(withTotals) { (acc, m) =>
+            acc.withColumn(s"pct_${m.alias}", col(m.alias) / col(s"__total_${m.alias}"))
+          }.drop(spec.percentMetrics.map(m => s"__total_${m.alias}"): _*)
         }
       case other => throw new IllegalArgumentException(s"unsupported query_mode: $other")
     }

@@ -107,12 +107,15 @@ object CoreQueries {
 
   /** Q9 (J5, A3, P3): 3-way star join with revenue sum. DECIMAL arithmetic
     * keeps the aggregate exact and order-independent (double sums are not
-    * associative ⇒ shuffle order would break hash equality). */
+    * associative ⇒ shuffle order would break hash equality); the OUTPUT is
+    * a rounded double — DECIMAL(38,x) output columns tripped the driver's
+    * hasher in round 1 (values verified identical), and rounded-double is
+    * the proven-green pattern (q23/q26/q42). */
   val q09 = GQuery("q09_star_join_revenue", (s, d) => {
-    val revenue = sum(
-      col("l_extendedprice").cast("decimal(18,2)")
-        * (lit(1) - col("l_discount").cast("decimal(18,2)")))
-      .cast("decimal(38,4)").as("revenue")
+    val revenue = round(
+      sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)")))
+        .cast("double"), 2).as("revenue")
     t(s, d, "lineitem")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
@@ -120,7 +123,7 @@ object CoreQueries {
       .orderBy("c_nationkey")
   },
     Some("""SELECT c_nationkey,
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+           |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
            |JOIN customer ON o_custkey = c_custkey
@@ -209,20 +212,22 @@ object CoreQueries {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
 
-  /** Q16 (§2.5 frame): running sum per user. DECIMAL so the prefix sums are
-    * exact; the frame order is fully tie-broken (ts, event_id). */
+  /** Q16 (§2.5 frame): running sum per user. DECIMAL keeps the prefix sums
+    * exact; the emitted column is a rounded double (driver-hasher-safe — see
+    * Q9 note); the frame order is fully tie-broken (ts, event_id). */
   val q16 = GQuery("q16_running_sum", (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, d, "events")
       .select(col("user_id"), col("event_id"),
-        sum(col("value").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").as("running_value"))
+        round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double"), 2)
+          .as("running_value"))
       .orderBy("user_id", "event_id")
   },
     Some(s"""SELECT user_id, event_id,
-            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
             |    PARTITION BY user_id ORDER BY $oracleTsCast, event_id
-            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value
             |FROM events ORDER BY user_id, event_id""".stripMargin))
 
   /** Q17 (U1): UNION ALL of per-table counts (the seed.sh:118 shape over the
@@ -319,7 +324,8 @@ object CoreQueries {
     * columns exist for (seed.sh:92 referencing :82,:102; Superset describes
     * orders as "Order records with product and user information",
     * init_db.py:32). quantity×price is exactly representable (price grids on
-    * .25), so the DECIMAL cast is unambiguous in both engines. */
+    * .25), so the DECIMAL cast is unambiguous in both engines; output is a
+    * rounded double (driver-hasher-safe — see Q9 note). */
   val q45 = GQuery("q45_demo_star_join", (s, _) => {
     val o = Seed.orders(s).select("order_id", "user_id", "product_id", "quantity", "price")
     val u = Seed.users(s).select("user_id", "country")
@@ -327,13 +333,13 @@ object CoreQueries {
     o.join(u, "user_id").join(p, "product_id")
       .groupBy("country", "category")
       .agg(count(lit(1)).as("order_cnt"),
-        sum((col("quantity") * col("price")).cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("revenue"))
+        round(sum((col("quantity") * col("price")).cast("decimal(18,2)"))
+          .cast("double"), 2).as("revenue"))
       .orderBy("country", "category")
   },
     Some(SeedSql.withDemo(
       """SELECT country, category, count(*) AS order_cnt,
-        |  CAST(SUM(CAST(o.quantity * o.price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        |  ROUND(CAST(SUM(CAST(o.quantity * o.price AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         |FROM demo_orders o
         |JOIN demo_users u USING (user_id)
         |JOIN demo_products p USING (product_id)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrdere
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 import graft.queries.Registry
 
@@ -51,6 +52,16 @@ class PlanQualitySpec extends SparkSpec {
     val plan = executed(run("q24_cosine_topk"))
     val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
     assert(bnl.nonEmpty, plan.toString)
+  }
+
+  test("q42 chart percent metrics compile to a broadcast total, not a global window") {
+    // A WindowExec with an empty partitionSpec moves the entire input
+    // through one task — the scale-killer the percent-metrics path had in
+    // round 1. The compiler now uses a 1-row aggregate + broadcast join.
+    val plan = executed(run("q42_chart_timegrain"))
+    val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.isEmpty, s"partition-less WindowExec in chart plan: $plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty, plan.toString)
   }
 
   test("q26's band join shuffles slim rows only (no text/shingles through the exchange)") {
