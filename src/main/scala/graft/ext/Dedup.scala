@@ -122,42 +122,86 @@ object Dedup {
     * scale, lower recall); more/narrower bands ⇒ the reverse. Pigeonhole:
     * pairs with hamming < bands are ALWAYS candidates.
     *
-    * Output: (id_a, id_b, hamming). The sketch is engine-specific
-    * (xxhash64-based) so this operator is verified by spec against the
-    * MinHash+exact-Jaccard pairs, not by a SQL oracle.
+    * Length blocking: a second join key buckets docs by distinct-token
+    * count on a log_`lenRatio` grid, with the build side fanned out to both
+    * neighbor buckets — every pair within `lenRatio` length ratio is
+    * guaranteed to meet, while wildly different-length pairs (which cannot
+    * be near-duplicates: Jaccard ≥ 0.8 forces size ratio ≤ 1.25) never
+    * enter the join probe. On the driver corpus this cuts the candidate
+    * join volume ~4× (only ~24% of pairs are within 1.25× length).
+    *
+    * Output: (id_a, id_b, hamming) for length-compatible pairs. The sketch
+    * is engine-specific (xxhash64-based) so this operator is verified by
+    * spec against the MinHash+exact-Jaccard pairs, not by a SQL oracle.
     */
   def simHashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 8,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      lenRatio: Double = 1.25): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
+    require(lenRatio > 1.0, "lenRatio must exceed 1")
     val bandBits = 64 / bands
     val bandMask = (1L << bandBits) - 1
     // bit b of simhash = majority vote of bit b across distinct token
     // hashes (native codegen'd 64×n loop over the materialized hash array).
+    // coalesce(..., lit) makes sig/len_bucket NON-NULLABLE: the band join
+    // otherwise derives IsNotNull constraints on its keys, and constraint
+    // pushdown re-evaluates the whole sketch pipeline (tokenize + per-token
+    // hash + 64×n majority vote) inside a per-row scan filter on BOTH join
+    // sides — the PushPredicateThroughNonJoin recompute trap, measured as
+    // ~2× this query's entire cost.
     val sigs = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__toks", array_distinct(TextPrep.tokens(col("__text"))))
-      .withColumn("sig", SketchExprs.simHash64(TextPrep.baseHashes(col("__toks"))))
-      .select(col("doc_id"), col("sig"))
+      .withColumn("sig",
+        coalesce(SketchExprs.simHash64(TextPrep.baseHashes(col("__toks"))), lit(0L)))
+      .withColumn("len_bucket",
+        coalesce(floor(log(greatest(size(col("__toks")), lit(1)).cast("double"))
+          / math.log(lenRatio)).cast("long"), lit(0L)))
+      .select(col("doc_id"), col("sig"), col("len_bucket"))
 
     // `bands` bands of 64/bands bits; slim (doc_id, band, sig) rows join.
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("doc_id"), col("sig"), col("len_bucket"),
       posexplode(array((0 until bands).map(b =>
         call_function("shiftright", col("sig"), lit(b * bandBits)).bitwiseAND(bandMask)): _*))
         .as(Seq("band_id", "band_val")))
 
-    val a = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    // The probe side round-robins across the full shuffle-partition count
+    // (explicit N ⇒ AQE keeps it): documents parquet is a single split at
+    // test scale, and without this the entire multi-million-row probe runs
+    // on ONE task. The shuffled rows are slim (id, sig, bucket) — the cost
+    // is trivial next to 32× probe parallelism.
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = banded.repartition(nPart)
+      .select(col("band_id"), col("band_val"), col("len_bucket"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    // b fans out to {bucket-1, bucket, bucket+1}: any pair within one
+    // bucket width meets exactly once per shared band.
     val b = banded.select(col("band_id"), col("band_val"),
+      explode(array(col("len_bucket") - 1, col("len_bucket"), col("len_bucket") + 1))
+        .as("len_bucket"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_val")).where(col("id_a") < col("id_b"))
+    // Pair dedup WITHOUT a distinct: a close pair matches in ~3.5 bands on
+    // this corpus, and a distinct would shuffle every one of those rows
+    // (5.2M rows → 1.5M pairs at sf0.1). Instead each pair is emitted only
+    // from its FIRST matching band — "no earlier band also matched" is a
+    // pure bitwise predicate over (sig_a, sig_b, band_id), evaluated in the
+    // join's codegen'd filter, so the duplicate rows die before any
+    // exchange. The hamming filter runs there too, for the same reason.
+    def bandOf(sig: Column, b: Int): Column =
+      call_function("shiftright", sig, lit(b * bandBits)).bitwiseAND(bandMask)
+    val earlierBandMatched = (0 until bands - 1).map { bb =>
+      (lit(bb) < col("band_id")) &&
+        (bandOf(col("sig_a"), bb) === bandOf(col("sig_b"), bb))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    a.join(b, Seq("band_id", "band_val", "len_bucket")).where(col("id_a") < col("id_b"))
+      .where(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .where(!earlierBandMatched)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for an explicit pair list — the

