@@ -42,4 +42,65 @@ object Layout {
       .sortBy(keyCol)
       .saveAsTable(table)
 
+  // ------------------------------------------------------------- snapshots
+  // Tagged-read emulation of the reference's versioned catalog (Nessie ref
+  // `main`, compose/trino/catalog/iceberg.properties:6): `snapshot` tags
+  // the table's CURRENT files, `readAt` reads a tag immutably after any
+  // number of later overwrites.
+  //
+  // Mechanism: per-file hardlinks into a sibling `_graft_snapshots/` dir
+  // (copy fallback where links are unsupported). On a POSIX filesystem a
+  // tag is metadata-only — no data bytes move, and an overwrite's deletes
+  // can't disturb the tag (inode refcounts) — which is the same immutable-
+  // data-file property Iceberg snapshots rely on. On object stores a real
+  // table format (Iceberg/Delta) is the production answer; this emulation
+  // keeps the exercised API (tag + read-at-tag) identical.
+
+  import java.nio.file.{Files, Path, Paths}
+  import scala.jdk.CollectionConverters._
+
+  /** Resolve a catalog table's storage location via the public SQL surface. */
+  private def tableLocation(spark: SparkSession, table: String): Path = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == "Location")
+      .getOrElse(sys.error(s"no Location for table $table"))
+      .getString(1)
+    Paths.get(new java.net.URI(loc))
+  }
+
+  private def snapshotDir(tableDir: Path, table: String, tag: String): Path =
+    tableDir.getParent.resolve("_graft_snapshots")
+      .resolve(table.replace('.', '_')).resolve(tag)
+
+  /** Tag the table's current data files as `tag` (Nessie "create tag from
+    * main"). Fails if the tag already exists — tags are immutable. */
+  def snapshot(spark: SparkSession, table: String, tag: String): Unit = {
+    val src = tableLocation(spark, table)
+    val dst = snapshotDir(src, table, tag)
+    require(!Files.exists(dst), s"snapshot tag '$tag' already exists for $table")
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val rel = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(rel)
+      else if (!p.getFileName.toString.startsWith("_")) { // skip _SUCCESS markers
+        Files.createDirectories(rel.getParent)
+        try Files.createLink(rel, p)
+        catch { case _: UnsupportedOperationException => Files.copy(p, rel) }
+      }
+    }
+  }
+
+  /** Read the table as of `tag` (Nessie "USE REFERENCE tag"): partition
+    * directories and parquet schema come from the tagged files themselves. */
+  def readAt(spark: SparkSession, table: String, tag: String): DataFrame = {
+    val dst = snapshotDir(tableLocation(spark, table), table, tag)
+    require(Files.exists(dst), s"unknown snapshot tag '$tag' for $table")
+    spark.read.parquet(dst.toString)
+  }
+
+  /** List a table's snapshot tags. */
+  def listSnapshots(spark: SparkSession, table: String): Seq[String] = {
+    val dir = snapshotDir(tableLocation(spark, table), table, ".").getParent
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+  }
 }

@@ -362,6 +362,24 @@ object CoreQueries {
         |WHERE "timestamp" >= TIMESTAMP '2025-12-20 00:00:00'
         |GROUP BY currency, transaction_type ORDER BY currency, transaction_type""".stripMargin)))
 
+  /** Q48 (§2.5 rank): top-3 sizes per brand WITH ties — rank() (gap
+    * semantics) over an int-valued order column, so tied rows share a rank
+    * and the emitted set exceeds 3 rows per brand. Completes the declared
+    * window-function set (row_number/lag/lead/frame-sum/rank). */
+  val q48 = GQuery("q48_rank_ties", (s, d) => {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size").desc)
+    t(s, d, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("p_brand", "rnk", "p_partkey")
+  },
+    Some("""SELECT p_brand, p_partkey, p_size, rnk FROM (
+           |  SELECT p_brand, p_partkey, p_size,
+           |    rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk
+           |  FROM part) WHERE rnk <= 3
+           |ORDER BY p_brand, rnk, p_partkey""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q40, q41, q45, q46)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q40, q41, q45, q46, q48)
 }

@@ -186,7 +186,7 @@ object PipelineQueries {
            |  SELECT doc_id,
            |    length(text) AS n_chars,
            |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-           |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+           |    length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct,
            |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
            |        tok -> list_contains(['the','a','and','of','to','is'], tok))) AS n_stop,
            |    length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) AS n_nonws

@@ -39,16 +39,4 @@ object EventsStream {
     windowedCounts(src, watermark = true)
   }
 
-  /** Run the stream to completion against a memory sink; returns the final
-    * in-memory table. Complete mode because windows re-fire as files land. */
-  def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
-  }
 }

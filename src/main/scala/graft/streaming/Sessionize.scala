@@ -67,6 +67,14 @@ object Sessionize {
         ts.foreach { t =>
           open match {
             case None => open = Some(OpenSession(t, t, 1))
+            // An out-of-order event more than a gap OLDER than the open
+            // session can never chain with it (t - endMs <= gapMs is
+            // trivially true for t in the past, but the batch twin splits
+            // on the start side too): it forms its own, already-closed
+            // session. Without this check, gapMinutes < watermark-delay
+            // merges sessions the batch ground truth splits.
+            case Some(s) if t < s.startMs - gapMs =>
+              closed ::= Session(user, new Timestamp(t), new Timestamp(t), 1)
             case Some(s) if t - s.endMs <= gapMs =>
               open = Some(OpenSession(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1))
             case Some(s) =>

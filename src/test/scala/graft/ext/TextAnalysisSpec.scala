@@ -40,6 +40,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(3L).length === 32) // md5 hex fallback
   }
 
+  test("punct_ratio counts quotes/hyphens/brackets — parity with the q33 oracle class") {
+    // The Scala feature and the DuckDB oracle regex share the exact char
+    // class [.,;:!?'"()\[\]{}-]; the synthetic corpus has none of the
+    // "extended" chars, so this doc locks the parity a real corpus needs.
+    val doc = """He said "wait" - (really!) [ok] {x}; done?"""
+    // punctuation chars: " " - ( ! ) [ ] { } ; ? plus the period-free rest
+    val expected = doc.count(c => ".,;:!?'\"()[]{}-".contains(c))
+    val got = Seq(doc).toDF("text")
+      .select(TextAnalysis.qualityFeatures(col("text")).find(_._1 == "punct_ratio").get._2
+        .as("pr"), length(col("text")).as("n"))
+      .collect().head
+    assert(got.getDouble(0) === (expected.toDouble / doc.length * 1e6).round / 1e6)
+  }
+
   test("shingles: k-grams over tokens, distinct, empty under k tokens") {
     val sh = Seq("a b c d").toDF("text")
       .select(TextPrep.shingles(col("text"), 3).as("s"))

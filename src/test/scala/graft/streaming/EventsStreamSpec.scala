@@ -8,6 +8,17 @@ import graft.{SparkSpec, Tables}
   * must equal the same transformation run in batch (Q25's shape). */
 class EventsStreamSpec extends SparkSpec {
 
+  /** Test harness only (complete-mode memory sink accumulates on the
+    * driver — never a production sink, hence test scope). */
+  private def runToMemory(stream: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   test("file-replay stream equals batch tumbling-window counts") {
     val events = Tables.events(spark, sf0001)
     // Re-write as a multi-file parquet dir (micro-batches = files) with
@@ -17,7 +28,7 @@ class EventsStreamSpec extends SparkSpec {
     val batchView = spark.read.parquet(dir)
 
     val stream = EventsStream.fromParquetDir(spark, dir, batchView)
-    val streamed = EventsStream.runToMemory(spark, stream, "stream_counts")
+    val streamed = runToMemory(stream, "stream_counts")
       .select("win_start", "event_type", "cnt")
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
 
