@@ -64,6 +64,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty, plan.toString)
   }
 
+  test("q48's rank filter pushes into WindowGroupLimit (map-side partial top-k)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val plan = executed(run("q48_rank_ties"))
+    assert(plan.collect { case w: WindowGroupLimitExec => w }.nonEmpty, plan.toString)
+  }
+
+  test("q27 never re-evaluates the sketch pipeline inside a pushed filter") {
+    // Nullable join keys generate IsNotNull constraints; pushed through the
+    // staging projections they re-run simhash64(transform(...)) per row in
+    // a scan filter — 2× the query's cost in round 2 until the keys were
+    // staged non-nullable. Lock: no Filter condition mentions the sketch.
+    import org.apache.spark.sql.execution.FilterExec
+    val plan = executed(run("q27_simhash_neardup"))
+    val offenders = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("simhash64") ||
+        f.condition.toString.contains("minhash_sig") => f
+    }
+    assert(offenders.isEmpty, s"sketch re-evaluated in a filter:\n$offenders")
+  }
+
   test("q26's band join shuffles slim rows only (no text/shingles through the exchange)") {
     val plan = executed(run("q26_minhash_neardup"))
     val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
