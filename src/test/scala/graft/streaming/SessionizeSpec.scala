@@ -71,6 +71,39 @@ class SessionizeSpec extends SparkSpec {
     assert(u2 === 1L)
   }
 
+  test("out-of-order event older than the open session splits like the batch twin") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[(Long, Timestamp)]
+    // gap (30 min) < watermark delay (1 h): the late event below stays
+    // within the watermark but is MORE than a gap older than the open
+    // session's start — round 1 merged it; the batch twin splits.
+    val q = Sessionize.stream(ms.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      ms.addData((7L, ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      // late arrival 40 min BEFORE the open session start, inside the 1 h watermark
+      ms.addData((7L, ts("2026-01-01 09:20:00")))
+      q.processAllAvailable()
+      ms.addData((999L, ts("2026-01-02 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((999L, ts("2026-01-03 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sessions_ooo").filter(col("user_id") === 7L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val batchTwin = Sessionize.batch(
+      Seq((7L, ts("2026-01-01 10:00:00")), (7L, ts("2026-01-01 09:20:00")))
+        .toDF("user_id", "ts"), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed === batchTwin)
+    assert(streamed.size === 2, "the out-of-order event must form its own session")
+  }
+
   test("batch sessionization over the driver events table is sane") {
     val out = Sessionize.batch(Tables.events(spark, sf0001), gapMinutes = 360)
     val total = out.agg(sum("n_events")).collect()(0).getLong(0)
