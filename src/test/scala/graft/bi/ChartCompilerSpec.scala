@@ -71,6 +71,23 @@ class ChartCompilerSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
   }
 
+  test("multiple percent metrics share one broadcast total row") {
+    val df = ChartCompiler.compile(spark,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(Metric("count", None, "cnt"), Metric("sum", Some("amount"), "amt")),
+        percentMetrics = Seq(Metric("count", None, "cnt"), Metric("sum", Some("amount"), "amt")),
+        orderBy = Seq(("event_type", true)), rowLimit = 1000),
+      _ => events)
+    val rows = df.collect()
+    assert(df.columns.toSeq === Seq("event_type", "cnt", "amt", "pct_cnt", "pct_amt"))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    // each pct column is its metric / grand total
+    val totalCnt = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach(r => assert(math.abs(r.getDouble(3) - r.getLong(1) / totalCnt) < 1e-9))
+  }
+
   test("simple adhoc filters compile to predicates") {
     val df = ChartCompiler.compile(spark,
       ChartSpec(datasource = "events", queryMode = "aggregate",
