@@ -380,6 +380,26 @@ object CoreQueries {
            |  FROM part) WHERE rnk <= 3
            |ORDER BY p_brand, rnk, p_partkey""".stripMargin))
 
+  /** Q49 (S7): `INSERT INTO ... VALUES` as a user-facing lifecycle — the
+    * reference's README.md:62 example. DDL + insert + read-back all through
+    * the SQL parser path; INSERT OVERWRITE so re-runs are idempotent (the
+    * external location persists across sessions). The oracle is the same
+    * literal rows as a VALUES relation. */
+  val q49 = GQuery("q49_insert_values", (s, _) => {
+    val tbl = "graft_q49_values"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (id BIGINT, name STRING, amount DOUBLE) " +
+      "USING parquet LOCATION '/tmp/graft_q49_values'")
+    s.sql(s"INSERT OVERWRITE $tbl VALUES " +
+      "(1, 'alpha', 10.5), (2, 'beta', 20.25), (3, 'gamma', 30.0)")
+    s.sql(s"SELECT id, name, amount FROM $tbl ORDER BY id")
+  },
+    Some("""SELECT * FROM (VALUES
+           |  (CAST(1 AS BIGINT), 'alpha', CAST(10.5 AS DOUBLE)),
+           |  (CAST(2 AS BIGINT), 'beta',  CAST(20.25 AS DOUBLE)),
+           |  (CAST(3 AS BIGINT), 'gamma', CAST(30.0 AS DOUBLE))) AS t(id, name, amount)
+           |ORDER BY id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q40, q41, q45, q46, q48)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q40, q41, q45, q46, q48, q49)
 }
