@@ -33,9 +33,10 @@ def compare(name, got, exp):
             if a is None and b is None:
                 continue
             if isinstance(a, float) and isinstance(b, float):
-                # 9-place rounding consistent with norm(): bit-exact float
-                # compare would flag diffs the driver gate never would.
-                if math.isclose(a, b, abs_tol=1e-9) or round(a, 9) == round(b, 9):
+                # 9-place ABSOLUTE tolerance consistent with norm();
+                # rel_tol must stay 0 or large aggregates (revenue ~1e7)
+                # would absorb genuine cent-level mismatches.
+                if math.isclose(a, b, rel_tol=0.0, abs_tol=1e-9) or round(a, 9) == round(b, 9):
                     continue
                 return f"VALUE {col}[{i}]: got {a!r} exp {b!r} (diff {a-b:.3e})"
             if norm(a) != norm(b):

@@ -18,24 +18,44 @@ import graft.engine.{Lakehouse, Seed}
   *     delivered via [[Lakehouse.deliverCsv]] (seed.sh:9's
   *     `--output-format CSV`).
   *   - With SPARK_GRAFT_SF_DIR set, the driver parquet tables are also
-  *     registered as temp views, so analytical SQL joins demo + TPC-H-ish
-  *     tables in one statement.
+  *     registered as `sf_`-prefixed temp views (prefixed so they can't
+  *     shadow the seeded demo tables), so analytical SQL joins demo +
+  *     TPC-H-ish tables in one statement.
   */
 object Repl {
 
-  /** Quote-aware ;-splitter: semicolons inside '...' literals don't end a
-    * statement (the only quoting the reference's seed SQL uses). */
+  /** Quote/comment-aware ;-splitter: semicolons inside '...' literals
+    * (with backslash escapes, which Spark's default dialect accepts) or
+    * behind `--` line comments don't end a statement; comment-only
+    * fragments are dropped (Spark's parser rejects empty statements). */
   private[graft] def splitStatements(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
+    var i = 0
     var inQuote = false
-    text.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ';' if !inQuote => out += cur.toString; cur.clear()
-      case c => cur += c
+    var inComment = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inComment) {
+        cur += c
+        if (c == '\n') inComment = false
+        i += 1
+      } else if (inQuote) {
+        cur += c
+        if (c == '\\' && i + 1 < text.length) { cur += text.charAt(i + 1); i += 2 }
+        else { if (c == '\'') inQuote = false; i += 1 }
+      } else c match {
+        case '\'' => inQuote = true; cur += c; i += 1
+        case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
+          inComment = true; cur += c; i += 1
+        case ';' => out += cur.toString; cur.clear(); i += 1
+        case _ => cur += c; i += 1
+      }
     }
     out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    out.result().map(_.trim)
+      .filter(s => s.nonEmpty &&
+        !s.linesIterator.forall(l => l.trim.isEmpty || l.trim.startsWith("--")))
   }
 
   /** Execute all statements, return the last result. The seeded `demo`
@@ -65,8 +85,11 @@ object Repl {
 
     Seed.seedCatalog(spark, "demo")
     spark.sql("USE demo")
+    // Driver tables register under an `sf_` prefix: temp views resolve
+    // BEFORE the current database, so bare `events`/`orders` views would
+    // silently shadow the seeded demo tables of the same name.
     sys.env.get("SPARK_GRAFT_SF_DIR").foreach { d =>
-      Tables.names.foreach(n => Tables.load(spark, d, n).createOrReplaceTempView(n))
+      Tables.names.foreach(n => Tables.load(spark, d, n).createOrReplaceTempView(s"sf_$n"))
     }
 
     val result = execute(spark, sqlText)

@@ -90,7 +90,11 @@ object ChartCompiler {
         // aggregate broadcast-cross-joined back — NOT a partition-less
         // window, which would serialize the whole grouped result through a
         // single task at a high-cardinality groupby (the one scale-killer
-        // flagged in round 1).
+        // flagged in round 1). Cost note: when the planner doesn't dedupe
+        // the shared grouped subtree (static planning does via
+        // ReuseExchange; AQE's stage cache currently misses this shape) the
+        // aggregation runs twice — bounded 2×, fully parallel, asserted
+        // in PlanQualitySpec.
         if (spec.percentMetrics.isEmpty) grouped
         else {
           val totals = grouped.agg(

@@ -78,13 +78,15 @@ object Layout {
     val src = tableLocation(spark, table)
     val dst = snapshotDir(src, table, tag)
     require(!Files.exists(dst), s"snapshot tag '$tag' already exists for $table")
-    Files.walk(src).iterator().asScala.foreach { p =>
-      val rel = dst.resolve(src.relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(rel)
-      else if (!p.getFileName.toString.startsWith("_")) { // skip _SUCCESS markers
-        Files.createDirectories(rel.getParent)
-        try Files.createLink(rel, p)
-        catch { case _: UnsupportedOperationException => Files.copy(p, rel) }
+    scala.util.Using.resource(Files.walk(src)) { walk =>
+      walk.iterator().asScala.foreach { p =>
+        val rel = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(rel)
+        else if (!p.getFileName.toString.startsWith("_")) { // skip _SUCCESS markers
+          Files.createDirectories(rel.getParent)
+          try Files.createLink(rel, p)
+          catch { case _: UnsupportedOperationException => Files.copy(p, rel) }
+        }
       }
     }
   }
@@ -101,6 +103,7 @@ object Layout {
   def listSnapshots(spark: SparkSession, table: String): Seq[String] = {
     val dir = snapshotDir(tableLocation(spark, table), table, ".").getParent
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    else scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
   }
 }

@@ -124,11 +124,15 @@ object Dedup {
     *
     * Length blocking: a second join key buckets docs by distinct-token
     * count on a log_`lenRatio` grid, with the build side fanned out to both
-    * neighbor buckets — every pair within `lenRatio` length ratio is
-    * guaranteed to meet, while wildly different-length pairs (which cannot
-    * be near-duplicates: Jaccard ≥ 0.8 forces size ratio ≤ 1.25) never
-    * enter the join probe. On the driver corpus this cuts the candidate
-    * join volume ~4× (only ~24% of pairs are within 1.25× length).
+    * neighbor buckets — every pair within `lenRatio` DISTINCT-TOKEN ratio
+    * is guaranteed to meet, while wildly different-length pairs never enter
+    * the join probe. Caveat: the ≥0.8 ground truth is SHINGLE-set Jaccard,
+    * which bounds the shingle-set ratio (≤1.25), not the distinct-token
+    * ratio — on template-heavy corpora (few distinct tokens, many distinct
+    * shingles) a true pair can exceed the token-ratio guarantee and be
+    * blocked; widen or effectively disable with a large `lenRatio` there.
+    * On this corpus the max token ratio among true pairs is 1.09 (<1.25)
+    * and the blocking cuts candidate join volume ~4×.
     *
     * Output: (id_a, id_b, hamming) for length-compatible pairs. The sketch
     * is engine-specific (xxhash64-based) so this operator is verified by

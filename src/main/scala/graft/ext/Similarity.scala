@@ -70,7 +70,8 @@ object Similarity {
     ann.groupBy(col(probeIdCol)).agg(count(lit(1)).as("n_results"))
       .join(hits, Seq(probeIdCol), "left")
       .select(col(probeIdCol), col("n_results"),
-        (coalesce(col("__hits"), lit(0L)) >= minHits).as("recall_ok"))
+        ((col("n_results") === k) &&
+          (coalesce(col("__hits"), lit(0L)) >= minHits)).as("recall_ok"))
       .orderBy(probeIdCol)
   }
 

@@ -265,7 +265,12 @@ object CoreQueries {
            |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
            |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin))
 
-  /** Q20 (F1, F2, F8): string ops — concat, cast-to-string, lower. */
+  /** Q20 (F1, F2, F8): string ops — concat, cast-to-string, lower.
+    * Delivery note: the global ORDER BY exists for the deterministic gate
+    * (hash compare needs a total row order); a production delivery of a
+    * full-table projection would go unsorted through `Lakehouse.deliverCsv`
+    * (or top-k like Q15) — at 100× a range-partitioned sort of output
+    * nobody pages through is the wrong shape. */
   val q20 = GQuery("q20_string_ops", (s, d) =>
     t(s, d, "part")
       .select(col("p_partkey"),
@@ -387,9 +392,12 @@ object CoreQueries {
     * literal rows as a VALUES relation. */
   val q49 = GQuery("q49_insert_values", (s, _) => {
     val tbl = "graft_q49_values"
+    // fresh per-invocation location: a fixed path would let concurrent
+    // gate/bench runs clobber each other's files mid-scan
+    val loc = java.nio.file.Files.createTempDirectory("graft_q49_values")
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     s.sql(s"CREATE TABLE $tbl (id BIGINT, name STRING, amount DOUBLE) " +
-      "USING parquet LOCATION '/tmp/graft_q49_values'")
+      s"USING parquet LOCATION '$loc'")
     s.sql(s"INSERT OVERWRITE $tbl VALUES " +
       "(1, 'alpha', 10.5), (2, 'beta', 20.25), (3, 'gamma', 30.0)")
     s.sql(s"SELECT id, name, amount FROM $tbl ORDER BY id")

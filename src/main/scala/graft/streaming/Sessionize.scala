@@ -64,17 +64,35 @@ object Sessionize {
         val ts = rows.map(_._2.getTime).toArray.sorted
         var closed = List.empty[Session]
         var open = state.getOption
-        ts.foreach { t =>
+        // Out-of-order events more than a gap OLDER than the open session
+        // can never chain with it (t - endMs <= gapMs is trivially true for
+        // past t, but the batch twin splits on the start side too). They
+        // sessionize among THEMSELVES — a late train [09:00, 09:05] closes
+        // as ONE 2-event session exactly like the batch ground truth. A
+        // train split across micro-batches still splits (closed-session
+        // state isn't kept); that residual divergence only occurs when
+        // gapMinutes < the watermark delay and is the documented bound.
+        val cutoff = open.map(_.startMs - gapMs)
+        val (late, current) = cutoff match {
+          case Some(c) => ts.partition(_ < c)
+          case None => (Array.empty[Long], ts)
+        }
+        var lateOpen = Option.empty[OpenSession]
+        late.foreach { t =>
+          lateOpen match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              lateOpen = Some(OpenSession(s.startMs, t, s.n + 1))
+            case Some(s) =>
+              closed ::= Session(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+              lateOpen = Some(OpenSession(t, t, 1))
+            case None => lateOpen = Some(OpenSession(t, t, 1))
+          }
+        }
+        lateOpen.foreach(s =>
+          closed ::= Session(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+        current.foreach { t =>
           open match {
             case None => open = Some(OpenSession(t, t, 1))
-            // An out-of-order event more than a gap OLDER than the open
-            // session can never chain with it (t - endMs <= gapMs is
-            // trivially true for t in the past, but the batch twin splits
-            // on the start side too): it forms its own, already-closed
-            // session. Without this check, gapMinutes < watermark-delay
-            // merges sessions the batch ground truth splits.
-            case Some(s) if t < s.startMs - gapMs =>
-              closed ::= Session(user, new Timestamp(t), new Timestamp(t), 1)
             case Some(s) if t - s.endMs <= gapMs =>
               open = Some(OpenSession(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1))
             case Some(s) =>

@@ -84,6 +84,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"sketch re-evaluated in a filter:\n$offenders")
   }
 
+  test("percent metrics over a file source: bounded recompute, no global window") {
+    // The broadcast-total design re-executes the grouped subtree for the
+    // 1-row total when the planner doesn't dedupe it (static planning
+    // emits a ReusedExchange; AQE's stage cache currently doesn't match
+    // this shape). That cost is bounded (2x, fully parallel) — unlike the
+    // partition-less window it replaced, which serialized the whole result
+    // through one task. Lock the bound and the window's absence.
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import graft.bi.{ChartCompiler, ChartSpec, Metric}
+    val df = ChartCompiler.compile(spark,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(Metric("count", None, "cnt")),
+        percentMetrics = Seq(Metric("count", None, "cnt")),
+        orderBy = Seq(("event_type", true)), rowLimit = 1000),
+      _ => Tables.events(spark, sf0001))
+    val plan = executed(df)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    val reused = plan.collect { case r: ReusedExchangeExec => r }
+    assert(scans.size <= 2 || reused.nonEmpty, s"unbounded recompute: $plan")
+    assert(plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty)
+  }
+
   test("q26's band join shuffles slim rows only (no text/shingles through the exchange)") {
     val plan = executed(run("q26_minhash_neardup"))
     val shuffles = plan.collect { case e: ShuffleExchangeLike => e }

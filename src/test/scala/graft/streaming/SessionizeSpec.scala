@@ -85,8 +85,10 @@ class SessionizeSpec extends SparkSpec {
     try {
       ms.addData((7L, ts("2026-01-01 10:00:00")))
       q.processAllAvailable()
-      // late arrival 40 min BEFORE the open session start, inside the 1 h watermark
-      ms.addData((7L, ts("2026-01-01 09:20:00")))
+      // a late TRAIN 35+ min before the open session start (past the gap),
+      // strictly inside the 1 h watermark: the two events chain with each
+      // other (5 min apart) but never with the open session
+      ms.addData((7L, ts("2026-01-01 09:20:00")), (7L, ts("2026-01-01 09:25:00")))
       q.processAllAvailable()
       ms.addData((999L, ts("2026-01-02 00:00:00")))
       q.processAllAvailable()
@@ -97,11 +99,12 @@ class SessionizeSpec extends SparkSpec {
     val streamed = spark.table("sessions_ooo").filter(col("user_id") === 7L)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
     val batchTwin = Sessionize.batch(
-      Seq((7L, ts("2026-01-01 10:00:00")), (7L, ts("2026-01-01 09:20:00")))
+      Seq((7L, ts("2026-01-01 10:00:00")), (7L, ts("2026-01-01 09:20:00")),
+        (7L, ts("2026-01-01 09:25:00")))
         .toDF("user_id", "ts"), gapMinutes = 30)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
     assert(streamed === batchTwin)
-    assert(streamed.size === 2, "the out-of-order event must form its own session")
+    assert(streamed.size === 2, "late train = one closed session, open session intact")
   }
 
   test("batch sessionization over the driver events table is sane") {
