@@ -106,4 +106,33 @@ object Layout {
     else scala.util.Using.resource(Files.list(dir))(
       _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
   }
+
+  /** Roll the table back to `tag` (Nessie "assign branch main to tag") —
+    * the tagged files are re-written as the table's current contents. The
+    * tag itself is untouched (hardlinked inodes are independent of the
+    * table's live directory), so restore → overwrite → restore again works. */
+  def restore(spark: SparkSession, table: String, tag: String): Unit = {
+    val snap = readAt(spark, table, tag)
+    // stage through a temp dir: Spark refuses to overwrite a location it is
+    // simultaneously reading, and the snapshot dir must survive the write
+    val tmp = Files.createTempDirectory("graft_restore")
+    snap.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** Compact a table to `numFiles` output files — the small-file
+    * maintenance pass (Iceberg's rewrite_data_files equivalent). Streaming
+    * ingest and per-partition writers leave many small files; at scale the
+    * file count, not the byte count, dominates scan planning and open/seek
+    * cost. Round-robin repartition gives evenly sized outputs; data is
+    * staged through a temp dir because the write overwrites its own input. */
+  def compact(spark: SparkSession, table: String, numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val tmp = Files.createTempDirectory("graft_compact")
+    spark.table(table).repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
 }

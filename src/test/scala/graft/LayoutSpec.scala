@@ -84,6 +84,30 @@ class LayoutSpec extends SparkSpec {
     assert(before.size === 25)
   }
 
+  test("restore rolls the table back to a tag; compact shrinks the file count") {
+    val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
+    nation.write.mode("overwrite").saveAsTable("layout_restore_t")
+    Layout.snapshot(spark, "layout_restore_t", "pre")
+    nation.filter(col("n_nationkey") < 3)
+      .write.mode("overwrite").saveAsTable("layout_restore_t")
+    assert(spark.table("layout_restore_t").count() === 3)
+
+    Layout.restore(spark, "layout_restore_t", "pre")
+    assert(spark.table("layout_restore_t").count() === 25)
+    // the tag survives the restore (hardlinked inodes are independent)
+    assert(Layout.listSnapshots(spark, "layout_restore_t") === Seq("pre"))
+
+    // fragment into many files, then compact to 1
+    spark.table("layout_restore_t").repartition(8)
+      .write.mode("overwrite").saveAsTable("layout_compact_t")
+    def files(t: String) =
+      spark.table(t).inputFiles.count(_.endsWith(".parquet"))
+    assert(files("layout_compact_t") === 8)
+    Layout.compact(spark, "layout_compact_t", 1)
+    assert(files("layout_compact_t") === 1)
+    assert(spark.table("layout_compact_t").count() === 25)
+  }
+
   test("snapshot of a day-partitioned table preserves partition structure") {
     val events = Tables.events(spark, sf0001)
     Layout.writePartitionedByDay(events, "ts", "layout_snap_events")
