@@ -39,4 +39,16 @@ object EventsStream {
     windowedCounts(src, watermark = true)
   }
 
+  /** Streaming exact dedup — the stream twin of `Dedup.exactKeepFirst`
+    * (at-least-once sources redeliver; ingestion must collapse retries).
+    * `dropDuplicatesWithinWatermark` keys state on `keyCols` and evicts a
+    * key once the watermark passes its last-seen event time, so state is
+    * bounded by keys-per-watermark-horizon, not stream history — the
+    * property that lets ingestion dedup run forever. Duplicates arriving
+    * within the horizon are dropped even when their event times differ
+    * (retry timestamps drift); the first arrival wins. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -39,6 +39,41 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup drops redelivered keys within the watermark, state evicts after") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = EventsStream.dedupWithinWatermark(
+      ms.toDF().toDF("event_id", "ts", "payload"), "ts", "1 hour", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // original + same-batch duplicate (retry with drifted timestamp)
+      ms.addData((1L, ts("2026-01-01 10:00:00"), "orig"),
+        (1L, ts("2026-01-01 10:00:05"), "retry"))
+      q.processAllAvailable()
+      // cross-batch duplicate inside the watermark horizon: dropped
+      ms.addData((1L, ts("2026-01-01 10:20:00"), "late-retry"),
+        (2L, ts("2026-01-01 10:30:00"), "other"))
+      q.processAllAvailable()
+      // advance the watermark far past key 1's horizon, then redeliver it:
+      // state was evicted, so the redelivery is treated as a NEW event
+      ms.addData((3L, ts("2026-01-02 00:00:00"), "advance"))
+      q.processAllAvailable()
+      ms.addData((1L, ts("2026-01-02 00:00:01"), "reborn"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq.sorted
+    // one row per key within the horizon, first arrival wins; key 1
+    // reappears only after its state aged out
+    assert(out === Seq((1L, "orig"), (1L, "reborn"), (2L, "other"), (3L, "advance")))
+  }
+
   test("watermark drops late rows in append mode (the semantics Q25 cannot see)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
