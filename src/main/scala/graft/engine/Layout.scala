@@ -121,6 +121,36 @@ object Layout {
       .write.mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
+  /** MERGE / upsert (Iceberg `MERGE INTO t USING u ON t.key = u.key WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`): rows of
+    * `updates` replace same-key rows of the table, new keys append,
+    * untouched keys survive. `updates` must carry the table's full schema;
+    * the last occurrence wins when `updates` itself repeats a key
+    * (`ORDER BY`-free deterministic tie-break on `tieBreakCol`).
+    *
+    * Plan: one left-anti equi-join (current ⟂ update keys) + unionByName —
+    * a single key shuffle, broadcast when `updates` is small (AQE decides).
+    * The rewrite is staged through a temp dir then atomically re-published
+    * via `saveAsTable`, so existing snapshot tags (hardlinked inodes) are
+    * untouched — merge composes with [[snapshot]]/[[readAt]]. At real scale
+    * a table format with row-level deletes (Iceberg merge-on-read) avoids
+    * rewriting unmatched files; this is the copy-on-write formulation. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keyCol: String, tieBreakCol: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tieBreakCol).desc)
+    val dedupedUpdates = updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged = spark.table(table)
+      .join(dedupedUpdates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(dedupedUpdates)
+    val tmp = Files.createTempDirectory("graft_merge")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
   /** Compact a table to `numFiles` output files — the small-file
     * maintenance pass (Iceberg's rewrite_data_files equivalent). Streaming
     * ingest and per-partition writers leave many small files; at scale the

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph clustering over candidate-pair edge lists — the step that turns
+  * pairwise near-duplicate hits (MinHash/SimHash/embedding) into dedup
+  * GROUPS: connected components, each represented by its minimum node id,
+  * so "keep one doc per component" becomes a plain filter.
+  *
+  * Algorithm: min-label propagation WITH pointer doubling. Every node
+  * starts labeled with its own id; each round a node's label becomes the
+  * min of (its own, its neighbors' labels, its label's label). The
+  * neighbor step alone moves a label one hop per round (O(diameter)
+  * rounds — a 10k-node chain would need 10k shuffles); the label-of-label
+  * step halves the pointer chains each round, so convergence is
+  * O(log diameter) — the same bound as the large-star/small-star method
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) while keeping every round two plain equi-joins + one groupBy.
+  *
+  * Iterative-plan discipline: each round's label set is
+  * `localCheckpoint`ed — without lineage truncation the logical plan
+  * doubles per round and planning itself (not the data) becomes the
+  * bottleneck/OOM. The driver holds ONE scalar per round (the
+  * changed-label count that decides convergence) — never the labels.
+  */
+object Clustering {
+
+  /** Connected components of an undirected edge list.
+    * Output: (node, component) — component = min node id reachable.
+    * Nodes = every id appearing in `srcCol`/`dstCol`. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor-min: each edge forwards src's current label to dst
+      val neighborMin = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("component"))
+      // pointer doubling: component(x) ← component(component(x))
+      val doubled = labels.select(col("node"), col("component").as("__via"))
+        .join(labels.select(col("node").as("__via2"), col("component")),
+          col("__via") === col("__via2"))
+        .select(col("node"), col("component"))
+      val next = labels.unionAll(neighborMin).unionAll(doubled)
+        .groupBy("node").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), "node")
+        .where(col("component") =!= col("__old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Component summary of a near-dup pair list: one row per cluster —
+    * (rep_id = min doc id, cluster_size). The "what do I drop" view. */
+  def clusterSizes(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("component").as("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("rep_id")
+}

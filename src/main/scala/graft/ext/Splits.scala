@@ -64,4 +64,20 @@ object Splits {
       portable: Boolean = false): DataFrame =
     if (portable) df.filter(md5Prefix(col(keyCol)) < lit(hexThreshold(frac)))
     else df.filter(hashBucket(col(keyCol), 1000000) < (frac * 1000000).toLong)
+
+  /** Stratified deterministic sample: a per-stratum fraction, as a pure
+    * function of the key (same md5/xxhash draw as [[sampleByKey]] — still a
+    * narrow map, no shuffle, no per-stratum second pass). Strata absent
+    * from `fractions` are dropped; this is the "rebalance the language mix"
+    * / "downsample the dominant source" primitive. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], portable: Boolean = false): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    val keep = fractions.toSeq.sortBy(_._1).map { case (stratum, frac) =>
+      val inStratum = col(strataCol) === lit(stratum)
+      if (portable) inStratum && md5Prefix(col(keyCol)) < lit(hexThreshold(frac))
+      else inStratum && hashBucket(col(keyCol), 1000000) < (frac * 1000000).toLong
+    }.reduce(_ || _)
+    df.filter(keep)
+  }
 }

@@ -113,4 +113,47 @@ object TextAnalysis {
           array_min(transform(col("__sh"), s => md5(s))),
           md5(lower(trim(col(textCol))))))
       .drop("__sh")
+
+  /** PII patterns scrubbed by [[redactPii]], applied in order. Both regexes
+    * stay in the portable common subset of Java regex and RE2 (no
+    * backrefs, no lookaround) so the DuckDB oracle twin is literal. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}" -> "<PHONE>")
+
+  /** PII redaction: replace email addresses and phone-shaped numbers with
+    * typed placeholder tags — the mandatory scrub pass before a corpus
+    * becomes training data. A narrow map (two regexp_replace stages), no
+    * shuffle. DuckDB twin: chained `regexp_replace(..., 'g')`. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Count of PII matches [[redactPii]] would scrub.
+    * DuckDB twin: sum of `len(regexp_extract_all(...))` per pattern —
+    * counted pattern-by-pattern on the ORIGINAL text, mirroring the
+    * sequential replace (emails are consumed before the phone pass). */
+  def piiMatchCount(text: Column): Column =
+    piiPatterns.zipWithIndex.map { case ((pat, _), i) =>
+      // count each pattern on the text with all EARLIER patterns scrubbed,
+      // exactly like the sequential replace does
+      val scrubbed = piiPatterns.take(i).foldLeft(text) { case (c, (p, tag)) =>
+        regexp_replace(c, p, tag)
+      }
+      size(regexp_extract_all(scrubbed, lit(pat), lit(0)))
+    }.reduce(_ + _)
+
+  /** Gopher-style repetition signal: fraction of word 2..k-grams that are
+    * duplicates of an earlier occurrence in the same document
+    * (1 − distinct/total). High values flag boilerplate / looping
+    * generations. `toks` must be a materialized token-array column
+    * (TextPrep staging discipline).
+    * DuckDB twin: `1 - len(list_distinct(ngrams)) / (len(w) - k + 1)`. */
+  def dupNgramFraction(toks: Column, k: Int): Column = {
+    val total = greatest(size(toks) - (k - 1), lit(0))
+    val distinctN = size(TextPrep.shinglesFromTokens(toks, k))
+    when(total <= 0, lit(0.0))
+      .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 6))
+  }
 }

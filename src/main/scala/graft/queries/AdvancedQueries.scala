@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Clustering, Dedup, Relevance, Splits, TemporalJoin, TextAnalysis, TextPrep, VectorAgg}
+
+/** Declared queries Q50–Q58 (round 3): temporal join operators (as-of,
+  * tolerance range join, bounded-interval pairing), quantile sketches,
+  * PII redaction, repetition quality, BM25 relevance, near-dup cluster
+  * assembly, and stratified sampling. SURVEY.md §2.12.
+  *
+  * Same oracle discipline as the rest of the registry: deterministic
+  * output (total ORDER BY, tie-broken ranks, rounded floats, null-free
+  * sentinel columns), DuckDB twin per query.
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Q50 (as-of join): purchase→click attribution — for every purchase
+    * event, the same user's most recent click at or before the purchase.
+    * One shuffle on user_id + an in-partition sort (the merge formulation,
+    * [[graft.ext.TemporalJoin.asOfJoin]]); the DuckDB twin is the lateral
+    * top-1 definition of the same semantics. -1 sentinels keep the
+    * unmatched rows' columns total (null-free hash round-trip). */
+  val q50 = GQuery("q50_asof_join", (s, d) => {
+    val events = t(s, d, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    TemporalJoin.asOfJoin(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTime = "p_ts", rightTime = "c_ts", rightTieBreak = "click_id")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")), lit(-1L))
+          .as("gap_us"))
+      .orderBy("purchase_id")
+  },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+           |  coalesce(c.click_id, -1) AS click_id,
+           |  coalesce(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(c.c_ts), -1) AS gap_us
+           |FROM events p LEFT JOIN LATERAL (
+           |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events c
+           |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           |    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+           |  ORDER BY CAST(c.ts AS TIMESTAMP) DESC, event_id DESC LIMIT 1) c ON true
+           |WHERE p.event_type = 'purchase'
+           |ORDER BY purchase_id""".stripMargin))
+
+  /** Q51 (tolerance range join): per-event count of other events within
+    * ±5 minutes — banded to an equi-join on 5-minute buckets
+    * ([[graft.ext.TemporalJoin.proximityCount]]); the oracle is the naive
+    * theta-join definition (DuckDB lowers it to its IEJoin). */
+  val q51 = GQuery("q51_range_join",
+    (s, d) => TemporalJoin.proximityCount(t(s, d, "events"), "event_id", "ts", 300)
+      .orderBy("event_id"),
+    Some("""WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+           |SELECT a.event_id, count(b.event_id) AS n_near
+           |FROM e a LEFT JOIN e b
+           |  ON b.us >= a.us - 300000000 AND b.us <= a.us + 300000000
+           |  AND b.event_id <> a.event_id
+           |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin))
+
+  /** Q52 (quantile sketch contract): exact quartiles + p95 of
+    * l_extendedprice, plus a both-sides-computed tolerance flag for the
+    * engine's quantile sketch (Spark GK percentile_approx vs DuckDB t-digest
+    * — sketch values are engine-specific, so the CHECKED columns are the
+    * exact quantiles and the 2%-tolerance contract, the q13 pattern). */
+  val q52 = GQuery("q52_quantiles", (s, d) => {
+    val x = col("l_extendedprice")
+    val ps = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75, "95" -> 0.95)
+    val exact = ps.map { case (n, p) => percentile(x, lit(p)).as(s"__e$n") }
+    val approx = ps.map { case (n, p) => percentile_approx(x, lit(p), lit(10000)).as(s"__a$n") }
+    t(s, d, "lineitem")
+      .agg(exact.head, (exact.tail ++ approx): _*)
+      .select(
+        ps.map { case (n, _) => round(col(s"__e$n"), 4).as(s"q$n") } :+
+          ps.map { case (n, _) =>
+            abs(col(s"__a$n") - col(s"__e$n")) <= col(s"__e$n") * 0.02
+          }.reduce(_ && _).as("approx_ok"): _*)
+  },
+    Some("""SELECT
+           |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+           |  round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+           |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+           |  round(quantile_cont(l_extendedprice, 0.95), 4) AS q95,
+           |  (abs(approx_quantile(l_extendedprice, 0.25) - quantile_cont(l_extendedprice, 0.25)) <= quantile_cont(l_extendedprice, 0.25) * 0.02
+           |   AND abs(approx_quantile(l_extendedprice, 0.50) - quantile_cont(l_extendedprice, 0.50)) <= quantile_cont(l_extendedprice, 0.50) * 0.02
+           |   AND abs(approx_quantile(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.75)) <= quantile_cont(l_extendedprice, 0.75) * 0.02
+           |   AND abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95)) <= quantile_cont(l_extendedprice, 0.95) * 0.02) AS approx_ok
+           |FROM lineitem""".stripMargin))
+
+  /** Q53 (PII redaction): scrub emails/phones and count matches. The corpus
+    * is synthetic word-salad with no PII, so both sides append the same
+    * deterministic doc_id-derived contact string first — the redaction
+    * logic (patterns, sequential replace, match counting) is what's under
+    * test; md5 of the redacted text pins the full transform byte-for-byte. */
+  val q53 = GQuery("q53_pii_redact", (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("__t"))
+      .select(col("doc_id"),
+        TextAnalysis.piiMatchCount(col("__t")).cast("long").as("n_pii"),
+        md5(TextAnalysis.redactPii(col("__t"))).as("redacted_md5"))
+      .orderBy("doc_id"),
+    Some("""WITH p AS (SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |      || '@example.com or +1-555-'
+           |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           |  FROM documents),
+           |r AS (SELECT doc_id, t,
+           |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           |  FROM p)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           |     + len(regexp_extract_all(t1, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii,
+           |  md5(regexp_replace(t1, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+           |FROM r ORDER BY doc_id""".stripMargin))
+
+  /** Q54 (repetition quality): Gopher-style duplicate-2-gram fraction per
+    * document — the "is this boilerplate / a looping generation" signal.
+    * Tokens staged once per row (TextPrep discipline). */
+  val q54 = GQuery("q54_repetition", (s, d) =>
+    t(s, d, "documents")
+      .withColumn("__toks", TextPrep.tokens(col("text")))
+      .select(col("doc_id"),
+        greatest(size(col("__toks")) - 1, lit(0)).cast("long").as("n_2grams"),
+        TextAnalysis.dupNgramFraction(col("__toks"), 2).as("dup_frac"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |           FROM documents)
+           |SELECT doc_id, CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_2grams,
+           |  CASE WHEN len(w) < 2 THEN 0.0
+           |       ELSE round(1 - len(list_distinct([w[i] || ' ' || w[i+1]
+           |                                         for i in range(1, len(w))]))::DOUBLE
+           |                  / (len(w) - 1), 6) END AS dup_frac
+           |FROM t ORDER BY doc_id""".stripMargin))
+
+  /** Q55 (BM25 relevance): top-20 documents for a 3-term query — Lucene's
+    * BM25 formulation, one corpus pass + broadcast term stats
+    * ([[graft.ext.Relevance.bm25TopK]]). Rounded-then-ordered so the
+    * ranking is engine-stable; ties broken by doc_id on both sides. */
+  val q55 = GQuery("q55_bm25_topk",
+    (s, d) => Relevance.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+      Seq("spark", "window", "hash"), topK = 20),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |           FROM documents),
+           |d AS (SELECT doc_id, len(w) AS dl FROM t),
+           |c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+           |p AS (SELECT doc_id, tok AS term, count(*) AS tf
+           |      FROM t, unnest(w) AS u(tok)
+           |      WHERE tok IN ('spark', 'window', 'hash') GROUP BY doc_id, tok),
+           |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+           |sc AS (SELECT p.doc_id,
+           |         ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+           |           * (p.tf * 2.2)
+           |           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+           |       FROM p JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN c)
+           |SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc GROUP BY doc_id
+           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
+
+  /** Q56 (near-dup clusters): connected components over the q26 MinHash
+    * near-dup pair set — pairwise hits become dedup groups (rep = min doc
+    * id). Spark side: distributed min-label propagation
+    * ([[graft.ext.Clustering]]); oracle: recursive-CTE transitive closure
+    * over the exhaustively recomputed pair set. */
+  val q56 = GQuery("q56_dedup_clusters",
+    (s, d) => Clustering.clusterSizes(
+      Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, shingleK = 3, numHashes = 128, bands = 32),
+      "id_a", "id_b"),
+    Some(s"""WITH RECURSIVE ${PipelineQueries.duckShingles3},
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+            |e AS (SELECT id_a AS src, id_b AS dst FROM p
+            |      UNION SELECT id_b, id_a FROM p),
+            |reach AS (
+            |  SELECT src AS node, src AS r FROM e
+            |  UNION
+            |  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node),
+            |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+            |SELECT component AS rep_id, count(*) AS cluster_size
+            |FROM comp GROUP BY component ORDER BY rep_id""".stripMargin))
+
+  /** Q57 (stratified sampling): per-language deterministic downsampling
+    * (en 50%, de 25%, es 25%; fr/zh dropped) via the portable md5 draw —
+    * the corpus-rebalance primitive, a pure narrow map
+    * ([[graft.ext.Splits.stratifiedSample]]). id_sum pins the exact
+    * member set, not just the counts. */
+  val q57 = GQuery("q57_stratified_sample",
+    (s, d) => Splits.stratifiedSample(t(s, d, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25), portable = true)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang"),
+    Some("""WITH s AS (SELECT lang, doc_id FROM documents WHERE
+           |    (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+           | OR (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+           | OR (lang = 'es' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'))
+           |SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM s GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Q58 (interval pairing): click→purchase conversion pairs within 2 hours
+    * per user — the batch twin of the stream-stream interval join
+    * ([[graft.streaming.StreamJoin]]); an equi-join on user_id with the
+    * time window as a residual predicate. */
+  val q58 = GQuery("q58_click_to_purchase",
+    (s, d) => TemporalJoin.intervalPairs(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type", "click", "purchase", 7200)
+      .select(col("key").as("user_id"), col("from_id"), col("to_id"), col("gap_us"))
+      .orderBy("from_id", "to_id"),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+           |SELECT f.user_id, f.event_id AS from_id, t.event_id AS to_id,
+           |  t.us - f.us AS gap_us
+           |FROM e f JOIN e t ON f.user_id = t.user_id
+           |WHERE f.event_type = 'click' AND t.event_type = 'purchase'
+           |  AND t.us > f.us AND t.us - f.us <= 7200000000
+           |ORDER BY from_id, to_id""".stripMargin))
+
+  /** Q59 (ROLLUP / grouping sets): quantity rollup over
+    * (returnflag, linestatus) — Catalyst lowers `rollup` to ONE Expand +
+    * one hash-agg shuffle (not one scan per grouping set). `grouping_id`
+    * disambiguates the subtotal levels; NULL group values are coalesced to
+    * a sentinel so the output is null-free for the hash round-trip. */
+  val q59 = GQuery("q59_rollup", (s, d) =>
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        round(sum(col("l_quantity")).cast("double"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "flag", "status"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           |  coalesce(l_linestatus, 'ALL') AS status,
+           |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY gid, flag, status""".stripMargin))
+
+  /** Q60 (pivot): daily event counts pivoted to one column per event_type.
+    * The value list is explicit, so the plan is a single scan + one
+    * hash-agg (no hidden distinct-values pre-scan); absent cells coalesce
+    * to 0. DuckDB twin: FILTERed counts (the relational lowering). */
+  val q60 = GQuery("q60_pivot", (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
+      .orderBy("day")
+  },
+    Some("""SELECT CAST(ts AS DATE) AS day,
+           |  count(*) FILTER (WHERE event_type = 'click') AS click,
+           |  count(*) FILTER (WHERE event_type = 'error') AS error,
+           |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           |  count(*) FILTER (WHERE event_type = 'view') AS view
+           |FROM events GROUP BY day ORDER BY day""".stripMargin))
+
+  /** Q61 (heavy hitters): the 20 most frequent tokens across the corpus —
+    * explode → count. Spark's partial aggregation combines per-partition
+    * before the shuffle, so the exchange carries one row per distinct term
+    * per partition, not one per token occurrence; the final top-k fuses to
+    * TakeOrderedAndProject. Ties broken by term. */
+  val q61 = GQuery("q61_heavy_hitters", (s, d) =>
+    t(s, d, "documents")
+      .select(explode(TextPrep.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(20),
+    Some("""WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           |           FROM documents)
+           |SELECT term, count(*) AS cnt FROM t GROUP BY term
+           |ORDER BY cnt DESC, term LIMIT 20""".stripMargin))
+
+  /** Q62 (distribution windows): ntile/percent_rank/cume_dist per order
+    * priority, ordered by (totalprice, orderkey) — the compound sort key
+    * makes all three deterministic (ntile depends on row order, not just
+    * key order). One partition-sort, all three functions share the frame. */
+  val q62 = GQuery("q62_distribution_windows", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |  round(percent_rank() OVER w, 6) AS pct_rank,
+           |  round(cume_dist() OVER w, 6) AS cume
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Q63 (embedding centroids): per-label element-wise mean vector
+    * ([[graft.ext.VectorAgg.centroids]] — the IVF/k-means training
+    * primitive), emitted long-form (label, pos, c) so the oracle pins every
+    * dimension. DuckDB twin zips parallel unnests for (value, position). */
+  val q63 = GQuery("q63_embedding_centroids", (s, d) =>
+    VectorAgg.centroids(t(s, d, "embeddings"), "label", "embedding")
+      .select(col("group").as("label"), posexplode(col("centroid")).as(Seq("pos", "c")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("c"), 6).as("c"))
+      .orderBy("label", "pos"),
+    Some("""WITH u AS (SELECT label, unnest(embedding) AS v,
+           |                  unnest(range(len(embedding))) AS pos
+           |           FROM embeddings)
+           |SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(v), 6) AS c
+           |FROM u GROUP BY label, pos ORDER BY label, pos""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58,
+    q59, q60, q61, q62, q63)
+}

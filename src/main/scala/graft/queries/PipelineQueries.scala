@@ -24,8 +24,9 @@ object PipelineQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
   /** DuckDB CTE producing distinct word-3-shingle sets per doc (twin of
-    * TextPrep.shingles(text, 3)). */
-  private val duckShingles3 =
+    * TextPrep.shingles(text, 3)). Shared with AdvancedQueries (q56 clusters
+    * the same near-dup pair set q26 emits). */
+  private[queries] val duckShingles3 =
     """t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       |      FROM documents),
       |s AS (SELECT doc_id,

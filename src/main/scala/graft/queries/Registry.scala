@@ -19,7 +19,7 @@ final case class GQuery(
 
 object Registry {
   lazy val all: Seq[GQuery] =
-    CoreQueries.all ++ ExtQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ ExtQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -108,6 +108,36 @@ class LayoutSpec extends SparkSpec {
     assert(spark.table("layout_compact_t").count() === 25)
   }
 
+  test("merge upserts matched keys, appends new ones, keeps the rest, and composes with snapshots") {
+    import spark.implicits._
+    val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
+    nation.write.mode("overwrite").saveAsTable("layout_merge_t")
+    Layout.snapshot(spark, "layout_merge_t", "premerge")
+
+    val updates = Seq(
+      (0, "RENAMED-0"),   // update an existing key
+      (1, "RENAMED-1-A"), // repeated update key: higher tiebreak (name) ...
+      (1, "RENAMED-1-B"), // ... wins, deterministic
+      (99, "NEWLAND")     // brand-new key
+    ).toDF("n_nationkey", "n_name")
+    Layout.merge(spark, "layout_merge_t", updates, "n_nationkey", "n_name")
+
+    val after = spark.table("layout_merge_t")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(after.size === 26)                  // 25 original + 1 new key
+    assert(after(0) === "RENAMED-0")
+    assert(after(1) === "RENAMED-1-B")        // max tiebreak won
+    assert(after(99) === "NEWLAND")
+    assert(after(2) === nation.filter(col("n_nationkey") === 2)
+      .head().getString(1))                    // untouched key survives
+
+    // the pre-merge tag still reads the old contents
+    val tagged = Layout.readAt(spark, "layout_merge_t", "premerge")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(tagged.size === 25 && !tagged.contains(99))
+    assert(tagged(0) !== "RENAMED-0")
+  }
+
   test("snapshot of a day-partitioned table preserves partition structure") {
     val events = Tables.events(spark, sf0001)
     Layout.writePartitionedByDay(events, "ts", "layout_snap_events")
