@@ -273,4 +273,24 @@ object Dedup {
         round(graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** End-to-end corpus near-dup removal — the operator a pipeline actually
+    * calls: MinHash+LSH pair detection ([[minHashLshPairs]]) → connected
+    * components ([[Clustering.connectedComponents]]) → keep exactly ONE doc
+    * per cluster (the min-id representative) plus every unclustered doc.
+    * Pairwise drop ("remove id_b of every pair") over-deletes on chains
+    * (a~b, b~c but a≁c would drop both b and c); component-rep keep is the
+    * standard closure-correct policy. One extra left join against the
+    * (tiny) component list; all docs keep their full row. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, threshold, shingleK,
+      numHashes, bands)
+    val comps = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", idCol)
+    docs.join(comps, Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
 }

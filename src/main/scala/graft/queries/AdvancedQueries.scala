@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Clustering, Dedup, Relevance, Splits, TemporalJoin, TextAnalysis, TextPrep, VectorAgg}
+import graft.ext.{Clustering, Dedup, Relevance, Splits, TemporalJoin, TextAnalysis, TextPrep, TimeSeries, VectorAgg}
 
 /** Declared queries Q50–Q58 (round 3): temporal join operators (as-of,
   * tolerance range join, bounded-interval pairing), quantile sketches,
@@ -73,15 +73,21 @@ object AdvancedQueries {
     * exact quantiles and the 2%-tolerance contract, the q13 pattern). */
   val q52 = GQuery("q52_quantiles", (s, d) => {
     val x = col("l_extendedprice")
-    val ps = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75, "95" -> 0.95)
-    val exact = ps.map { case (n, p) => percentile(x, lit(p)).as(s"__e$n") }
-    val approx = ps.map { case (n, p) => percentile_approx(x, lit(p), lit(10000)).as(s"__a$n") }
+    val ps = Seq("25", "50", "75", "95")
+    val fracs = lit(Array(0.25, 0.5, 0.75, 0.95))
+    // ONE exact-percentile buffer and ONE sketch for all four fractions —
+    // each scalar percentile(x, p) is its own ObjectHashAggregate buffer
+    // (a per-partition value-count map merged on a single reducer), so the
+    // scalar form paid that merge 8×; the array form pays it twice.
     t(s, d, "lineitem")
-      .agg(exact.head, (exact.tail ++ approx): _*)
+      .agg(percentile(x, fracs).as("__e"),
+        percentile_approx(x, fracs, lit(10000)).as("__a"))
       .select(
-        ps.map { case (n, _) => round(col(s"__e$n"), 4).as(s"q$n") } :+
-          ps.map { case (n, _) =>
-            abs(col(s"__a$n") - col(s"__e$n")) <= col(s"__e$n") * 0.02
+        ps.zipWithIndex.map { case (n, i) =>
+          round(col("__e").getItem(i), 4).as(s"q$n") } :+
+          ps.indices.map { i =>
+            abs(col("__a").getItem(i) - col("__e").getItem(i)) <=
+              col("__e").getItem(i) * 0.02
           }.reduce(_ && _).as("approx_ok"): _*)
   },
     Some("""SELECT
@@ -326,6 +332,65 @@ object AdvancedQueries {
            |SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(v), 6) AS c
            |FROM u GROUP BY label, pos ORDER BY label, pos""".stripMargin))
 
+  /** Q64 (corpus near-dup removal, end-to-end): documents surviving
+    * [[graft.ext.Dedup.dropNearDuplicates]] (LSH pairs → connected
+    * components → keep min-id rep per cluster + all unclustered docs),
+    * summarized per language with an id-sum pinning the exact member set.
+    * Oracle: the same recursive-CTE closure as q56 — survivors are docs
+    * that are not a non-representative member of any component. */
+  val q64 = GQuery("q64_dedup_corpus",
+    (s, d) => Dedup.dropNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, shingleK = 3, numHashes = 128, bands = 32)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang"),
+    Some(s"""WITH RECURSIVE ${PipelineQueries.duckShingles3},
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+            |e AS (SELECT id_a AS src, id_b AS dst FROM p
+            |      UNION SELECT id_b, id_a FROM p),
+            |reach AS (
+            |  SELECT src AS node, src AS r FROM e
+            |  UNION
+            |  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node),
+            |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+            |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+            |FROM documents
+            |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Q65 (time-series gap-fill): per-user daily spend, regularized onto a
+    * dense date spine with forward-fill
+    * ([[graft.ext.TimeSeries.gapFillDaily]]). The per-day value is rounded
+    * BEFORE the fill so both engines carry bit-identical values forward.
+    * DuckDB twin: generate_series spine + `IGNORE NULLS` last_value. */
+  val q65 = GQuery("q65_gap_fill", (s, d) => {
+    val daily = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("spend"))
+    TimeSeries.gapFillDaily(daily, "user_id", "day", "spend")
+      .select(col("user_id"), col("day"), round(col("spend"), 6).as("spend"))
+      .orderBy("user_id", "day")
+  },
+    Some("""WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           |             round(sum(value), 6) AS spend
+           |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           |r AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY 1),
+           |spine AS (SELECT user_id,
+           |            CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+           |              CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           |          FROM r),
+           |j AS (SELECT s.user_id, s.day, b.spend
+           |      FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.day = b.day)
+           |SELECT user_id, day,
+           |  round(coalesce(last_value(spend IGNORE NULLS) OVER
+           |    (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING), 0.0), 6)
+           |    AS spend
+           |FROM j ORDER BY user_id, day""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63)
+    q59, q60, q61, q62, q63, q64, q65)
 }

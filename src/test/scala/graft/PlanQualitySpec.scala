@@ -107,6 +107,54 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("q50 as-of join is one key shuffle + one window — no nested-loop, no row amplification") {
+    val plan = executed(run("q50_asof_join"))
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"as-of lowered to a nested loop: $plan")
+    // exactly one WindowExec (the carry-forward), partitioned by the key
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.size === 1 && wins.head.partitionSpec.nonEmpty, plan.toString)
+  }
+
+  test("q55 BM25 broadcasts term stats; only the doc-key shuffles are hash exchanges") {
+    val plan = executed(run("q55_bm25_topk"))
+    // df + corpus stats ride broadcasts, never a sort-merge over the corpus
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.size <= 1,
+      s"more than the 1-row corpus-stats cross join went nested-loop: $plan")
+  }
+
+  test("q59 rollup plans a single Expand + one aggregate exchange, not one scan per set") {
+    import org.apache.spark.sql.execution.ExpandExec
+    val plan = executed(run("q59_rollup"))
+    assert(plan.collect { case e: ExpandExec => e }.size === 1, plan.toString)
+    assert(plan.collect { case s: FileSourceScanExec => s }.size === 1,
+      s"rollup re-scanned the table: $plan")
+  }
+
+  test("q61 heavy hitters fuses the final top-k (no global sort of all terms)") {
+    val plan = executed(run("q61_heavy_hitters"))
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty, plan.toString)
+  }
+
+  test("q63 centroid's corpus-sized shuffle carries scalar rows, never whole vectors") {
+    // The n·dim long-form exchange (the one fed straight by the scan) must
+    // be scalar — that's the shuffle proportional to corpus size. The later
+    // reassembly exchange carries |groups| partial collect_list buffers
+    // (bounded by dim), which is fine.
+    val plan = executed(run("q63_embedding_centroids"))
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    val deepest = shuffles.filter(
+      _.child.collect { case x: ShuffleExchangeLike => x }.isEmpty)
+    assert(deepest.nonEmpty, plan.toString)
+    deepest.foreach { e =>
+      val arrayFields = e.child.schema.fields.filter(
+        _.dataType.typeName.startsWith("array"))
+      assert(arrayFields.isEmpty,
+        s"vector column rides the corpus shuffle: ${e.child.schema.fieldNames.toSeq}")
+    }
+  }
+
   test("q26's band join shuffles slim rows only (no text/shingles through the exchange)") {
     val plan = executed(run("q26_minhash_neardup"))
     val shuffles = plan.collect { case e: ShuffleExchangeLike => e }

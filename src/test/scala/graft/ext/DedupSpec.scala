@@ -35,6 +35,21 @@ class DedupSpec extends SparkSpec {
     assert(recalled >= 0.8, s"simhash recall $recalled over ${exactPairs.size} pairs")
   }
 
+  test("dropNearDuplicates keeps one rep per cluster and every unclustered doc") {
+    val survivors = Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // closure-correct expectation from the exact pair set
+    val comps = Clustering.connectedComponents(
+      docs.sparkSession.createDataFrame(
+        exactPairs.toSeq.map(p => (p._1, p._2))).toDF("id_a", "id_b"),
+      "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = comps.filter { case (node, comp) => node != comp }.map(_._1).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === (allIds -- dropped))
+    assert(dropped.nonEmpty, "test corpus should contain planted near-dups")
+  }
+
   test("exactKeepFirst: dedup(x ++ x) == dedup(x) and keeps min id") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "text")
