@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Distributed spherical k-means (Lloyd iterations under cosine geometry) —
+  * the centroid-training stage `Similarity.ivfTopK` declares as its
+  * production path: the sampled-centroid IVF build keeps recall only as
+  * good as its random seeds; a few Lloyd rounds move centroids to the
+  * actual density modes.
+  *
+  * Spherical variant: assignment by cosine, re-estimation = per-cluster
+  * element-wise mean re-normalized to unit length — the standard
+  * formulation when downstream search is cosine (Dhillon & Modha,
+  * "Concept decompositions for large sparse text data using clustering",
+  * Machine Learning 42, 2001).
+  *
+  * Scale shape per iteration: centroids (k·dim doubles) broadcast to every
+  * executor; assignment is one corpus pass + per-row top-1 window over k
+  * candidate rows; re-estimation is [[VectorAgg.centroids]] (scalar
+  * long-form shuffle, map-side partial agg). The driver never holds
+  * vectors — each round's centroid set is a k-row `localCheckpoint`
+  * (lineage truncation, the iterative-plan discipline from
+  * [[Clustering]]). Empty clusters keep their previous centroid, so k is
+  * stable across rounds. Unit-normalization follows the TextPrep staging
+  * discipline: the norm is its own projected column referenced twice, so
+  * CollapseProject can't inline the O(dim) aggregate into the per-element
+  * division lambda.
+  */
+object KMeans {
+
+  /** Stage `out` = L2-normalized `vecCol` (zero vectors pass through). */
+  private def unitize(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn("__dv", col(vecCol).cast("array<double>"))
+      .withColumn("__n", sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn(out, when(col("__n") === 0.0, col("__dv"))
+        .otherwise(transform(col("__dv"), x => x / col("__n"))))
+      .drop("__dv", "__n")
+
+  /** Nearest-centroid assignment under cosine. `centroids`: (cid, cv).
+    * Output: (idCol, cid). */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = vecs
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"),
+        VectorFunctions.cosine(col("__v"), col("cv")).as("__csim"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cid"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("cid"))
+  }
+
+  /** Train `k` unit-length centroids with `maxIter` Lloyd rounds.
+    *
+    * Init: deterministic farthest-first traversal — seed with the hash-min
+    * vector, then repeatedly add the vector least similar to its nearest
+    * chosen centroid. One broadcast corpus pass + TakeOrdered(1) per seed
+    * (k passes total): Lloyd can't merge two blobs that a clumped random
+    * init put under one centroid, and farthest-first provably 2-approximates
+    * the k-center objective (Gonzalez 1985). At very large k the k passes
+    * give way to k-means‖ oversampling (Bahmani et al., VLDB'12) — same
+    * Lloyd loop afterwards. Output: (cid, cv: Array[Double]), k rows. */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int): DataFrame = {
+    val unitized = unitize(vecs, vecCol, "__nv").select(col(idCol), col("__nv"))
+    var centroids = unitized
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(1)
+      .select(col(idCol).cast("long").as("cid"), col("__nv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 until k) {
+      val farthest = unitized.crossJoin(broadcast(centroids))
+        .select(col(idCol), VectorFunctions.cosine(col("__nv"), col("cv")).as("__s"))
+        .groupBy(col(idCol)).agg(max(col("__s")).as("__maxs"))
+        .orderBy(col("__maxs").asc, col(idCol))
+        .limit(1)
+        .select(col(idCol))
+      centroids = centroids
+        .unionByName(unitized.join(farthest, idCol)
+          .select(col(idCol).cast("long").as("cid"), col("__nv").as("cv")))
+        .localCheckpoint(true)
+    }
+    for (_ <- 0 until maxIter) {
+      val assigned = assign(unitized, idCol, "__nv", centroids)
+      val means = unitize(
+        VectorAgg.centroids(assigned.join(unitized, idCol), "cid", "__nv"),
+        "centroid", "cv")
+        .select(col("group").cast("long").as("cid"), col("cv"))
+      // empty clusters vanish from `means`; carry their old centroid over
+      centroids = means
+        .unionByName(centroids.join(means.select("cid"), Seq("cid"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Mean within-cluster cosine to the assigned centroid — the (negated)
+    * spherical k-means objective; one scalar, for specs and convergence
+    * monitoring. */
+  def objective(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): Double = {
+    val unitized = unitize(vecs, vecCol, "__nv").select(col(idCol), col("__nv"))
+    assign(unitized, idCol, "__nv", centroids)
+      .join(unitized, idCol)
+      .join(broadcast(centroids), Seq("cid"))
+      .agg(avg(VectorFunctions.cosine(col("__nv"), col("cv"))))
+      .head().getDouble(0)
+  }
+}

@@ -130,6 +130,30 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), v.as("cv"))
       .orderBy(xxhash64(col("centroid_id")))
       .limit(nCentroids)
+    ivfSearch(corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,
+      k, nprobe, centroids)
+  }
+
+  /** IVF with Lloyd-trained centroids ([[KMeans.fit]]) instead of the
+    * random sample — the production index build: a few spherical-k-means
+    * rounds move centroids onto the corpus density modes, tightening the
+    * inverted lists the probes search. Same search path afterwards. */
+  def ivfTopKTrained(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, nCentroids: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 3): DataFrame = {
+    val centroids = KMeans.fit(corpus, idCol, vecCol, nCentroids, lloydIters)
+      .select(col("cid").as("centroid_id"), col("cv"))
+    ivfSearch(corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,
+      k, nprobe, centroids)
+  }
+
+  private def ivfSearch(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, nprobe: Int, centroids: DataFrame): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
 
     // Assignment metric = search metric (cosine): lists must be built with
     // the same geometry probes search with, or recall drops to the random-

@@ -391,6 +391,45 @@ object AdvancedQueries {
            |    AS spend
            |FROM j ORDER BY user_id, day""".stripMargin))
 
+  /** Q66 (grouped quantiles): exact median and p95 of event value per
+    * event_type — the per-group form of q52. Per-group exact percentiles
+    * parallelize across groups (each reducer merges only its group's
+    * value map), unlike the global single-reducer q52 shape. */
+  val q66 = GQuery("q66_grouped_quantiles", (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(Array(0.5, 0.95))).as("__q"))
+      .select(col("event_type"),
+        round(col("__q").getItem(0), 4).as("p50"),
+        round(col("__q").getItem(1), 4).as("p95"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |  round(quantile_cont(value, 0.50), 4) AS p50,
+           |  round(quantile_cont(value, 0.95), 4) AS p95
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Q67 (INTERSECT / EXCEPT — §2.7's remaining set ops): users who both
+    * clicked and purchased, and users who clicked but never purchased,
+    * labeled in one result. Catalyst lowers INTERSECT to a left-semi and
+    * EXCEPT to a left-anti over aggregated keys — same join machinery as
+    * q11, exercised through the set-operator surface. */
+  val q67 = GQuery("q67_intersect_except", (s, d) => {
+    val events = t(s, d, "events")
+    def users(ty: String) = events.filter(col("event_type") === ty)
+      .select(col("user_id")).distinct()
+    users("click").intersect(users("purchase"))
+      .select(lit("both").as("tag"), col("user_id"))
+      .unionAll(users("click").except(users("purchase"))
+        .select(lit("click_only").as("tag"), col("user_id")))
+      .orderBy("tag", "user_id")
+  },
+    Some("""WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+           |     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+           |SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+           |UNION ALL
+           |SELECT 'click_only' AS tag, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+           |ORDER BY tag, user_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64, q65)
+    q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }
