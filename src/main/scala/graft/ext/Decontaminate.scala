@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/test decontamination — find training documents that contain a
+  * benchmark/test document's content, the overlap audit every LLM data
+  * pipeline runs before training (the reference stack has no native
+  * operator for this; it is the pipeline-side complement of the dedup
+  * family in [[Dedup]]).
+  *
+  * Contamination here is asymmetric n-gram *containment* (not Jaccard):
+  * `|shingles(test) ∩ shingles(train)| / |shingles(test)|` — a short
+  * benchmark prompt fully embedded in a long web document scores 1.0
+  * even though its Jaccard against the page is tiny. This is the
+  * standard containment form (Broder, "On the resemblance and
+  * containment of documents", SEQUENCES 1997).
+  *
+  * == Scale shape ==
+  *
+  * Never all-pairs: both sides explode to (doc, shingle) rows and meet in
+  * ONE equi-join on the shingle — an inverted index realized as a shuffle
+  * join. Match counts partial-aggregate map-side before the (test, train)
+  * shuffle, and the test-side shingle-count divisor joins back as a
+  * broadcast (test sets are small by definition). Shingles are distinct
+  * per doc, so the join emits exactly one row per intersection element —
+  * counts ARE intersection sizes, no dedup pass.
+  *
+  * `dfCap` drops shingles appearing in more than `dfCap` training docs
+  * before the join (one cheap partial-agg'd count over the exploded train
+  * side + a broadcast-able semi-join). Boilerplate n-grams ("all rights
+  * reserved") otherwise dominate the join fan-out at corpus scale; capped
+  * shingles undercount containment, so the cap is an explicit
+  * approximation knob, off by default (and off in the oracle-checked
+  * query q68).
+  */
+object Decontaminate {
+
+  /** Contaminated pairs: (test_id, train_id, containment) with
+    * containment ≥ `tau`, rounded to 6 places for engine-stable
+    * comparison. Docs with fewer than `shingleK` tokens have no shingles
+    * and cannot appear on either side. */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      tau: Double = 0.5,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    val testSets = Dedup.shingleSets(test, idCol, textCol, shingleK)
+    // Divisor |shingles(test)| is taken BEFORE any df-capping: the cap
+    // approximates the numerator only, keeping containment ≤ true value.
+    val testSizes = testSets.select(col("doc_id").as("test_id"),
+      size(col("sh")).as("__n_test"))
+
+    val testSh = testSets.select(col("doc_id").as("test_id"),
+      explode(col("sh")).as("__sh"))
+    val trainShAll = Dedup.shingleSets(train, idCol, textCol, shingleK)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("__sh"))
+    val trainSh =
+      if (dfCap == Int.MaxValue) trainShAll
+      else trainShAll.join(
+        broadcast(trainShAll.groupBy(col("__sh"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
+          .select(col("__sh"))),
+        Seq("__sh"), "left_semi")
+
+    testSh.join(trainSh, Seq("__sh"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("__overlap"))
+      .join(broadcast(testSizes), Seq("test_id"))
+      .select(col("test_id"), col("train_id"),
+        round(col("__overlap").cast("double") / col("__n_test"), 6)
+          .as("containment"))
+      .filter(col("containment") >= tau)
+  }
+}

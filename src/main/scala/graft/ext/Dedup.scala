@@ -52,7 +52,7 @@ object Dedup {
     * PushPredicateThroughNonJoin, re-evaluating the whole shingle pipeline
     * (with the tokenizer re-inlined into the per-index lambda) once per
     * row — measured 5× the query's entire runtime at sf0.1. */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+  private[ext] def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =
     TextPrep.stagedShingles(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))

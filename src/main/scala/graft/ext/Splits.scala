@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting / sampling — the train/val/test
@@ -64,6 +65,42 @@ object Splits {
       portable: Boolean = false): DataFrame =
     if (portable) df.filter(md5Prefix(col(keyCol)) < lit(hexThreshold(frac)))
     else df.filter(hashBucket(col(keyCol), 1000000) < (frac * 1000000).toLong)
+
+  /** Token-budget corpus mixing: within each stratum, take documents in
+    * deterministic hash order until the stratum's size budget is reached —
+    * the "mix 30% code, 5% wiki, hit exactly N tokens" primitive, where
+    * targets are *token counts*, not row fractions ([[stratifiedSample]]
+    * is the row-fraction form).
+    *
+    * A doc is kept iff it *starts* inside the budget (running total of
+    * preceding docs < budget), so each stratum overshoots by at most one
+    * document — the standard greedy cut. Strata absent from `budgets` are
+    * dropped. Determinism: the hash draw orders docs (key as tie-break),
+    * so re-runs and re-partitions keep the identical set.
+    *
+    * Scale: one shuffle on the stratum key + an in-partition sort (a
+    * per-stratum window cumsum); no collect, no second pass. Strata are
+    * language/source-grade (10s–1000s), so per-stratum ordering
+    * parallelizes across, not within, strata; a skew-heavy mix can
+    * pre-split its giant stratum upstream. */
+  def budgetSample(df: DataFrame, strataCol: String, keyCol: String,
+      sizeCol: String, budgets: Map[String, Long],
+      portable: Boolean = false): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    val draw = if (portable) md5Prefix(col(keyCol))
+      else hex(xxhash64(col(keyCol), lit(42)))
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("long")) { case ((stratum, b), otherwise) =>
+        when(col(strataCol) === lit(stratum), lit(b)).otherwise(otherwise)
+      }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(draw, col(keyCol))
+    df.filter(budget.isNotNull)
+      .withColumn("__before",
+        coalesce(sum(col(sizeCol).cast("long")).over(w) - col(sizeCol), lit(0L)))
+      .filter(col("__before") < budget)
+      .drop("__before")
+  }
 
   /** Stratified deterministic sample: a per-stratum fraction, as a pure
     * function of the key (same md5/xxhash draw as [[sampleByKey]] — still a

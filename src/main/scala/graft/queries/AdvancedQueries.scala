@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Clustering, Dedup, Relevance, Splits, TemporalJoin, TextAnalysis, TextPrep, TimeSeries, VectorAgg}
+import graft.engine.Profile
+import graft.ext.{Clustering, Decontaminate, Dedup, Pack, Relevance, Splits, TemporalJoin, TextAnalysis, TextPrep, TimeSeries, VectorAgg}
 
 /** Declared queries Q50–Q58 (round 3): temporal join operators (as-of,
   * tolerance range join, bounded-interval pairing), quantile sketches,
@@ -430,6 +431,136 @@ object AdvancedQueries {
            |SELECT 'click_only' AS tag, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
            |ORDER BY tag, user_id""".stripMargin))
 
+  /** Q68 (decontamination): training docs containing ≥50% of a test doc's
+    * 3-shingles, over the portable md5 4:1 train/test split of q43's
+    * machinery. Inverted-index equi-join on the shingle (never all-pairs);
+    * the oracle is the exhaustive cross-set containment with the same md5
+    * split predicate. */
+  val q68 = GQuery("q68_decontamination", (s, d) => {
+    val labeled = Splits.assign(t(s, d, "documents"), "doc_id",
+      Seq(("train", 4), ("test", 1)), portable = true)
+    Decontaminate.contamination(
+        labeled.filter(col("split") === "train"),
+        labeled.filter(col("split") === "test"),
+        "doc_id", "text", shingleK = 3, tau = 0.5)
+      .orderBy("test_id", "train_id")
+  },
+    Some(s"""WITH ${PipelineQueries.duckShingles3},
+            |lab AS (SELECT doc_id,
+            |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Splits.hexThreshold(0.8)}' AS is_train
+            |        FROM documents),
+            |tr AS (SELECT s.doc_id, s.sh FROM s JOIN lab USING (doc_id) WHERE is_train),
+            |te AS (SELECT s.doc_id, s.sh FROM s JOIN lab USING (doc_id) WHERE NOT is_train),
+            |p AS (SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+            |        round(len(list_intersect(te.sh, tr.sh))::DOUBLE / len(te.sh), 6) AS containment
+            |      FROM te CROSS JOIN tr)
+            |SELECT test_id, train_id, containment FROM p
+            |WHERE containment >= 0.5 ORDER BY test_id, train_id""".stripMargin))
+
+  /** Q69 (sequence packing): concat-and-cut 512-token sequence assignment
+    * per language — each doc's stream offset and first/last sequence id,
+    * a pure per-group window cumsum ([[graft.ext.Pack.chunkAssign]]). */
+  val q69 = GQuery("q69_sequence_packing", (s, d) => {
+    val sized = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextPrep.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    Pack.chunkAssign(sized, "lang", "doc_id", "n_tokens", 512)
+      .orderBy("lang", "doc_id")
+  },
+    Some("""WITH t AS (SELECT doc_id, lang,
+           |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+           |      FROM t WHERE n_tokens > 0)
+           |SELECT doc_id, lang, n_tokens, cum - n_tokens AS tok_start,
+           |  (cum - n_tokens) // 512 AS seq_first, (cum - 1) // 512 AS seq_last
+           |FROM c ORDER BY lang, doc_id""".stripMargin))
+
+  /** Q70 (dataset profiling): per-column rows/nulls/exact-distinct/
+    * min/max/mean-length over documents in ONE pass
+    * ([[graft.engine.Profile.profile]]); the oracle is the literal
+    * per-column UNION ALL definition. */
+  val q70 = GQuery("q70_profile", (s, d) =>
+    Profile.profile(t(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("column"),
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_val, max(CAST($c AS VARCHAR)) AS max_val,
+           |  round(avg(length(CAST($c AS VARCHAR))), 6) AS avg_len
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+    })
+
+  /** Q71 (statistical aggregates, A10): sample stddev/variance, covariance,
+    * correlation, and OLS slope/intercept of value vs user_id per
+    * event_type — the moment-sketch family, all partial-aggregable
+    * (Welford-style merge on both engines; 6-place rounding absorbs
+    * accumulation-order jitter). */
+  val q71 = GQuery("q71_stats_agg", (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 6).as("sd"),
+        round(var_samp(col("value")), 6).as("vr"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cv"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("cr"),
+        round(regr_slope(col("value"), col("user_id").cast("double")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("user_id").cast("double")), 6).as("icept"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |  round(stddev_samp(value), 6) AS sd,
+           |  round(var_samp(value), 6) AS vr,
+           |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cv,
+           |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS cr,
+           |  round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope,
+           |  round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) AS icept
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Q72 (CUBE): doc counts and char volume over every (lang, source)
+    * grouping-set combination — one Expand + one shuffle, completing the
+    * multi-grouping family next to q59's ROLLUP. */
+  val q72 = GQuery("q72_cube", (s, d) =>
+    t(s, d, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("doc_cnt"), sum(col("n_chars")).as("chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("gid"), col("doc_cnt"), col("chars"))
+      .orderBy("gid", "lang", "source"),
+    Some("""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+           |  CAST(grouping(lang, source) AS BIGINT) AS gid,
+           |  count(*) AS doc_cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents GROUP BY CUBE (lang, source)
+           |ORDER BY gid, lang, source""".stripMargin))
+
+  /** Q73 (token-budget corpus mixing): greedy per-language char-budget cut
+    * in deterministic md5-hash order ([[graft.ext.Splits.budgetSample]]) —
+    * zh is dropped (no budget), en capped at 20k chars, de/es/fr at 8k.
+    * One window cumsum per stratum; the oracle replays the identical draw
+    * order and greedy-cut predicate. */
+  val q73 = GQuery("q73_budget_mix", (s, d) =>
+    Splits.budgetSample(t(s, d, "documents"), "lang", "doc_id", "n_chars",
+        Map("en" -> 20000L, "de" -> 8000L, "es" -> 8000L, "fr" -> 8000L),
+        portable = true)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "doc_id"),
+    Some("""WITH o AS (SELECT lang, doc_id, n_chars,
+           |    sum(n_chars) OVER (PARTITION BY lang
+           |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+           |      - n_chars AS before
+           |  FROM documents WHERE lang IN ('de', 'en', 'es', 'fr'))
+           |SELECT lang, doc_id, n_chars FROM o
+           |WHERE before < (CASE lang WHEN 'en' THEN 20000 ELSE 8000 END)
+           |ORDER BY lang, doc_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.engine.Layout
+
+/** Streaming upsert sink — continuous CDC-style ingestion into a managed
+  * table: each micro-batch MERGEs into the target keyed on `keyCol`,
+  * latest `tieBreakCol` wins ([[graft.engine.Layout.merge]] — the same
+  * copy-on-write upsert the batch path uses, so stream and batch ingest
+  * converge to the same table state).
+  *
+  * == Delivery semantics ==
+  *
+  * foreachBatch re-delivers a batch after a failure (at-least-once), so
+  * the sink must be idempotent: `Layout.merge` is — re-merging an
+  * already-applied batch replaces rows with identical content (keyed
+  * keep-latest), leaving the table unchanged. At-least-once delivery +
+  * idempotent merge = effectively-once table state, the standard
+  * Structured Streaming exactly-once recipe for non-transactional sinks.
+  *
+  * == Scale shape ==
+  *
+  * Per micro-batch: one window dedup of the batch (small) + one anti-join
+  * against the table + a rewrite. On a real object store the rewrite is
+  * the copy-on-write cost every non-Iceberg merge pays; partition the
+  * target and merge per partition to bound it. State on the streaming
+  * side is zero — dedup-across-batches belongs to
+  * [[EventsStream.dedupWithinWatermark]] upstream when sources retry
+  * beyond a batch boundary.
+  */
+object StreamSink {
+
+  /** Start the upsert stream into existing managed table `table`.
+    * The caller owns checkpointDir (restart resumes from it). */
+  def upsertInto(updates: DataFrame, table: String, keyCol: String,
+      tieBreakCol: String, checkpointDir: String): StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      Layout.merge(batch.sparkSession, table, batch, keyCol, tieBreakCol)
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch)
+      .start()
+  }
+}
