@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — lay documents end-to-end and cut fixed-size token
@@ -30,16 +29,19 @@ object Pack {
     *
     * Rows with `sizeCol` ≤ 0 must be filtered upstream (an empty doc has
     * no tokens to land anywhere). `orderCol` must be unique per group for
-    * a deterministic stream. */
+    * a deterministic stream.
+    *
+    * `shards`: groups here are few and fat (languages, sources), so the
+    * running total goes through [[PrefixSum.exclusive]]'s two-level scan —
+    * parallelism = shards, not #groups; 0 falls back to the plain
+    * per-group window (identical values either way). */
   def chunkAssign(df: DataFrame, groupCol: String, orderCol: String,
-      sizeCol: String, capacity: Long): DataFrame = {
+      sizeCol: String, capacity: Long, shards: Int = 0): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
-    df.withColumn("__cum", sum(col(sizeCol).cast("long")).over(w))
-      .withColumn("tok_start", col("__cum") - col(sizeCol))
+    PrefixSum.exclusive(df, groupCol, Seq(orderCol), sizeCol, "tok_start", shards)
       .withColumn("seq_first", floor(col("tok_start") / capacity))
-      .withColumn("seq_last", floor((col("__cum") - 1) / capacity))
-      .drop("__cum")
+      .withColumn("seq_last",
+        floor((col("tok_start") + col(sizeCol) - 1) / capacity))
   }
 
   /** Greedy no-split packing: docs in `orderCol` order go into the current

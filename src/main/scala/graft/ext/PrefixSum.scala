@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed per-group running totals — the primitive under sequence
+  * packing ([[Pack.chunkAssign]]) and budget cuts ([[Splits.budgetSample]]).
+  *
+  * A plain `sum().over(Window.partitionBy(group).orderBy(order))` puts an
+  * entire group in ONE task — fine when groups are plentiful, a
+  * single-task sort of the biggest stratum when they are few and fat
+  * (5 languages over a 100 TB corpus). `shards > 0` switches to the
+  * classic two-level scan:
+  *
+  *   1. range-repartition rows by (group, order) into `shards` parts, so
+  *      each part holds a contiguous slice of every group's order;
+  *   2. per-(group, shard) totals — a tiny aggregate (groups × shards
+  *      rows) partial-agg'd map-side;
+  *   3. exclusive prefix over the tiny per-shard totals (a window over
+  *      shards-per-group rows) → each shard's group offset, broadcast
+  *      back;
+  *   4. within-(group, shard) window cumsum + offset.
+  *
+  * Every stage is bounded by shard size, never group size; parallelism is
+  * `shards`, not #groups. Output values are IDENTICAL to the plain window
+  * (prefix sums don't depend on where the cuts land), which is what
+  * [[PackSpec]] asserts and q69/q73's DuckDB oracles re-check end-to-end.
+  */
+object PrefixSum {
+
+  /** Adds `out` = exclusive running total of `sizeCol` (sum of strictly
+    * preceding rows) within each `groupCol` group, ordered by `orderCols`
+    * (must be a unique order per group). `shards = 0` = plain window. */
+  def exclusive(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      sizeCol: String, out: String, shards: Int = 0): DataFrame = {
+    val order: Seq[Column] = orderCols.map(col)
+    val size = col(sizeCol).cast("long")
+    if (shards <= 0) {
+      val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+      df.withColumn(out, sum(size).over(w) - size)
+    } else {
+      val keyed = df
+        .repartitionByRange(shards, col(groupCol) +: order: _*)
+        .withColumn("__shard", spark_partition_id())
+      val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__shard"))
+      val offsets = keyed.groupBy(col(groupCol), col("__shard"))
+        .agg(sum(size).as("__ssum"))
+        .withColumn("__off", sum(col("__ssum")).over(wOff) - col("__ssum"))
+        .select(col(groupCol), col("__shard"), col("__off"))
+      val wIn = Window.partitionBy(col(groupCol), col("__shard")).orderBy(order: _*)
+      keyed.join(broadcast(offsets), Seq(groupCol, "__shard"))
+        .withColumn(out, col("__off") + sum(size).over(wIn) - size)
+        .drop("__shard", "__off")
+    }
+  }
+}

@@ -78,14 +78,13 @@ object Splits {
     * dropped. Determinism: the hash draw orders docs (key as tie-break),
     * so re-runs and re-partitions keep the identical set.
     *
-    * Scale: one shuffle on the stratum key + an in-partition sort (a
-    * per-stratum window cumsum); no collect, no second pass. Strata are
-    * language/source-grade (10s–1000s), so per-stratum ordering
-    * parallelizes across, not within, strata; a skew-heavy mix can
-    * pre-split its giant stratum upstream. */
+    * Scale: the running total is [[PrefixSum.exclusive]] — `shards > 0`
+    * runs the two-level scan (parallelism = shards, never one task per
+    * stratum; language-grade strata are few and fat), 0 the plain
+    * per-stratum window. No collect, no second pass either way. */
   def budgetSample(df: DataFrame, strataCol: String, keyCol: String,
       sizeCol: String, budgets: Map[String, Long],
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, shards: Int = 0): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")
     val draw = if (portable) md5Prefix(col(keyCol))
       else hex(xxhash64(col(keyCol), lit(42)))
@@ -93,13 +92,11 @@ object Splits {
       .foldRight(lit(null).cast("long")) { case ((stratum, b), otherwise) =>
         when(col(strataCol) === lit(stratum), lit(b)).otherwise(otherwise)
       }
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(draw, col(keyCol))
-    df.filter(budget.isNotNull)
-      .withColumn("__before",
-        coalesce(sum(col(sizeCol).cast("long")).over(w) - col(sizeCol), lit(0L)))
+    PrefixSum.exclusive(
+        df.filter(budget.isNotNull).withColumn("__draw", draw),
+        strataCol, Seq("__draw", keyCol), sizeCol, "__before", shards)
       .filter(col("__before") < budget)
-      .drop("__before")
+      .drop("__draw", "__before")
   }
 
   /** Stratified deterministic sample: a per-stratum fraction, as a pure

@@ -458,14 +458,17 @@ object AdvancedQueries {
             |WHERE containment >= 0.5 ORDER BY test_id, train_id""".stripMargin))
 
   /** Q69 (sequence packing): concat-and-cut 512-token sequence assignment
-    * per language — each doc's stream offset and first/last sequence id,
-    * a pure per-group window cumsum ([[graft.ext.Pack.chunkAssign]]). */
+    * per language — each doc's stream offset and first/last sequence id
+    * via the two-level sharded prefix sum ([[graft.ext.Pack.chunkAssign]],
+    * [[graft.ext.PrefixSum]]) so one fat language never serializes into a
+    * single window task; the oracle's plain window cumsum re-derives the
+    * identical values. */
   val q69 = GQuery("q69_sequence_packing", (s, d) => {
     val sized = t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         size(TextPrep.tokens(col("text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    Pack.chunkAssign(sized, "lang", "doc_id", "n_tokens", 512)
+    Pack.chunkAssign(sized, "lang", "doc_id", "n_tokens", 512, shards = 8)
       .orderBy("lang", "doc_id")
   },
     Some("""WITH t AS (SELECT doc_id, lang,
@@ -549,7 +552,7 @@ object AdvancedQueries {
   val q73 = GQuery("q73_budget_mix", (s, d) =>
     Splits.budgetSample(t(s, d, "documents"), "lang", "doc_id", "n_chars",
         Map("en" -> 20000L, "de" -> 8000L, "es" -> 8000L, "fr" -> 8000L),
-        portable = true)
+        portable = true, shards = 8)
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy("lang", "doc_id"),
     Some("""WITH o AS (SELECT lang, doc_id, n_chars,

@@ -44,6 +44,18 @@ class PackSpec extends SparkSpec {
     assert(out.filter(col("seq_last") < col("seq_first")).count() === 0L)
   }
 
+  test("sharded two-level prefix sum equals the plain per-group window") {
+    val rnd = new scala.util.Random(23)
+    val data = (1 to 500).map(i => ("g" + (i % 3), i.toLong, (rnd.nextInt(300) + 1).toLong))
+      .toDF("g", "ord", "sz")
+    def run(shards: Int) = Pack.chunkAssign(data, "g", "ord", "sz", 512, shards)
+      .select("g", "ord", "tok_start", "seq_first", "seq_last")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val plain = run(0)
+    assert(run(7) === plain)
+    assert(run(32) === plain) // more shards than rows-per-shard boundaries
+  }
+
   test("packGreedy: bins fill greedily, never split, oversize gets own bin") {
     val got = Pack.packGreedy(docs, "g", "ord", "sz", 512)
       .select("g", "ord", "bin")

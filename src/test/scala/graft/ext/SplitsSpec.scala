@@ -68,5 +68,9 @@ class SplitsSpec extends SparkSpec {
     val shuffled = Splits.budgetSample(docs.repartition(13), "lang", "doc_id",
       "n_chars", budgets, portable = true).select("doc_id").collect().toSet
     assert(shuffled === again)
+    // the sharded two-level prefix sum keeps the identical set
+    val sharded = Splits.budgetSample(docs, "lang", "doc_id", "n_chars",
+      budgets, portable = true, shards = 8).select("doc_id").collect().toSet
+    assert(sharded === again)
   }
 }
