@@ -19,12 +19,24 @@ import org.apache.spark.sql.functions._
   * == Scale shape ==
   *
   * Never all-pairs: both sides explode to (doc, shingle) rows and meet in
-  * ONE equi-join on the shingle — an inverted index realized as a shuffle
-  * join. Match counts partial-aggregate map-side before the (test, train)
-  * shuffle, and the test-side shingle-count divisor joins back as a
-  * broadcast (test sets are small by definition). Shingles are distinct
-  * per doc, so the join emits exactly one row per intersection element —
-  * counts ARE intersection sizes, no dedup pass.
+  * ONE equi-join on the shingle — an inverted index. The TEST side is the
+  * build/broadcast side (test sets are benchmark suites — small by
+  * definition), so the train corpus streams through the probe without
+  * ever shuffling; only the matching (test, train) pairs reach the count
+  * shuffle, partial-aggregated map-side. Shingles are distinct per doc,
+  * so the join emits exactly one row per intersection element — counts
+  * ARE intersection sizes, no dedup pass. (A genuinely huge test set
+  * would flip this to a shuffle join on the shingle; not this default.)
+  *
+  * Explodes are `explode_outer`: shingle sets are non-empty by
+  * construction (token-count prefilter), and the non-outer form triggers
+  * InferFiltersFromGenerate's `size(sh) > 0` guard, which predicate
+  * pushdown substitutes into a per-row re-evaluation of the whole
+  * tokenize→shingle pipeline inside the scan filter (the
+  * PushPredicateThroughNonJoin recompute trap — measured ~3.5× this
+  * operator's cost; see TextPrep's evaluation-cost discipline). The
+  * outer generate infers nothing; its null rows don't exist here, and an
+  * equi-join would drop null keys anyway.
   *
   * `dfCap` drops shingles appearing in more than `dfCap` training docs
   * before the join (one cheap partial-agg'd count over the exploded train
@@ -55,9 +67,9 @@ object Decontaminate {
       size(col("sh")).as("__n_test"))
 
     val testSh = testSets.select(col("doc_id").as("test_id"),
-      explode(col("sh")).as("__sh"))
+      explode_outer(col("sh")).as("__sh"))
     val trainShAll = Dedup.shingleSets(train, idCol, textCol, shingleK)
-      .select(col("doc_id").as("train_id"), explode(col("sh")).as("__sh"))
+      .select(col("doc_id").as("train_id"), explode_outer(col("sh")).as("__sh"))
     val trainSh =
       if (dfCap == Int.MaxValue) trainShAll
       else trainShAll.join(
@@ -66,7 +78,7 @@ object Decontaminate {
           .select(col("__sh"))),
         Seq("__sh"), "left_semi")
 
-    testSh.join(trainSh, Seq("__sh"))
+    trainSh.join(broadcast(testSh), Seq("__sh"))
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("__overlap"))
       .join(broadcast(testSizes), Seq("test_id"))
