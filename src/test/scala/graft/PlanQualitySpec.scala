@@ -84,6 +84,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"sketch re-evaluated in a filter:\n$offenders")
   }
 
+  test("q68 probes the train corpus against a broadcast test side with clean scan filters") {
+    import org.apache.spark.sql.execution.FilterExec
+    val plan = executed(run("q68_decontamination"))
+    // InferFiltersFromGenerate's size(sh)>0 guard, pushed through the
+    // staging projections, re-runs the tokenize→shingle transform per scan
+    // row (~3.5× the operator's cost) — the outer-generate form must keep
+    // every filter free of the pipeline.
+    val offenders = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("transform(") => f
+    }
+    assert(offenders.isEmpty, s"shingle pipeline re-evaluated in a filter:\n$offenders")
+    // the inverted-index join builds on the (small) test side; the train
+    // corpus streams — the only shuffles are the pair-count agg and the
+    // output sort.
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2, plan.toString)
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"train side should not shuffle:\n$plan")
+  }
+
+  test("q69/q73 sharded prefix sums never run a one-task-per-group window") {
+    // Language-grade groups are few and fat; the two-level scan must keep
+    // every big window partitioned by (group, shard) — the per-shard-totals
+    // window is fine (shards-per-group rows), a partition-less window never.
+    for (q <- Seq("q69_sequence_packing", "q73_budget_mix")) {
+      val plan = executed(run(q))
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.forall(_.partitionSpec.nonEmpty), s"$q global window:\n$plan")
+      assert(windows.exists(_.partitionSpec.size >= 2),
+        s"$q missing the (group, shard) window:\n$plan")
+    }
+  }
+
   test("percent metrics over a file source: bounded recompute, no global window") {
     // The broadcast-total design re-executes the grouped subtree for the
     // 1-row total when the planner doesn't dedupe it (static planning
