@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Similarity
+
+/** Declared queries Q74–Q79: the product-analytics tier (moving averages
+  * over true RANGE frames, ordered funnels, cohort retention) plus the
+  * remaining pipeline surface (edit-distance verification, Lloyd-trained
+  * IVF through the recall gate, corpus-balance entropy). These are the
+  * dashboards the reference's Superset layer exists to serve, expressed
+  * as engine operators. Same oracle discipline as the rest of the
+  * registry.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Q74 (moving average, RANGE frame): 7-day trailing mean of daily
+    * revenue per event_type. RANGE, not ROWS: a day missing from the
+    * series must not stretch the window across the gap — the frame is
+    * bounded by day-number distance, so it degrades to fewer contributing
+    * rows instead. One agg shuffle + one window partitioned by type. */
+  val q74 = GQuery("q74_moving_average", (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("__rev"))
+      .withColumn("__dayn", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__dayn"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg(col("__rev")).over(w), 4))
+      .select(col("event_type"), col("day"), round(col("__rev"), 4).as("rev"),
+        col("ma7"))
+      .orderBy("event_type", "day")
+  },
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    sum(value) AS rev
+           |  FROM events GROUP BY 1, 2),
+           |d2 AS (SELECT event_type, day, rev,
+           |         day - DATE '1970-01-01' AS dayn FROM daily)
+           |SELECT event_type, day, round(rev, 4) AS rev,
+           |  round(avg(rev) OVER (PARTITION BY event_type ORDER BY dayn
+           |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+           |FROM d2 ORDER BY event_type, day""".stripMargin))
+
+  /** Q75 (ordered funnel): signup → click-after-signup →
+    * purchase-after-that-click, per user, counted once each. ONE shuffle:
+    * every stage is a conditional `min` over the same user partition, so
+    * the three WindowExecs stack on a single exchange (the chained-join
+    * formulation the oracle uses would shuffle three times). */
+  val q75 = GQuery("q75_funnel", (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("__t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("__t2",
+        min(when(col("event_type") === "click" && col("ts") >= col("__t1"),
+          col("ts"))).over(w))
+      .withColumn("__t3",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("__t2"),
+          col("ts"))).over(w))
+      .agg(
+        count_distinct(when(col("__t1").isNotNull, col("user_id"))).as("signed_up"),
+        count_distinct(when(col("__t2").isNotNull, col("user_id"))).as("clicked_after"),
+        count_distinct(when(col("__t3").isNotNull, col("user_id"))).as("purchased_after"))
+  },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+           |       FROM e GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+           |       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+           |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+           |SELECT (SELECT count(*) FROM s1 WHERE t1 IS NOT NULL) AS signed_up,
+           |  (SELECT count(*) FROM s2) AS clicked_after,
+           |  (SELECT count(*) FROM s3) AS purchased_after""".stripMargin))
+
+  /** Q76 (cohort retention): users bucketed by first-active ISO week,
+    * counted distinct in each subsequent week offset k. The
+    * daily-activity distinct collapses the event volume BEFORE the
+    * self-join (days per user, not events per user). */
+  val q76 = GQuery("q76_cohort_retention", (s, d) => {
+    val act = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("__d")).distinct()
+    val firsts = act.groupBy(col("user_id")).agg(min(col("__d")).as("__f"))
+    act.join(firsts, "user_id")
+      .groupBy(date_trunc("week", col("__f")).cast("date").as("cohort"),
+        floor(datediff(col("__d"), col("__f")) / 7).cast("long").as("k"))
+      .agg(count_distinct(col("user_id")).as("users"))
+      .orderBy("cohort", "k")
+  },
+    Some("""WITH act AS (SELECT DISTINCT user_id,
+           |               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+           |f AS (SELECT user_id, min(d) AS f FROM act GROUP BY 1)
+           |SELECT CAST(date_trunc('week', f.f) AS DATE) AS cohort,
+           |  (act.d - f.f) // 7 AS k, count(DISTINCT act.user_id) AS users
+           |FROM act JOIN f USING (user_id)
+           |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin))
+
+  /** Q77 (edit distance): Levenshtein over 60-char prefixes of adjacent
+    * doc pairs + normalized similarity — the fuzzy-match verifier for
+    * candidate pairs where token-set Jaccard is too coarse (ordering
+    * matters). O(len²) per pair, so it runs on CANDIDATES, never the
+    * cross product. */
+  val q77 = GQuery("q77_edit_distance", (s, d) => {
+    val docs = t(s, d, "documents")
+    val a = docs.select(col("doc_id").as("id_a"),
+      substring(col("text"), 1, 60).as("__ta"))
+    val b = docs.select(col("doc_id").as("id_b"),
+      substring(col("text"), 1, 60).as("__tb"))
+    a.where(col("id_a") < 100)
+      .join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        round(lit(1.0) - levenshtein(col("__ta"), col("__tb"))
+          / greatest(length(col("__ta")), length(col("__tb"))), 6).as("sim"))
+      .orderBy("id_a")
+  },
+    Some("""WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    substring(a.text, 1, 60) AS ta, substring(b.text, 1, 60) AS tb
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           |  WHERE a.doc_id < 100)
+           |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+           |  round(1.0 - levenshtein(ta, tb)::DOUBLE
+           |        / greatest(length(ta), length(tb)), 6) AS sim
+           |FROM p ORDER BY id_a""".stripMargin))
+
+  /** Q78 (trained IVF-ANN): the production index build — spherical
+    * k-means centroids ([[graft.ext.KMeans]]) instead of q31's random
+    * sample — through the same recall contract. Floor 2/10 per probe:
+    * trained lists must not fall below the random-init q31 floor. */
+  val q78 = GQuery("q78_ann_ivf_trained", (s, d) => {
+    val e = t(s, d, "embeddings")
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val ann = Similarity.ivfTopKTrained(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10, nCentroids = 8, nprobe = 3, lloydIters = 2)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,
+      minHits = 2.0)
+  }, Some(PipelineQueries.annContractSql))
+
+  /** Q79 (corpus balance entropy): Shannon entropy of the lang and source
+    * mixes — the one-number drift audit for a corpus refresh. The
+    * normalizing total joins back as a broadcast 1-row aggregate (never a
+    * partition-less window), so the value-distribution side stays
+    * distributed even for high-cardinality columns. */
+  val q79 = GQuery("q79_mix_entropy", (s, d) => {
+    val docs = t(s, d, "documents")
+    def entropyOf(c: String): DataFrame = {
+      val counts = docs.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      val total = docs.agg(count(lit(1)).as("__t"))
+      counts.crossJoin(broadcast(total))
+        .select((col("__n") / col("__t")).as("__p"))
+        .agg(round(-sum(col("__p") * log2(col("__p"))), 6).as("entropy"))
+        .select(lit(c).as("column"), col("entropy"))
+    }
+    entropyOf("lang").unionByName(entropyOf("source")).orderBy("column")
+  },
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column",
+           |  round(-sum(p * log2(p)), 6) AS entropy
+           |FROM (SELECT count(*)::DOUBLE
+           |        / (SELECT count(*) FROM documents) AS p
+           |      FROM documents GROUP BY $c)""".stripMargin
+      Seq("lang", "source").map(one)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+    })
+
+  val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79)
+}

@@ -114,7 +114,7 @@ object PipelineQueries {
 
   /** Shared oracle for the ANN contract queries: the contract itself
     * (5 probes × exactly 10 results × recall over floor). */
-  private val annContractSql =
+  private[queries] val annContractSql =
     """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results, true AS recall_ok
       |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin
 

@@ -19,7 +19,8 @@ final case class GQuery(
 
 object Registry {
   lazy val all: Seq[GQuery] =
-    CoreQueries.all ++ ExtQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all
+    CoreQueries.all ++ ExtQueries.all ++ PipelineQueries.all ++
+      AdvancedQueries.all ++ AnalyticsQueries.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
