@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.engine.Profile
-import graft.ext.{Clustering, Decontaminate, Dedup, Pack, Relevance, Splits, TemporalJoin, TextAnalysis, TextPrep, TimeSeries, VectorAgg}
+import graft.ext.{Clustering, Decontaminate, Dedup, Pack, Quantiles, Relevance, Splits, TemporalJoin, TextAnalysis, TextPrep, TimeSeries, VectorAgg}
 
 /** Declared queries Q50–Q58 (round 3): temporal join operators (as-of,
   * tolerance range join, bounded-interval pairing), quantile sketches,
@@ -75,20 +75,24 @@ object AdvancedQueries {
   val q52 = GQuery("q52_quantiles", (s, d) => {
     val x = col("l_extendedprice")
     val ps = Seq("25", "50", "75", "95")
-    val fracs = lit(Array(0.25, 0.5, 0.75, 0.95))
-    // ONE exact-percentile buffer and ONE sketch for all four fractions —
-    // each scalar percentile(x, p) is its own ObjectHashAggregate buffer
-    // (a per-partition value-count map merged on a single reducer), so the
-    // scalar form paid that merge 8×; the array form pays it twice.
-    t(s, d, "lineitem")
-      .agg(percentile(x, fracs).as("__e"),
-        percentile_approx(x, fracs, lit(10000)).as("__a"))
+    val fracs = Seq(0.25, 0.5, 0.75, 0.95)
+    // Exact side: distributed selection (ext.Quantiles) — run-length
+    // collapse + sharded prefix-sum ranks + broadcast position probe.
+    // Spark's `percentile` aggregate merges per-partition value maps on a
+    // single reducer (measured ~4 s of this query alone at sf0.1; O(distinct)
+    // memory on one task at scale). The GK sketch keeps its partial-agg
+    // merge — small fixed-size buffers — and gates against the exact values.
+    val exact = Quantiles.exactPercentiles(t(s, d, "lineitem"), "l_extendedprice",
+      fracs, shards = 8)
+    val approx = t(s, d, "lineitem")
+      .agg(percentile_approx(x, lit(fracs.toArray), lit(10000)).as("__a"))
+    exact.crossJoin(approx)
       .select(
         ps.zipWithIndex.map { case (n, i) =>
-          round(col("__e").getItem(i), 4).as(s"q$n") } :+
+          round(col("qs").getItem(i), 4).as(s"q$n") } :+
           ps.indices.map { i =>
-            abs(col("__a").getItem(i) - col("__e").getItem(i)) <=
-              col("__e").getItem(i) * 0.02
+            abs(col("__a").getItem(i) - col("qs").getItem(i)) <=
+              col("qs").getItem(i) * 0.02
           }.reduce(_ && _).as("approx_ok"): _*)
   },
     Some("""SELECT
