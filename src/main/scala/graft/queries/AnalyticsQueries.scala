@@ -174,5 +174,72 @@ object AnalyticsQueries {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
     })
 
-  val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79)
+  /** Q80 (value-picking windows): first/last/nth event type per user in
+    * event-time order — the remaining §2.5 window functions, on an
+    * explicit full frame (the default frame stops at CURRENT ROW, which
+    * makes last_value self-referential; both engines agree once the frame
+    * is explicit). */
+  val q80 = GQuery("q80_value_windows", (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(w).as("first_et"),
+        last(col("event_type")).over(w).as("last_et"),
+        nth_value(col("event_type"), 2).over(w).as("second_et"))
+      .select(col("user_id"), col("event_id"), col("first_et"), col("last_et"),
+        coalesce(col("second_et"), lit("-")).as("second_et"))
+      .orderBy("user_id", "event_id")
+  },
+    Some("""SELECT user_id, event_id,
+           |  first_value(event_type) OVER w AS first_et,
+           |  last_value(event_type) OVER w AS last_et,
+           |  coalesce(nth_value(event_type, 2) OVER w, '-') AS second_et
+           |FROM (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           |      FROM events)
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY user_id, event_id""".stripMargin))
+
+  /** Q81 (GROUPING SETS): the explicit-sets form completing the
+    * multi-grouping family next to q59 ROLLUP / q72 CUBE — by-type and
+    * by-day marginals in one Expand, through the SQL surface. */
+  val q81 = GQuery("q81_grouping_sets", (s, d) => {
+    t(s, d, "events").createOrReplaceTempView("ev_gs")
+    s.sql("""WITH e AS (SELECT event_type, to_date(ts) AS day FROM ev_gs)
+            |SELECT coalesce(event_type, 'ALL') AS event_type,
+            |  coalesce(CAST(day AS STRING), 'ALL') AS day,
+            |  CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
+            |  count(*) AS cnt
+            |FROM e GROUP BY GROUPING SETS ((event_type), (day))
+            |ORDER BY gid, event_type, day""".stripMargin)
+  },
+    Some("""WITH e AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           |           FROM events)
+           |SELECT coalesce(event_type, 'ALL') AS event_type,
+           |  coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+           |  CAST(grouping(event_type, day) AS BIGINT) AS gid,
+           |  count(*) AS cnt
+           |FROM e GROUP BY GROUPING SETS ((event_type), (day))
+           |ORDER BY gid, event_type, day""".stripMargin))
+
+  /** Q82 (salted skew join through the gate): customers × nation with a
+    * deterministic 8-way salt ([[graft.ext.SkewJoin.saltedInner]]) — the
+    * salt must be invisible in the result, so the oracle is the PLAIN
+    * join's aggregate. Upgrades P2 from spec-only to oracle-checked. */
+  val q82 = GQuery("q82_salted_join", (s, d) =>
+    graft.ext.SkewJoin.saltedInner(
+        t(s, d, "customer"), t(s, d, "nation"),
+        "c_nationkey", "n_nationkey", saltSource = "c_custkey", salts = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("customers"),
+        round(sum(col("c_acctbal")).cast("double"), 2).as("acctbal"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name, count(*) AS customers,
+           |  round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS acctbal
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82)
 }
