@@ -33,6 +33,7 @@ final case class ChartSpec(
     timeColumn: Option[String] = None,               // granularity_sqla
     timeRange: Option[(String, String)] = None,      // [from, to) literals
     timeGrain: Option[String] = None,                // time_grain_sqla (e.g. "day")
+    timeCompare: Option[String] = None,              // time_compare offset (e.g. "1 day")
     orderBy: Seq[(String, Boolean)] = Nil,           // (column, ascending)
     rowLimit: Int = 100)                             // init_db.py:154
 
@@ -95,15 +96,37 @@ object ChartCompiler {
         // ReuseExchange; AQE's stage cache currently misses this shape) the
         // aggregation runs twice — bounded 2×, fully parallel, asserted
         // in PlanQualitySpec.
-        if (spec.percentMetrics.isEmpty) grouped
-        else {
-          val totals = grouped.agg(
-            spec.percentMetrics.map(m => sum(col(m.alias)).as(s"__total_${m.alias}")).head,
-            spec.percentMetrics.tail.map(m => sum(col(m.alias)).as(s"__total_${m.alias}")): _*)
-          val withTotals = grouped.crossJoin(broadcast(totals))
-          spec.percentMetrics.foldLeft(withTotals) { (acc, m) =>
-            acc.withColumn(s"pct_${m.alias}", col(m.alias) / col(s"__total_${m.alias}"))
-          }.drop(spec.percentMetrics.map(m => s"__total_${m.alias}"): _*)
+        val withPct =
+          if (spec.percentMetrics.isEmpty) grouped
+          else {
+            val totals = grouped.agg(
+              spec.percentMetrics.map(m => sum(col(m.alias)).as(s"__total_${m.alias}")).head,
+              spec.percentMetrics.tail.map(m => sum(col(m.alias)).as(s"__total_${m.alias}")): _*)
+            val withTotals = grouped.crossJoin(broadcast(totals))
+            spec.percentMetrics.foldLeft(withTotals) { (acc, m) =>
+              acc.withColumn(s"pct_${m.alias}", col(m.alias) / col(s"__total_${m.alias}"))
+            }.drop(spec.percentMetrics.map(m => s"__total_${m.alias}"): _*)
+          }
+        // time_compare: each metric gets a `<alias>__prev` twin from the
+        // period `offset` earlier — Superset runs a second shifted query;
+        // the single-plan equivalent is a left self-join of the grouped
+        // result on (shifted grain, dims). Series with no history keep
+        // null twins, exactly like Superset's gap rendering. Scale: both
+        // join sides are the SAME grouped subtree (ReuseExchange dedupes
+        // under static planning), keyed on (grain, dims) — an aggregated,
+        // bounded input, never the raw fact table.
+        spec.timeCompare match {
+          case Some(offset) if grainKey.nonEmpty =>
+            val dims = spec.groupby
+            val shifted = withPct.select(
+              (col("__timestamp") + expr(s"INTERVAL $offset")).as("__timestamp") +:
+                (dims.map(col) ++
+                  spec.metrics.map(m => col(m.alias).as(s"${m.alias}__prev"))): _*)
+            withPct.join(shifted, Seq("__timestamp") ++ dims, "left")
+          case Some(_) =>
+            throw new IllegalArgumentException(
+              "time_compare requires timeColumn + timeGrain")
+          case None => withPct
         }
       case other => throw new IllegalArgumentException(s"unsupported query_mode: $other")
     }

@@ -151,6 +151,37 @@ object Layout {
       .write.mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
+  /** Append with SCHEMA EVOLUTION — Iceberg's add-column promise on the
+    * session catalog: new columns in `updates` are added to the table
+    * (`ALTER TABLE ADD COLUMNS`) before the append, existing rows read
+    * back null there, and writers that still produce the OLD schema keep
+    * working (their missing columns are filled with nulls). Column
+    * resolution is BY NAME, never position. Dropping or retyping a column
+    * is refused — that's a rewrite, not an evolution (same rule Iceberg
+    * enforces for compatible evolution). */
+  def appendEvolved(spark: SparkSession, table: String, updates: DataFrame): Unit = {
+    val current = spark.table(table).schema
+    val incoming = updates.schema
+    val byName = current.map(f => f.name -> f).toMap
+    incoming.foreach { f =>
+      byName.get(f.name).foreach { cur =>
+        require(cur.dataType == f.dataType,
+          s"column ${f.name}: ${cur.dataType} -> ${f.dataType} is a retype, not an evolution")
+      }
+    }
+    val added = incoming.filterNot(f => byName.contains(f.name))
+    if (added.nonEmpty) {
+      val ddl = added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
+    }
+    val target = spark.table(table).schema // post-evolution order
+    val aligned = updates.select(target.map { f =>
+      if (incoming.exists(_.name == f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    aligned.write.mode(SaveMode.Append).saveAsTable(table)
+  }
+
   /** Compact a table to `numFiles` output files — the small-file
     * maintenance pass (Iceberg's rewrite_data_files equivalent). Streaming
     * ingest and per-partition writers leave many small files; at scale the

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.bi.{ChartCompiler, ChartSpec, Metric}
 import graft.ext.Similarity
 
 /** Declared queries Q74–Q79: the product-analytics tier (moving averages
@@ -241,5 +242,29 @@ object AnalyticsQueries {
            |FROM customer JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82)
+  /** Q83 (chart time comparison): Superset's `time_compare` — daily counts
+    * per event_type with the previous day's value alongside. The compiler
+    * lowers it to a left self-join of the grouped result on the shifted
+    * grain (B1 extension); -1 sentinels keep no-history rows total. */
+  val q83 = GQuery("q83_chart_time_compare", (s, d) =>
+    ChartCompiler.compile(s,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        timeCompare = Some("1 day"),
+        orderBy = Seq(("__timestamp", true), ("event_type", true)),
+        rowLimit = 1000),
+      n => t(s, d, n))
+      .select(col("__timestamp"), col("event_type"), col("cnt"),
+        coalesce(col("cnt__prev"), lit(-1L)).as("cnt_prev")),
+    Some("""WITH g AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __timestamp,
+           |            event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+           |SELECT g.__timestamp, g.event_type, g.cnt,
+           |  coalesce(p.cnt, -1) AS cnt_prev
+           |FROM g LEFT JOIN g p ON p.__timestamp + INTERVAL 1 DAY = g.__timestamp
+           |  AND p.event_type = g.event_type
+           |ORDER BY g.__timestamp, g.event_type LIMIT 1000""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }

@@ -138,6 +138,32 @@ class LayoutSpec extends SparkSpec {
     assert(tagged(0) !== "RENAMED-0")
   }
 
+  test("appendEvolved adds columns by name, old rows read null, old writers keep working") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS layout_evolve_t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable("layout_evolve_t")
+    // evolved writer: adds a score column (and comes in a different column order)
+    Layout.appendEvolved(spark, "layout_evolve_t",
+      Seq((0.5, 3L, "c")).toDF("score", "id", "v"))
+    // stale writer: still the old 2-column schema
+    Layout.appendEvolved(spark, "layout_evolve_t", Seq((4L, "d")).toDF("id", "v"))
+    val rows = spark.table("layout_evolve_t")
+      .select("id", "v", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows === Set(
+      (1L, "a", None), (2L, "b", None),          // pre-evolution rows: null score
+      (3L, "c", Some(0.5)),                       // evolved row, name-resolved
+      (4L, "d", None)))                           // stale-writer row
+    // a retype is refused, not silently coerced
+    val err = intercept[IllegalArgumentException] {
+      Layout.appendEvolved(spark, "layout_evolve_t",
+        Seq(("5", "e")).toDF("id", "v"))
+    }
+    assert(err.getMessage.contains("retype"))
+    spark.sql("DROP TABLE layout_evolve_t")
+  }
+
   test("snapshot of a day-partitioned table preserves partition structure") {
     val events = Tables.events(spark, sf0001)
     Layout.writePartitionedByDay(events, "ts", "layout_snap_events")

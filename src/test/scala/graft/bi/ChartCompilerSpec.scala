@@ -71,6 +71,34 @@ class ChartCompilerSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
   }
 
+  test("time_compare adds __prev twins; first period has no history; needs a grain") {
+    val df = ChartCompiler.compile(spark,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        metrics = Seq(Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        timeCompare = Some("1 day"),
+        orderBy = Seq(("__timestamp", true)), rowLimit = 1000),
+      _ => events)
+    val rows = df.collect()
+    assert(df.columns.toSeq === Seq("__timestamp", "cnt", "cnt__prev"))
+    // earliest day can have no predecessor; later days compare to the prior one
+    val byTs = rows.sortBy(_.getTimestamp(0).getTime)
+    assert(byTs.head.isNullAt(2), "first period must have a null twin")
+    byTs.sliding(2).foreach {
+      case Array(prev, cur) =>
+        if (cur.getTimestamp(0).getTime - prev.getTimestamp(0).getTime == 86400000L)
+          assert(cur.getLong(2) === prev.getLong(1))
+      case _ =>
+    }
+    intercept[IllegalArgumentException] {
+      ChartCompiler.compile(spark,
+        ChartSpec(datasource = "events", queryMode = "aggregate",
+          metrics = Seq(Metric("count", None, "cnt")),
+          timeCompare = Some("1 day")),
+        _ => events)
+    }
+  }
+
   test("multiple percent metrics share one broadcast total row") {
     val df = ChartCompiler.compile(spark,
       ChartSpec(datasource = "events", queryMode = "aggregate",
