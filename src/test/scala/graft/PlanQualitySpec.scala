@@ -116,6 +116,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q75 funnel stacks its three windows on one user exchange") {
+    // All three conditional-min stages share PARTITION BY user_id, so
+    // consecutive WindowExecs reuse a single shuffle; only the final
+    // 1-row aggregate adds an exchange. The chained-join formulation
+    // would shuffle once per stage.
+    val plan = executed(run("q75_funnel"))
+    assert(plan.collect { case w: WindowExec => w }.size === 3, plan.toString)
+    // exactly ONE exchange hashes on user_id (the shared window shuffle);
+    // the remaining exchanges belong to the final multi-distinct aggregate
+    // (Expand + single-partition), NOT to per-stage re-shuffles.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val userShuffles = plan.collect { case e: ShuffleExchangeLike => e }
+      .filter(_.outputPartitioning match {
+        case HashPartitioning(exprs, _) => exprs.forall {
+          case a: AttributeReference => a.name == "user_id"
+          case _ => false
+        }
+        case _ => false
+      })
+    assert(userShuffles.size === 1, s"funnel re-shuffled per stage:\n$plan")
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.size <= 3, plan.toString)
+  }
+
   test("percent metrics over a file source: bounded recompute, no global window") {
     // The broadcast-total design re-executes the grouped subtree for the
     // 1-row total when the planner doesn't dedupe it (static planning
