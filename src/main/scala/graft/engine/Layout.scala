@@ -107,6 +107,41 @@ object Layout {
       _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
   }
 
+  /** Incremental read BETWEEN two tags (Iceberg's incremental append scan:
+    * "rows added after fromTag, as of toTag"): the file-level diff of the
+    * two tagged snapshots, read directly — no row-level comparison, no
+    * full-table scan, which is the property that makes nightly incremental
+    * pipelines O(new data) instead of O(table).
+    *
+    * Contract: append-only between the tags. Parquet part files are
+    * content-immutable and uniquely named, so "file in toTag but not in
+    * fromTag" IS the appended data; an overwrite/merge between the tags
+    * rewrites every file and the diff correctly degrades to "everything is
+    * new" (same as Iceberg after a rewrite). Deletes are not representable
+    * in an append diff — use [[readAt]] + anti-join for that shape. */
+  def readBetween(spark: SparkSession, table: String, fromTag: String,
+      toTag: String): DataFrame = {
+    val base = tableLocation(spark, table)
+    val fromDir = snapshotDir(base, table, fromTag)
+    val toDir = snapshotDir(base, table, toTag)
+    require(Files.exists(fromDir), s"unknown snapshot tag '$fromTag' for $table")
+    require(Files.exists(toDir), s"unknown snapshot tag '$toTag' for $table")
+    def files(root: Path): Map[String, Path] =
+      scala.util.Using.resource(Files.walk(root)) { walk =>
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .map(p => root.relativize(p).toString -> p)
+          .toMap
+      }
+    val fromFiles = files(fromDir).keySet
+    val added = files(toDir).filterNot { case (rel, _) => fromFiles.contains(rel) }
+    if (added.isEmpty) spark.table(table).limit(0)
+    else spark.read
+      .schema(spark.read.parquet(toDir.toString).schema)
+      .option("basePath", toDir.toString) // keep partition-dir columns
+      .parquet(added.values.map(_.toString).toSeq: _*)
+  }
+
   /** Roll the table back to `tag` (Nessie "assign branch main to tag") —
     * the tagged files are re-written as the table's current contents. The
     * tag itself is untouched (hardlinked inodes are independent of the

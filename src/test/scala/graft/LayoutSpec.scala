@@ -164,6 +164,27 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE layout_evolve_t")
   }
 
+  test("readBetween returns only rows appended between two tags (incremental scan)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS layout_incr_t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable("layout_incr_t")
+    Layout.snapshot(spark, "layout_incr_t", "v1")
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+      .write.mode("append").saveAsTable("layout_incr_t")
+    Layout.snapshot(spark, "layout_incr_t", "v2")
+    val delta = Layout.readBetween(spark, "layout_incr_t", "v1", "v2")
+      .as[(Long, String)].collect().toSet
+    assert(delta === Set((3L, "c"), (4L, "d")), "only the appended rows")
+    // same tag twice = empty delta with the table's schema
+    val none = Layout.readBetween(spark, "layout_incr_t", "v2", "v2")
+    assert(none.count() === 0L && none.columns.toSeq === Seq("id", "v"))
+    // appends after v2 are invisible to the (v1, v2] window
+    Seq((5L, "e")).toDF("id", "v").write.mode("append").saveAsTable("layout_incr_t")
+    assert(Layout.readBetween(spark, "layout_incr_t", "v1", "v2")
+      .as[(Long, String)].collect().toSet === delta)
+    spark.sql("DROP TABLE layout_incr_t")
+  }
+
   test("snapshot of a day-partitioned table preserves partition structure") {
     val events = Tables.events(spark, sf0001)
     Layout.writePartitionedByDay(events, "ts", "layout_snap_events")
