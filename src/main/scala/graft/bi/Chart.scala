@@ -72,6 +72,9 @@ object ChartCompiler {
     * dimension), percent-of-total windows, then order + limit (fuses to
     * top-k). */
   def compile(spark: SparkSession, spec: ChartSpec, table: String => DataFrame): DataFrame = {
+    require(spec.timeCompare.isEmpty ||
+      (spec.queryMode == "aggregate" && spec.timeGrain.nonEmpty && spec.timeColumn.nonEmpty),
+      "time_compare requires aggregate mode with timeColumn + timeGrain")
     var df = table(spec.datasource)
     for ((from, to) <- spec.timeRange; tc <- spec.timeColumn)
       df = df.filter(col(tc) >= lit(from).cast("timestamp") && col(tc) < lit(to).cast("timestamp"))

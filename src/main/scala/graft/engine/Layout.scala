@@ -136,25 +136,25 @@ object Layout {
     val fromFiles = files(fromDir).keySet
     val added = files(toDir).filterNot { case (rel, _) => fromFiles.contains(rel) }
     if (added.isEmpty) spark.table(table).limit(0)
-    else spark.read
-      .schema(spark.read.parquet(toDir.toString).schema)
-      .option("basePath", toDir.toString) // keep partition-dir columns
-      .parquet(added.values.map(_.toString).toSeq: _*)
+    else {
+      // schema = toTag's MERGED footer union — after an appendEvolved
+      // between the tags the snapshot mixes old and new footers, and a
+      // single-footer inference could silently drop the added column
+      val asOfTo = spark.read.option("mergeSchema", "true")
+        .parquet(toDir.toString).schema
+      spark.read
+        .schema(asOfTo)
+        .option("basePath", toDir.toString) // keep partition-dir columns
+        .parquet(added.values.map(_.toString).toSeq: _*)
+    }
   }
 
   /** Roll the table back to `tag` (Nessie "assign branch main to tag") —
     * the tagged files are re-written as the table's current contents. The
     * tag itself is untouched (hardlinked inodes are independent of the
     * table's live directory), so restore → overwrite → restore again works. */
-  def restore(spark: SparkSession, table: String, tag: String): Unit = {
-    val snap = readAt(spark, table, tag)
-    // stage through a temp dir: Spark refuses to overwrite a location it is
-    // simultaneously reading, and the snapshot dir must survive the write
-    val tmp = Files.createTempDirectory("graft_restore")
-    snap.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    spark.read.parquet(tmp.toString)
-      .write.mode(SaveMode.Overwrite).saveAsTable(table)
-  }
+  def restore(spark: SparkSession, table: String, tag: String): Unit =
+    republish(spark, readAt(spark, table, tag), table)
 
   /** MERGE / upsert (Iceberg `MERGE INTO t USING u ON t.key = u.key WHEN
     * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`): rows of
@@ -170,20 +170,40 @@ object Layout {
     * untouched — merge composes with [[snapshot]]/[[readAt]]. At real scale
     * a table format with row-level deletes (Iceberg merge-on-read) avoids
     * rewriting unmatched files; this is the copy-on-write formulation. */
+  /** Stage `df` through a temp dir (Spark refuses to overwrite a location
+    * it is reading; snapshot hardlinks must survive), republish as `table`,
+    * then DELETE the staging copy — callers like the streaming upsert sink
+    * invoke this per micro-batch, so a leaked staging dir per call would
+    * grow /tmp without bound. */
+  private def republish(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_stage")
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .write.mode(SaveMode.Overwrite).saveAsTable(table)
+    } finally {
+      scala.util.Using.resource(Files.walk(tmp)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, tieBreakCol: String): Unit = {
+    // tie-break: tieBreakCol desc, then a deterministic content hash — two
+    // updates sharing (key, tieBreak) must resolve identically on every
+    // replay or the streaming sink's redelivery-idempotence breaks.
+    val contentHash = xxhash64(updates.columns.map(col).toIndexedSeq: _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(tieBreakCol).desc)
+      .partitionBy(col(keyCol)).orderBy(col(tieBreakCol).desc, contentHash)
     val dedupedUpdates = updates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val merged = spark.table(table)
       .join(dedupedUpdates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(dedupedUpdates)
-    val tmp = Files.createTempDirectory("graft_merge")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    spark.read.parquet(tmp.toString)
-      .write.mode(SaveMode.Overwrite).saveAsTable(table)
+    republish(spark, merged, table)
   }
 
   /** Append with SCHEMA EVOLUTION — Iceberg's add-column promise on the
@@ -225,10 +245,6 @@ object Layout {
     * staged through a temp dir because the write overwrites its own input. */
   def compact(spark: SparkSession, table: String, numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
-    val tmp = Files.createTempDirectory("graft_compact")
-    spark.table(table).repartition(numFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    spark.read.parquet(tmp.toString)
-      .write.mode(SaveMode.Overwrite).saveAsTable(table)
+    republish(spark, spark.table(table).repartition(numFiles), table)
   }
 }

@@ -59,6 +59,11 @@ object Clustering {
       converged = changed == 0
       iter += 1
     }
+    // an unconverged label set silently splits components → under-dedup
+    // downstream; fail loudly (pointer doubling needs ~log2(diameter)
+    // rounds, so hitting 25 means something is structurally wrong)
+    require(converged,
+      s"connected components not converged after $maxIter rounds; raise maxIter")
     labels
   }
 

@@ -40,7 +40,8 @@ import org.apache.spark.sql.functions._
   *
   * `dfCap` drops shingles appearing in more than `dfCap` training docs
   * before the join (one cheap partial-agg'd count over the exploded train
-  * side + a broadcast-able semi-join). Boilerplate n-grams ("all rights
+  * side + an anti-join against the broadcast DROPPED set — O(boilerplate),
+  * never the kept vocabulary). Boilerplate n-grams ("all rights
   * reserved") otherwise dominate the join fan-out at corpus scale; capped
   * shingles undercount containment, so the cap is an explicit
   * approximation knob, off by default (and off in the oracle-checked
@@ -70,13 +71,16 @@ object Decontaminate {
       explode_outer(col("sh")).as("__sh"))
     val trainShAll = Dedup.shingleSets(train, idCol, textCol, shingleK)
       .select(col("doc_id").as("train_id"), explode_outer(col("sh")).as("__sh"))
+    // The broadcast side is the DROPPED set (df > dfCap — a handful of
+    // boilerplate shingles), never the kept set (≈ the whole vocabulary):
+    // anti-join against small, not semi-join against everything.
     val trainSh =
       if (dfCap == Int.MaxValue) trainShAll
       else trainShAll.join(
         broadcast(trainShAll.groupBy(col("__sh"))
-          .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > dfCap)
           .select(col("__sh"))),
-        Seq("__sh"), "left_semi")
+        Seq("__sh"), "left_anti")
 
     trainSh.join(broadcast(testSh), Seq("__sh"))
       .groupBy(col("test_id"), col("train_id"))

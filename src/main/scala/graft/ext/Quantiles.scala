@@ -32,7 +32,9 @@ object Quantiles {
 
   /** One row, column `qs` = exact interpolated quantiles of `valueCol`
     * (null-excluded, cast to double) at `fracs`, in input order.
-    * Empty input → one row with nulls. */
+    * Empty input → one row with an EMPTY `qs` array (no value exists to
+    * select; callers indexing `qs` must guard, same as `percentile`'s
+    * null). */
   def exactPercentiles(df: DataFrame, valueCol: String, fracs: Seq[Double],
       shards: Int = 0): DataFrame = {
     require(fracs.nonEmpty && fracs.forall(p => p >= 0 && p <= 1),

@@ -51,14 +51,18 @@ object TemporalJoin {
     require(lCols.intersect(rCols).isEmpty,
       s"left/right column names must be disjoint, both have: ${lCols.intersect(rCols)}")
 
+    // the tie-break keeps ITS OWN type (casting to long would null out a
+    // string id and silently lose the deterministic max-tiebreak pick);
+    // the left side's null twin just matches that type for the union
+    val tbType = right.schema(rightTieBreak).dataType
     val l2 = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__tb", lit(null).cast(tbType))
     val r2 = right
       .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
-        lit(0).as("__side"), col(rightTieBreak).cast("long").as("__tb"),
+        lit(0).as("__side"), col(rightTieBreak).as("__tb"),
         struct(rCols.map(col): _*).as("__r"))
 
     val unioned = l2.unionByName(r2, allowMissingColumns = true)

@@ -116,9 +116,11 @@ object AnalyticsQueries {
       substring(col("text"), 1, 60).as("__tb"))
     a.where(col("id_a") < 100)
       .join(b, col("id_b") === col("id_a") + 1)
+      // stage the O(len²) DP once; lev and sim both read the staged column
+      .withColumn("__lev", levenshtein(col("__ta"), col("__tb")))
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
-        round(lit(1.0) - levenshtein(col("__ta"), col("__tb"))
+        col("__lev").cast("long").as("lev"),
+        round(lit(1.0) - col("__lev")
           / greatest(length(col("__ta")), length(col("__tb"))), 6).as("sim"))
       .orderBy("id_a")
   },
