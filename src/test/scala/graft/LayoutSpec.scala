@@ -182,6 +182,16 @@ class LayoutSpec extends SparkSpec {
     Seq((5L, "e")).toDF("id", "v").write.mode("append").saveAsTable("layout_incr_t")
     assert(Layout.readBetween(spark, "layout_incr_t", "v1", "v2")
       .as[(Long, String)].collect().toSet === delta)
+    // schema evolution between tags: the delta keeps the evolved column
+    // (toTag's merged schema, not a single old footer's)
+    Layout.snapshot(spark, "layout_incr_t", "v3")
+    Layout.appendEvolved(spark, "layout_incr_t",
+      Seq((0.7, 6L, "f")).toDF("score", "id", "v"))
+    Layout.snapshot(spark, "layout_incr_t", "v4")
+    val evolved = Layout.readBetween(spark, "layout_incr_t", "v3", "v4")
+    assert(evolved.columns.contains("score"), evolved.columns.mkString(","))
+    assert(evolved.select("id", "score").as[(Long, Double)].collect().toSet
+      === Set((6L, 0.7)))
     spark.sql("DROP TABLE layout_incr_t")
   }
 
