@@ -37,6 +37,38 @@ object Multimodal {
         (pmod(col(idCol), lit(4)) + 1).cast("int")).as("format"),
       octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"))
 
+  import org.apache.spark.sql.Column
+
+  private val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+  private val jpegMagic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+  private val wavMagic = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+    "WAVE".getBytes("US-ASCII")
+  private val mp4Magic = Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes("US-ASCII")
+
+  /** Prepend the container's real magic-byte header to each payload —
+    * the synthesized blobs then carry genuine sniffable signatures
+    * (PNG \x89PNG, JPEG SOI, RIFF/WAVE, MP4 ftyp). Narrow map. */
+  def withMagic(media: DataFrame): DataFrame =
+    media.withColumn("media", concat(
+        when(col("format") === "png", lit(pngMagic))
+          .when(col("format") === "jpeg", lit(jpegMagic))
+          .when(col("format") === "wav", lit(wavMagic))
+          .otherwise(lit(mp4Magic)),
+        col("media")))
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+
+  /** Container-format detection from the BYTES alone — the type-sniffing
+    * pass a crawl pipeline runs before routing blobs to codecs (file
+    * extensions and declared MIME types lie; magic bytes don't). Pure
+    * expression tree over binary substrings: no UDF, no codec. */
+  def sniffFormat(bin: Column): Column =
+    when(substring(bin, 1, 8) === lit(pngMagic), "png")
+      .when(substring(bin, 1, 3) === lit(jpegMagic.take(3)), "jpeg")
+      .when(substring(bin, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(bin, 9, 4) === lit("WAVE".getBytes("US-ASCII")), "wav")
+      .when(substring(bin, 5, 4) === lit("ftyp".getBytes("US-ASCII")), "mp4")
+      .otherwise("unknown")
+
   /** Metadata-only pass: never touches payload bytes beyond length/digest —
     * pure expression work, oracle-expressible (sha256 exists in DuckDB). */
   def mediaMetadata(media: DataFrame): DataFrame =

@@ -268,5 +268,26 @@ object AnalyticsQueries {
            |  AND p.event_type = g.event_type
            |ORDER BY g.__timestamp, g.event_type LIMIT 1000""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+  /** Q84 (format sniffing): blobs get real magic-byte headers
+    * ([[graft.ext.Multimodal.withMagic]]) and the sniffer must recover
+    * every declared format from the BYTES alone — the q13-style contract:
+    * the oracle recomputes declared counts and states `sniff_ok`; Spark
+    * proves it by actually sniffing. */
+  val q84 = GQuery("q84_format_sniff", (s, d) => {
+    val media = graft.ext.Multimodal.withMagic(
+      graft.ext.Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
+    media
+      .withColumn("__sniffed", graft.ext.Multimodal.sniffFormat(col("media")))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        bool_and(col("__sniffed") === col("format")).as("sniff_ok"))
+      .orderBy("format")
+  },
+    Some("""SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+           |         WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+           |  count(*) AS n_media, true AS sniff_ok
+           |FROM documents GROUP BY 1 ORDER BY format""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
+    q84)
 }

@@ -24,6 +24,20 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(r => r.width >= 16 && r.height >= 16))
   }
 
+  test("sniffFormat recovers every format from magic bytes; unheadered blobs are unknown") {
+    val sniffed = Multimodal.withMagic(media)
+      .withColumn("sniffed", Multimodal.sniffFormat(col("media")))
+    assert(sniffed.filter(col("sniffed") =!= col("format")).count() === 0L)
+    assert(sniffed.select(countDistinct(col("sniffed"))).head().getLong(0) === 4L)
+    // raw text payloads carry no container signature
+    val bare = media.withColumn("sniffed", Multimodal.sniffFormat(col("media")))
+    assert(bare.filter(col("sniffed") =!= "unknown").count() === 0L)
+    // magic survives a resize that keeps at least the header
+    val resized = Multimodal.resize(Multimodal.withMagic(media), maxBytes = 64)
+      .withColumn("sniffed", Multimodal.sniffFormat(col("media")))
+    assert(resized.filter(col("sniffed") =!= col("format")).count() === 0L)
+  }
+
   test("resize caps payload size and keeps n_bytes consistent") {
     val resized = Multimodal.resize(media, 64)
     val bad = resized.where(octet_length(col("media")) =!= col("n_bytes")
