@@ -39,6 +39,16 @@ object EventsStream {
     windowedCounts(src, watermark = true)
   }
 
+  /** Stream-static enrichment: join each micro-batch against a STATIC
+    * dimension table (user → segment, product → category). The static side
+    * re-plans per micro-batch (a broadcast when small — same plan as the
+    * batch twin), needs no watermark and holds no state: this is the
+    * stateless join; stream-STREAM joins with two moving sides live in
+    * [[StreamJoin]]. Left join keeps unmatched stream rows (late dimension
+    * rows are the dim pipeline's problem, not the stream's). */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(dim, Seq(keyCol), "left")
+
   /** Streaming exact dedup — the stream twin of `Dedup.exactKeepFirst`
     * (at-least-once sources redeliver; ingestion must collapse retries).
     * `dropDuplicatesWithinWatermark` keys state on `keyCols` and evicts a

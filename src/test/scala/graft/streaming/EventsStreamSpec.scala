@@ -39,6 +39,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment equals the batch left join, unmatched rows kept") {
+    val events = Tables.events(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("events-enrich").toString
+    events.withColumn("ts", col("ts").cast("timestamp"))
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val batchView = spark.read.parquet(dir)
+    // static dim covering only SOME users -> left join must keep the rest
+    val dim = batchView.select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("segment", concat(lit("seg"), (col("user_id") % 3).cast("string")))
+    val stream = spark.readStream.schema(batchView.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val enriched = EventsStream.enrich(stream, dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("segment"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) "-" else r.getString(2))
+    val streamed = spark.table("enrich_t").collect().map(key).toSet
+    val batch = EventsStream.enrich(batchView, dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("segment"))
+      .collect().map(key).toSet
+    assert(streamed === batch && batch.nonEmpty)
+    assert(batch.exists(_._3 == "-"), "unmatched stream rows must survive the left join")
+  }
+
   test("streaming dedup drops redelivered keys within the watermark, state evicts after") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
