@@ -288,6 +288,25 @@ object AnalyticsQueries {
            |  count(*) AS n_media, true AS sniff_ok
            |FROM documents GROUP BY 1 ORDER BY format""".stripMargin))
 
+  /** Q85 (sliding windows): 24 h windows sliding every 6 h — each event
+    * lands in exactly 4 overlapping windows (q25 is the tumbling case).
+    * Spark's `window(ts, "1 day", "6 hours")` lowers to an explode over
+    * the covering window starts + one agg shuffle; the oracle builds the
+    * same 4 starts arithmetically. */
+  val q85 = GQuery("q85_sliding_window", (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+      .orderBy("win_start", "event_type"),
+    Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+           |w AS (SELECT CAST(to_timestamp(
+           |        (epoch(ts)::BIGINT // 21600) * 21600 - k.k * 21600) AS TIMESTAMP) AS win_start,
+           |        event_type
+           |      FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k)
+           |SELECT win_start, event_type, count(*) AS cnt
+           |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84)
+    q84, q85)
 }
