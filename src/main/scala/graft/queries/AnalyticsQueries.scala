@@ -307,6 +307,32 @@ object AnalyticsQueries {
            |SELECT win_start, event_type, count(*) AS cnt
            |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
 
+  /** Q86 (correlated subqueries): a correlated scalar subquery + an EXISTS
+    * predicate through the SQL surface — Catalyst decorrelates both into
+    * aggregate-join plans (no per-row re-execution), the rewrite Trino
+    * users lean on constantly. The oracle runs the IDENTICAL SQL. */
+  val q86 = GQuery("q86_subqueries", (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("sq_orders")
+    t(s, d, "lineitem").createOrReplaceTempView("sq_lineitem")
+    s.sql("""SELECT o_orderkey,
+            |  coalesce((SELECT max(l_extendedprice) FROM sq_lineitem
+            |            WHERE l_orderkey = o_orderkey), -1) AS max_item
+            |FROM sq_orders
+            |WHERE EXISTS (SELECT 1 FROM sq_lineitem
+            |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+            |  AND o_orderkey < 2000
+            |ORDER BY o_orderkey""".stripMargin)
+      .withColumn("max_item", round(col("max_item").cast("double"), 2))
+  },
+    Some("""SELECT o_orderkey,
+           |  round(CAST(coalesce((SELECT max(l_extendedprice) FROM lineitem
+           |             WHERE l_orderkey = o_orderkey), -1) AS DOUBLE), 2) AS max_item
+           |FROM orders
+           |WHERE EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+           |  AND o_orderkey < 2000
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85)
+    q84, q85, q86)
 }
