@@ -43,19 +43,22 @@ object Clustering {
     while (!converged && iter < maxIter) {
       // neighbor-min: each edge forwards src's current label to dst
       val neighborMin = sym.join(labels, sym("src") === labels("node"))
-        .select(col("dst").as("node"), col("component"))
+        .select(col("dst").as("node"), col("component"), lit(false).as("__own"))
       // pointer doubling: component(x) ← component(component(x))
       val doubled = labels.select(col("node"), col("component").as("__via"))
         .join(labels.select(col("node").as("__via2"), col("component")),
           col("__via") === col("__via2"))
-        .select(col("node"), col("component"))
-      val next = labels.unionAll(neighborMin).unionAll(doubled)
-        .groupBy("node").agg(min(col("component")).as("component"))
+        .select(col("node"), col("component"), lit(false).as("__own"))
+      // the row's OWN previous label rides through the same groupBy (the
+      // __own flag), so the convergence check is a scan of the checkpoint —
+      // no separate next⋈labels join+shuffle per round
+      val next = labels.withColumn("__own", lit(true))
+        .unionAll(neighborMin).unionAll(doubled)
+        .groupBy("node").agg(min(col("component")).as("component"),
+          min(when(col("__own"), col("component"))).as("__old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "__old"), "node")
-        .where(col("component") =!= col("__old"))
-        .count()
-      labels = next
+      val changed = next.where(col("component") =!= col("__old")).count()
+      labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
     }
