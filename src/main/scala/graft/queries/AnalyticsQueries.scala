@@ -333,6 +333,24 @@ object AnalyticsQueries {
            |  AND o_orderkey < 2000
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** Q87 (ordered string aggregation): SQL:2023 `listagg ... WITHIN GROUP`
+    * — the deterministic (explicitly ordered, distinct) form; unordered
+    * listagg is nondeterministic under distributed merge and can never be
+    * oracle-checked. */
+  val q87 = GQuery("q87_listagg", (s, d) => {
+    t(s, d, "events").createOrReplaceTempView("la_events")
+    s.sql("""SELECT event_type,
+            |  listagg(DISTINCT CAST(user_id AS STRING), ',')
+            |    WITHIN GROUP (ORDER BY CAST(user_id AS STRING)) AS users
+            |FROM la_events WHERE user_id < 20
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  },
+    Some("""SELECT event_type,
+           |  string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+           |    ORDER BY CAST(user_id AS VARCHAR)) AS users
+           |FROM events WHERE user_id < 20
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86)
+    q84, q85, q86, q87)
 }
