@@ -351,6 +351,54 @@ object AnalyticsQueries {
            |FROM events WHERE user_id < 20
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Q88 (end-to-end curation — the flagship pipeline): near-dup collapse
+    * keeping the highest-quality representative per cluster, then a
+    * per-language char budget taken best-quality-first
+    * ([[graft.ext.Curate]]). The oracle recomputes the whole pipeline
+    * exhaustively: all-pairs Jaccard → recursive-CTE closure → quality
+    * formula → window budget cut. */
+  val q88 = GQuery("q88_curate_corpus", (s, d) =>
+    graft.ext.Curate.curate(t(s, d, "documents"), "doc_id", "text", "lang",
+        "n_chars", threshold = 0.8,
+        budgets = Map("en" -> 20000L, "de" -> 8000L, "es" -> 8000L, "fr" -> 8000L),
+        shards = 8)
+      .orderBy("lang", "doc_id"),
+    Some(s"""WITH RECURSIVE ${PipelineQueries.duckShingles3},
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+            |e AS (SELECT id_a AS src, id_b AS dst FROM p
+            |      UNION SELECT id_b, id_a FROM p),
+            |reach AS (
+            |  SELECT src AS node, src AS r FROM e
+            |  UNION
+            |  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node),
+            |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            |f AS (SELECT doc_id, lang, n_chars,
+            |        length(text) AS nc,
+            |        len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+            |        length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+            |        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |            tok -> list_contains(['the','a','and','of','to','is'], tok))) AS n_stop
+            |      FROM documents),
+            |q AS (SELECT doc_id, lang, n_chars,
+            |        round(greatest(least(least(nc::DOUBLE / 400.0, 1.0)
+            |          - least(round(n_punct::DOUBLE / greatest(nc, 1), 6) * 5.0, 1.0) * 0.5
+            |          + round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) * 0.2, 1.0), 0.0), 6) AS quality
+            |      FROM f),
+            |wc AS (SELECT q.*, coalesce(c.component, q.doc_id) AS comp
+            |       FROM q LEFT JOIN comp c ON c.node = q.doc_id),
+            |reps AS (SELECT doc_id, lang, n_chars, quality FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY comp
+            |      ORDER BY quality DESC, doc_id) AS rn FROM wc) WHERE rn = 1),
+            |cut AS (SELECT *, sum(n_chars) OVER (PARTITION BY lang
+            |          ORDER BY quality DESC, doc_id) - n_chars AS pre
+            |        FROM reps WHERE lang IN ('de', 'en', 'es', 'fr'))
+            |SELECT doc_id, lang, n_chars, quality FROM cut
+            |WHERE pre < (CASE lang WHEN 'en' THEN 20000 ELSE 8000 END)
+            |ORDER BY lang, doc_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87)
+    q84, q85, q86, q87, q88)
 }
