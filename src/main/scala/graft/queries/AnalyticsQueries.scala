@@ -399,6 +399,43 @@ object AnalyticsQueries {
             |WHERE pre < (CASE lang WHEN 'en' THEN 20000 ELSE 8000 END)
             |ORDER BY lang, doc_id""".stripMargin))
 
+  /** Q89 (data-quality validation): the expectations gate over orders —
+    * not-null, unique key, value range, referential integrity against
+    * customer ([[graft.engine.Checks]]); one (rule, violations, pass) row
+    * each, the Deequ/Great-Expectations shape. */
+  val q89 = GQuery("q89_quality_checks", (s, d) =>
+    graft.engine.Checks.validate(t(s, d, "orders"), Seq(
+        graft.engine.Checks.NotNull("o_orderdate"),
+        graft.engine.Checks.UniqueKey("o_orderkey"),
+        graft.engine.Checks.InRange("o_totalprice", 0.0, 400000.0),
+        graft.engine.Checks.RefIntegrity("o_custkey", "customer",
+          t(s, d, "customer"), "c_custkey")))
+      .orderBy("rule"),
+    Some("""SELECT * FROM (
+           |  SELECT 'not_null(o_orderdate)' AS rule,
+           |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'unique(o_orderkey)',
+           |    count(*) - count(DISTINCT o_orderkey),
+           |    count(*) = count(DISTINCT o_orderkey)
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'range(o_totalprice,0.0,400000.0)',
+           |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+           |          OR o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT),
+           |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+           |        OR o_totalprice > 400000 THEN 1 ELSE 0 END) = 0
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'ref(o_custkey->customer.c_custkey)',
+           |    CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+           |    count(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+           |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           |  WHERE o.o_custkey IS NOT NULL
+           |) ORDER BY rule""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88)
+    q84, q85, q86, q87, q88, q89)
 }
