@@ -481,8 +481,10 @@ object AdvancedQueries {
            |c AS (SELECT doc_id, lang, n_tokens,
            |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
            |      FROM t WHERE n_tokens > 0)
-           |SELECT doc_id, lang, n_tokens, cum - n_tokens AS tok_start,
-           |  (cum - n_tokens) // 512 AS seq_first, (cum - 1) // 512 AS seq_last
+           |SELECT doc_id, lang, n_tokens,
+           |  CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+           |  CAST((cum - 1) // 512 AS BIGINT) AS seq_last
            |FROM c ORDER BY lang, doc_id""".stripMargin))
 
   /** Q70 (dataset profiling): per-column rows/nulls/exact-distinct/
