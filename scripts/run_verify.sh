@@ -4,4 +4,4 @@ SF=${1:-/root/testdata/sf0.001}
 OUT=${2:-/tmp/verify_out}
 CPUS=${SPARK_GRAFT_CPUS:-8}
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-SPARK_GRAFT_CPUS=$CPUS java $ADD_OPENS -Xmx8g -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" graft.Verify "$SF" "$OUT"
+SPARK_GRAFT_CPUS=$CPUS java $ADD_OPENS -Xmx8g -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" graft.Verify "$SF" "$OUT" "${@:3}"
