@@ -137,5 +137,327 @@ object Round4Queries {
            |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
            |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q90, q91, q92)
+  /** Q93 (TPC-H Q4 form, order priority): orders placed in 1997Q3 having
+    * at least one lineitem shipped more than 90 days after the order date
+    * (the data has no commit/receipt dates; ship-lag is the equivalent
+    * late-delivery predicate), counted per priority. The EXISTS lowers to
+    * a LEFT SEMI join keyed on the order key with the date comparison as
+    * a residual — lineitem ships only (l_orderkey, l_shipdate), orders
+    * are quarter-pruned before the shuffle, and the semi join emits each
+    * order at most once (no distinct needed). */
+  val q93 = GQuery("q93_order_priority", (s, d) => {
+    val ords = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("date") &&
+        col("o_orderdate") < lit("1997-10-01").cast("date"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val late = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+    ords.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1997-10-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Q94 (TPC-H Q14 form, promo revenue): share of September-1997 revenue
+    * from PROMO-type parts. Part is slim-projected and broadcast; the
+    * month filter prunes lineitem at the scan; the whole query is one
+    * map-side join plus a single 1-row aggregate — no wide shuffle at
+    * all. Conditional aggregation via CASE inside the sum. */
+  val q94 = GQuery("q94_promo_revenue", (s, d) => {
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc  = col("l_discount").cast("decimal(18,2)")
+    val rev   = price * (lit(1) - disc)
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("date") &&
+        col("l_shipdate") < lit("1997-10-01").cast("date"))
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round((sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)")))
+          * lit(100)).cast("double") / sum(rev).cast("double"), 6).as("promo_pct"),
+        round(sum(rev).cast("double"), 2).as("total_revenue"))
+  },
+    Some("""SELECT
+           |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+           |                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           |                      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS DOUBLE)
+           |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_pct,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS total_revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'""".stripMargin))
+
+  /** Q95 (TPC-H Q18 form, large-volume orders): orders whose total line
+    * quantity exceeds 190, with customer attribution, top 20 by order
+    * price. The quantity HAVING runs as lineitem's own partial-agg'd
+    * groupBy BEFORE any join — the filtered survivor set (a fraction of
+    * orders) is what joins back to orders/customer, so the expensive side
+    * shrinks first. Top-20 fuses to TakeOrderedAndProject. */
+  val q95 = GQuery("q95_large_orders", (s, d) => {
+    val big = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 190)
+    big.join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        round(col("sum_qty_dec").cast("double"), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  },
+    Some("""SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           |  round(CAST(sum_qty_dec AS DOUBLE), 2) AS sum_qty
+           |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+           |      FROM lineitem GROUP BY l_orderkey
+           |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 190) big
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))
+
+  /** Q96 (TPC-H Q11 form, nation balance share): nations whose suppliers
+    * hold more than 8% of global supplier account balance. The global
+    * total is a 1-row aggregate broadcast-cross-joined into the per-nation
+    * rows — never a partition-less window (the Chart-compiler lesson from
+    * round 1). All comparisons stay in exact DECIMAL so the 8% threshold
+    * cannot flip on summation order. */
+  val q96 = GQuery("q96_nation_balance_share", (s, d) => {
+    val bal = col("s_acctbal").cast("decimal(18,2)")
+    val perNation = t(s, d, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(sum(bal).as("nation_bal"))
+    val total = t(s, d, "supplier").agg(sum(bal).as("total_bal"))
+    perNation.crossJoin(broadcast(total))
+      .filter(col("nation_bal") * 100 > col("total_bal") * 8)
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        round(col("nation_bal").cast("double"), 2).as("nation_bal"),
+        round((col("nation_bal") * 100).cast("double") / col("total_bal").cast("double"), 6).as("share_pct"))
+      .orderBy(col("nation_bal").desc, col("n_name"))
+  },
+    Some("""WITH per_nation AS (
+           |  SELECT s_nationkey, sum(CAST(s_acctbal AS DECIMAL(18,2))) AS nation_bal
+           |  FROM supplier GROUP BY s_nationkey),
+           |tot AS (SELECT sum(CAST(s_acctbal AS DECIMAL(18,2))) AS total_bal FROM supplier)
+           |SELECT n_name,
+           |  round(CAST(nation_bal AS DOUBLE), 2) AS nation_bal,
+           |  round(CAST(nation_bal * 100 AS DOUBLE) / CAST(total_bal AS DOUBLE), 6) AS share_pct
+           |FROM per_nation, tot
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE nation_bal * 100 > total_bal * 8
+           |ORDER BY nation_bal DESC, n_name""".stripMargin))
+
+  /** Q97 (TPC-H Q15 form, top supplier): the supplier(s) with maximum
+    * revenue over 1997H1. The max is a 1-row aggregate off the already-
+    * aggregated per-supplier revenue (ReuseExchange shares the scan),
+    * broadcast back as an equality filter — the revenue stays DECIMAL end
+    * to end so `= max` is exact on both engines. */
+  val q97 = GQuery("q97_top_supplier", (s, d) => {
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-07-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(revenueDec.as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev").cast("double"), 2).as("total_rev"))
+      .orderBy("s_suppkey")
+  },
+    Some("""WITH rev AS (
+           |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+           |  FROM lineitem
+           |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_rev
+           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** Q98 (TPC-H Q10 form, returned items): revenue lost to returns per
+    * customer in 1997Q4, top 20. Orders are quarter-pruned then broadcast;
+    * the R-flag filter reaches the lineitem scan (PushedFilters); customer
+    * and nation broadcast; one groupBy shuffle on c_custkey, then the
+    * top-20 fuses to TakeOrderedAndProject. */
+  val q98 = GQuery("q98_returned_items", (s, d) => {
+    val ords = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    t(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(broadcast(ords), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(revenueDec.cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  },
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= DATE '1997-10-01' AND o_orderdate < DATE '1998-01-01'
+           |GROUP BY c_custkey, c_name, c_acctbal, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  /** Q99 (TPC-H Q2 form, min-cost supplier): for each STANDARD-type part
+    * of size 25, the supplier offering the lowest observed unit price
+    * (min l_extendedprice/l_quantity over its lineitems — the data has no
+    * partsupp table, so observed price history is the cost relation).
+    * Part is filtered then broadcast; the per-(part,supplier) min is one
+    * partial-agg'd shuffle; the per-part argmin is a row_number over a
+    * properly keyed window (partitioned by part — never global). IEEE
+    * double division is deterministic, so the min and the tie-broken
+    * argmin agree exactly across engines. */
+  val q99 = GQuery("q99_min_cost_supplier", (s, d) => {
+    val parts = t(s, d, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size").isin(5, 15, 25, 35, 45))
+      .select("p_partkey", "p_name")
+    val costs = t(s, d, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("unit_cost").asc, col("l_suppkey").asc)
+    costs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        round(col("unit_cost"), 4).as("unit_cost"))
+      .orderBy("p_partkey")
+  },
+    Some("""WITH costs AS (
+           |  SELECT p_partkey, p_name, l_suppkey,
+           |         min(l_extendedprice / l_quantity) AS unit_cost
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_type = 'STANDARD' AND p_size IN (5, 15, 25, 35, 45)
+           |  GROUP BY p_partkey, p_name, l_suppkey),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+           |                               ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+           |  FROM costs)
+           |SELECT p_partkey, p_name, s_name, round(unit_cost, 4) AS unit_cost
+           |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE rn = 1 ORDER BY p_partkey""".stripMargin))
+
+  /** Q100 (TPC-H Q12 form, priority by line status): 1997 shipments
+    * classified urgent/non-urgent per line status (the data has no
+    * l_shipmode; l_linestatus is the grouping axis). Orders ships only
+    * (key, priority) into its broadcast; conditional counts are CASE
+    * sums inside one partial-agg'd groupBy — 2 output rows. */
+  val q100 = GQuery("q100_priority_linestatus", (s, d) => {
+    val urgent = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select("l_orderkey", "l_linestatus")
+      .join(broadcast(t(s, d, "orders").select("o_orderkey", "o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  },
+    Some("""SELECT l_linestatus,
+           |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  /** Q101 (TPC-H Q22 form, idle rich customers): customers with no orders
+    * since 1999 whose balance exceeds the positive-balance average,
+    * summarized per market segment. The average threshold is compared
+    * multiplied-through (bal·N > S) in exact DECIMAL — no double division
+    * on the comparison path, so the boundary cannot flip on summation
+    * order. The anti join ships only the date-pruned o_custkey column;
+    * the scalar (S, N) broadcast. */
+  val q101 = GQuery("q101_idle_rich_customers", (s, d) => {
+    val bal = col("c_acctbal").cast("decimal(18,2)")
+    val stats = t(s, d, "customer")
+      .filter(col("c_acctbal") > 0)
+      .agg(sum(bal).as("s_total"), count(lit(1)).as("n_total"))
+    val recent = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("date"))
+      .select("o_custkey")
+    t(s, d, "customer")
+      .crossJoin(broadcast(stats))
+      .filter(bal * col("n_total") > col("s_total"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(bal).cast("double"), 2).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  },
+    Some("""WITH stats AS (
+           |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_total, count(*) AS n_total
+           |  FROM customer WHERE c_acctbal > 0)
+           |SELECT c_mktsegment, count(*) AS numcust,
+           |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+           |FROM customer, stats
+           |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_total > s_total
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey
+           |                    AND o_orderdate >= DATE '1999-01-01')
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Q102 (TPC-H Q19 form, OR-of-ANDs discounted revenue): revenue from
+    * three (brand, size-range, quantity-range) bands. The part-only
+    * conjuncts (brand, size) are pre-filtered into the broadcast build
+    * side as their OR'd union, the full tri-band predicate evaluates as
+    * the join residual, and lineitem carries 4 columns. One 1-row agg. */
+  val q102 = GQuery("q102_band_revenue", (s, d) => {
+    val partPred =
+      (col("p_brand") === "Brand#4"  && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(10, 30)) ||
+      (col("p_brand") === "Brand#16" && col("p_size").between(20, 50))
+    val bandPred =
+      (col("p_brand") === "Brand#4"  && col("p_size").between(1, 15)  && col("l_quantity").between(1, 20))  ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#16" && col("p_size").between(20, 50) && col("l_quantity").between(20, 40))
+    t(s, d, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(t(s, d, "part").filter(partPred)
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(bandPred)
+      .agg(round(revenueDec.cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  },
+    Some("""SELECT
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+           |  count(*) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 1 AND 20)
+           |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+           |   OR (p_brand = 'Brand#16' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98,
+    q99, q100, q101, q102)
 }
