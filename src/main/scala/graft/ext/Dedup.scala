@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SketchExprs
 
@@ -292,5 +293,32 @@ object Dedup {
     docs.join(comps, Seq(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("component")
+  }
+
+  /** Incremental exact dedup — the steady-state ingest shape: an incoming
+    * batch is deduplicated against the already-curated corpus AND within
+    * itself, in one pass. A row survives iff (a) its content key appears
+    * nowhere in `seen` and (b) it is the min-id holder of that key inside
+    * the batch. Returns `incoming` plus an `is_new` flag (callers filter
+    * or count; keeping rejected rows makes the op auditable).
+    *
+    * Shape at scale: the seen side collapses to its distinct key column
+    * before the join (one agg with map-side combine), then one
+    * hash-partitioned left join on the 32-byte key and one in-partition
+    * window keyed by the same column — the exchange is reused between
+    * join and window, so the batch shuffles once. Bucketing the curated
+    * corpus by key (`Layout.writeBucketed`) removes even that exchange
+    * across repeated ingests. */
+  def incrementalNew(incoming: DataFrame, seen: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val key = md5(col(textCol))
+    val seenKeys = seen.select(key.as("__key")).distinct()
+      .withColumn("__seen", lit(1))
+    val w = Window.partitionBy(col("__key")).orderBy(col(idCol))
+    incoming.withColumn("__key", key)
+      .join(seenKeys, Seq("__key"), "left")
+      .withColumn("is_new",
+        col("__seen").isNull && row_number().over(w) === 1)
+      .drop("__seen")
   }
 }

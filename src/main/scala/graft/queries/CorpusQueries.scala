@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Chunker, CorpusStats, Dedup, TextAnalysis}
+
+/** Declared queries Q103–Q110: corpus-preparation operators a training-data
+  * pipeline runs between raw ingest and packing — chunking, per-source
+  * caps, cross-doc boilerplate, incremental dedup, vocabulary + OOV,
+  * deterministic negative sampling, length profiling. All oracle-checked
+  * against DuckDB over the same parquet.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private val tokensSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** Q103 (chunking): 64-token windows, stride 48, per document — the
+    * RAG/context-window preparation op. Chunk content is verified by md5
+    * so the oracle checks the actual text of every chunk, not just its
+    * coordinates. Narrow plan: tokenize → explode start grid → slice;
+    * zero shuffles before the (display-only) sort. */
+  val q103 = GQuery("q103_chunk_overlap", (s, d) => {
+    Chunker.chunk(t(s, d, "documents"), "doc_id", "text", 64, 48)
+      .select(col("doc_id"), col("chunk_start"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_start")
+  },
+    Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+            |s AS (SELECT doc_id, w, len(w) AS n FROM t),
+            |c AS (SELECT doc_id, g.start AS chunk_start,
+            |             least(64, n - g.start) AS n_tokens, w
+            |      FROM s, LATERAL (SELECT unnest(generate_series(0, n - 1, 48)) AS start) g
+            |      WHERE g.start = 0 OR least(64, n - g.start) > 16)
+            |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+            |       CAST(n_tokens AS BIGINT) AS n_tokens,
+            |       md5(array_to_string(list_slice(w, chunk_start + 1, chunk_start + n_tokens), ' ')) AS chunk_md5
+            |FROM c ORDER BY doc_id, chunk_start""".stripMargin))
+
+  /** Q104 (per-source caps): keep the 10 highest-quality docs per source
+    * (the per-domain cap every web-scale corpus applies so no domain
+    * dominates), then summarize the kept set. Quality ordering is the
+    * round-6 quality score — identical expression both engines — with
+    * doc_id as total tie-break; the kept sums aggregate in DECIMAL so
+    * the per-source average is summation-order-independent. The window is
+    * partitioned by source (never global). */
+  val q104 = GQuery("q104_source_caps", (s, d) => {
+    val q = round(TextAnalysis.qualityScore(col("text")), 6)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__q").desc, col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("__q", q)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 10)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        round(sum(col("__q").cast("decimal(10,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_quality"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("source")
+  },
+    Some("""WITH f AS (
+           |  SELECT doc_id, source,
+           |    length(text) AS n_chars,
+           |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+           |    length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |        tok -> list_contains(['the','a','and','of','to','is'], tok))) AS n_stop
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, source,
+           |    round(greatest(least(least(n_chars::DOUBLE / 400.0, 1.0)
+           |      - least(round(n_punct::DOUBLE / greatest(n_chars, 1), 6) * 5.0, 1.0) * 0.5
+           |      + round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) * 0.2, 1.0), 0.0), 6) AS q
+           |  FROM f),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY source
+           |                               ORDER BY q DESC, doc_id) AS rn
+           |  FROM g)
+           |SELECT source, count(*) AS n_kept,
+           |  round(CAST(sum(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+           |  min(doc_id) AS min_doc_id
+           |FROM r WHERE rn <= 10
+           |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Q105 (cross-doc boilerplate): per-document share of distinct 5-grams
+    * occurring in ≥3 documents corpus-wide — the CCNet-style boilerplate
+    * signal. Inverted-index shape: explode → df count → join back. */
+  val q105 = GQuery("q105_boilerplate", (s, d) => {
+    CorpusStats.boilerplateFraction(t(s, d, "documents"), "doc_id", "text",
+        k = 5, minDocs = 3)
+      .orderBy("doc_id")
+  },
+    Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+            |sh AS (SELECT doc_id,
+            |         unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+            |                               for i in range(1, len(w) - 3)])) AS shingle
+            |       FROM t WHERE len(w) >= 5),
+            |df AS (SELECT shingle, count(*) AS ndocs FROM sh GROUP BY shingle)
+            |SELECT sh.doc_id, count(*) AS n_shingles,
+            |  CAST(sum(CASE WHEN df.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+            |  round(sum(CASE WHEN df.ndocs >= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS boiler_frac
+            |FROM sh JOIN df USING (shingle)
+            |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
+
+  /** Q106 (incremental dedup): docs with doc_id % 5 = 0 arrive as the
+    * incoming batch against the rest as the curated corpus; a batch row
+    * is new iff its exact content key is unseen AND it is the batch's
+    * min-id holder of that key. Per-language ingest summary. */
+  val q106 = GQuery("q106_incremental_dedup", (s, d) => {
+    val docs = t(s, d, "documents")
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val seen = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    Dedup.incrementalNew(incoming, seen, "doc_id", "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      .orderBy("lang")
+  },
+    Some("""WITH seen AS (
+           |  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 5 <> 0),
+           |inc AS (
+           |  SELECT doc_id, lang, md5(text) AS key,
+           |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |  FROM documents WHERE doc_id % 5 = 0)
+           |SELECT lang, count(*) AS n_incoming,
+           |  CAST(sum(CASE WHEN seen.key IS NULL AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           |FROM inc LEFT JOIN seen USING (key)
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Q107 (vocabulary build): top-500 tokens by corpus frequency with
+    * contiguous 1-based ids in (count desc, token asc) order. The id
+    * window runs on the already-cut 500 rows (bounded by construction),
+    * never on the corpus. */
+  val q107 = GQuery("q107_vocab_build", (s, d) => {
+    CorpusStats.buildVocab(t(s, d, "documents"), "text", 500)
+      .select("token_id", "token", "cnt")
+      .orderBy("token_id")
+  },
+    Some(s"""WITH c AS (
+            |  SELECT t.token, count(*) AS cnt
+            |  FROM (SELECT unnest($tokensSql) AS token FROM documents) t
+            |  GROUP BY t.token),
+            |r AS (SELECT token, cnt,
+            |        row_number() OVER (ORDER BY cnt DESC, token) AS token_id
+            |      FROM c)
+            |SELECT token_id, token, cnt FROM r
+            |WHERE token_id <= 500 ORDER BY token_id""".stripMargin))
+
+  /** Q108 (OOV rate): per-language out-of-vocabulary token share against
+    * a top-20 vocabulary (cut below the corpus's distinct-token count so
+    * the rate is non-degenerate). The vocabulary broadcasts; one explode,
+    * one broadcast join, one agg. */
+  val q108 = GQuery("q108_oov_rate", (s, d) => {
+    val docs = t(s, d, "documents")
+    CorpusStats.oovRate(docs, "lang", "text",
+        CorpusStats.buildVocab(docs, "text", 20))
+      .orderBy("lang")
+  },
+    Some(s"""WITH c AS (
+            |  SELECT t.token, count(*) AS cnt
+            |  FROM (SELECT unnest($tokensSql) AS token FROM documents) t
+            |  GROUP BY t.token),
+            |v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 20),
+            |tok AS (SELECT lang, unnest($tokensSql) AS token FROM documents)
+            |SELECT lang, count(*) AS n_tokens,
+            |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            |  round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+            |FROM tok LEFT JOIN v USING (token)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Q109 (negative sampling): for each probe doc (doc_id % 50 = 0), the
+    * 5 pseudo-random negatives drawn by md5(probe:candidate) order from
+    * other sources — the deterministic contrastive-pair draw (same salt →
+    * same training set on every run and every cluster size). Probes
+    * broadcast against one corpus scan; per-probe top-5 via a
+    * probe-partitioned window. */
+  val q109 = GQuery("q109_negative_sampling", (s, d) => {
+    val docs = t(s, d, "documents").select(
+      col("doc_id"), col("source"))
+    val probes = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("probe_id"), col("source").as("probe_source"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("draw"))
+    docs.crossJoin(broadcast(probes))
+      .filter(col("source") =!= col("probe_source"))
+      .withColumn("draw",
+        md5(concat(col("probe_id").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("doc_id").as("neg_id"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  },
+    Some("""WITH probes AS (
+           |  SELECT doc_id AS probe_id, source AS probe_source
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |cand AS (
+           |  SELECT probe_id, doc_id AS neg_id,
+           |         md5(CAST(probe_id AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS draw
+           |  FROM documents, probes WHERE source <> probe_source),
+           |r AS (SELECT probe_id, neg_id,
+           |        row_number() OVER (PARTITION BY probe_id ORDER BY draw) AS rnk
+           |      FROM cand)
+           |SELECT probe_id, neg_id, CAST(rnk AS INT) AS rnk FROM r
+           |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin))
+
+  /** Q110 (length profile): log2-bucketed document-length histogram per
+    * language — the distribution snapshot a mix designer reads before
+    * setting packing and truncation lengths. floor(log2(n+1)) is exact
+    * IEEE on integer inputs, so bucket edges agree across engines. */
+  val q110 = GQuery("q110_length_histogram", (s, d) => {
+    t(s, d, "documents")
+      .withColumn("bucket", floor(log2(col("n_chars") + 1)).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "bucket")
+  },
+    Some("""SELECT lang, CAST(floor(log2(n_chars + 1)) AS BIGINT) AS bucket,
+           |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+           |FROM documents
+           |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q103, q104, q105, q106, q107, q108, q109, q110)
+}

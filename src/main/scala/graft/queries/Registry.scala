@@ -20,7 +20,8 @@ final case class GQuery(
 object Registry {
   lazy val all: Seq[GQuery] =
     CoreQueries.all ++ ExtQueries.all ++ PipelineQueries.all ++
-      AdvancedQueries.all ++ AnalyticsQueries.all ++ Round4Queries.all
+      AdvancedQueries.all ++ AnalyticsQueries.all ++ Round4Queries.all ++
+      CorpusQueries.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
