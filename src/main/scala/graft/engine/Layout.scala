@@ -247,4 +247,54 @@ object Layout {
     require(numFiles > 0, "numFiles must be positive")
     republish(spark, spark.table(table).repartition(numFiles), table)
   }
+
+  /** Z-ORDER clustering (Iceberg/Delta `rewrite_data_files(strategy =>
+    * 'sort', sort_order => 'zorder(a, b)')` equivalent): rewrite the table
+    * so rows near each other in the multi-dimensional (a, b, ...) space
+    * land in the same files. Parquet keeps per-file/rowgroup min-max for
+    * every column, so after clustering a selective filter on ANY of the
+    * clustered columns skips most files — a linear sort gives skipping
+    * only on its leading column.
+    *
+    * Mechanism: each column is scaled to a `bits`-wide bucket against its
+    * (min, max) — one tiny aggregate, broadcast as literals — then the
+    * bucket bits are interleaved round-robin into a single z-value, and
+    * the table is range-repartitioned + sorted by it. The z-value is a
+    * pure bitwise expression tree (codegen'd, no UDF) and is dropped
+    * before the write. At 100 TB this runs per partition as a maintenance
+    * pass, exactly like compaction. */
+  def zorder(spark: SparkSession, table: String, cols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(cols.nonEmpty, "need at least one cluster column")
+    require(cols.size * bits <= 62, s"${cols.size} cols * $bits bits overflows a long")
+    val df = spark.table(table)
+    val stats = df.agg(
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c"))).head,
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c"))).tail: _*
+    ).collect()(0)
+    val maxBucket = (1L << bits) - 1
+    val bucketCols = cols.zipWithIndex.map { case (c, i) =>
+      val lo = stats.getDouble(2 * i)
+      val hi = stats.getDouble(2 * i + 1)
+      val scaled =
+        if (hi == lo) lit(0L)
+        else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxBucket).cast("long")
+      least(greatest(coalesce(scaled, lit(0L)), lit(0L)), lit(maxBucket))
+    }
+    val z = (0 until bits).flatMap { b =>
+      bucketCols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * cols.size + j)
+      }
+    }.reduce(_ bitwiseOR _)
+    republish(spark,
+      df.withColumn("__z", z)
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z"),
+      table)
+  }
 }

@@ -330,8 +330,11 @@ object Round4Queries {
     * Part is filtered then broadcast; the per-(part,supplier) min is one
     * partial-agg'd shuffle; the per-part argmin is a row_number over a
     * properly keyed window (partitioned by part — never global). IEEE
-    * double division is deterministic, so the min and the tie-broken
-    * argmin agree exactly across engines. */
+    * double division is deterministic, so the min, the tie-broken argmin,
+    * and the emitted cost agree bitwise across engines — the cost is
+    * deliberately NOT rounded (a quotient can land on a round-half
+    * boundary where the engines' rounding modes disagree; the raw double
+    * cannot). */
   val q99 = GQuery("q99_min_cost_supplier", (s, d) => {
     val parts = t(s, d, "part")
       .filter(col("p_type") === "STANDARD" && col("p_size").isin(5, 15, 25, 35, 45))
@@ -347,8 +350,7 @@ object Round4Queries {
       .filter(col("rn") === 1)
       .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("p_partkey"), col("p_name"), col("s_name"),
-        round(col("unit_cost"), 4).as("unit_cost"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("unit_cost"))
       .orderBy("p_partkey")
   },
     Some("""WITH costs AS (
@@ -361,7 +363,7 @@ object Round4Queries {
            |  SELECT *, row_number() OVER (PARTITION BY p_partkey
            |                               ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
            |  FROM costs)
-           |SELECT p_partkey, p_name, s_name, round(unit_cost, 4) AS unit_cost
+           |SELECT p_partkey, p_name, s_name, unit_cost
            |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
            |WHERE rn = 1 ORDER BY p_partkey""".stripMargin))
 

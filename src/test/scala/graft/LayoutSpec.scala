@@ -208,4 +208,43 @@ class LayoutSpec extends SparkSpec {
     assert(snapDf.count() === total && total > 0)
     assert(snapDf.columns.contains("p_day"), "partition column must survive the tag")
   }
+
+  test("zorder preserves rows and shrinks per-file min-max ranges on BOTH columns") {
+    import spark.implicits._
+    val line = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // baseline: round-robin layout (what streaming/parallel ingest leaves)
+    line.repartition(8).write.mode("overwrite").saveAsTable("layout_zorder_t")
+    val before = spark.table("layout_zorder_t").count()
+    val checksumBefore = spark.table("layout_zorder_t")
+      .agg(expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_quantity))"))
+      .as[Long].head()
+
+    // sum over files of per-file (max-min): the data-skipping proxy —
+    // smaller total range per file = more files skippable by a point filter
+    def rangeSum(c: String): Long =
+      spark.table("layout_zorder_t")
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(sum("r")).as[Long].head()
+
+    val rawOrd = rangeSum("l_orderkey")
+    val rawPart = rangeSum("l_partkey")
+
+    Layout.zorder(spark, "layout_zorder_t", Seq("l_orderkey", "l_partkey"), numFiles = 8)
+
+    assert(spark.table("layout_zorder_t").count() === before)
+    val checksumAfter = spark.table("layout_zorder_t")
+      .agg(expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_quantity))"))
+      .as[Long].head()
+    assert(checksumAfter === checksumBefore, "zorder must not change row contents")
+
+    val zOrd = rangeSum("l_orderkey")
+    val zPart = rangeSum("l_partkey")
+    assert(zOrd < rawOrd / 2,
+      s"l_orderkey file ranges should shrink: $zOrd vs $rawOrd")
+    assert(zPart < rawPart / 2,
+      s"l_partkey file ranges should shrink too (the z-order property a " +
+        s"linear sort lacks): $zPart vs $rawPart")
+  }
 }

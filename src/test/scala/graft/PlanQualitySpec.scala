@@ -220,4 +220,61 @@ class PlanQualitySpec extends SparkSpec {
       assert(!fields.contains("text"), s"text column rides a shuffle: $fields")
     }
   }
+
+  test("q91 shipping priority: both joins broadcast, fact scan pruned, top-10 fused") {
+    val plan = executed(run("q91_shipping_priority"))
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size === 2, plan.toString)
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty, plan.toString)
+    val factScan = plan.collect { case s: FileSourceScanExec => s }
+      .find(_.requiredSchema.fieldNames.contains("l_extendedprice")).get
+    assert(factScan.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"))
+  }
+
+  test("q93's EXISTS lowers to a semi join; lineitem ships only key + shipdate") {
+    val plan = executed(run("q93_order_priority"))
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.sql == "LEFT SEMI" => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty, s"no semi join in:\n$plan")
+    val lineScan = plan.collect { case s: FileSourceScanExec => s }
+      .find(_.requiredSchema.fieldNames.contains("l_shipdate")).get
+    assert(lineScan.requiredSchema.fieldNames.toSet === Set("l_orderkey", "l_shipdate"))
+  }
+
+  test("q95's quantity HAVING aggregates lineitem on 2 columns before any join") {
+    val plan = executed(run("q95_large_orders"))
+    val lineScan = plan.collect { case s: FileSourceScanExec => s }
+      .find(_.requiredSchema.fieldNames.contains("l_quantity")).get
+    assert(lineScan.requiredSchema.fieldNames.toSet === Set("l_orderkey", "l_quantity"))
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty, plan.toString)
+  }
+
+  test("q96/q97 global thresholds are broadcast scalars, never partition-less windows") {
+    Seq("q96_nation_balance_share", "q97_top_supplier").foreach { q =>
+      val plan = executed(run(q))
+      val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(globalWindows.isEmpty, s"partition-less WindowExec in $q: $plan")
+      // the 1-row threshold arrives via a broadcast join — as a nested-loop
+      // cross (q96's inequality) or, better, a hash join when Catalyst can
+      // push the scalar equality into the join key (q97's `= max`)
+      val scalarBroadcasts = plan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(scalarBroadcasts.nonEmpty, s"expected broadcast scalar join in $q:\n$plan")
+    }
+  }
+
+  test("q109 negative sampling broadcasts probes against one corpus scan") {
+    val plan = executed(run("q109_negative_sampling"))
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty, plan.toString)
+    // the per-probe top-k window is keyed, never global
+    val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.isEmpty, plan.toString)
+  }
 }
