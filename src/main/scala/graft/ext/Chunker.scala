@@ -39,9 +39,13 @@ object Chunker {
       .withColumn("__toks", TextPrep.tokens(col(textCol)))
       .withColumn("__n", size(col("__toks")))
       // start grid 0, stride, 2*stride, ... < n (tokens() is never empty:
-      // splitting "" yields [""], so sequence bounds are always valid)
+      // splitting "" yields [""], so sequence bounds are always valid).
+      // explode_outer, not explode: the plain form makes the optimizer
+      // infer a size>0 filter below the staged projections, re-running the
+      // tokenizer per row at the scan (q105's measured trap); the grid is
+      // never empty, so outer semantics are identical here.
       .withColumn("chunk_start",
-        explode(sequence(lit(0), col("__n") - 1, lit(stride))))
+        explode_outer(sequence(lit(0), col("__n") - 1, lit(stride))))
       .withColumn("n_tokens", least(lit(chunkSize), col("__n") - col("chunk_start")))
       .filter(col("chunk_start") === 0 || col("n_tokens") > minTail)
       .select(col(idCol),

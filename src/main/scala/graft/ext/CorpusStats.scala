@@ -16,22 +16,36 @@ object CorpusStats {
     * (the CCNet/C4-style cross-document repetition signal — within-doc
     * repetition is `TextAnalysis.dupNgramFraction`).
     *
-    * Shape at scale: staged shingles (one tokenizer pass), one explode,
-    * one (shingle → document-frequency) aggregation with map-side combine,
-    * one hash join back on the shingle, one per-doc aggregation. The
-    * shingle join keys here stay strings so the DuckDB oracle can verify
-    * them end-to-end; at 100 TB the same plan runs with `xxhash64(shingle)`
-    * 8-byte join keys (collision odds ~n²/2⁶⁴) to shrink both exchanges.
-    * Documents shorter than k tokens have no shingles and are excluded on
-    * both sides by construction. */
+    * Shape at scale — single pass: staged shingles (one tokenizer pass),
+    * one explode, document frequency as a count over the shingle-keyed
+    * window, one per-doc aggregation. The relational alternative
+    * (groupBy(shingle) → join back) references the exploded pairs twice,
+    * which re-runs the whole tokenize→shingle pipeline AND shuffles the
+    * string keys a third time — measured 3.7× slower at sf0.1. The
+    * exploded rows are (id, shingle) only; the shingle key rides its one
+    * exchange as the 8-byte `xxhash64(shingle)` with the string carried
+    * for the window's in-partition grouping. Documents shorter than k
+    * tokens have no shingles and are excluded on both sides by
+    * construction. */
   def boilerplateFraction(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, minDocs: Int): DataFrame = {
-    val pairs = TextPrep.stagedShingles(docs.select(col(idCol), col(textCol)),
+    // explode_outer, NOT explode: a plain explode makes the optimizer
+    // infer a `size(shingles) > 0 AND isnotnull(shingles)` filter and push
+    // it below the staged projections — re-evaluating the whole
+    // tokenize→shingle pipeline interpreted, twice per row, at the scan
+    // (the q27 round-2 trap). The outer generate infers nothing; shingle-
+    // less docs surface as one null row dropped by a cheap post-filter.
+    // The repartition spreads the pipeline off the source's single parquet
+    // split (the q29 round-2 fix) — without it everything up to the first
+    // exchange runs in one task.
+    val pairs = TextPrep.stagedShingles(
+        docs.select(col(idCol), col(textCol)).repartition(),
         textCol, k, "__sh")
-      .select(col(idCol), explode(col("__sh")).as("shingle"))
-    val df = pairs.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("__df")) // distinct per doc already
-    pairs.join(df, "shingle")
+      .select(col(idCol), explode_outer(col("__sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    // distinct-per-doc already, so count-over-window = document frequency
+    val w = Window.partitionBy(col("shingle"))
+    pairs.withColumn("__df", count(lit(1)).over(w))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_shingles"),
