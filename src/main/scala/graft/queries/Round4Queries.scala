@@ -460,6 +460,93 @@ object Round4Queries {
            |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
            |   OR (p_brand = 'Brand#16' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin))
 
+  /** Q111 (native session windows): Spark's built-in `session_window`
+    * (merge-on-overlap: a session extends while consecutive events are
+    * strictly closer than the gap) — the engine-native counterpart of the
+    * custom q44 sessionizer, and the same operator that runs stateful in
+    * streaming mode. One user-keyed exchange; window merge is
+    * in-partition. Oracle: lag/cumsum session assembly with the matching
+    * strict boundary (break at diff >= gap). */
+  val q111 = GQuery("q111_session_window", (s, d) => {
+    t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |b AS (SELECT user_id, ts,
+           |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |                  >= INTERVAL 30 MINUTE
+           |             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM e),
+           |ses AS (SELECT user_id, ts,
+           |          sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                         ROWS UNBOUNDED PRECEDING) AS sid
+           |        FROM b)
+           |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+           |FROM ses GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  /** Q112 (unpivot/melt): wide per-flag measures to long (measure, value)
+    * form — the `df.unpivot` lowering (Expand, one pass, no join), the
+    * inverse of q60's pivot. Values are rounded doubles of exact DECIMAL
+    * sums; the oracle is the engine-agnostic UNION ALL twin. */
+  val q112 = GQuery("q112_unpivot", (s, d) => {
+    val qty   = col("l_quantity").cast("decimal(18,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(qty).cast("double"), 2).as("sum_qty"),
+        round(sum(price).cast("double"), 2).as("sum_base_price"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_base_price")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy("l_returnflag", "measure")
+  },
+    Some("""WITH w AS (
+           |  SELECT l_returnflag,
+           |    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+           |UNION ALL
+           |SELECT l_returnflag, 'sum_base_price' AS measure, sum_base_price AS value FROM w
+           |ORDER BY l_returnflag, measure""".stripMargin))
+
+  /** Q113 (recursive CTE): hierarchy walk over the synthetic supplier tree
+    * parent(s) = floor(s/10) — depth and root per node via WITH RECURSIVE,
+    * Spark 4's UnionLoop execution (each iteration a distributed batch;
+    * rounds = tree depth, same bound as ext.Clustering's label
+    * propagation). The oracle runs the IDENTICAL statement. */
+  val q113 = GQuery("q113_recursive_cte", (s, d) => {
+    t(s, d, "supplier").createOrReplaceTempView("rc_supplier")
+    s.sql("""WITH RECURSIVE chain AS (
+            |  SELECT s_suppkey, 0 AS depth, s_suppkey AS root
+            |  FROM rc_supplier WHERE s_suppkey < 10
+            |  UNION ALL
+            |  SELECT s.s_suppkey, c.depth + 1, c.root
+            |  FROM rc_supplier s JOIN chain c
+            |    ON CAST(floor(s.s_suppkey / 10.0) AS BIGINT) = c.s_suppkey
+            |  WHERE s.s_suppkey >= 10)
+            |SELECT s_suppkey, depth, root FROM chain ORDER BY s_suppkey""".stripMargin)
+  },
+    Some("""WITH RECURSIVE chain AS (
+           |  SELECT s_suppkey, 0 AS depth, s_suppkey AS root
+           |  FROM supplier WHERE s_suppkey < 10
+           |  UNION ALL
+           |  SELECT s.s_suppkey, c.depth + 1, c.root
+           |  FROM supplier s JOIN chain c
+           |    ON CAST(floor(s.s_suppkey / 10.0) AS BIGINT) = c.s_suppkey
+           |  WHERE s.s_suppkey >= 10)
+           |SELECT s_suppkey, depth, root FROM chain ORDER BY s_suppkey""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102)
+    q99, q100, q101, q102, q111, q112, q113)
 }
