@@ -58,4 +58,38 @@ object Lakehouse {
     * if they need the single-file CLI shape. */
   def deliverCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** CREATE OR REPLACE VIEW — the saved-query layer (Superset datasets are
+    * exactly this: a named SQL body resolved at read time,
+    * init_db.py:73-88). Views live in the catalog like tables and
+    * re-optimize with the tables under them. */
+  def createView(spark: SparkSession, fqName: String, sqlBody: String): Unit =
+    spark.sql(s"CREATE OR REPLACE VIEW $fqName AS $sqlBody")
+
+  /** ANALYZE TABLE — collect table (and optionally per-column) statistics
+    * into the catalog for cost-based planning: accurate sizeInBytes drives
+    * broadcast decisions, rowCount + column NDVs drive CBO join reorder.
+    * At 100 TB stats freshness is what keeps the 6-way snowflakes (q92
+    * shape) picking the right build sides. */
+  def analyze(spark: SparkSession, fqName: String, columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $fqName COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $fqName COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
+  /** Catalog-reported statistics line of DESCRIBE EXTENDED (None until
+    * [[analyze]] has run). */
+  def tableStats(spark: SparkSession, fqName: String): Option[String] =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $fqName").collect()
+      .find(_.getString(0) == "Statistics").map(_.getString(1))
+
+  /** CACHE TABLE — pin a hot table in the columnar in-memory store;
+    * subsequent scans read `InMemoryTableScan` instead of parquet. The
+    * BI-dashboard accelerator (every chart over the same dataset re-scans
+    * it otherwise). */
+  def cacheTable(spark: SparkSession, fqName: String): Unit =
+    spark.catalog.cacheTable(fqName)
+
+  def uncacheTable(spark: SparkSession, fqName: String): Unit =
+    spark.catalog.uncacheTable(fqName)
 }
