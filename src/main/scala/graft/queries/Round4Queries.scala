@@ -547,6 +547,32 @@ object Round4Queries {
            |  WHERE s.s_suppkey >= 10)
            |SELECT s_suppkey, depth, root FROM chain ORDER BY s_suppkey""".stripMargin))
 
+  /** Q114 (TPC-H Q6 form, forecast revenue change): pure filter-scan
+    * aggregate — every predicate (date range, discount band, quantity cap)
+    * reaches the parquet scan as a pushed data filter, the scan reads 4
+    * columns, and the whole query is one partial-agg'd 1-row aggregate.
+    * The purest demonstration that the declarative plan lets the format
+    * do the skipping: at 100 TB with zorder'd (l_shipdate, l_quantity)
+    * files this touches a fraction of the row groups. */
+  val q114 = GQuery("q114_forecast_revenue", (s, d) => {
+    t(s, d, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_discount").cast("decimal(18,4)")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  },
+    Some("""SELECT
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           |  count(*) AS n_lines
+           |FROM lineitem
+           |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102, q111, q112, q113)
+    q99, q100, q101, q102, q111, q112, q113, q114)
 }

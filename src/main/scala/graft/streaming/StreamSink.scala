@@ -43,4 +43,33 @@ object StreamSink {
       .foreachBatch(applyBatch)
       .start()
   }
+
+  /** Continuous corpus ingestion with dedup (ST8) — the steady-state loop
+    * of a training-data pipeline run as a stream: each micro-batch is
+    * deduplicated against the CURRENT corpus table AND within itself
+    * ([[graft.ext.Dedup.incrementalNew]]), and only genuinely new content
+    * appends. Content identity is the `textCol` hash, so redelivered
+    * batches (at-least-once foreachBatch) append nothing the second time —
+    * idempotence comes from the dedup itself, no transactional sink
+    * needed.
+    *
+    * Scale shape per micro-batch: one distinct-key pass over the corpus +
+    * one key join against the (small) batch — the corpus never rewrites,
+    * unlike the merge sink; appends are O(new data). Bucketing the corpus
+    * table by the key column removes the corpus-side shuffle entirely. */
+  def ingestDeduped(docs: DataFrame, table: String, idCol: String,
+      textCol: String, checkpointDir: String): StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      val fresh = graft.ext.Dedup
+        .incrementalNew(batch, spark.table(table), idCol, textCol)
+        .filter(org.apache.spark.sql.functions.col("is_new"))
+        .drop("is_new", "__key")
+      fresh.write.mode("append").saveAsTable(table)
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch)
+      .start()
+  }
 }

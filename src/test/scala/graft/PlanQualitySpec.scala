@@ -270,6 +270,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q114 pushes every predicate to the scan and reads only 4 columns") {
+    val plan = executed(run("q114_forecast_revenue"))
+    val scan = plan.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.dataFilters.size >= 4, s"expected all predicates pushed: ${scan.dataFilters}")
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+    // the only exchange is the partial→final merge of 1-row partials
+    val wide = plan.collect {
+      case e: ShuffleExchangeLike if e.outputPartitioning.numPartitions > 1 => e
+    }
+    assert(wide.isEmpty, s"1-row aggregate needs no wide shuffle:\n$plan")
+  }
+
   test("q109 negative sampling broadcasts probes against one corpus scan") {
     val plan = executed(run("q109_negative_sampling"))
     assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty, plan.toString)

@@ -63,4 +63,47 @@ class StreamSinkSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS $twin")
   }
+
+  test("ingestDeduped appends only unseen content; replaying the log appends nothing (ST8)") {
+    val table = "stream_ingest_corpus"
+    val logDir = Files.createTempDirectory("ingest-log").toString
+    val ckpt = Files.createTempDirectory("ingest-ckpt").toString
+
+    // curated corpus already holds doc 1
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Seq((1L, "alpha text")).toDF("doc_id", "text").write.saveAsTable(table)
+
+    // arriving batches: a corpus dup, a fresh doc, an in-batch dup pair,
+    // and a second fresh doc
+    Seq((10L, "alpha text"), (11L, "beta text")).toDF("doc_id", "text")
+      .write.mode("append").parquet(logDir)
+    Seq((12L, "gamma text"), (13L, "gamma text"), (14L, "delta text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(logDir)
+
+    val docs = spark.readStream
+      .schema(spark.read.parquet(logDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(logDir)
+    val q = StreamSink.ingestDeduped(docs, table, "doc_id", "text", ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    def state() = spark.table(table).as[(Long, String)].collect().toSet
+    val after = state()
+    assert(after === Set(
+      (1L, "alpha text"),   // original
+      (11L, "beta text"),   // fresh
+      (12L, "gamma text"),  // min-id holder of the in-batch dup
+      (14L, "delta text"))) // fresh
+
+    // full-log redelivery through a fresh stream: nothing new appends
+    val ckpt2 = Files.createTempDirectory("ingest-ckpt2").toString
+    val q2 = StreamSink.ingestDeduped(
+      spark.readStream.schema(spark.read.parquet(logDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(logDir),
+      table, "doc_id", "text", ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() === after)
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
