@@ -34,6 +34,35 @@ object Splits {
   def hexThreshold(fraction: Double): String =
     f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
 
+  /** Deterministic training order: a seeded pseudo-random permutation of
+    * the corpus plus a round-robin shard assignment over it — the "global
+    * shuffle" every training run needs, as a pure plan (no rand(): the
+    * same seed gives the same order on any cluster size, any retry). The
+    * draw key is the portable md5 prefix salted with the seed so distinct
+    * seeds give independent permutations; position comes from a
+    * shard-keyed window AFTER the shard split, so no global sort ranks
+    * the full corpus through one task — each shard orders its own slice
+    * (the property that matters when "the corpus" is 100 TB and shards
+    * feed 1000 data-loader workers). Within-shard order is by draw;
+    * global position is recoverable as pos_in_shard * nShards + shard. */
+  def trainingOrder(df: DataFrame, keyCol: String, nShards: Int,
+      seed: Int = 42, out: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val draw = md5(concat(lit(seed.toString), lit(":"), col(keyCol).cast("string")))
+    // shard from an md5 hex slice DISJOINT from the ordering prefix —
+    // portable (DuckDB: ('0x'||substring(md5,9,4))::BIGINT), and shard ⊥
+    // within-shard order because md5 bytes are independent
+    val withShard = df.withColumn("__draw", draw)
+      .withColumn(out,
+        pmod(conv(substring(col("__draw"), 9, 4), 16, 10).cast("long"),
+          lit(nShards)).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(out)).orderBy(col("__draw"), col(keyCol))
+    withShard
+      .withColumn("pos_in_shard", row_number().over(w) - 1)
+      .drop("__draw")
+  }
+
   /** Assign a split label by weight list, e.g. Seq(("train",8),("val",1),
     * ("test",1)) — weights are shares of their sum. */
   def assign(df: DataFrame, keyCol: String, weights: Seq[(String, Int)],

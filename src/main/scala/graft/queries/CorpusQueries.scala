@@ -226,5 +226,27 @@ object CorpusQueries {
            |FROM documents
            |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q103, q104, q105, q106, q107, q108, q109, q110)
+  /** Q115 (training order): seeded pseudo-random permutation + round-robin
+    * shard assignment — the global shuffle a training run feeds its data
+    * loaders, as a pure deterministic plan (`Splits.trainingOrder`). Rank
+    * runs per shard AFTER the split, so no global sort ranks the corpus
+    * through one task. */
+  val q115 = GQuery("q115_training_order", (s, d) => {
+    graft.ext.Splits.trainingOrder(
+        t(s, d, "documents").select("doc_id"), "doc_id", nShards = 8, seed = 7)
+      .select(col("shard"), col("pos_in_shard"), col("doc_id"))
+      .orderBy("shard", "pos_in_shard")
+  },
+    Some("""WITH d AS (
+           |  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+           |s AS (
+           |  SELECT doc_id, draw,
+           |         CAST(('0x' || substring(draw, 9, 4))::BIGINT % 8 AS INT) AS shard
+           |  FROM d)
+           |SELECT shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) - 1 AS INT) AS pos_in_shard,
+           |  doc_id
+           |FROM s ORDER BY shard, pos_in_shard""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q103, q104, q105, q106, q107, q108, q109, q110, q115)
 }

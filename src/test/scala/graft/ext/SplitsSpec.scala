@@ -73,4 +73,33 @@ class SplitsSpec extends SparkSpec {
       budgets, portable = true, shards = 8).select("doc_id").collect().toSet
     assert(sharded === again)
   }
+
+  test("trainingOrder: a deterministic permutation with contiguous per-shard positions") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id")
+    val n = docs.count()
+    val order = Splits.trainingOrder(docs, "doc_id", nShards = 4, seed = 7)
+      .select("shard", "pos_in_shard", "doc_id")
+      .as[(Int, Int, Long)].collect()
+
+    // permutation: every doc exactly once
+    assert(order.length === n && order.map(_._3).distinct.length === n)
+    // per-shard positions are contiguous 0..k-1
+    order.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (0 until rows.length),
+        s"shard $sh positions not contiguous")
+    }
+    // shards are roughly balanced (md5 uniformity; 500 docs / 4 shards)
+    val sizes = order.groupBy(_._1).values.map(_.length)
+    assert(sizes.min > n / 8, s"shard sizes $sizes")
+
+    // cluster-size independence: same triples from a repartitioned input
+    val again = Splits.trainingOrder(docs.repartition(13), "doc_id", 4, seed = 7)
+      .select("shard", "pos_in_shard", "doc_id").as[(Int, Int, Long)].collect()
+    assert(again.sorted.toSeq === order.sorted.toSeq)
+    // a different seed is a different permutation
+    val other = Splits.trainingOrder(docs, "doc_id", 4, seed = 8)
+      .select("shard", "pos_in_shard", "doc_id").as[(Int, Int, Long)].collect()
+    assert(other.sorted.toSeq !== order.sorted.toSeq)
+  }
 }
