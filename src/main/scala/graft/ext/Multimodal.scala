@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The Spark-side plumbing — schema, partition-preserving mapPartitions,
-  * batch shape, metadata struct — is real and tested. The actual codec step
-  * is a clearly-marked STUB (deterministic fake decoder): media codec
-  * libraries are not available in this environment, and the engine contract
-  * is the distributed data path, not the codec.
+  * Codec status: image decode/resize (PNG/JPEG/GIF/BMP via the JDK's
+  * javax.imageio — no external library) and WAV PCM parsing (RIFF header +
+  * 16-bit samples, pure byte arithmetic) are REAL ([[decodeImages]],
+  * [[resizeImages]], [[decodeWav]], spec'd against synthesized genuine
+  * containers). Only video remains a clearly-marked STUB
+  * ([[extractFeatures]]' fake decoder) — no video codec ships with the JDK.
   *
   * At 100 TB: binary payloads dominate row size, so every stage here is a
   * narrow map (no shuffle), metadata-only queries prune the binary column
@@ -120,4 +121,156 @@ object Multimodal {
            |         i -> i % $stride = 0),
            |  i -> substring(media, i * $frameBytes + 1, $frameBytes))""".stripMargin))
         .as(Seq("frame_no", "frame")))
+
+  // --------------------------------------------------------- real codecs
+  // The JDK ships an image codec (javax.imageio: PNG/JPEG/GIF/BMP) and WAV
+  // is a trivially parseable RIFF container — so these paths decode REAL
+  // bytes with zero external dependencies. Each decoder runs inside
+  // mapPartitions (partition-local, no shuffle, blob dropped from the
+  // output), and failed decodes surface as decode_ok=false rows instead of
+  // task failures: at crawl scale corrupt blobs are data, not errors.
+
+  final case class ImageFeatures(
+      media_id: Long, decode_ok: Boolean, width: Int, height: Int,
+      mean_luma: Double, luma_hist: Array[Float])
+
+  private def lumaOf(rgb: Int): Double = {
+    val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    0.299 * r + 0.587 * g + 0.114 * b
+  }
+
+  /** REAL image decode + features: dimensions, mean luma, 8-bin luma
+    * histogram. Pixels are traversed once; features are fixed-width. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, bytes) =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) ImageFeatures(id, decode_ok = false, 0, 0, 0.0, Array.fill(8)(0f))
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            val hist = new Array[Float](8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val l = lumaOf(img.getRGB(x, y))
+                sum += l
+                hist((l / 32).toInt.min(7)) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toFloat
+            ImageFeatures(id, decode_ok = true, w, h, sum / n, hist.map(_ / n))
+          }
+        } catch {
+          case _: Exception =>
+            ImageFeatures(id, decode_ok = false, 0, 0, 0.0, Array.fill(8)(0f))
+        }
+    })
+  }
+
+  /** REAL image resize: decode, scale to fit `maxDim` (aspect preserved,
+    * never upscale), re-encode PNG. Undecodable blobs pass through
+    * unchanged — the resize pass must not destroy data it can't read. */
+  def resizeImages(spark: SparkSession, media: DataFrame, maxDim: Int): DataFrame = {
+    import spark.implicits._
+    val resized = media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out =
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null || (img.getWidth <= maxDim && img.getHeight <= maxDim)) bytes
+            else {
+              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                math.max(1, (img.getHeight * scale).toInt))
+              val dst = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try g.drawImage(img.getScaledInstance(
+                w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+              finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              bos.toByteArray
+            }
+          } catch { case _: Exception => bytes }
+        (id, out)
+      }).toDF("media_id", "media")
+    resized.withColumn("n_bytes", octet_length(col("media")).cast("long"))
+  }
+
+  /** Synthesize one REAL solid-color PNG per input row, dimensions and
+    * color derived arithmetically from the id — the encode half of the
+    * codec round-trip, and the reason Q116 can be oracle-checked: every
+    * decoded property (width, height, luma) is a pure function of the id
+    * that DuckDB recomputes without any codec. */
+  def synthesizeImages(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val (w, h) = ((8 + id % 8).toInt, (8 + (id / 8) % 8).toInt)
+      val rgb = (((id * 37) % 256) << 16 | ((id * 59) % 256) << 8 | ((id * 83) % 256)).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }).toDF("media_id", "media")
+  }
+
+  final case class WavStats(
+      media_id: Long, decode_ok: Boolean, channels: Int, sample_rate: Int,
+      bits: Int, n_samples: Long, rms: Double)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** REAL WAV parse: RIFF/WAVE chunk walk → fmt (channels, rate, bits) +
+    * data (16-bit PCM samples → count + RMS). Pure byte arithmetic. */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[WavStats] = {
+    import spark.implicits._
+    def fail(id: Long) = WavStats(id, decode_ok = false, 0, 0, 0, 0L, 0.0)
+    media.select("media_id", "media").as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, b) =>
+        try {
+          if (b.length < 12 ||
+            new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+            new String(b, 8, 4, "US-ASCII") != "WAVE") fail(id)
+          else {
+            var (off, channels, rate, bits) = (12, 0, 0, 0)
+            var stats: Option[(Long, Double)] = None
+            while (off + 8 <= b.length) {
+              val ckId = new String(b, off, 4, "US-ASCII")
+              val ckSize = le32(b, off + 4)
+              if (ckId == "fmt ") {
+                channels = le16(b, off + 10); rate = le32(b, off + 12)
+                bits = le16(b, off + 22)
+              } else if (ckId == "data" && bits == 16) {
+                val n = math.min(ckSize, b.length - off - 8) / 2
+                var (i, sumSq) = (0, 0.0)
+                while (i < n) {
+                  val s = le16(b, off + 8 + 2 * i).toShort.toDouble
+                  sumSq += s * s; i += 1
+                }
+                stats = Some((n.toLong, if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+              }
+              off += 8 + ckSize + (ckSize & 1) // chunks are word-aligned
+            }
+            stats match {
+              case Some((n, rms)) => WavStats(id, decode_ok = true, channels, rate, bits, n, rms)
+              case None => fail(id)
+            }
+          }
+        } catch { case _: Exception => fail(id) }
+    })
+  }
 }

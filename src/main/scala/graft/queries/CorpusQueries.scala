@@ -248,5 +248,32 @@ object CorpusQueries {
            |  doc_id
            |FROM s ORDER BY shard, pos_in_shard""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q103, q104, q105, q106, q107, q108, q109, q110, q115)
+  /** Q116 (real-codec round-trip through the oracle): synthesize a genuine
+    * solid-color PNG per doc id (JDK ImageIO encode), decode it back with
+    * the REAL image decoder, and emit the decoded dimensions + mean luma.
+    * Because the synthetic image is a pure function of the id, DuckDB
+    * verifies the whole encode→decode path arithmetically, with no codec
+    * of its own — the strongest check a codec can get from a SQL oracle.
+    * Luma is a 3-decimal rational, so round-4 sits far from any round-half
+    * boundary. */
+  val q116 = GQuery("q116_image_roundtrip", (s, d) => {
+    import graft.ext.Multimodal
+    val ids = t(s, d, "documents").select("doc_id").filter(col("doc_id") < 100)
+    val media = Multimodal.synthesizeImages(s, ids, "doc_id")
+    Multimodal.decodeImages(s, media).toDF()
+      .filter(col("decode_ok"))
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_luma"), 4).as("mean_luma"))
+      .orderBy("media_id")
+  },
+    Some("""SELECT doc_id AS media_id,
+           |  CAST(8 + doc_id % 8 AS INT) AS width,
+           |  CAST(8 + (doc_id // 8) % 8 AS INT) AS height,
+           |  round(0.299 * ((doc_id * 37) % 256)
+           |      + 0.587 * ((doc_id * 59) % 256)
+           |      + 0.114 * ((doc_id * 83) % 256), 4) AS mean_luma
+           |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q103, q104, q105, q106, q107, q108, q109, q110,
+    q115, q116)
 }

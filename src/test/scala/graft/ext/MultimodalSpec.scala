@@ -54,4 +54,83 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === 2)
     assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1))
   }
+
+  // ---- real codecs: genuine containers synthesized in-test, no fixtures
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages reads real PNGs: dimensions, luma, histogram; corrupt → decode_ok=false") {
+    import spark.implicits._
+    val imgs = Seq(
+      (1L, pngBytes(40, 30, 0xFFFFFF)),          // white: luma 255
+      (2L, pngBytes(8, 8, 0x000000)),            // black: luma 0
+      (3L, pngBytes(16, 4, 0xFF0000)),           // red: luma = 0.299*255 ≈ 76.2
+      (4L, "not an image at all".getBytes("UTF-8"))
+    ).toDF("media_id", "media")
+    val out = Multimodal.decodeImages(spark, imgs).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(1L).decode_ok && out(1L).width === 40 && out(1L).height === 30)
+    assert(math.abs(out(1L).mean_luma - 255.0) < 1e-6)
+    assert(out(1L).luma_hist(7) === 1.0f)        // all pixels in the top bin
+    assert(out(2L).decode_ok && math.abs(out(2L).mean_luma) < 1e-6)
+    assert(out(2L).luma_hist(0) === 1.0f)
+    assert(out(3L).decode_ok && math.abs(out(3L).mean_luma - 0.299 * 255) < 0.5)
+    assert(!out(4L).decode_ok)
+  }
+
+  test("resizeImages scales real images (aspect kept, no upscale, undecodable pass through)") {
+    import spark.implicits._
+    val imgs = Seq(
+      (1L, pngBytes(200, 100, 0x00FF00)),
+      (2L, pngBytes(10, 10, 0x0000FF)),
+      (3L, "garbage".getBytes("UTF-8"))
+    ).toDF("media_id", "media")
+    val resized = Multimodal.resizeImages(spark, imgs, maxDim = 50)
+    val back = Multimodal.decodeImages(spark, resized).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(back(1L).decode_ok && back(1L).width === 50 && back(1L).height === 25)
+    assert(back(2L).decode_ok && back(2L).width === 10, "small image must not upscale")
+    assert(!back(3L).decode_ok, "garbage passes through unchanged")
+    // green survives the resample
+    assert(math.abs(back(1L).mean_luma - 0.587 * 255) < 1.0)
+  }
+
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2)     // byte rate, block align
+      .putShort(16)                                  // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("decodeWav parses real RIFF PCM: rate, count, RMS; truncated → decode_ok=false") {
+    import spark.implicits._
+    val square = Array.fill[Short](1000)(1000) // constant amplitude → RMS = 1000
+    val wavs = Seq(
+      (1L, wavBytes(16000, square)),
+      (2L, wavBytes(44100, Array[Short](0, 0, 0, 0))),
+      (3L, "RIFFxxxxWAVEbroken".getBytes("US-ASCII"))
+    ).toDF("media_id", "media")
+    val out = Multimodal.decodeWav(spark, wavs).collect()
+      .map(w => w.media_id -> w).toMap
+    assert(out(1L).decode_ok && out(1L).sample_rate === 16000 &&
+      out(1L).channels === 1 && out(1L).bits === 16 && out(1L).n_samples === 1000L)
+    assert(math.abs(out(1L).rms - 1000.0) < 1e-9)
+    assert(out(2L).decode_ok && out(2L).rms === 0.0 && out(2L).n_samples === 4L)
+    assert(!out(3L).decode_ok)
+  }
 }
