@@ -573,6 +573,205 @@ object Round4Queries {
            |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
            |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
 
+  /** Q117 (TPC-H Q13 form, customer distribution): histogram of customers
+    * by order count, zeros included — the two-level aggregation: a left
+    * join keeps orderless customers, count per customer, then count per
+    * count. The first agg's exchange is the only fact-sized shuffle; the
+    * histogram agg runs on per-customer rows. */
+  val q117 = GQuery("q117_customer_distribution", (s, d) => {
+    t(s, d, "customer").select("c_custkey")
+      .join(t(s, d, "orders").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count")) // count(col) skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  },
+    Some("""SELECT c_count, count(*) AS custdist
+           |FROM (SELECT c_custkey, count(o_custkey) AS c_count
+           |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |      GROUP BY c_custkey) per_cust
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** Q118 (TPC-H Q17 form, small-quantity revenue): lineitems under half
+    * their part's average quantity, for one brand. The correlated
+    * `avg(l_quantity) WHERE same part` decorrelates into a per-part
+    * aggregate joined back — the per-part avg is exact DECIMAL sum/count
+    * compared multiplied-through (2·N·qty < S·2... qty·2·cnt < sum·1) so
+    * no division sits on the comparison path. */
+  val q118 = GQuery("q118_small_quantity", (s, d) => {
+    val qtyDec = col("l_quantity").cast("decimal(18,2)")
+    val parts = t(s, d, "part")
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    val line = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val perPart = line.groupBy(col("p_partkey").as("ag_partkey"))
+      .agg(sum(qtyDec).as("qty_sum"), count(lit(1)).as("qty_cnt"))
+    line.join(perPart, col("l_partkey") === col("ag_partkey"))
+      .filter(qtyDec * 2 * col("qty_cnt") < col("qty_sum"))
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  },
+    Some("""WITH line AS (
+           |  SELECT l_partkey, l_quantity, l_extendedprice
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_brand = 'Brand#4'),
+           |per_part AS (
+           |  SELECT l_partkey AS ag_partkey,
+           |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+           |         count(*) AS qty_cnt
+           |  FROM line GROUP BY l_partkey)
+           |SELECT
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           |  count(*) AS n_lines
+           |FROM line JOIN per_part ON l_partkey = ag_partkey
+           |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * qty_cnt < qty_sum""".stripMargin))
+
+  /** Q119 (TPC-H Q21 form, sole late supplier): suppliers whose lineitem
+    * arrived late in an order where EVERY other supplier shipped on time —
+    * the EXISTS + NOT EXISTS pair over the same fact table. Both
+    * subqueries decorrelate into one semi and one anti join keyed on the
+    * order; the late-threshold is ship-lag > 60 days (no receipt dates in
+    * this schema). Top 20 by count. */
+  val q119 = GQuery("q119_sole_late_supplier", (s, d) => {
+    val line = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val l1 = line.filter(col("late"))
+      .select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1")).distinct()
+    // another supplier in the same order (late or not)
+    val other = line.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")).distinct()
+    // another supplier in the same order that was ALSO late
+    val otherLate = l1.select(col("k1").as("k3"), col("s1").as("s3"))
+    val candidates = l1
+      .join(other, col("k1") === col("k2") && col("s1") =!= col("s2"), "left_semi")
+    val sole = candidates
+      .join(otherLate, col("k1") === col("k3") && col("s1") =!= col("s3"), "left_anti")
+    sole.join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("s1") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  },
+    Some("""WITH line AS (
+           |  SELECT l_orderkey, l_suppkey,
+           |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_orderstatus = 'F'),
+           |l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM line WHERE late)
+           |SELECT s_name, count(*) AS numwait
+           |FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE EXISTS (SELECT 1 FROM line l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM line l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
+
+  /** Q120 (TPC-H Q7 form, volume shipping): revenue between two nations (the synthetic data names them NATION_7/NATION_12),
+    * both directions, by year — the OR'd nation-pair residual on a
+    * supplier⋈customer bridge. All dims broadcast; lineitem shuffles once
+    * for the (from, to, year) agg. */
+  val q120 = GQuery("q120_volume_shipping", (s, d) => {
+    val nations = t(s, d, "nation").select("n_nationkey", "n_name")
+    val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val pair = (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_12") ||
+      (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_7")
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(t(s, d, "orders").select("o_orderkey", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(pair)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(revenueDec.cast("double"), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |  CAST(year(l_shipdate) AS INT) AS l_year,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |WHERE (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_12')
+           |   OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_7')
+           |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+
+  /** Q121 (TPC-H Q8 form, market share): one nation's (NATION_7) share of ASIA
+    * revenue per year — conditional DECIMAL sum over total, division only
+    * at the rounded output edge. Same broadcast snowflake as q92 plus the
+    * two-sided nation attribution. */
+  val q121 = GQuery("q121_market_share", (s, d) => {
+    val asiaCust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round((sum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))) * 100).cast("double")
+          / sum(rev).cast("double"), 6).as("mkt_share_pct"),
+        round(sum(rev).cast("double"), 2).as("total_revenue"))
+      .orderBy("o_year")
+  },
+    Some("""WITH asia_cust AS (
+           |  SELECT c_custkey FROM customer
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'ASIA')
+           |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           |  round(CAST(sum(CASE WHEN n_name = 'NATION_7'
+           |                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           |                 ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS DOUBLE)
+           |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share_pct,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS total_revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE o_custkey IN (SELECT c_custkey FROM asia_cust)
+           |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98,
-    q99, q100, q101, q102, q111, q112, q113, q114)
+    q99, q100, q101, q102, q111, q112, q113, q114, q117, q118, q119, q120,
+    q121)
 }
