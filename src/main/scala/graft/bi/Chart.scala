@@ -34,6 +34,8 @@ final case class ChartSpec(
     timeRange: Option[(String, String)] = None,      // [from, to) literals
     timeGrain: Option[String] = None,                // time_grain_sqla (e.g. "day")
     timeCompare: Option[String] = None,              // time_compare offset (e.g. "1 day")
+    seriesLimit: Option[Int] = None,                 // series_limit (top-N series)
+    seriesLimitMetric: Option[String] = None,        // defaults to first metric
     orderBy: Seq[(String, Boolean)] = Nil,           // (column, ascending)
     rowLimit: Int = 100)                             // init_db.py:154
 
@@ -90,6 +92,26 @@ object ChartCompiler {
         val grouped =
           if (keys.nonEmpty) df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
           else df.agg(aggs.head, aggs.tail: _*)
+        // series_limit: keep only the top-N series (groupby-key tuples) by
+        // total of the limit metric — Superset's guard against unbounded
+        // series counts on timeseries charts. The ranking aggregate runs
+        // over the ALREADY-GROUPED result (bounded: series × grain rows),
+        // its top-N is a TakeOrdered with a deterministic tie-break, and
+        // membership comes back as a broadcast semi join — never a window
+        // over the full result. Applied before percent metrics, so
+        // percents are of the limited set (Superset's series-query order).
+        val limited = spec.seriesLimit match {
+          case Some(n) if spec.groupby.nonEmpty =>
+            val metric = spec.seriesLimitMetric.getOrElse(spec.metrics.head.alias)
+            val topSeries = grouped
+              .groupBy(spec.groupby.map(col): _*)
+              .agg(sum(col(metric)).as("__series_total"))
+              .orderBy(col("__series_total").desc +: spec.groupby.map(col(_).asc): _*)
+              .limit(n)
+              .select(spec.groupby.map(col): _*)
+            grouped.join(broadcast(topSeries), spec.groupby, "left_semi")
+          case _ => grouped
+        }
         // percent metrics: metric / total(metric). The total is a 1-row
         // aggregate broadcast-cross-joined back — NOT a partition-less
         // window, which would serialize the whole grouped result through a
@@ -100,12 +122,12 @@ object ChartCompiler {
         // aggregation runs twice — bounded 2×, fully parallel, asserted
         // in PlanQualitySpec.
         val withPct =
-          if (spec.percentMetrics.isEmpty) grouped
+          if (spec.percentMetrics.isEmpty) limited
           else {
-            val totals = grouped.agg(
+            val totals = limited.agg(
               spec.percentMetrics.map(m => sum(col(m.alias)).as(s"__total_${m.alias}")).head,
               spec.percentMetrics.tail.map(m => sum(col(m.alias)).as(s"__total_${m.alias}")): _*)
-            val withTotals = grouped.crossJoin(broadcast(totals))
+            val withTotals = limited.crossJoin(broadcast(totals))
             spec.percentMetrics.foldLeft(withTotals) { (acc, m) =>
               acc.withColumn(s"pct_${m.alias}", col(m.alias) / col(s"__total_${m.alias}"))
             }.drop(spec.percentMetrics.map(m => s"__total_${m.alias}"): _*)

@@ -274,6 +274,34 @@ object CorpusQueries {
            |      + 0.114 * ((doc_id * 83) % 256), 4) AS mean_luma
            |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin))
 
+  /** Q122 (BI / series_limit): timeseries chart keeping only the top-3
+    * event-type series by total count — Superset's series_limit lowering:
+    * a bounded ranking aggregate over the grouped result + broadcast semi
+    * join, never a window over the full series set. */
+  val q122 = GQuery("q122_chart_series_limit", (s, d) => {
+    import graft.bi.{ChartCompiler, ChartSpec, Metric}
+    ChartCompiler.compile(s,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        seriesLimit = Some(3),
+        orderBy = Seq(("__timestamp", true), ("event_type", true)),
+        rowLimit = 1000),
+      name => t(s, d, name))
+  },
+    Some("""WITH daily AS (
+           |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __timestamp,
+           |         event_type, count(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |top3 AS (
+           |  SELECT event_type FROM daily
+           |  GROUP BY event_type
+           |  ORDER BY sum(cnt) DESC, event_type LIMIT 3)
+           |SELECT __timestamp, event_type, cnt
+           |FROM daily WHERE event_type IN (SELECT event_type FROM top3)
+           |ORDER BY __timestamp, event_type LIMIT 1000""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q103, q104, q105, q106, q107, q108, q109, q110,
-    q115, q116)
+    q115, q116, q122)
 }
