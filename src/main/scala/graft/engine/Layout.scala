@@ -248,6 +248,39 @@ object Layout {
     republish(spark, spark.table(table).repartition(numFiles), table)
   }
 
+  /** CDC diff between two snapshot tags — Iceberg's changelog scan for
+    * tables that rewrite (where [[readBetween]]'s append-only file diff
+    * degrades): a key-matched full-outer comparison emitting one row per
+    * changed key with `_change_type` insert/delete/update_postimage
+    * (Delta CDF vocabulary). Unchanged keys are filtered by a row-hash
+    * equality BEFORE anything wide: the join shuffles both tagged reads
+    * once on the key; at real scale both sides are tagged file sets, so
+    * this is the standard one-shuffle reconciliation, never a row-by-row
+    * driver loop. */
+  def changesBetween(spark: SparkSession, table: String, fromTag: String,
+      toTag: String, keyCol: String): DataFrame = {
+    val before = readAt(spark, table, fromTag)
+    val after = readAt(spark, table, toTag)
+    val cols = after.columns.toSeq
+    require(before.columns.toSeq == cols,
+      s"schema changed between tags; diff by name not supported here")
+    def hashed(df: DataFrame, side: String) =
+      df.select(col(keyCol).as(s"__k_$side"),
+        xxhash64(cols.map(col): _*).as(s"__h_$side"),
+        struct(cols.map(col): _*).as(s"__row_$side"))
+    val joined = hashed(before, "b").join(hashed(after, "a"),
+      col("__k_b") === col("__k_a"), "full_outer")
+    joined
+      .withColumn("_change_type",
+        when(col("__k_b").isNull, "insert")
+          .when(col("__k_a").isNull, "delete")
+          .when(col("__h_b") =!= col("__h_a"), "update_postimage"))
+      .filter(col("_change_type").isNotNull)
+      .select(col("_change_type"),
+        coalesce(col("__row_a"), col("__row_b")).as("row"))
+      .select(col("_change_type") +: cols.map(c => col(s"row.$c").as(c)): _*)
+  }
+
   /** Z-ORDER clustering (Iceberg/Delta `rewrite_data_files(strategy =>
     * 'sort', sort_order => 'zorder(a, b)')` equivalent): rewrite the table
     * so rows near each other in the multi-dimensional (a, b, ...) space
