@@ -302,6 +302,120 @@ object CorpusQueries {
            |FROM daily WHERE event_type IN (SELECT event_type FROM top3)
            |ORDER BY __timestamp, event_type LIMIT 1000""".stripMargin))
 
+  /** Shared ordered-bigram pair stream: one tokenizer pass, positional
+    * zip via an index transform, explode_outer (never plain explode — the
+    * inferred size>0 filter re-runs the tokenizer at the scan, the q105
+    * trap). */
+  private def bigrams(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("text")
+    docs.withColumn("__toks", graft.ext.TextPrep.tokens(col("text")))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("bg",
+        explode_outer(when(col("__n") >= 2,
+          transform(sequence(lit(1), col("__n") - 1),
+            i => struct(element_at(col("__toks"), i).as("a"),
+              element_at(col("__toks"), i + 1).as("b"))))))
+      .filter(col("bg").isNotNull)
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+  }
+
+  private val bigramsSql =
+    """SELECT bg.a, bg.b FROM (
+      |  SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+      |                 for i in range(1, len(w))]) AS bg
+      |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 2)""".stripMargin
+
+  /** Q123 (bigram LM stats): the top-3 continuations of each token with
+    * conditional probabilities — the n-gram language-model estimation
+    * pass (tokenizer/bigram statistics a corpus team ships with every
+    * release). One explode, one (a,b) count with map-side combine, an
+    * a-keyed window for both the per-token total and the top-3 cut. */
+  val q123 = GQuery("q123_bigram_lm", (s, d) => {
+    val counts = bigrams(s, d).groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    val wTot = Window.partitionBy(col("a"))
+    val wRank = Window.partitionBy(col("a")).orderBy(col("cnt").desc, col("b"))
+    counts
+      .withColumn("a_total", sum(col("cnt")).over(wTot))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 3)
+      .select(col("a"), col("rnk"), col("b"), col("cnt"),
+        round(col("cnt").cast("double") / col("a_total"), 6).as("cond_p"))
+      .orderBy("a", "rnk")
+  },
+    Some(s"""WITH bg AS ($bigramsSql),
+            |c AS (SELECT a, b, count(*) AS cnt FROM bg GROUP BY a, b),
+            |r AS (SELECT a, b, cnt,
+            |        sum(cnt) OVER (PARTITION BY a) AS a_total,
+            |        row_number() OVER (PARTITION BY a ORDER BY cnt DESC, b) AS rnk
+            |      FROM c)
+            |SELECT a, CAST(rnk AS INT) AS rnk, b, cnt,
+            |       round(cnt::DOUBLE / a_total, 6) AS cond_p
+            |FROM r WHERE rnk <= 3 ORDER BY a, rnk""".stripMargin))
+
+  /** Q124 (PMI collocations): pointwise mutual information of bigrams —
+    * ln(N·c(a,b) / (c(a,·)·c(·,b))) — the classic collocation detector.
+    * Marginals and the N scalar broadcast back onto the bigram counts;
+    * log of identical IEEE doubles is identical, so round-6 is safe. */
+  val q124 = GQuery("q124_pmi_collocations", (s, d) => {
+    val bg = bigrams(s, d)
+    val counts = bg.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    val aCounts = bg.groupBy("a").agg(count(lit(1)).as("a_cnt"))
+    val bCounts = bg.groupBy("b").agg(count(lit(1)).as("b_cnt"))
+    val total = bg.agg(count(lit(1)).as("n_total"))
+    counts
+      .join(broadcast(aCounts), "a")
+      .join(broadcast(bCounts), "b")
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= 5)
+      .withColumn("pmi",
+        round(log(col("cnt").cast("double") * col("n_total")
+          / (col("a_cnt").cast("double") * col("b_cnt"))), 6))
+      .select("a", "b", "cnt", "pmi")
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+  },
+    Some(s"""WITH bg AS ($bigramsSql),
+            |c AS (SELECT a, b, count(*) AS cnt FROM bg GROUP BY a, b),
+            |ac AS (SELECT a, count(*) AS a_cnt FROM bg GROUP BY a),
+            |bc AS (SELECT b, count(*) AS b_cnt FROM bg GROUP BY b),
+            |n AS (SELECT count(*) AS n_total FROM bg)
+            |SELECT a, b, cnt,
+            |  round(ln(cnt::DOUBLE * n_total / (a_cnt::DOUBLE * b_cnt)), 6) AS pmi
+            |FROM c JOIN ac USING (a) JOIN bc USING (b), n
+            |WHERE cnt >= 5
+            |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin))
+
+  /** Q125 (Zipf fit): rank-frequency regression slope over the token
+    * distribution — the corpus-health diagnostic (natural text ≈ -1;
+    * synthetic word salad is flatter). The rank window runs over the
+    * vocabulary (bounded), never the token stream; the fit is a
+    * partial-aggregable regr_slope. */
+  val q125 = GQuery("q125_zipf_fit", (s, d) => {
+    val counts = t(s, d, "documents")
+      .select(explode(graft.ext.TextPrep.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    ranked.agg(
+      count(lit(1)).as("vocab_size"),
+      round(expr("regr_slope(ln(cnt), ln(rank))"), 6).as("zipf_slope"),
+      round(expr("regr_r2(ln(cnt), ln(rank))"), 6).as("fit_r2"))
+  },
+    Some("""WITH c AS (
+           |  SELECT t.token, count(*) AS cnt
+           |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           |        FROM documents) t
+           |  GROUP BY t.token),
+           |r AS (SELECT cnt,
+           |        row_number() OVER (ORDER BY cnt DESC, token) AS rank
+           |      FROM c)
+           |SELECT count(*) AS vocab_size,
+           |  round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+           |  round(regr_r2(ln(cnt), ln(rank)), 6) AS fit_r2
+           |FROM r""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q103, q104, q105, q106, q107, q108, q109, q110,
-    q115, q116, q122)
+    q115, q116, q122, q123, q124, q125)
 }
