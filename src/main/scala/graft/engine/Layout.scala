@@ -175,7 +175,7 @@ object Layout {
     * then DELETE the staging copy — callers like the streaming upsert sink
     * invoke this per micro-batch, so a leaked staging dir per call would
     * grow /tmp without bound. */
-  private def republish(spark: SparkSession, df: DataFrame, table: String): Unit = {
+  private[engine] def republish(spark: SparkSession, df: DataFrame, table: String): Unit = {
     val tmp = Files.createTempDirectory("graft_stage")
     try {
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance — the summary-table engine
+  * feature (Trino/BigQuery MVs, Iceberg's incremental-refresh pattern):
+  * an aggregate over a fact table is stored as its own table and kept
+  * fresh by folding in only the rows APPENDED since the last refresh.
+  *
+  * Mechanism: additive measures (count/sum — the partial-aggregable
+  * class) make the view mergeable: refresh = aggregate the delta
+  * ([[Layout.readBetween]] over snapshot tags — O(new data)) and
+  * re-aggregate `stored ∪ delta-partial` by key. Both re-agg inputs are
+  * SUMMARY-sized, so a refresh never touches historical fact bytes —
+  * that is the entire point at 100 TB: the nightly dashboard refresh
+  * costs the night's data, not the table's.
+  *
+  * avg and other ratios are derived at read time from their additive
+  * parts (`avg = sum/count`), the standard MV discipline. Non-additive
+  * measures (distinct counts) need sketches (HLL union) — out of scope
+  * here, declared.
+  *
+  * Tag bookkeeping: each view keeps a monotonic chain of source tags
+  * `__mv_<view>_<i>`; refresh diffs the last two. Rewrites of the source
+  * degrade the file diff to "everything is new" (same as Iceberg), which
+  * double-counts rewritten history — the append-only contract is the
+  * documented precondition, matching [[Layout.readBetween]]. */
+object Mview {
+
+  final case class Measure(fn: String, column: Option[String], alias: String)
+
+  private def tagPrefix(view: String) = s"__mv_${view}_"
+
+  private def lastTagIndex(spark: SparkSession, source: String, view: String): Int =
+    Layout.listSnapshots(spark, source)
+      .filter(_.startsWith(tagPrefix(view)))
+      .map(_.stripPrefix(tagPrefix(view)).toInt)
+      .sorted.lastOption.getOrElse(-1)
+
+  private def aggCols(measures: Seq[Measure]) = measures.map { m =>
+    m.fn.toLowerCase match {
+      case "count" => count(m.column.map(col).getOrElse(lit(1))).as(m.alias)
+      case "sum"   => sum(col(m.column.get)).as(m.alias)
+      case other => throw new IllegalArgumentException(
+        s"non-additive measure fn '$other' — only count/sum merge; derive ratios at read time")
+    }
+  }
+
+  /** Aggregate `df` by `keys` into the measure columns. */
+  private def summarize(df: DataFrame, keys: Seq[String], measures: Seq[Measure]) = {
+    val aggs = aggCols(measures)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Create view `view` = `source` grouped by `keys` with additive
+    * `measures`; materializes the full aggregate once and tags the
+    * source's current files as refresh epoch 0. */
+  def create(spark: SparkSession, view: String, source: String,
+      keys: Seq[String], measures: Seq[Measure]): Unit = {
+    summarize(spark.table(source), keys, measures)
+      .write.mode("overwrite").saveAsTable(view)
+    Layout.snapshot(spark, source, s"${tagPrefix(view)}0")
+  }
+
+  /** Fold rows appended to `source` since the last refresh into the view.
+    * Cost: one aggregate over the DELTA + one re-aggregate of two
+    * summary-sized inputs. No-op (and no new epoch) when nothing was
+    * appended. */
+  def refresh(spark: SparkSession, view: String, source: String,
+      keys: Seq[String], measures: Seq[Measure]): Unit = {
+    val last = lastTagIndex(spark, source, view)
+    require(last >= 0, s"view $view was never created over $source")
+    val nextTag = s"${tagPrefix(view)}${last + 1}"
+    Layout.snapshot(spark, source, nextTag)
+    val delta = Layout.readBetween(spark, source,
+      s"${tagPrefix(view)}$last", nextTag)
+    if (delta.isEmpty) return
+    val deltaSummary = summarize(delta, keys, measures)
+    // re-aggregate two summaries: count/sum merge as sums of partials
+    val merged = spark.table(view).unionByName(deltaSummary)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head.alias)).as(measures.head.alias),
+        measures.tail.map(m => sum(col(m.alias)).as(m.alias)): _*)
+    // align types: sum(count) widens; cast back to the stored schema
+    val stored = spark.table(view).schema
+    val aligned = merged.select(stored.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // stage-and-republish (Spark can't overwrite a table it is reading);
+    // Layout.republish also cleans its staging dir
+    Layout.republish(spark, aligned, view)
+  }
+}

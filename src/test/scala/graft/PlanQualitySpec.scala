@@ -283,6 +283,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(wide.isEmpty, s"1-row aggregate needs no wide shuffle:\n$plan")
   }
 
+  test("q119's EXISTS/NOT-EXISTS pair lowers to one semi and one anti join") {
+    val plan = executed(run("q119_sole_late_supplier"))
+    def joinsOf(t: String) = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == t => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.sql == t => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.sql == t => j
+    }
+    assert(joinsOf("LEFT SEMI").nonEmpty, s"no semi join:\n$plan")
+    assert(joinsOf("LEFT ANTI").nonEmpty, s"no anti join:\n$plan")
+  }
+
+  test("q123's per-token windows are keyed, never global") {
+    val plan = executed(run("q123_bigram_lm"))
+    val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.isEmpty, plan.toString)
+    // the top-3 cut pushes into WindowGroupLimit (map-side partial top-k)
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    assert(plan.collect { case w: WindowGroupLimitExec => w }.nonEmpty, plan.toString)
+  }
+
   test("q109 negative sampling broadcasts probes against one corpus scan") {
     val plan = executed(run("q109_negative_sampling"))
     assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty, plan.toString)
