@@ -34,6 +34,7 @@ final case class ChartSpec(
     timeRange: Option[(String, String)] = None,      // [from, to) literals
     timeGrain: Option[String] = None,                // time_grain_sqla (e.g. "day")
     timeCompare: Option[String] = None,              // time_compare offset (e.g. "1 day")
+    contribution: Boolean = false,                   // contribution mode (share per timestamp)
     seriesLimit: Option[Int] = None,                 // series_limit (top-N series)
     seriesLimitMetric: Option[String] = None,        // defaults to first metric
     orderBy: Seq[(String, Boolean)] = Nil,           // (column, ascending)
@@ -132,6 +133,24 @@ object ChartCompiler {
               acc.withColumn(s"pct_${m.alias}", col(m.alias) / col(s"__total_${m.alias}"))
             }.drop(spec.percentMetrics.map(m => s"__total_${m.alias}"): _*)
           }
+        // contribution mode: each series' metric becomes its share of the
+        // per-timestamp total — Superset's "contribution" postprocessing
+        // (series stacking as percentages). The window partitions by the
+        // grain timestamp, so each partition holds one timestamp's series
+        // rows (bounded by series count) — high grain cardinality means
+        // MORE parallelism, never a global window.
+        val withContrib =
+          if (!spec.contribution) withPct
+          else {
+            require(grainKey.nonEmpty && spec.groupby.nonEmpty,
+              "contribution requires timeColumn + timeGrain and a groupby")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__timestamp"))
+            spec.metrics.foldLeft(withPct) { (acc, m) =>
+              acc.withColumn(s"contrib_${m.alias}",
+                col(m.alias).cast("double") / sum(col(m.alias).cast("double")).over(w))
+            }
+          }
         // time_compare: each metric gets a `<alias>__prev` twin from the
         // period `offset` earlier — Superset runs a second shifted query;
         // the single-plan equivalent is a left self-join of the grouped
@@ -143,15 +162,15 @@ object ChartCompiler {
         spec.timeCompare match {
           case Some(offset) if grainKey.nonEmpty =>
             val dims = spec.groupby
-            val shifted = withPct.select(
+            val shifted = withContrib.select(
               (col("__timestamp") + expr(s"INTERVAL $offset")).as("__timestamp") +:
                 (dims.map(col) ++
                   spec.metrics.map(m => col(m.alias).as(s"${m.alias}__prev"))): _*)
-            withPct.join(shifted, Seq("__timestamp") ++ dims, "left")
+            withContrib.join(shifted, Seq("__timestamp") ++ dims, "left")
           case Some(_) =>
             throw new IllegalArgumentException(
               "time_compare requires timeColumn + timeGrain")
-          case None => withPct
+          case None => withContrib
         }
       case other => throw new IllegalArgumentException(s"unsupported query_mode: $other")
     }

@@ -42,6 +42,58 @@ object Layout {
       .sortBy(keyCol)
       .saveAsTable(table)
 
+  // ----------------------------------------- hidden partition transforms
+  // Iceberg's `PARTITIONED BY (days(ts))` / `(bucket(n, key))`: the
+  // partition value is DERIVED from a source column at write time, queries
+  // keep filtering on the SOURCE column, and the read path translates the
+  // predicate into a partition filter + exact residual — the user never
+  // names the partition column. Iceberg does the translation in its scan
+  // planner; here the transform-aware readers do it (a
+  // SparkSessionExtensions rule could fold it into arbitrary SQL, but the
+  // two shapes below cover the exercised surface). Bucket hashing uses
+  // xxhash64 (Spark-native, codegen'd) rather than Iceberg's murmur3 —
+  // self-consistent within this engine, documented divergence.
+
+  /** Write `df` to `dir` partitioned by the UTC day of `tsCol` — the
+    * `days(ts)` transform. The derived dir column is `p_day`. */
+  def writeDaysTransform(df: DataFrame, tsCol: String, dir: String): Unit =
+    df.withColumn("p_day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p_day").parquet(dir)
+
+  /** Read a `days(ts)` table with a time-range predicate `[from, until)` on
+    * the SOURCE column: the range is widened to whole days for partition
+    * pruning (PartitionFilters in the plan), then the exact timestamp
+    * residual applies on the surviving rows — Iceberg's
+    * predicate-to-partition-transform projection for `days`. */
+  def readDaysTransform(spark: SparkSession, dir: String, tsCol: String,
+      from: String, until: String): DataFrame = {
+    val fromDay = from.substring(0, 10)
+    val untilDay = until.substring(0, 10) // day of the (exclusive) bound
+    spark.read.parquet(dir)
+      .filter(col("p_day") >= fromDay && col("p_day") <= untilDay)
+      .filter(col(tsCol) >= lit(from).cast("timestamp") &&
+        col(tsCol) < lit(until).cast("timestamp"))
+      .drop("p_day")
+  }
+
+  /** Write `df` to `dir` partitioned by `bucket(numBuckets, keyCol)`. */
+  def writeBucketTransform(df: DataFrame, keyCol: String, numBuckets: Int,
+      dir: String): Unit =
+    df.withColumn("p_bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
+      .write.mode(SaveMode.Overwrite).partitionBy("p_bucket").parquet(dir)
+
+  /** Point-lookup on a `bucket(n, key)` table: the key's bucket is a
+    * constant-foldable expression over the literal, so exactly one
+    * partition directory survives pruning; the key equality is the exact
+    * residual. This is the layout that turns a needle-in-100 TB probe into
+    * a single-directory scan. */
+  def readBucketTransform(spark: SparkSession, dir: String, keyCol: String,
+      numBuckets: Int, value: Any): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("p_bucket") === pmod(xxhash64(lit(value)), lit(numBuckets)))
+      .filter(col(keyCol) === lit(value))
+      .drop("p_bucket")
+
   // ------------------------------------------------------------- snapshots
   // Tagged-read emulation of the reference's versioned catalog (Nessie ref
   // `main`, compose/trino/catalog/iceberg.properties:6): `snapshot` tags

@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style metadata tables over a parquet table directory — the
+  * `table$files` / `table$partitions` inspection surface the reference
+  * catalog exposes (Trino `SELECT * FROM "t$files"`; Iceberg spec's
+  * manifest `record_count`/`file_size_in_bytes` columns).
+  *
+  * Listing is a driver-side metadata operation (exactly like reading
+  * Iceberg manifests), but the per-file parquet FOOTER reads — the part
+  * proportional to file count — run distributed: the path list becomes a
+  * Dataset and each task opens only footers (column stats + row counts),
+  * never data pages. A 100 TB table with 100 k files costs 100 k footer
+  * reads spread over the cluster, zero data-page I/O.
+  */
+object MetaTables {
+
+  private def listFiles(spark: SparkSession, dir: String): Seq[FileStatus] = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: HPath): Seq[FileStatus] =
+      fs.listStatus(p).toSeq.flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+    walk(root).filter(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** `$files`: one row per data file — (file, partition, record_count,
+    * file_size_bytes). `partition` is the Hive-style `k=v[/k=v...]`
+    * relative path ("" for unpartitioned files). Row counts come from the
+    * footer's block metadata, read in parallel tasks. */
+  def filesMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rootUri = new HPath(dir).toUri
+    val paths = listFiles(spark, dir).map { f =>
+      val rel = rootUri.relativize(f.getPath.toUri).getPath
+      val part = rel.split('/').dropRight(1).filter(_.contains('=')).mkString("/")
+      (f.getPath.toString, part, f.getLen)
+    }
+    val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths).repartition(slices)
+      .mapPartitions { it =>
+        // Executor-local Configuration: fine for the default filesystem; a
+        // multi-FS deployment would broadcast the serialized Hadoop conf.
+        val conf = new Configuration()
+        it.map { case (path, part, bytes) =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new HPath(path), conf))
+          val records = try reader.getRecordCount finally reader.close()
+          (path, part, records, bytes)
+        }
+      }
+      .toDF("file", "partition", "record_count", "file_size_bytes")
+  }
+
+  /** `$partitions`: per-partition rollup of [[filesMetadata]] — (partition,
+    * file_count, record_count, total_bytes). The input is one row per FILE
+    * (metadata-sized), so the rollup is trivially small. */
+  def partitionsMetadata(spark: SparkSession, dir: String): DataFrame =
+    filesMetadata(spark, dir)
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("file_count"),
+        sum(col("record_count")).as("record_count"),
+        sum(col("file_size_bytes")).as("total_bytes"))
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.Tables
+
+/** Declared queries Q126+: the scalar/collection function surface tier —
+  * array higher-order functions, positional UNNEST, schema'd JSON parse,
+  * mergeable distinct sketches, FILTER-clause aggregates, forward fill.
+  *
+  * These are the everyday Trino functions a user of the reference stack
+  * reaches for in SQL Lab (`/root/reference/README.md:42-46` exposes ad-hoc
+  * SQL through Superset; Trino ships `transform`/`filter`/`reduce`,
+  * `UNNEST WITH ORDINALITY`, `json_extract` + casts, `approx_distinct`,
+  * `count(x) FILTER (WHERE ...)` as first-class SQL). Each is re-expressed
+  * as the Spark-native equivalent — codegen'd HOF expressions, `posexplode`,
+  * `from_json` with an explicit schema (never schema inference), DataSketches
+  * HLL aggregates, `when`-guarded aggregates — and oracle-checked against
+  * DuckDB's own spelling of the same semantics.
+  */
+object SurfaceQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** DuckDB twin of the Spark-side whitespace tokenizer (see CorpusQueries). */
+  private val tokensSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** Q126 (F11, array higher-order functions): per-document token-length
+    * profile computed entirely inside array expressions — `transform` to
+    * lengths, `filter` for long tokens, `aggregate` (fold) for the total —
+    * with zero explodes and zero shuffles before the display sort. This is
+    * the Trino `transform`/`filter`/`reduce` lambda surface; in Spark these
+    * lower to codegen'd HigherOrderFunction expressions over the in-row
+    * array, so a 100 TB corpus pays one narrow map, never a row-multiplying
+    * explode→groupBy round trip. */
+  val q126 = GQuery("q126_array_hofs", (s, d) => {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val lens  = transform(words, w => length(w))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(words).as("n_tokens"),
+        size(filter(lens, l => l >= 8)).as("n_long"),
+        aggregate(lens, lit(0L), (acc, l) => acc + l.cast(LongType)).as("total_chars"),
+        array_max(lens).cast(LongType).as("max_len"))
+      .orderBy("doc_id")
+  },
+    Some(s"""SELECT doc_id,
+            |  CAST(len(w) AS INT) AS n_tokens,
+            |  CAST(len(list_filter(list_transform(w, x -> len(x)), l -> l >= 8)) AS INT) AS n_long,
+            |  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS total_chars,
+            |  CAST(list_max(list_transform(w, x -> len(x))) AS BIGINT) AS max_len
+            |FROM (SELECT doc_id, $tokensSql AS w FROM documents)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Q127 (F12, positional UNNEST): `posexplode` — Trino's
+    * `UNNEST ... WITH ORDINALITY` — emitting (doc_id, pos, token) with the
+    * element's 0-based position. Restricted to short documents so the
+    * oracle row count stays bounded; the position comes from the explode
+    * generator itself (exact, order-defined), never from a window over an
+    * exploded set (which would add a sort exchange for something the
+    * generator already knows). */
+  val q127 = GQuery("q127_unnest_ordinality", (s, d) => {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    t(s, d, "documents")
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+  },
+    Some(s"""SELECT doc_id, CAST(g.i AS BIGINT) AS pos, w[g.i + 1] AS token
+            |FROM (SELECT doc_id, $tokensSql AS w FROM documents WHERE doc_id < 50),
+            |     LATERAL (SELECT unnest(range(len(w))) AS i) g
+            |ORDER BY doc_id, pos""".stripMargin))
+
+  /** Q128 (F13, schema'd JSON parse): `from_json` with an explicit struct
+    * schema — the declared-schema discipline (§1.3): at 100 TB, schema
+    * inference is a full extra pass, so the schema is always stated. The
+    * struct field is read typed (BIGINT, no string round-trip) and a field
+    * absent from the document reads as NULL, which the aggregate witnesses:
+    * `missing_nulls` counts rows whose absent field correctly parsed to
+    * NULL. Contrast with q22's `get_json_object` path extraction — this is
+    * the typed half of the JSON surface (Trino `json_value` / CAST over
+    * `json_parse`). */
+  val q128 = GQuery("q128_json_typed", (s, d) => {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("absent", StringType)))
+    t(s, d, "events")
+      .select(col("event_type"), from_json(col("props"), schema).as("j"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("j.k")).as("sum_k"),
+        count(when(col("j.absent").isNull, 1)).as("missing_nulls"))
+      .orderBy("event_type")
+  },
+    Some("""SELECT event_type, count(*) AS cnt,
+           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           |  count(*) FILTER (WHERE json_extract_string(props, '$.absent') IS NULL) AS missing_nulls
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Q129 (A15, mergeable distinct sketches): Apache DataSketches HLL via
+    * `hll_sketch_agg` / `hll_union_agg` — the Trino `approx_distinct` /
+    * Superset "approx distinct" counterpart, and the mechanism behind
+    * mergeable rollup tables: per-nation sketches built in one pass merge
+    * into the global sketch WITHOUT rescanning the fact (the partial-agg
+    * property materialized views need). The gate is a recall-style
+    * contract (the q30 pattern): both the direct global estimate and the
+    * merged-from-parts estimate must land within 5% of the exact distinct
+    * count, which DuckDB recomputes exactly. A sketch regression flips
+    * either boolean red. */
+  val q129 = GQuery("q129_hll_mergeable", (s, d) => {
+    val cust = t(s, d, "orders").select(col("o_custkey"), col("o_orderstatus"))
+    val perStatus = cust.groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = perStatus.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    val direct = cust.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("direct_est"),
+      countDistinct(col("o_custkey")).as("exact_cnt"))
+    direct.crossJoin(merged)
+      .select(col("exact_cnt"),
+        (abs(col("direct_est") - col("exact_cnt")) <= col("exact_cnt") * 0.05)
+          .as("direct_ok"),
+        (abs(col("merged_est") - col("exact_cnt")) <= col("exact_cnt") * 0.05)
+          .as("merged_ok"))
+  },
+    Some("""SELECT count(DISTINCT o_custkey) AS exact_cnt,
+           |  true AS direct_ok, true AS merged_ok
+           |FROM orders""".stripMargin))
+
+  /** Q130 (A16, FILTER-clause aggregates): conditional aggregation through
+    * the SQL surface — `count/sum FILTER (WHERE ...)` per nation, the
+    * idiom Trino users write for multi-measure one-pass rollups (one scan,
+    * one shuffle, N measures; never N self-joining subqueries). Spark
+    * lowers FILTER to the same `when`-guarded partial aggregate the
+    * DataFrame `sum(when(...))` form produces. Sums stay DECIMAL
+    * internally (order-independent) and surface rounded. */
+  val q130 = GQuery("q130_filtered_agg", (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("fa_orders")
+    t(s, d, "customer").createOrReplaceTempView("fa_customer")
+    s.sql("""SELECT c_nationkey,
+            |  count(*) AS n_orders,
+            |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            |        FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) AS urgent_total,
+            |  count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) AS big_spenders
+            |FROM fa_orders JOIN fa_customer ON o_custkey = c_custkey
+            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  },
+    Some("""SELECT c_nationkey,
+           |  count(*) AS n_orders,
+           |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           |        FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) AS urgent_total,
+           |  count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) AS big_spenders
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  /** Q131 (W9, forward fill): carry the last observed purchase value
+    * forward over each user's event timeline — `last(..., ignoreNulls)`
+    * over a running frame, Trino's `last_value(x IGNORE NULLS)`. The gap-
+    * filling idiom for sparse measurements (sensor readings, prices,
+    * checkpoint metrics). The window is user-partitioned with a total
+    * (ts, event_id) order, so state per partition is one value and no
+    * global sort or single-partition window exists anywhere in the plan. */
+  val q131 = GQuery("q131_forward_fill", (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val purchase = when(col("event_type") === "purchase", col("value"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        // Rows before the user's first purchase have nothing to carry:
+        // surface those as -1 (a value outside the domain) so the gate
+        // compares a total function, not NULL-vs-NULL floats.
+        round(coalesce(last(purchase, ignoreNulls = true).over(w), lit(-1d)), 2)
+          .as("last_purchase"))
+      .orderBy("user_id", "event_id")
+  },
+    Some("""SELECT user_id, event_id,
+           |  round(coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1), 2) AS last_purchase
+           |FROM events ORDER BY user_id, event_id""".stripMargin))
+
+  /** Q132 (B1⁗, chart contribution mode): Superset's "contribution"
+    * postprocessing — each series' metric becomes its share of the
+    * per-timestamp total, the stacked-percentage timeseries chart. The
+    * share window partitions by the grain timestamp (one partition per
+    * day, bounded by series count) — higher grain cardinality means more
+    * parallelism, never a global window (plan-locked in ChartCompilerSpec).
+    * Shares are ratios of two double sums, stable to 1e-15; rounded to 6. */
+  val q132 = GQuery("q132_chart_contribution", (s, d) => {
+    graft.bi.ChartCompiler.compile(s,
+      graft.bi.ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(graft.bi.Metric("sum", Some("value"), "total_value")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        contribution = true,
+        orderBy = Seq(("__timestamp", true), ("event_type", true)),
+        rowLimit = 1000),
+      n => t(s, d, n))
+      .select(col("__timestamp"), col("event_type"),
+        round(col("contrib_total_value"), 6).as("contrib"))
+      .orderBy("__timestamp", "event_type")
+  },
+    Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __timestamp, event_type,
+           |  round(sum(value) / sum(sum(value))
+           |    OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))), 6) AS contrib
+           |FROM events GROUP BY 1, 2 ORDER BY __timestamp, event_type LIMIT 1000""".stripMargin))
+
+  /** Q133 (L7, hidden partition transforms): write events under the
+    * Iceberg `days(ts)` transform, then answer a timestamp-range query
+    * through the transform-aware reader — the predicate is stated on the
+    * SOURCE column, widened to whole-day partition pruning
+    * (PartitionFilters in the plan, locked in LayoutSpec), with the exact
+    * residual on the survivors. At 100 TB this is the difference between
+    * scanning 7 partition directories and scanning the table. */
+  val q133 = GQuery("q133_partition_pruning", (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_days").toString
+    graft.engine.Layout.writeDaysTransform(t(s, d, "events"), "ts", dir)
+    graft.engine.Layout
+      .readDaysTransform(s, dir, "ts", "2024-01-05 12:00:00", "2024-01-12 00:00:00")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+           |FROM events
+           |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 12:00:00'
+           |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Q134 (L8, metadata tables): the `$partitions` inspection surface over
+    * a `days(ts)`-partitioned table — per-partition record counts read
+    * from parquet FOOTERS only (distributed footer reads, zero data
+    * pages; see MetaTables). The oracle recomputes the per-day counts
+    * from the raw rows, so a footer-stats bug cannot hide. */
+  val q134 = GQuery("q134_partitions_metadata", (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    graft.engine.Layout.writeDaysTransform(t(s, d, "events"), "ts", dir)
+    graft.engine.MetaTables.partitionsMetadata(s, dir)
+      .select(regexp_extract(col("partition"), "p_day=(.*)", 1).as("day"),
+        col("record_count"))
+      .orderBy("day")
+  },
+    Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           |  count(*) AS record_count
+           |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133, q134)
+}

@@ -116,6 +116,38 @@ class ChartCompilerSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(3) - r.getLong(1) / totalCnt) < 1e-9))
   }
 
+  test("contribution mode: per-timestamp shares sum to 1; window stays grain-partitioned") {
+    val df = ChartCompiler.compile(spark,
+      ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        contribution = true, rowLimit = 10000),
+      _ => events)
+    import org.apache.spark.sql.functions._
+    // shares within every timestamp sum to 1 (one group per day)
+    val sums = df.groupBy("__timestamp").agg(sum("contrib_cnt").as("s")).collect()
+    assert(sums.nonEmpty && sums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    // the share window partitions by the grain key — never a global window
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty), plan.toString)
+    // contribution without a grain or groupby is refused
+    intercept[IllegalArgumentException] {
+      ChartCompiler.compile(spark,
+        ChartSpec(datasource = "events", queryMode = "aggregate",
+          groupby = Seq("event_type"), metrics = Seq(Metric("count", None, "cnt")),
+          contribution = true),
+        _ => events).collect()
+    }
+  }
+
   test("simple adhoc filters compile to predicates") {
     val df = ChartCompiler.compile(spark,
       ChartSpec(datasource = "events", queryMode = "aggregate",
