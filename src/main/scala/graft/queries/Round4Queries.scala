@@ -771,7 +771,115 @@ object Round4Queries {
            |WHERE o_custkey IN (SELECT c_custkey FROM asia_cust)
            |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin))
 
+  /** Q135 (TPC-H Q16 form, supplier count by part attributes): how many
+    * distinct suppliers can deliver each surviving (brand, type, size)
+    * combination. No partsupp table in this schema — the (part, supplier)
+    * relation comes from shipped lineitems, reduced to DISTINCT pairs
+    * BEFORE the dimension join. "Complaint" suppliers (negative balance —
+    * this schema's stand-in) leave via a broadcast anti join; the part
+    * attribute cuts ride the broadcast build side. One distinct shuffle on
+    * the slim pair relation, one count-distinct agg — the fact table never
+    * shuffles full-width. */
+  val q135 = GQuery("q135_supplier_part_types", (s, d) => {
+    val pairs = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    val parts = t(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#3" &&
+        !col("p_type").startsWith("ECONOMY") &&
+        col("p_size").isin(1, 5, 9, 14, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = t(s, d, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    pairs
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  },
+    Some("""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+           |JOIN part ON p_partkey = l_partkey
+           |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'ECONOMY%'
+           |  AND p_size IN (1, 5, 9, 14, 23, 36, 45)
+           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |GROUP BY p_brand, p_type, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+
+  /** Q136 (TPC-H Q20 form, heavy-shipper promotion): suppliers who moved
+    * more than 50 units of any red part during 1996 — the nested
+    * semi-join chain (part filter → per-(supplier, part) quantity
+    * aggregate → threshold → supplier semi join). The aggregate runs on a
+    * 2-column slice with the part cut applied as a broadcast semi join
+    * BEFORE the shuffle; the HAVING kills most groups; supplier
+    * membership is a broadcast semi join of the tiny survivor set. */
+  val q136 = GQuery("q136_heavy_shippers", (s, d) => {
+    val redParts = t(s, d, "part")
+      .filter(col("p_name").contains("red")).select("p_partkey")
+    val heavy = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .filter(col("qty") > 50)
+      .select("l_suppkey").distinct()
+    t(s, d, "supplier")
+      .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+           |WHERE s_suppkey IN (
+           |  SELECT l_suppkey FROM lineitem
+           |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+           |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+           |  GROUP BY l_suppkey, l_partkey
+           |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** Q137 (TPC-H Q9 form, product-type profit): per-(nation, year) profit
+    * on bolt parts — revenue minus cost, where cost substitutes
+    * 10% of part retail price × quantity (no partsupp/supplycost in this
+    * schema; the substitution is identical on both engines so the check
+    * stays exact). All three dimensions broadcast; the fact is cut to
+    * bolt parts by a broadcast semi join at the scan edge; one 2-key agg
+    * shuffle. Profit accumulates in DECIMAL and surfaces rounded. */
+  val q137 = GQuery("q137_nation_profit", (s, d) => {
+    val boltParts = t(s, d, "part")
+      .filter(col("p_name").contains("bolt"))
+      .select("p_partkey", "p_retailprice")
+    val suppNation = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val profit =
+      col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")) -
+        (col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)") * lit(0.1).cast("decimal(3,1)"))
+    t(s, d, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(round(sum(profit).cast("double"), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  },
+    Some("""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+           |  round(CAST(sum(
+           |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
+           |      * CAST(0.1 AS DECIMAL(3,1))) AS DOUBLE), 2) AS profit
+           |FROM lineitem
+           |JOIN part ON p_partkey = l_partkey
+           |JOIN supplier ON s_suppkey = l_suppkey
+           |JOIN nation ON n_nationkey = s_nationkey
+           |WHERE p_name LIKE '%bolt%'
+           |GROUP BY n_name, year(l_shipdate)
+           |ORDER BY nation, o_year DESC""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q90, q91, q92, q93, q94, q95, q96, q97, q98,
     q99, q100, q101, q102, q111, q112, q113, q114, q117, q118, q119, q120,
-    q121)
+    q121, q135, q136, q137)
 }
