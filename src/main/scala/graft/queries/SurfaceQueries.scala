@@ -251,5 +251,94 @@ object SurfaceQueries {
            |  count(*) AS record_count
            |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133, q134)
+  /** Q138 (A17, count-min sketch frequencies): CMS point-frequency
+    * estimation — Trino `approx_most_frequent`'s underlying sketch — with
+    * the estimates gated by CMS's own guarantee (est ≥ exact, and
+    * est ≤ exact + ε·N at the sketch's confidence), which DuckDB states
+    * from exact counts (the q129 contract pattern). The sketch build is
+    * one distributed aggregate; only the bounded top-20 key list and the
+    * kilobyte-sized sketch ever touch the driver (a metadata-sized
+    * collect, not a data loop). Deterministic seed → reproducible gate. */
+  val q138 = GQuery("q138_cms_frequency", (s, d) => {
+    val events = t(s, d, "events")
+    val eps = 0.001
+    val total = events.count()
+    val sketch = events.stat.countMinSketch(col("user_id"), eps, 0.99, 42)
+    val top = events.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(20).collect()
+    val rows = top.toSeq.map { r =>
+      val uid = r.getLong(0); val exact = r.getLong(1)
+      val est = sketch.estimateCount(uid)
+      (uid, exact, est >= exact && est <= exact + math.ceil(eps * total).toLong)
+    }
+    import s.implicits._
+    rows.toDF("user_id", "exact_cnt", "within_bounds")
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  },
+    Some("""SELECT user_id, count(*) AS exact_cnt, true AS within_bounds
+           |FROM events GROUP BY user_id
+           |ORDER BY exact_cnt DESC, user_id LIMIT 20""".stripMargin))
+
+  /** Q139 (F15, string-function breadth): the everyday Trino string surface
+    * in one pass — case mapping, padding, reverse, global regexp replace,
+    * substring position, repetition, delimiter concat — as a pure narrow
+    * projection (zero shuffles before the display sort; every function is
+    * a codegen'd built-in). DuckDB twin note: its `regexp_replace` needs
+    * the explicit 'g' flag to match Spark's replace-all semantics. */
+  val q139 = GQuery("q139_string_breadth", (s, d) => {
+    t(s, d, "part")
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lpad(col("p_brand"), 10, "*").as("brand_pad"),
+        reverse(col("p_type")).as("type_rev"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        instr(col("p_name"), "e").cast(LongType).as("first_e"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        repeat(substring(col("p_name"), 1, 3), 2).as("prefix_x2"),
+        length(col("p_name")).cast(LongType).as("name_len"))
+      .orderBy("p_partkey")
+  },
+    Some("""SELECT p_partkey,
+           |  upper(p_name) AS up_name,
+           |  lpad(p_brand, 10, '*') AS brand_pad,
+           |  reverse(p_type) AS type_rev,
+           |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           |  CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+           |  concat_ws('|', p_brand, p_type) AS brand_type,
+           |  repeat(p_name[1:3], 2) AS prefix_x2,
+           |  CAST(len(p_name) AS BIGINT) AS name_len
+           |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin))
+
+  /** Q140 (F16, datetime-function breadth): the calendar arithmetic surface
+    * — month truncation, end-of-month, month offsets, day differences,
+    * quarter/ISO-week/weekday extraction — again one narrow projection of
+    * codegen'd built-ins. Weekday is normalized to ISO (1=Monday) since
+    * engines disagree on week-start conventions. */
+  val q140 = GQuery("q140_datetime_breadth", (s, d) => {
+    val dt = to_date(col("o_orderdate"))
+    t(s, d, "orders")
+      .filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(dt).as("eom"),
+        add_months(dt, 3).as("plus3m"),
+        datediff(lit("2000-01-01").cast("date"), dt).cast(LongType).as("days_to_y2k"),
+        quarter(dt).cast(LongType).as("qtr"),
+        weekofyear(dt).cast(LongType).as("iso_week"),
+        dayofweek(dt).cast(LongType).as("dow_sun1"))
+      .orderBy("o_orderkey")
+  },
+    Some("""SELECT o_orderkey,
+           |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+           |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+           |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow_sun1
+           |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
+    q134, q138, q139, q140)
 }

@@ -55,4 +55,33 @@ object StreamJoin {
       .select(col("key"), col("from_id"), col("to_id"),
         (unix_micros(col("__tts")) - unix_micros(col("__fts"))).as("gap_us"))
   }
+
+  /** LEFT OUTER interval join (ST9): same pairing as [[intervalJoin]], but a
+    * `from` row whose window closes with no match is still emitted — with
+    * null `to_id`/`gap_us` — at the moment its state is evicted (the
+    * engine knows "no match can still arrive" only once the right-side
+    * watermark passes `fromTs + windowSec`). This is the
+    * abandoned-checkout / unanswered-alert shape: the null-padded row IS
+    * the signal. Same bounded-state property as the inner form; the outer
+    * row's emission latency is the watermark delay, the price of
+    * correctness under out-of-order arrival. */
+  def intervalJoinLeftOuter(from: DataFrame, to: DataFrame, keyCol: String,
+      fromTsCol: String, toTsCol: String, fromIdCol: String, toIdCol: String,
+      windowSec: Long, watermark: String = "1 hour"): DataFrame = {
+    val f = from
+      .select(col(keyCol).as("key"), col(fromIdCol).as("from_id"),
+        col(fromTsCol).as("__fts"))
+      .withWatermark("__fts", watermark)
+    val t = to
+      .select(col(keyCol).as("__tkey"), col(toIdCol).as("to_id"),
+        col(toTsCol).as("__tts"))
+      .withWatermark("__tts", watermark)
+    f.join(t,
+        col("key") === col("__tkey") &&
+          col("__tts") > col("__fts") &&
+          col("__tts") <= col("__fts") + expr(s"INTERVAL $windowSec SECONDS"),
+        "leftOuter")
+      .select(col("key"), col("from_id"), col("to_id"),
+        (unix_micros(col("__tts")) - unix_micros(col("__fts"))).as("gap_us"))
+  }
 }

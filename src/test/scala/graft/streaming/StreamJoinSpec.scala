@@ -84,4 +84,41 @@ class StreamJoinSpec extends SparkSpec {
       .select("from_id", "to_id").as[(Long, Long)].collect().toSet
     assert(got === Set((10L, 21L)))
   }
+
+  test("left-outer interval join emits null-padded rows when the window closes unmatched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoin.intervalJoinLeftOuter(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      buys.toDF().toDF("user_id", "event_id", "ts"),
+      "user_id", "ts", "ts", "event_id", "event_id",
+      windowSec = 1800, watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sj_outer")
+      .outputMode("append").start()
+    try {
+      // u1 converts; u2 abandons (no purchase in its 30-min window)
+      clicks.addData(
+        (1L, 10L, ts("2026-01-01 00:00:00")),
+        (2L, 11L, ts("2026-01-01 00:00:00")))
+      buys.addData((1L, 20L, ts("2026-01-01 00:15:00")))
+      q.processAllAvailable()
+      // u2's outer row cannot emit yet: a purchase might still arrive.
+      val early = spark.table("sj_outer").select("from_id").as[Long].collect().toSet
+      assert(!early.contains(11L), "outer row emitted before the window closed")
+      // advance both watermarks past u2's window end + delay → eviction
+      clicks.addData((9L, 90L, ts("2026-01-02 00:00:00")))
+      buys.addData((9L, 91L, ts("2026-01-02 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sj_outer")
+      .select("from_id", "to_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows === Set((10L, Some(20L)), (11L, None)))
+  }
 }
