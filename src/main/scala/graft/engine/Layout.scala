@@ -58,6 +58,11 @@ object Layout {
     * `days(ts)` transform. The derived dir column is `p_day`. */
   def writeDaysTransform(df: DataFrame, tsCol: String, dir: String): Unit =
     df.withColumn("p_day", date_format(col(tsCol), "yyyy-MM-dd"))
+      // cluster rows by partition value before the write: without this,
+      // every one of the N shuffle partitions opens a writer per day —
+      // N×days tiny files, the small-file problem compaction exists to
+      // undo. One exchange here buys one file per day-partition.
+      .repartition(col("p_day"))
       .write.mode(SaveMode.Overwrite).partitionBy("p_day").parquet(dir)
 
   /** Read a `days(ts)` table with a time-range predicate `[from, until)` on
@@ -80,6 +85,7 @@ object Layout {
   def writeBucketTransform(df: DataFrame, keyCol: String, numBuckets: Int,
       dir: String): Unit =
     df.withColumn("p_bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
+      .repartition(col("p_bucket")) // one file per bucket, not tasks×buckets
       .write.mode(SaveMode.Overwrite).partitionBy("p_bucket").parquet(dir)
 
   /** Point-lookup on a `bucket(n, key)` table: the key's bucket is a

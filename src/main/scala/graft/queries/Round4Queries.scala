@@ -781,7 +781,6 @@ object Round4Queries {
     * the slim pair relation, one count-distinct agg — the fact table never
     * shuffles full-width. */
   val q135 = GQuery("q135_supplier_part_types", (s, d) => {
-    val pairs = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
     val parts = t(s, d, "part")
       .filter(col("p_brand") =!= "Brand#3" &&
         !col("p_type").startsWith("ECONOMY") &&
@@ -789,8 +788,12 @@ object Round4Queries {
       .select("p_partkey", "p_brand", "p_type", "p_size")
     val complaints = t(s, d, "supplier")
       .filter(col("s_acctbal") < 0).select("s_suppkey")
-    pairs
+    // the selective part cut (7 of 50 sizes + brand/type) applies BEFORE
+    // the distinct, so the pair-dedup shuffle carries ~14% of the pairs
+    val pairs = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .distinct()
+    pairs
       .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

@@ -339,6 +339,43 @@ object SurfaceQueries {
            |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow_sun1
            |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin))
 
+  /** Q141 (A18, sliding-window distinct / WAU): 7-day rolling distinct
+    * users per day — exact AND via mergeable HLL sketches, side by side.
+    * Exact path: per-(day, user) dedup (one slim shuffle) → each pair
+    * contributes to the 7 windows ending day..day+6 (a 7× explode of the
+    * ALREADY-DEDUPED pairs, not raw events) → per-window distinct.
+    * Sketch path: ONE sketch per day (30 rows), the same 7× explode over
+    * sketch rows only, `hll_union_agg` per window — this is why sketches
+    * matter at 100 TB: the nightly rollup stores 30 kilobyte-sized
+    * sketches, and ANY window size re-aggregates from them without
+    * touching raw data. Gate: exact counts hash-checked; sketch estimate
+    * within 5% of exact on every window (contract column). */
+  val q141 = GQuery("q141_sliding_wau", (s, d) => {
+    val events = t(s, d, "events").select(to_date(col("ts")).as("day"), col("user_id"))
+    val offsets = explode(sequence(lit(0), lit(6))).as("k")
+    val days = events.select("day").distinct()
+    val exact = events.distinct()
+      .select(offsets, col("day"), col("user_id"))
+      .select(date_add(col("day"), col("k")).as("wend"), col("user_id"))
+      .groupBy("wend").agg(countDistinct(col("user_id")).as("wau"))
+    val sketched = events
+      .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(offsets, col("day"), col("sk"))
+      .select(date_add(col("day"), col("k")).as("wend"), col("sk"))
+      .groupBy("wend").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    exact.join(sketched, "wend")
+      .join(days, col("wend") === col("day"), "left_semi") // only real days
+      .select(col("wend").as("day"), col("wau"),
+        (abs(col("est") - col("wau")) <= col("wau") * 0.05).as("hll_ok"))
+      .orderBy("day")
+  },
+    Some("""WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+           |            FROM events),
+           |days AS (SELECT DISTINCT day FROM du)
+           |SELECT d.day, count(DISTINCT u.user_id) AS wau, true AS hll_ok
+           |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+           |GROUP BY d.day ORDER BY d.day""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
-    q134, q138, q139, q140)
+    q134, q138, q139, q140, q141)
 }

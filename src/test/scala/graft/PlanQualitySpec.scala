@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -311,5 +312,42 @@ class PlanQualitySpec extends SparkSpec {
     // the per-probe top-k window is keyed, never global
     val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
     assert(globalWindows.isEmpty, plan.toString)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB lever for fact⋈filtered-dim SHUFFLE joins (too big to
+    // broadcast): Catalyst injects a bloom-filter semi-filter on the fact
+    // side, built from the selective side, so most fact rows die at their
+    // own scan instead of shuffling. Size thresholds are tuned down to
+    // fire at test scale — the assertion is the mechanism, not the
+    // threshold values.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val lineitem = Tables.lineitem(spark, sf0001)
+      val urgent = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      val joined = lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val plan = executed(joined)
+      assert(plan.toString.toLowerCase.contains("bloomfilter"),
+        s"expected an injected bloom runtime filter:\n$plan")
+      // semantics unchanged vs the plain join
+      val expected = Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001)
+            .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.collect().map(_.getLong(1)).sum === expected && expected > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 }
