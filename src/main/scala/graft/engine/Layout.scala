@@ -207,6 +207,27 @@ object Layout {
     }
   }
 
+  /** Expire snapshot tags (Iceberg `expire_snapshots`): every tag NOT in
+    * `keep` is deleted and its name returned. Because tags are per-file
+    * hardlinks, deleting one only drops inode refcounts — the live table
+    * and every kept tag are untouched, and the bytes of a data file are
+    * reclaimed exactly when its last referencing tag (or the live table)
+    * releases it. This is the retention half of the snapshot lifecycle:
+    * without it, every overwrite's files live forever. */
+  def expireSnapshots(spark: SparkSession, table: String,
+      keep: Set[String]): Seq[String] = {
+    val victims = listSnapshots(spark, table).filterNot(keep)
+    val base = tableLocation(spark, table)
+    victims.foreach { tag =>
+      val dir = snapshotDir(base, table, tag)
+      scala.util.Using.resource(Files.walk(dir)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+    victims
+  }
+
   /** Roll the table back to `tag` (Nessie "assign branch main to tag") —
     * the tagged files are re-written as the table's current contents. The
     * tag itself is untouched (hardlinked inodes are independent of the

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * costs the night's data, not the table's.
   *
   * avg and other ratios are derived at read time from their additive
-  * parts (`avg = sum/count`), the standard MV discipline. Non-additive
-  * measures (distinct counts) need sketches (HLL union) — out of scope
-  * here, declared.
+  * parts (`avg = sum/count`), the standard MV discipline. Distinct
+  * counts — non-additive as exact values — become mergeable as
+  * `approx_distinct` measures: the view stores a DataSketches HLL sketch
+  * per key (binary column), refresh unions delta sketches in
+  * (`hll_union_agg`), and [[read]] surfaces the estimate. This is the
+  * sketch-rollup pattern that makes "distinct users per day" a summary-
+  * table measure instead of a nightly full scan.
   *
   * Tag bookkeeping: each view keeps a monotonic chain of source tags
   * `__mv_<view>_<i>`; refresh diffs the last two. Rewrites of the source
@@ -42,9 +46,18 @@ object Mview {
     m.fn.toLowerCase match {
       case "count" => count(m.column.map(col).getOrElse(lit(1))).as(m.alias)
       case "sum"   => sum(col(m.column.get)).as(m.alias)
+      case "approx_distinct" => hll_sketch_agg(col(m.column.get)).as(m.alias)
       case other => throw new IllegalArgumentException(
-        s"non-additive measure fn '$other' — only count/sum merge; derive ratios at read time")
+        s"non-additive measure fn '$other' — only count/sum/approx_distinct merge; " +
+          "derive ratios at read time")
     }
+  }
+
+  /** How a measure's PARTIALS merge when re-aggregating two summaries:
+    * counts/sums add; sketches union. */
+  private def mergeCol(m: Measure) = m.fn.toLowerCase match {
+    case "approx_distinct" => hll_union_agg(col(m.alias)).as(m.alias)
+    case _                 => sum(col(m.alias)).as(m.alias)
   }
 
   /** Aggregate `df` by `keys` into the measure columns. */
@@ -77,11 +90,10 @@ object Mview {
       s"${tagPrefix(view)}$last", nextTag)
     if (delta.isEmpty) return
     val deltaSummary = summarize(delta, keys, measures)
-    // re-aggregate two summaries: count/sum merge as sums of partials
+    // re-aggregate two summaries: count/sum partials add, sketches union
     val merged = spark.table(view).unionByName(deltaSummary)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col(measures.head.alias)).as(measures.head.alias),
-        measures.tail.map(m => sum(col(m.alias)).as(m.alias)): _*)
+      .agg(mergeCol(measures.head), measures.tail.map(mergeCol): _*)
     // align types: sum(count) widens; cast back to the stored schema
     val stored = spark.table(view).schema
     val aligned = merged.select(stored.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
@@ -89,4 +101,16 @@ object Mview {
     // Layout.republish also cleans its staging dir
     Layout.republish(spark, aligned, view)
   }
+
+  /** Read surface: additive measures come back as stored; sketch measures
+    * surface as their cardinality ESTIMATE under the same alias — the
+    * binary sketch never leaks to consumers. */
+  def read(spark: SparkSession, view: String, keys: Seq[String],
+      measures: Seq[Measure]): DataFrame =
+    spark.table(view).select(keys.map(col) ++ measures.map { m =>
+      m.fn.toLowerCase match {
+        case "approx_distinct" => hll_sketch_estimate(col(m.alias)).as(m.alias)
+        case _                 => col(m.alias)
+      }
+    }: _*)
 }

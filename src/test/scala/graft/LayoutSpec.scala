@@ -84,6 +84,26 @@ class LayoutSpec extends SparkSpec {
     assert(before.size === 25)
   }
 
+  test("expireSnapshots deletes only unkept tags; kept tags and live data survive") {
+    val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
+    nation.write.mode("overwrite").saveAsTable("layout_exp_nation")
+    Layout.snapshot(spark, "layout_exp_nation", "old1")
+    Layout.snapshot(spark, "layout_exp_nation", "old2")
+    Layout.snapshot(spark, "layout_exp_nation", "keeper")
+    // overwrite so the tags are the only reference to the original files
+    nation.filter(col("n_nationkey") < 3)
+      .write.mode("overwrite").saveAsTable("layout_exp_nation")
+
+    val expired = Layout.expireSnapshots(spark, "layout_exp_nation", Set("keeper"))
+    assert(expired.sorted === Seq("old1", "old2"))
+    assert(Layout.listSnapshots(spark, "layout_exp_nation") === Seq("keeper"))
+    // the kept tag still reads the full pre-overwrite rows; expired don't
+    assert(Layout.readAt(spark, "layout_exp_nation", "keeper").count() === 25)
+    intercept[IllegalArgumentException](
+      Layout.readAt(spark, "layout_exp_nation", "old1"))
+    assert(spark.table("layout_exp_nation").count() === 3)
+  }
+
   test("restore rolls the table back to a tag; compact shrinks the file count") {
     val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
     nation.write.mode("overwrite").saveAsTable("layout_restore_t")
