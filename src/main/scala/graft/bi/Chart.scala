@@ -35,6 +35,7 @@ final case class ChartSpec(
     timeGrain: Option[String] = None,                // time_grain_sqla (e.g. "day")
     timeCompare: Option[String] = None,              // time_compare offset (e.g. "1 day")
     contribution: Boolean = false,                   // contribution mode (share per timestamp)
+    rollingWindow: Option[Int] = None,               // rolling mean over N grain periods
     seriesLimit: Option[Int] = None,                 // series_limit (top-N series)
     seriesLimitMetric: Option[String] = None,        // defaults to first metric
     orderBy: Seq[(String, Boolean)] = Nil,           // (column, ascending)
@@ -151,6 +152,24 @@ object ChartCompiler {
                 col(m.alias).cast("double") / sum(col(m.alias).cast("double")).over(w))
             }
           }
+        // rolling window: Superset's "rolling mean" postprocessing — each
+        // metric gains a `<alias>__rolling` mean over the last N grain
+        // periods of ITS series. Partitioned by the series dims (or, for a
+        // single global series, by nothing but still bounded: rows = grain
+        // periods, not raw data). Row-frame over the grouped result only.
+        val withRolling = spec.rollingWindow match {
+          case Some(n) =>
+            require(grainKey.nonEmpty, "rolling window requires timeColumn + timeGrain")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(spec.groupby.map(col): _*)
+              .orderBy(col("__timestamp"))
+              .rowsBetween(-(n - 1).toLong, 0)
+            spec.metrics.foldLeft(withContrib) { (acc, m) =>
+              acc.withColumn(s"${m.alias}__rolling",
+                avg(col(m.alias).cast("double")).over(w))
+            }
+          case None => withContrib
+        }
         // time_compare: each metric gets a `<alias>__prev` twin from the
         // period `offset` earlier — Superset runs a second shifted query;
         // the single-plan equivalent is a left self-join of the grouped
@@ -162,15 +181,15 @@ object ChartCompiler {
         spec.timeCompare match {
           case Some(offset) if grainKey.nonEmpty =>
             val dims = spec.groupby
-            val shifted = withContrib.select(
+            val shifted = withRolling.select(
               (col("__timestamp") + expr(s"INTERVAL $offset")).as("__timestamp") +:
                 (dims.map(col) ++
                   spec.metrics.map(m => col(m.alias).as(s"${m.alias}__prev"))): _*)
-            withContrib.join(shifted, Seq("__timestamp") ++ dims, "left")
+            withRolling.join(shifted, Seq("__timestamp") ++ dims, "left")
           case Some(_) =>
             throw new IllegalArgumentException(
               "time_compare requires timeColumn + timeGrain")
-          case None => withContrib
+          case None => withRolling
         }
       case other => throw new IllegalArgumentException(s"unsupported query_mode: $other")
     }

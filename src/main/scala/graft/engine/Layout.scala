@@ -285,6 +285,47 @@ object Layout {
     republish(spark, merged, table)
   }
 
+  /** Row-level DELETE (Iceberg `DELETE FROM t WHERE ...` in copy-on-write
+    * mode — the GDPR-erasure / bad-record shape): rewrite the table
+    * keeping rows where the predicate is NOT satisfied. NULL predicate
+    * results keep their rows (SQL DELETE semantics: only TRUE deletes).
+    * Returns the deleted-row count. Snapshot tags are untouched
+    * (hardlinks), so erasure-with-audit composes: tag, delete, diff.
+    * At real scale merge-on-read delete files avoid rewriting unmatched
+    * files; this is the copy-on-write formulation, same as [[merge]]. */
+  def deleteWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val cur = spark.table(table)
+    val hit = coalesce(pred, lit(false))
+    val n = cur.filter(hit).count()
+    if (n > 0) republish(spark, cur.filter(!hit), table)
+    n
+  }
+
+  /** Row-level UPDATE (`UPDATE t SET col = expr WHERE ...`, copy-on-write):
+    * assignments apply only where the predicate is TRUE; every other row
+    * (including NULL-predicate rows) is byte-identical. Returns the
+    * updated-row count. */
+  def updateWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val cur = spark.table(table)
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    assignments.keys.foreach(c => require(cur.columns.contains(c),
+      s"unknown column '$c' in UPDATE assignments"))
+    val hit = coalesce(pred, lit(false))
+    val n = cur.filter(hit).count()
+    if (n > 0) {
+      val updated = cur.select(cur.columns.toIndexedSeq.map { c =>
+        assignments.get(c)
+          .map(v => when(hit, v).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+      republish(spark, updated, table)
+    }
+    n
+  }
+
   /** Append with SCHEMA EVOLUTION — Iceberg's add-column promise on the
     * session catalog: new columns in `updates` are added to the table
     * (`ALTER TABLE ADD COLUMNS`) before the append, existing rows read

@@ -376,6 +376,99 @@ object SurfaceQueries {
            |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
            |GROUP BY d.day ORDER BY d.day""".stripMargin))
 
+  /** Q142 (B1⁙, chart rolling window): Superset's "rolling mean"
+    * postprocessing — each series' metric smoothed over its last 7 grain
+    * periods. The frame is a ROWS window over the ALREADY-GROUPED result,
+    * partitioned by the series dims (bounded by periods × series — never
+    * the raw fact), composing with everything else in the compiler. */
+  val q142 = GQuery("q142_chart_rolling", (s, d) => {
+    graft.bi.ChartCompiler.compile(s,
+      graft.bi.ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(graft.bi.Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        rollingWindow = Some(7), rowLimit = 1000),
+      n => t(s, d, n))
+      .select(col("__timestamp"), col("event_type"), col("cnt"),
+        round(col("cnt__rolling"), 6).as("rolling_cnt"))
+      .orderBy("__timestamp", "event_type")
+  },
+    Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __timestamp,
+           |  event_type, count(*) AS cnt,
+           |  round(avg(count(*)) OVER (PARTITION BY event_type
+           |    ORDER BY date_trunc('day', CAST(ts AS TIMESTAMP))
+           |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_cnt
+           |FROM events GROUP BY 1, 2 ORDER BY __timestamp, event_type
+           |LIMIT 1000""".stripMargin))
+
+  /** Q143 (A19, approximate percentiles): `percentile_approx` (Greenwald-
+    * Khanna style quantile summary — Trino `approx_percentile`) gated by a
+    * rank-neighborhood contract: the approximate p50/p95 must land between
+    * the EXACT p45–p55 / p93–p97, which Spark computes in the same pass
+    * and DuckDB states from its own exact quantiles (q129 pattern). The
+    * hash-checked value is the exact interpolated median, so the check is
+    * bit-for-bit where exactness is possible and contractual where not. */
+  val q143 = GQuery("q143_approx_percentile", (s, d) => {
+    t(s, d, "events").groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("exact_p50"),
+        (expr("approx_percentile(value, 0.5D, 10000)")
+          .between(expr("percentile(value, 0.45D)"),
+            expr("percentile(value, 0.55D)"))).as("ok50"),
+        (expr("approx_percentile(value, 0.95D, 10000)")
+          .between(expr("percentile(value, 0.93D)"),
+            expr("percentile(value, 0.97D)"))).as("ok95"))
+      .orderBy("event_type")
+  },
+    Some("""SELECT event_type, round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           |  true AS ok50, true AS ok95
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Q144 (D8, SCD Type 2 + point-in-time join): build a slowly-changing
+    * dimension from a change log — each user's signup events become
+    * validity intervals `[ts, next-signup-ts)` via a user-keyed `lead`
+    * window — then join facts (purchases) to the version VALID AT the
+    * fact's own time. The join keeps the user equi-key, so the interval
+    * predicate is a residual on a hash join, never a blocked cross
+    * product; the dimension build is one user-keyed window. This is the
+    * canonical warehouse history pattern the as-of join (Q50) special-
+    * cases. */
+  val q144 = GQuery("q144_scd2_point_in_time", (s, d) => {
+    val events = t(s, d, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+        col("value"))
+      .select(col("d_user"), col("valid_from"),
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("d_user")).orderBy(col("valid_from"))).as("valid_to"),
+        when(col("value") < 30, "low").when(col("value") < 70, "mid")
+          .otherwise("high").as("tier"))
+    val facts = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    facts.join(dim,
+        col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("purchases"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("tier")
+  },
+    Some("""WITH dim AS (
+           |  SELECT user_id AS d_user, CAST(ts AS TIMESTAMP) AS valid_from,
+           |    lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+           |      ORDER BY CAST(ts AS TIMESTAMP)) AS valid_to,
+           |    CASE WHEN value < 30 THEN 'low' WHEN value < 70 THEN 'mid'
+           |         ELSE 'high' END AS tier
+           |  FROM events WHERE event_type = 'signup'),
+           |facts AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           |          FROM events WHERE event_type = 'purchase')
+           |SELECT tier, count(*) AS purchases, round(sum(value), 2) AS total_value
+           |FROM facts JOIN dim ON user_id = d_user
+           |  AND ts >= valid_from AND (valid_to IS NULL OR ts < valid_to)
+           |GROUP BY tier ORDER BY tier""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
-    q134, q138, q139, q140, q141)
+    q134, q138, q139, q140, q141, q142, q143, q144)
 }

@@ -104,6 +104,35 @@ class LayoutSpec extends SparkSpec {
     assert(spark.table("layout_exp_nation").count() === 3)
   }
 
+  test("deleteWhere/updateWhere rewrite only targeted rows and respect NULL predicates") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS layout_dml")
+    Seq((1L, Some(10.0), "a"), (2L, None, "b"), (3L, Some(30.0), "c"))
+      .toDF("id", "v", "s").write.saveAsTable("layout_dml")
+    Layout.snapshot(spark, "layout_dml", "pre_dml")
+
+    // NULL predicate (v > 20 over a null v) must KEEP row 2
+    val deleted = Layout.deleteWhere(spark, "layout_dml", col("v") > 20)
+    assert(deleted === 1)
+    assert(spark.table("layout_dml").select("id").as[Long].collect().sorted
+      === Array(1L, 2L))
+
+    val updated = Layout.updateWhere(spark, "layout_dml", col("v") > 5,
+      Map("s" -> concat(col("s"), lit("!")), "v" -> (col("v") * 2)))
+    assert(updated === 1)
+    assert(spark.table("layout_dml").orderBy("id")
+      .as[(Long, Option[Double], String)].collect().toSeq ===
+      Seq((1L, Some(20.0), "a!"), (2L, None, "b")))
+
+    // unknown column refused; zero-hit predicates are no-op rewrites
+    intercept[IllegalArgumentException](
+      Layout.updateWhere(spark, "layout_dml", lit(true), Map("nope" -> lit(1))))
+    assert(Layout.deleteWhere(spark, "layout_dml", col("id") > 99) === 0)
+
+    // the pre-DML tag still reads the original 3 rows (erasure-with-audit)
+    assert(Layout.readAt(spark, "layout_dml", "pre_dml").count() === 3)
+  }
+
   test("restore rolls the table back to a tag; compact shrinks the file count") {
     val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
     nation.write.mode("overwrite").saveAsTable("layout_restore_t")
