@@ -75,10 +75,15 @@ class StreamSinkSpec extends SparkSpec {
 
     // arriving batches: a corpus dup, a fresh doc, an in-batch dup pair,
     // and a second fresh doc
+    // one FILE per logical batch: maxFilesPerTrigger=1 below makes file =
+    // micro-batch, and the in-batch-dup case (12 vs 13) only tests what it
+    // means to test if both rows share a batch — multi-file writes would
+    // split them across triggers in listing order, keeping whichever
+    // arrived first (legal for the sink, but not this test's scenario)
     Seq((10L, "alpha text"), (11L, "beta text")).toDF("doc_id", "text")
-      .write.mode("append").parquet(logDir)
+      .coalesce(1).write.mode("append").parquet(logDir)
     Seq((12L, "gamma text"), (13L, "gamma text"), (14L, "delta text"))
-      .toDF("doc_id", "text").write.mode("append").parquet(logDir)
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(logDir)
 
     val docs = spark.readStream
       .schema(spark.read.parquet(logDir).schema)
