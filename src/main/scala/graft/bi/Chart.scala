@@ -43,6 +43,11 @@ final case class ChartSpec(
 
 object ChartCompiler {
 
+  /** Shared with [[ChartStream]]: one metric / filter lowering for the
+    * batch and streaming compilers, so the two surfaces cannot drift. */
+  private[bi] def metricColumn(m: Metric): Column = metricCol(m)
+  private[bi] def filterColumn(f: SimpleFilter): Column = filterCol(f)
+
   private def metricCol(m: Metric): Column = {
     val c = m.fn.toLowerCase match {
       case "count" => count(m.column.map(col).getOrElse(lit(1)))

@@ -368,6 +368,21 @@ object Layout {
     republish(spark, spark.table(table).repartition(numFiles), table)
   }
 
+  /** Compact to a target file SIZE (Iceberg's `target-file-size-bytes` /
+    * Delta OPTIMIZE knob): the file count is derived from the table's
+    * statistics size, so callers state the invariant they actually care
+    * about — "files around N bytes" — and the maintenance pass stays
+    * correct as the table grows. Returns the chosen file count. */
+  def compactToFileSize(spark: SparkSession, table: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = spark.table(table).queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetBytes - 1) / targetBytes)
+      .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+    compact(spark, table, n)
+    n
+  }
+
   /** CDC diff between two snapshot tags — Iceberg's changelog scan for
     * tables that rewrite (where [[readBetween]]'s append-only file diff
     * degrades): a key-matched full-outer comparison emitting one row per

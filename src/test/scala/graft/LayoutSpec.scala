@@ -155,6 +155,17 @@ class LayoutSpec extends SparkSpec {
     Layout.compact(spark, "layout_compact_t", 1)
     assert(files("layout_compact_t") === 1)
     assert(spark.table("layout_compact_t").count() === 25)
+
+    // size-targeted compaction derives the count from table stats:
+    // target = half the stats size → 2 files
+    spark.table("layout_compact_t").repartition(8)
+      .write.mode("overwrite").saveAsTable("layout_compact_s")
+    val statBytes = spark.table("layout_compact_s")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val chosen = Layout.compactToFileSize(spark, "layout_compact_s",
+      (statBytes / 2 + 1).toLong)
+    assert(chosen === 2 && files("layout_compact_s") === 2)
+    assert(spark.table("layout_compact_s").count() === 25)
   }
 
   test("merge upserts matched keys, appends new ones, keeps the rest, and composes with snapshots") {
