@@ -66,4 +66,55 @@ object MetaTables {
       .agg(count(lit(1)).as("file_count"),
         sum(col("record_count")).as("record_count"),
         sum(col("file_size_bytes")).as("total_bytes"))
+
+  /** Per-file column BOUNDS — the min/max half of Iceberg's manifest
+    * `lower_bounds`/`upper_bounds`, read from parquet footer statistics
+    * (merged across row groups), distributed like [[filesMetadata]].
+    * One row per (file, requested column), values rendered as strings
+    * (the manifest convention — callers compare after casting). This is
+    * the data-skipping substrate: a scan planner (or a human auditing
+    * why files were NOT skipped — the z-order before/after view) can
+    * evaluate a predicate against bounds without touching data pages.
+    * Columns whose footer carries no usable stats yield null bounds
+    * (never a guess — absent stats mean "cannot skip"). */
+  def columnBounds(spark: SparkSession, dir: String,
+      columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(columns.nonEmpty, "need at least one column")
+    val paths = listFiles(spark, dir).map(_.getPath.toString)
+    val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val wanted = columns.toSet
+    spark.createDataset(paths).repartition(slices)
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        it.flatMap { path =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new HPath(path), conf))
+          try {
+            val blocks = reader.getFooter.getBlocks
+            import scala.jdk.CollectionConverters._
+            blocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .filter(c => wanted.contains(c.getPath.toDotString))
+              .groupBy(_.getPath.toDotString)
+              .map { case (name, chunks) =>
+                val stats = chunks.map(_.getStatistics)
+                  .filter(s => s != null && s.hasNonNullValue)
+                // merge across row groups with parquet's TYPED merge —
+                // a string min() would order "10" before "9" on numerics
+                val (lo, hi) =
+                  if (stats.isEmpty) (null: String, null: String)
+                  else {
+                    val merged = stats.reduce { (a, b) =>
+                      val c = a.copy(); c.mergeStatistics(b); c
+                    }
+                    (merged.minAsString, merged.maxAsString)
+                  }
+                (path, name, lo, hi)
+              }.toSeq
+          } finally reader.close()
+        }
+      }
+      .toDF("file", "column", "lower_bound", "upper_bound")
+  }
 }

@@ -160,6 +160,26 @@ class ChartCompilerSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) === expected && expected > 0)
   }
 
+  test("RLS policies restrict a role's charts before aggregation; others unaffected") {
+    import org.apache.spark.sql.functions._
+    val spec = ChartSpec(datasource = "events", queryMode = "aggregate",
+      groupby = Seq("event_type"),
+      metrics = Seq(Metric("count", None, "cnt")), rowLimit = 100)
+    val policies = Seq(
+      Rls.Policy("tenant_a", "events", Seq(SimpleFilter("event_type", "=", "view"))),
+      Rls.Policy("tenant_a", "other_table", Seq(SimpleFilter("id", ">", 5))))
+    val restricted = Rls.compileAs(spark, spec, "tenant_a", policies, _ => events)
+      .collect()
+    // tenant_a sees ONLY its rows — and the aggregate is computed over
+    // them, not filtered after the fact
+    assert(restricted.map(_.getString(0)).toSet === Set("view"))
+    assert(restricted.head.getLong(1) ===
+      events.filter(col("event_type") === "view").count())
+    // a role without a policy on this datasource sees everything
+    val open = Rls.compileAs(spark, spec, "admin", policies, _ => events)
+    assert(open.collect().length > 1)
+  }
+
   test("dashboard grid lays out 2-per-row, width 6 (init_db.py:273-307)") {
     val d = Dashboard.grid("Demo", Seq("a", "b", "c"))
     assert(d.cells.map(c => (c.row, c.colOffset)) === Seq((0, 0), (0, 6), (1, 0)))

@@ -62,6 +62,36 @@ class MetaTablesSpec extends SparkSpec {
     assert(files.filter(!col("partition").startsWith("p_day=")).isEmpty)
   }
 
+  test("column bounds agree with per-file data min/max (typed, not lexicographic)") {
+    val dir = java.nio.file.Files.createTempDirectory("mt_bounds").toString
+    // values spanning 9→10 catch a lexicographic merge ("10" < "9")
+    Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val bounds = MetaTables.columnBounds(spark, dir,
+      Seq("o_orderkey", "o_totalprice"))
+    // join on basename: input_file_name() renders file:///, Hadoop file:/
+    val base = (c: org.apache.spark.sql.Column) =>
+      element_at(split(c, "/"), -1).as("fname")
+    val truth = spark.read.parquet(dir)
+      .groupBy(base(input_file_name()))
+      .agg(min("o_orderkey").as("klo"), max("o_orderkey").as("khi"),
+        min("o_totalprice").as("plo"), max("o_totalprice").as("phi"))
+    val joined = bounds.filter(col("column") === "o_orderkey")
+      .withColumn("fname", base(col("file")))
+      .join(truth, "fname")
+    assert(joined.count() === 4)
+    assert(joined.filter(
+      col("lower_bound").cast("long") =!= col("klo") ||
+        col("upper_bound").cast("long") =!= col("khi")).isEmpty)
+    val priceJoined = bounds.filter(col("column") === "o_totalprice")
+      .withColumn("fname", base(col("file"))).join(truth, "fname")
+    assert(priceJoined.filter(
+      abs(col("lower_bound").cast("double") - col("plo")) > 1e-9 ||
+        abs(col("upper_bound").cast("double") - col("phi")) > 1e-9).isEmpty)
+  }
+
   test("partitions metadata matches a per-day group-by of the data") {
     val meta = MetaTables.partitionsMetadata(spark, daysDir)
       .select(regexp_extract(col("partition"), "p_day=(.*)", 1).as("day"),
