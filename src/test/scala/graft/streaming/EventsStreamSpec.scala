@@ -135,4 +135,41 @@ class EventsStreamSpec extends SparkSpec {
     assert(out.get("2026-01-05 00:00:00.0").contains(1L))
     assert(out.get("2026-01-06 00:00:00.0").contains(1L))
   }
+
+  test("native session_window runs STREAMING: merge-on-overlap, emit on close (W8)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    // the exact shape q111 runs in batch — same operator, streaming state
+    val sessions = ms.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("user_id"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sw_stream")
+      .outputMode("append").start()
+    try {
+      // u1: two events 10 min apart (ONE session), a third 50 min later
+      // (NEW session); u2: one event
+      ms.addData((1L, ts("2026-02-01 10:00:00")), (1L, ts("2026-02-01 10:10:00")),
+        (2L, ts("2026-02-01 10:05:00")))
+      q.processAllAvailable()
+      ms.addData((1L, ts("2026-02-01 11:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far past every session's close
+      ms.addData((9L, ts("2026-02-01 15:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sw_stream")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(got === Set(
+      (ts("2026-02-01 10:00:00"), 1L, 2L), // merged 10:00+10:10
+      (ts("2026-02-01 11:00:00"), 1L, 1L), // new session after the gap
+      (ts("2026-02-01 10:05:00"), 2L, 1L)))
+  }
 }
