@@ -32,4 +32,6 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine extensions (all flag-gated, default off — see each rule)
+      .withExtensions(_.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule))
 }

@@ -469,6 +469,47 @@ object SurfaceQueries {
            |  AND ts >= valid_from AND (valid_to IS NULL OR ts < valid_to)
            |GROUP BY tier ORDER BY tier""".stripMargin))
 
+  /** Q145 (T11, TF-IDF keyword extraction): top-3 characteristic terms per
+    * document — tf·ln(N/df), the classic corpus-keyword op (and the
+    * linear-algebra half of BM25, q55's scoring without the length
+    * normalization). One explode → (doc, term) count; document frequency
+    * is a second, VOCABULARY-sized aggregate broadcast back (at 100 TB
+    * vocabulary ≪ corpus, so the broadcast is the right side); top-3 is a
+    * doc-keyed rank window with a term tie-break (WindowGroupLimit prunes
+    * before the full sort materializes). */
+  val q145 = GQuery("q145_tfidf_keywords", (s, d) => {
+    val docs = t(s, d, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast(LongType).as("rk"),
+        col("term"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rk")
+  },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            |n AS (SELECT count(*) AS n_docs FROM documents),
+            |scored AS (SELECT doc_id, term,
+            |             tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+            |           FROM tf JOIN idf USING (term) CROSS JOIN n),
+            |r AS (SELECT doc_id, term, score, row_number() OVER
+            |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+            |      FROM scored)
+            |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(score, 6) AS score
+            |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
-    q134, q138, q139, q140, q141, q142, q143, q144)
+    q134, q138, q139, q140, q141, q142, q143, q144, q145)
 }
