@@ -39,4 +39,27 @@ object Formats {
     val r = spark.read.format(format).schema(schema)
     (if (format == "csv") r.option("header", "true") else r).load(path)
   }
+
+  /** Read semi-structured text (csv/json) with an explicit MALFORMED-ROW
+    * policy — at ingest scale bad records are a fact, and the policy must
+    * be a stated choice, never a default:
+    *   - "permissive": bad rows survive with null fields and the raw text
+    *     captured in `_corrupt_record` (quarantine-and-continue);
+    *   - "dropmalformed": bad rows are silently dropped (count the gap!);
+    *   - "failfast": the batch aborts on the first bad row.
+    * The corrupt-record column is appended here so callers always have
+    * the quarantine channel under "permissive". */
+  def readWithPolicy(spark: SparkSession, path: String, format: String,
+      schema: StructType, mode: String): DataFrame = {
+    require(Seq("csv", "json").contains(format),
+      s"malformed-row policies apply to text formats, not $format")
+    require(Seq("permissive", "dropmalformed", "failfast").contains(mode.toLowerCase),
+      s"unknown malformed-row policy $mode")
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val r = spark.read.format(format)
+      .schema(if (mode.equalsIgnoreCase("permissive")) withCorrupt else schema)
+      .option("mode", mode.toUpperCase)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    (if (format == "csv") r.option("header", "true") else r).load(path)
+  }
 }

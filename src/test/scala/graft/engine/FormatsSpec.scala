@@ -49,6 +49,38 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("malformed rows: permissive quarantines, dropmalformed drops, failfast aborts") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("fmt_bad").toString
+    // 2 good JSON lines + 1 structurally broken one
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "v": 10.5}""",
+        """{"id": 2, "v": """,
+        """{"id": 3, "v": 7.0}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+
+    // cache first: Spark refuses corrupt-column-only queries on raw files
+    val quarantined = Formats.readWithPolicy(spark, dir, "json", schema, "permissive").cache()
+    try {
+      assert(quarantined.count() === 3)
+      val bad = quarantined.filter(col("_corrupt_record").isNotNull)
+      assert(bad.count() === 1 && bad.collect()(0).getAs[Any]("id") == null)
+    } finally quarantined.unpersist()
+
+    val dropped = Formats.readWithPolicy(spark, dir, "json", schema, "dropmalformed")
+    assert(dropped.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+
+    val failing = Formats.readWithPolicy(spark, dir, "json", schema, "failfast")
+    intercept[org.apache.spark.SparkException](failing.collect())
+
+    intercept[IllegalArgumentException](
+      Formats.readWithPolicy(spark, dir, "parquet", schema, "permissive"))
+    intercept[IllegalArgumentException](
+      Formats.readWithPolicy(spark, dir, "json", schema, "whatever"))
+  }
+
   test("declared-schema reads refuse nothing silently: unsupported format throws") {
     intercept[IllegalArgumentException](
       Formats.read(spark, "/tmp/nope", "avro", Tables.nation(spark, sf0001).schema))
