@@ -510,6 +510,92 @@ object SurfaceQueries {
             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(score, 6) AS score
             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
 
+  /** Q146 (B1 composed): the FULL Superset postprocessing stack in one
+    * chart — series_limit(3) → percent metrics (of the limited set) →
+    * contribution → 7-period rolling mean — verifying the stages compose
+    * in Superset's order, not just pass individually. Every stage
+    * operates on the grouped result (bounded), and the oracle recomputes
+    * the whole pipeline as nested CTEs. */
+  val q146 = GQuery("q146_chart_composed", (s, d) => {
+    graft.bi.ChartCompiler.compile(s,
+      graft.bi.ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(graft.bi.Metric("count", None, "cnt")),
+        percentMetrics = Seq(graft.bi.Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        contribution = true, rollingWindow = Some(7),
+        seriesLimit = Some(3), rowLimit = 1000),
+      n => t(s, d, n))
+      .select(col("__timestamp"), col("event_type"), col("cnt"),
+        round(col("pct_cnt"), 6).as("pct_cnt"),
+        round(col("contrib_cnt"), 6).as("contrib"),
+        round(col("cnt__rolling"), 6).as("rolling"))
+      .orderBy("__timestamp", "event_type")
+  },
+    Some("""WITH g AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __timestamp,
+           |             event_type, count(*) AS cnt
+           |           FROM events GROUP BY 1, 2),
+           |top3 AS (SELECT event_type FROM (
+           |           SELECT event_type, sum(cnt) AS t FROM g GROUP BY 1
+           |           ORDER BY t DESC, event_type LIMIT 3)),
+           |l AS (SELECT * FROM g WHERE event_type IN (SELECT event_type FROM top3)),
+           |p AS (SELECT *, CAST(cnt AS DOUBLE) / sum(cnt) OVER () AS pct_cnt FROM l),
+           |c AS (SELECT *, CAST(cnt AS DOUBLE)
+           |        / sum(CAST(cnt AS DOUBLE)) OVER (PARTITION BY __timestamp) AS contrib
+           |      FROM p),
+           |r AS (SELECT *, avg(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type
+           |        ORDER BY __timestamp ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll
+           |      FROM c)
+           |SELECT __timestamp, event_type, cnt, round(pct_cnt, 6) AS pct_cnt,
+           |  round(contrib, 6) AS contrib, round(roll, 6) AS rolling
+           |FROM r ORDER BY __timestamp, event_type LIMIT 1000""".stripMargin))
+
+  /** Q147 (L7′, bucket-transform point lookup through the gate): events
+    * written under `bucket(8, user_id)`, probed for one user — the
+    * predicate is on the SOURCE column; the reader folds its hash to ONE
+    * partition directory (1/8 of the table scanned at any scale). The
+    * oracle sees only the logical filter, proving transform transparency. */
+  val q147 = GQuery("q147_bucket_lookup", (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    graft.engine.Layout.writeBucketTransform(t(s, d, "events"), "user_id", 8, dir)
+    graft.engine.Layout.readBucketTransform(s, dir, "user_id", 8, 7L)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  },
+    Some("""SELECT event_id, user_id, event_type, round(value, 2) AS value
+           |FROM events WHERE user_id = 7 ORDER BY event_id""".stripMargin))
+
+  /** Q148 (MV2′, incremental MV through the gate): build a summary view
+    * over HALF the events, append the other half, refresh — the final MV
+    * must equal a full group-by of ALL events, which is exactly what the
+    * oracle computes (it never sees the epochs). Measures: additive count
+    * (hash-checked) + HLL distinct-user sketch (5% contract). Table names
+    * are unique per invocation so reruns in one warehouse don't collide. */
+  val q148 = GQuery("q148_mv_estimates", (s, d) => {
+    import graft.engine.{Layout, Mview}
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (src, view) = (s"mvq_src_$run", s"mvq_view_$run")
+    val events = t(s, d, "events").select("event_id", "event_type", "user_id")
+    val ms = Seq(Mview.Measure("count", None, "n"),
+      Mview.Measure("approx_distinct", Some("user_id"), "uniq"))
+    events.filter(col("event_id") % 2 === 0).write.saveAsTable(src)
+    Mview.create(s, view, src, Seq("event_type"), ms)
+    events.filter(col("event_id") % 2 === 1)
+      .write.mode("append").saveAsTable(src)
+    Mview.refresh(s, view, src, Seq("event_type"), ms)
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("__exact_uniq"))
+    Mview.read(s, view, Seq("event_type"), ms)
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n"),
+        (abs(col("uniq") - col("__exact_uniq")) <= col("__exact_uniq") * 0.05)
+          .as("uniq_ok"))
+      .orderBy("event_type")
+  },
+    Some("""SELECT event_type, count(*) AS n, true AS uniq_ok
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
-    q134, q138, q139, q140, q141, q142, q143, q144, q145)
+    q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }
