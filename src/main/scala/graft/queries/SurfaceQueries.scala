@@ -596,6 +596,34 @@ object SurfaceQueries {
     Some("""SELECT event_type, count(*) AS n, true AS uniq_ok
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Q149 (W10, dense_rank): tie-classes rank consecutively — the gapless
+    * twin of q48's `rank` (which skips past ties). Balances bucket to the
+    * thousand so ties are guaranteed; ranking by the bucket value makes
+    * dense_rank deterministic without a per-row tie-break, and the
+    * output aggregates per tie-class so the check is order-free. */
+  val q149 = GQuery("q149_dense_rank", (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("bal_k").desc)
+    t(s, d, "customer")
+      .select(col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("bal_k"))
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= 2)
+      .groupBy("c_mktsegment", "dr", "bal_k")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("c_mktsegment"), col("dr").cast(LongType).as("dr"),
+        col("bal_k"), col("cnt"))
+      .orderBy("c_mktsegment", "dr")
+  },
+    Some("""WITH b AS (SELECT c_mktsegment,
+           |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k
+           |           FROM customer),
+           |r AS (SELECT *, dense_rank() OVER (PARTITION BY c_mktsegment
+           |        ORDER BY bal_k DESC) AS dr FROM b)
+           |SELECT c_mktsegment, CAST(dr AS BIGINT) AS dr, bal_k, count(*) AS cnt
+           |FROM r WHERE dr <= 2 GROUP BY 1, 2, 3
+           |ORDER BY c_mktsegment, dr""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
-    q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+    q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
+    q149)
 }

@@ -56,7 +56,13 @@ object StreamSink {
     * Scale shape per micro-batch: one distinct-key pass over the corpus +
     * one key join against the (small) batch — the corpus never rewrites,
     * unlike the merge sink; appends are O(new data). Bucketing the corpus
-    * table by the key column removes the corpus-side shuffle entirely. */
+    * table by the key column removes the corpus-side shuffle entirely.
+    *
+    * Visibility: appends run in the stream's session clone; OTHER sessions
+    * holding a cached relation for the table see the new files after
+    * `REFRESH TABLE` (standard Spark catalog-cache semantics — asserted in
+    * StreamSinkSpec's restart test). The query itself always re-resolves
+    * the table per batch, so the dedup never acts on a stale corpus. */
   def ingestDeduped(docs: DataFrame, table: String, idCol: String,
       textCol: String, checkpointDir: String): StreamingQuery = {
     val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
