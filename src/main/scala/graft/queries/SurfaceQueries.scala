@@ -623,7 +623,100 @@ object SurfaceQueries {
            |FROM r WHERE dr <= 2 GROUP BY 1, 2, 3
            |ORDER BY c_mktsegment, dr""".stripMargin))
 
+  /** Q150 (AN3, rolling z-score anomaly flags): each day's event volume
+    * scored against its own trailing 7-day mean/stddev — the standard
+    * ops-dashboard anomaly primitive. The frame EXCLUDES the current row
+    * (trailing baseline, not self-referential), is partitioned per
+    * series, and both engines compute the same sample stddev in IEEE
+    * double, so the z-scores compare exactly after rounding. Days whose
+    * baseline has <2 points emit a null z (no variance to judge against),
+    * surfaced as 0-score non-anomalies. */
+  val q150 = GQuery("q150_anomaly_zscore", (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("mu", avg(col("cnt").cast("double")).over(w))
+      .withColumn("sd", stddev_samp(col("cnt").cast("double")).over(w))
+      // zero/absent variance (constant or <2-point baseline) → z = 0,
+      // stated identically on both engines (ANSI division guards)
+      .withColumn("z0", when(col("sd").isNull || col("sd") === 0d, lit(0d))
+        .otherwise((col("cnt") - col("mu")) / col("sd")))
+      .select(col("day"), col("event_type"), col("cnt"),
+        round(col("z0"), 6).as("z"), (abs(col("z0")) > 3).as("anomaly"))
+      .orderBy("day", "event_type")
+  },
+    Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |                 event_type, count(*) AS cnt
+           |               FROM events GROUP BY 1, 2),
+           |scored AS (SELECT day, event_type, cnt,
+           |  avg(CAST(cnt AS DOUBLE)) OVER trail AS mu,
+           |  stddev_samp(CAST(cnt AS DOUBLE)) OVER trail AS sd
+           |  FROM daily
+           |  WINDOW trail AS (PARTITION BY event_type ORDER BY day
+           |                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+           |z AS (SELECT day, event_type, cnt,
+           |  CASE WHEN sd IS NULL OR sd = 0 THEN 0 ELSE (cnt - mu) / sd END AS z0
+           |  FROM scored)
+           |SELECT day, event_type, cnt, round(z0, 6) AS z, abs(z0) > 3 AS anomaly
+           |FROM z ORDER BY day, event_type""".stripMargin))
+
+  /** Q151 (AN4, market-basket lift): brand pairs bought within the same
+    * order, scored by lift = P(ab)/(P(a)·P(b)) — the co-purchase
+    * primitive behind "customers also bought". The pair space comes from
+    * a SELF-JOIN keyed on the order (never a cross product), deduped to
+    * one (order, brand-pair) before counting; marginals are a 25-row
+    * broadcast. Support floor keeps noise pairs out. Counting DISTINCT
+    * orders per pair makes multiplicities (two parts of one brand in an
+    * order) irrelevant — same definition on both engines. */
+  val q151 = GQuery("q151_market_basket", (s, d) => {
+    val orderBrand = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nOrders = t(s, d, "orders").agg(countDistinct(col("o_orderkey")).as("n"))
+    val marg = orderBrand.groupBy("p_brand")
+      .agg(count(lit(1)).as("brand_orders"))
+    val pairs = orderBrand.as("a")
+      .join(orderBrand.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= 50)
+    pairs
+      .join(broadcast(marg.select(col("p_brand").as("brand_a"),
+        col("brand_orders").as("ca"))), "brand_a")
+      .join(broadcast(marg.select(col("p_brand").as("brand_b"),
+        col("brand_orders").as("cb"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("pair_orders"),
+        round(col("pair_orders").cast("double") * col("n")
+          / (col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(50)
+  },
+    Some("""WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+           |            FROM lineitem JOIN part ON p_partkey = l_partkey),
+           |n AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders),
+           |marg AS (SELECT p_brand, count(*) AS brand_orders FROM ob GROUP BY 1),
+           |pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           |            count(*) AS pair_orders
+           |          FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+           |            AND a.p_brand < b.p_brand
+           |          GROUP BY 1, 2 HAVING count(*) >= 50)
+           |SELECT brand_a, brand_b, pair_orders,
+           |  round(CAST(pair_orders AS DOUBLE) * n
+           |    / (ma.brand_orders * mb.brand_orders), 6) AS lift
+           |FROM pairs
+           |JOIN marg ma ON ma.p_brand = brand_a
+           |JOIN marg mb ON mb.p_brand = brand_b
+           |CROSS JOIN n
+           |ORDER BY lift DESC, brand_a, brand_b LIMIT 50""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149)
+    q149, q150, q151)
 }
