@@ -679,11 +679,18 @@ object SurfaceQueries {
     val nOrders = t(s, d, "orders").agg(countDistinct(col("o_orderkey")).as("n"))
     val marg = orderBrand.groupBy("p_brand")
       .agg(count(lit(1)).as("brand_orders"))
-    val pairs = orderBrand.as("a")
-      .join(orderBrand.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.p_brand") < col("b.p_brand"))
-      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+    // pair generation is IN-ROW: one order-keyed shuffle builds the sorted
+    // brand set (≤ 25 elements), array HOFs emit the C(b,2) ordered pairs
+    // — cheaper than the equivalent self-join, which exchanges the pair
+    // relation twice and re-hashes every (order, brand) row
+    val pairs = orderBrand
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .select(explode(expr(
+        "flatten(transform(bs, (x, i) -> " +
+          "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("pair_orders"))
       .filter(col("pair_orders") >= 50)
     pairs
