@@ -66,4 +66,42 @@ object Checks {
     results.reduce(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** ROW-level rule evaluation — the quarantine/dead-letter primitive:
+    * adds a `violations` array column naming every rule the row fails
+    * (empty array = clean row). Only row-scoped rules apply —
+    * [[UniqueKey]] is a table property, not a row property, and is
+    * refused (use [[validate]] for it). RefIntegrity becomes a broadcast
+    * left-join hit marker; everything else is a narrow predicate, so
+    * flagging a 100 TB batch costs one pass + tiny dim broadcasts. */
+  def flagRows(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    rules.foreach {
+      case u: UniqueKey => throw new IllegalArgumentException(
+        s"${u.name} is table-scoped; row-level flagging supports not_null/range/ref")
+      case _ => ()
+    }
+    val withHits = rules.zipWithIndex.foldLeft(df) {
+      case (acc, (r: RefIntegrity, i)) =>
+        acc.join(
+          broadcast(r.dim.select(col(r.dimKey).as(s"__refk_$i"),
+            lit(1L).as(s"__hit_$i")).distinct()),
+          acc(r.col) === col(s"__refk_$i"), "left")
+          .drop(s"__refk_$i")
+      case (acc, _) => acc
+    }
+    val flags = rules.zipWithIndex.map {
+      case (r: NotNull, _) => when(col(r.col).isNull, lit(r.name))
+      case (r: InRange, _) => when(col(r.col).isNull ||
+        col(r.col) < r.lo || col(r.col) > r.hi, lit(r.name))
+      case (r: RefIntegrity, i) =>
+        when(col(r.col).isNotNull && col(s"__hit_$i").isNull, lit(r.name))
+      case (u: UniqueKey, _) => throw new IllegalStateException(u.name) // unreachable
+    }
+    withHits
+      .withColumn("violations", filter(array(flags: _*), x => x.isNotNull))
+      .drop(rules.zipWithIndex.collect {
+        case (_: RefIntegrity, i) => s"__hit_$i"
+      }: _*)
+  }
 }

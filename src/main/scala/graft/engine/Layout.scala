@@ -285,6 +285,44 @@ object Layout {
     republish(spark, merged, table)
   }
 
+  /** SCD Type 2 WRITE side (the read side is Q144's point-in-time join):
+    * fold a batch of attribute changes into a history-keeping dimension
+    * table with `valid_from`/`valid_to` columns (`valid_to` null = the
+    * current version). For each changed key: the current version CLOSES at
+    * the key's earliest update timestamp, and each update opens a version
+    * valid until the key's next update in the same batch (lead window) —
+    * so multi-change batches land as a correct chain in one pass. Keys
+    * not in `updates` are untouched; history rows are immutable.
+    *
+    * Plan: one key-window over the (small) update batch + one key join
+    * against current rows + union — copy-on-write republish, same staging
+    * discipline as [[merge]]. `updates` carries (key, attrs…, tsCol). */
+  def scdMerge(spark: SparkSession, table: String, updates: DataFrame,
+      keyCol: String, tsCol: String): Unit = {
+    val dim = spark.table(table)
+    val attrCols = dim.columns.filterNot(c =>
+      c == keyCol || c == "valid_from" || c == "valid_to").toSeq
+    require(updates.columns.toSet == (Set(keyCol, tsCol) ++ attrCols),
+      s"updates must carry ($keyCol, ${attrCols.mkString(", ")}, $tsCol)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // each update becomes a version row valid until the key's next update
+    val versions = updates
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .drop(tsCol)
+      .select(dim.columns.map(col).toIndexedSeq: _*)
+    // close the open version of every touched key at its first update time
+    val firstTs = updates.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__close_at"))
+    val current = dim.filter(col("valid_to").isNull)
+      .join(broadcast(firstTs), Seq(keyCol), "left")
+      .withColumn("valid_to", coalesce(col("__close_at"), col("valid_to")))
+      .drop("__close_at")
+    val untouchedHistory = dim.filter(col("valid_to").isNotNull)
+    republish(spark, untouchedHistory.unionByName(current).unionByName(versions), table)
+  }
+
   /** Row-level DELETE (Iceberg `DELETE FROM t WHERE ...` in copy-on-write
     * mode — the GDPR-erasure / bad-record shape): rewrite the table
     * keeping rows where the predicate is NOT satisfied. NULL predicate

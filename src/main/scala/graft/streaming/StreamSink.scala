@@ -78,4 +78,37 @@ object StreamSink {
       .foreachBatch(applyBatch)
       .start()
   }
+
+  /** Validated ingestion with a DEAD-LETTER QUEUE (ST12): each micro-batch
+    * is row-flagged against quality rules ([[graft.engine.Checks.flagRows]]);
+    * clean rows take the [[ingestDeduped]] path, dirty rows append to
+    * `quarantine` with their violation names and batch id — nothing is
+    * silently dropped, nothing dirty reaches the corpus, and the
+    * quarantine table IS the re-ingestion queue after a fix. The flagging
+    * pass is narrow (+ broadcast dims for referential rules), so the DLQ
+    * costs one extra column until the split. */
+  def ingestValidated(docs: DataFrame, table: String, quarantine: String,
+      idCol: String, textCol: String, rules: Seq[graft.engine.Checks.Rule],
+      checkpointDir: String): StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      import org.apache.spark.sql.functions._
+      val spark = batch.sparkSession
+      val flagged = graft.engine.Checks.flagRows(batch, rules)
+      val dirty = flagged.filter(size(col("violations")) > 0)
+        .withColumn("violations", concat_ws(";", col("violations")))
+        .withColumn("batch_id", lit(batchId))
+      dirty.write.mode("append").saveAsTable(quarantine)
+      val clean = flagged.filter(size(col("violations")) === 0)
+        .drop("violations")
+      val fresh = graft.ext.Dedup
+        .incrementalNew(clean, spark.table(table), idCol, textCol)
+        .filter(col("is_new"))
+        .drop("is_new", "__key")
+      fresh.write.mode("append").saveAsTable(table)
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch)
+      .start()
+  }
 }

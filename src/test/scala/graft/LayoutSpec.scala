@@ -104,6 +104,44 @@ class LayoutSpec extends SparkSpec {
     assert(spark.table("layout_exp_nation").count() === 3)
   }
 
+  test("scdMerge closes current versions and chains multi-change batches correctly") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    spark.sql("DROP TABLE IF EXISTS layout_scd")
+    // dim: u1 current 'bronze' since Jan 1; u2 current 'silver'; u1 has
+    // one closed historical row that must never be touched
+    Seq(
+      (1L, "trial", ts("2025-12-01 00:00:00"), Option(ts("2026-01-01 00:00:00"))),
+      (1L, "bronze", ts("2026-01-01 00:00:00"), None: Option[java.sql.Timestamp]),
+      (2L, "silver", ts("2026-01-01 00:00:00"), None: Option[java.sql.Timestamp]))
+      .toDF("user_id", "tier", "valid_from", "valid_to")
+      .write.saveAsTable("layout_scd")
+
+    // one batch: u1 changes TWICE (gold then platinum), u3 appears new
+    val updates = Seq(
+      (1L, "gold", ts("2026-02-01 00:00:00")),
+      (1L, "platinum", ts("2026-03-01 00:00:00")),
+      (3L, "bronze", ts("2026-02-15 00:00:00")))
+      .toDF("user_id", "tier", "ts")
+    Layout.scdMerge(spark, "layout_scd", updates, "user_id", "ts")
+
+    val rows = spark.table("layout_scd")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    assert(rows === Set(
+      (1L, "trial", ts("2025-12-01 00:00:00"), Some(ts("2026-01-01 00:00:00"))),
+      (1L, "bronze", ts("2026-01-01 00:00:00"), Some(ts("2026-02-01 00:00:00"))),
+      (1L, "gold", ts("2026-02-01 00:00:00"), Some(ts("2026-03-01 00:00:00"))),
+      (1L, "platinum", ts("2026-03-01 00:00:00"), None),
+      (2L, "silver", ts("2026-01-01 00:00:00"), None),
+      (3L, "bronze", ts("2026-02-15 00:00:00"), None)))
+    // schema mismatch in updates is refused
+    intercept[IllegalArgumentException](
+      Layout.scdMerge(spark, "layout_scd",
+        Seq((1L, ts("2026-04-01 00:00:00"))).toDF("user_id", "ts"),
+        "user_id", "ts"))
+  }
+
   test("deleteWhere/updateWhere rewrite only targeted rows and respect NULL predicates") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS layout_dml")

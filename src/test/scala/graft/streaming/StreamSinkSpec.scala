@@ -112,6 +112,46 @@ class StreamSinkSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("validated ingest quarantines dirty rows with reasons; clean rows dedup-append (ST12)") {
+    import graft.engine.Checks
+    val (table, dlq) = ("stream_val_corpus", "stream_val_dlq")
+    val logDir = Files.createTempDirectory("val-log").toString
+    val ckpt = Files.createTempDirectory("val-ckpt").toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $dlq")
+    Seq((1L, "alpha text", 10.0)).toDF("doc_id", "text", "quality")
+      .write.saveAsTable(table)
+
+    // arriving: corpus dup (clean), fresh (clean), null text, out-of-range
+    // quality AND null text (two violations on one row)
+    Seq((10L, Some("alpha text"), 5.0), (11L, Some("beta text"), 7.0),
+      (12L, None: Option[String], 5.0), (13L, None: Option[String], 99.0))
+      .toDF("doc_id", "text", "quality")
+      .coalesce(1).write.mode("append").parquet(logDir)
+
+    val rules = Seq(Checks.NotNull("text"), Checks.InRange("quality", 0, 10))
+    val q = StreamSink.ingestValidated(
+      spark.readStream.schema(spark.read.parquet(logDir).schema).parquet(logDir),
+      table, dlq, "doc_id", "text", rules, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(dlq)
+    // corpus: dup dropped, fresh appended, dirty rows NOT present
+    assert(spark.table(table).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 11L))
+    // DLQ: both dirty rows with their reasons (the double violation lists both)
+    val dlqRows = spark.table(dlq)
+      .select("doc_id", "violations").as[(Long, String)].collect().toMap
+    assert(dlqRows.keySet === Set(12L, 13L))
+    assert(dlqRows(12L) === "not_null(text)")
+    assert(dlqRows(13L).split(";").toSet ===
+      Set("not_null(text)", "range(quality,0.0,10.0)"))
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $dlq")
+  }
+
   test("checkpoint restart resumes where the stopped query left off (no reprocessing)") {
     val table = "stream_restart_corpus"
     val logDir = Files.createTempDirectory("restart-log").toString
