@@ -723,7 +723,41 @@ object SurfaceQueries {
            |CROSS JOIN n
            |ORDER BY lift DESC, brand_a, brand_b LIMIT 50""".stripMargin))
 
+  /** Q152 (J6, null-safe equality join): `<=>` — Trino/standard
+    * `IS NOT DISTINCT FROM` — where NULL matches NULL as a real key value
+    * (the semantics every "join on an optional attribute" query silently
+    * needs; a plain `=` drops those rows). Keys are derived with NULLs on
+    * error events; the null-safe join routes every error row to the NULL
+    * bucket, witnessed by the -1 group in the output. Null-safe equality
+    * still hash-partitions (NULL is one key), so the plan is a plain
+    * equi-join, not a blocked theta join. */
+  val q152 = GQuery("q152_null_safe_join", (s, d) => {
+    val k = when(col("event_type") === "error", lit(null).cast(LongType))
+      .otherwise(col("user_id") % 10)
+    val a = t(s, d, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), k.as("ka"))
+    val b = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(k.as("kb")).distinct()
+    a.join(b, col("ka") <=> col("kb"))
+      .groupBy(coalesce(col("ka"), lit(-1L)).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+  },
+    Some("""WITH a AS (SELECT event_id,
+           |    CASE WHEN event_type = 'error' THEN NULL
+           |         ELSE user_id % 10 END AS ka
+           |  FROM events WHERE event_type IN ('click', 'error')),
+           |b AS (SELECT DISTINCT
+           |    CASE WHEN event_type = 'error' THEN NULL
+           |         ELSE user_id % 10 END AS kb
+           |  FROM events WHERE event_type IN ('purchase', 'error'))
+           |SELECT coalesce(ka, -1) AS k, count(*) AS cnt
+           |FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb
+           |GROUP BY 1 ORDER BY k""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151)
+    q149, q150, q151, q152)
 }
