@@ -38,6 +38,7 @@ final case class ChartSpec(
     rollingWindow: Option[Int] = None,               // rolling mean over N grain periods
     seriesLimit: Option[Int] = None,                 // series_limit (top-N series)
     seriesLimitMetric: Option[String] = None,        // defaults to first metric
+    seriesOthers: Boolean = false,                   // lump non-top series into "Others"
     orderBy: Seq[(String, Boolean)] = Nil,           // (column, ascending)
     rowLimit: Int = 100)                             // init_db.py:154
 
@@ -116,7 +117,32 @@ object ChartCompiler {
               .orderBy(col("__series_total").desc +: spec.groupby.map(col(_).asc): _*)
               .limit(n)
               .select(spec.groupby.map(col): _*)
-            grouped.join(broadcast(topSeries), spec.groupby, "left_semi")
+            if (!spec.seriesOthers)
+              grouped.join(broadcast(topSeries), spec.groupby, "left_semi")
+            else {
+              require(spec.metrics.forall(m =>
+                Set("count", "sum").contains(m.fn.toLowerCase)),
+                "series 'Others' re-merges grouped rows — only additive " +
+                  "metrics (count/sum) are exact under re-aggregation")
+              // "Group others" (Superset's contribution-preserving variant
+              // of series_limit): non-top series are RELABELED "Others"
+              // and re-aggregated per timestamp instead of dropped, so
+              // totals — and therefore percent/contribution stages — stay
+              // whole. Membership is a broadcast join marker; metric
+              // re-merge is a SUM over the already-grouped rows, which is
+              // exact for count/sum metrics (Superset's constraint too).
+              val marked = grouped.join(
+                broadcast(topSeries.withColumn("__keep", lit(1))),
+                spec.groupby, "left")
+              val relabeled = spec.groupby.foldLeft(marked) { (acc, g) =>
+                acc.withColumn(g,
+                  when(col("__keep").isNull, lit("Others")).otherwise(col(g)))
+              }.drop("__keep")
+              val keys = grainKey.map(_ => col("__timestamp")).toSeq ++
+                spec.groupby.map(col)
+              val remerged = spec.metrics.map(m => sum(col(m.alias)).as(m.alias))
+              relabeled.groupBy(keys: _*).agg(remerged.head, remerged.tail: _*)
+            }
           case _ => grouped
         }
         // percent metrics: metric / total(metric). The total is a 1-row

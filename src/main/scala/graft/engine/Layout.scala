@@ -157,6 +157,14 @@ object Layout {
     spark.read.parquet(dst.toString)
   }
 
+  /** Filesystem location of a tag's data (for metadata inspection). */
+  private[engine] def snapshotLocation(spark: SparkSession, table: String,
+      tag: String): String = {
+    val dst = snapshotDir(tableLocation(spark, table), table, tag)
+    require(Files.exists(dst), s"unknown snapshot tag '$tag' for $table")
+    dst.toString
+  }
+
   /** List a table's snapshot tags. */
   def listSnapshots(spark: SparkSession, table: String): Seq[String] = {
     val dir = snapshotDir(tableLocation(spark, table), table, ".").getParent

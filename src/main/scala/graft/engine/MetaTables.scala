@@ -67,6 +67,24 @@ object MetaTables {
         sum(col("record_count")).as("record_count"),
         sum(col("file_size_bytes")).as("total_bytes"))
 
+  /** `$snapshots`-style inspection over [[Layout]] tags: one row per
+    * snapshot tag — (tag, file_count, record_count, total_bytes) — footer
+    * reads only, distributed per tag. The tag list is a driver-side
+    * catalog lookup (like Iceberg's metadata-file read); tag counts are
+    * small by construction (retention via [[Layout.expireSnapshots]]). */
+  def snapshotsMetadata(spark: SparkSession, table: String): DataFrame = {
+    val tags = Layout.listSnapshots(spark, table)
+    require(tags.nonEmpty, s"no snapshots for $table")
+    tags.map { tag =>
+      filesMetadata(spark, Layout.snapshotLocation(spark, table, tag))
+        .agg(count(lit(1)).as("file_count"),
+          sum(col("record_count")).as("record_count"),
+          sum(col("file_size_bytes")).as("total_bytes"))
+        .select(lit(tag).as("tag"), col("file_count"),
+          col("record_count"), col("total_bytes"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-file column BOUNDS — the min/max half of Iceberg's manifest
     * `lower_bounds`/`upper_bounds`, read from parquet footer statistics
     * (merged across row groups), distributed like [[filesMetadata]].

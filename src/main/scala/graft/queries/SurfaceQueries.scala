@@ -757,7 +757,58 @@ object SurfaceQueries {
            |FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb
            |GROUP BY 1 ORDER BY k""".stripMargin))
 
+  /** Q153 (B1⁑, series "Others" rollup): series_limit's contribution-
+    * preserving variant — non-top series RELABEL to "Others" and re-merge
+    * per timestamp instead of being dropped, so the chart's totals stay
+    * whole (the stacked-area "top 3 + Others" every BI tool renders).
+    * Re-merge is exact only for additive metrics; the compiler refuses
+    * anything else (guarded). */
+  val q153 = GQuery("q153_chart_series_others", (s, d) => {
+    graft.bi.ChartCompiler.compile(s,
+      graft.bi.ChartSpec(datasource = "events", queryMode = "aggregate",
+        groupby = Seq("event_type"),
+        metrics = Seq(graft.bi.Metric("count", None, "cnt")),
+        timeColumn = Some("ts"), timeGrain = Some("day"),
+        seriesLimit = Some(2), seriesOthers = true, rowLimit = 1000),
+      n => t(s, d, n))
+      .select(col("__timestamp"), col("event_type"), col("cnt"))
+      .orderBy("__timestamp", "event_type")
+  },
+    Some("""WITH g AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS __timestamp,
+           |             event_type, count(*) AS cnt
+           |           FROM events GROUP BY 1, 2),
+           |top2 AS (SELECT event_type FROM (
+           |           SELECT event_type, sum(cnt) AS t FROM g GROUP BY 1
+           |           ORDER BY t DESC, event_type LIMIT 2))
+           |SELECT __timestamp,
+           |  CASE WHEN event_type IN (SELECT event_type FROM top2)
+           |       THEN event_type ELSE 'Others' END AS event_type,
+           |  CAST(sum(cnt) AS BIGINT) AS cnt
+           |FROM g GROUP BY 1, 2 ORDER BY __timestamp, event_type
+           |LIMIT 1000""".stripMargin))
+
+  /** Q154 (Q3, GROUP BY ALL): the modern SQL-surface sugar (Spark ≥3.4,
+    * DuckDB, Snowflake) — every non-aggregate select item becomes a
+    * grouping key; identical statement runs on both engines. */
+  val q154 = GQuery("q154_group_by_all", (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("gba_orders")
+    s.sql("""SELECT o_orderstatus, o_orderpriority,
+            |  count(*) AS n,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+            |    AS total
+            |FROM gba_orders
+            |GROUP BY ALL
+            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  count(*) AS n,
+           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           |    AS total
+           |FROM orders
+           |GROUP BY ALL
+           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152)
+    q149, q150, q151, q152, q153, q154)
 }

@@ -160,6 +160,31 @@ class ChartCompilerSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) === expected && expected > 0)
   }
 
+  test("series Others preserves totals and refuses non-additive metrics") {
+    import org.apache.spark.sql.functions._
+    val base = ChartSpec(datasource = "events", queryMode = "aggregate",
+      groupby = Seq("event_type"),
+      metrics = Seq(Metric("count", None, "cnt")),
+      timeColumn = Some("ts"), timeGrain = Some("day"), rowLimit = 10000)
+    val plain = ChartCompiler.compile(spark, base, _ => events)
+    val others = ChartCompiler.compile(spark,
+      base.copy(seriesLimit = Some(1), seriesOthers = true), _ => events)
+    // totals per timestamp are preserved (nothing dropped, only relabeled)
+    val totalPlain = plain.agg(sum("cnt")).collect()(0).getLong(0)
+    val totalOthers = others.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(totalPlain === totalOthers)
+    // exactly top-1 series + "Others" remain
+    val series = others.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(series.size === 2 && series.contains("Others"))
+    // non-additive metric refused under re-merge
+    intercept[IllegalArgumentException] {
+      ChartCompiler.compile(spark,
+        base.copy(metrics = Seq(Metric("avg", Some("amount"), "m")),
+          seriesLimit = Some(1), seriesOthers = true), _ => events).collect()
+    }
+  }
+
   test("RLS policies restrict a role's charts before aggregation; others unaffected") {
     import org.apache.spark.sql.functions._
     val spec = ChartSpec(datasource = "events", queryMode = "aggregate",

@@ -92,6 +92,21 @@ class MetaTablesSpec extends SparkSpec {
         abs(col("upper_bound").cast("double") - col("phi")) > 1e-9).isEmpty)
   }
 
+  test("snapshots metadata reports per-tag file/row/byte rollups") {
+    val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
+    spark.sql("DROP TABLE IF EXISTS mt_snap_nation")
+    nation.write.saveAsTable("mt_snap_nation")
+    Layout.snapshot(spark, "mt_snap_nation", "v1")
+    nation.filter(col("n_nationkey") < 5).write.mode("overwrite")
+      .saveAsTable("mt_snap_nation")
+    Layout.snapshot(spark, "mt_snap_nation", "v2")
+    val meta = MetaTables.snapshotsMetadata(spark, "mt_snap_nation")
+      .orderBy("tag").collect()
+    assert(meta.map(_.getString(0)).toSeq === Seq("v1", "v2"))
+    assert(meta.map(_.getLong(2)).toSeq === Seq(25L, 5L)) // record_count per tag
+    assert(meta.forall(_.getLong(3) > 0))
+  }
+
   test("partitions metadata matches a per-day group-by of the data") {
     val meta = MetaTables.partitionsMetadata(spark, daysDir)
       .select(regexp_extract(col("partition"), "p_day=(.*)", 1).as("day"),
