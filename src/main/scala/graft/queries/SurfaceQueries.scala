@@ -808,7 +808,66 @@ object SurfaceQueries {
            |GROUP BY ALL
            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
 
+  /** Q155 (F17, math-function breadth): the scalar math surface in one
+    * narrow projection — rounding family, powers/roots/logs, sign/mod,
+    * greatest/least — all IEEE-defined, so both engines agree bit-for-bit
+    * (rounded to 9 only where transcendentals are involved). */
+  val q155 = GQuery("q155_math_breadth", (s, d) => {
+    val p = col("o_totalprice")
+    t(s, d, "orders")
+      .filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"),
+        ceil(p).cast(LongType).as("ceil_p"),
+        floor(p).cast(LongType).as("floor_p"),
+        round(sqrt(p), 9).as("sqrt_p"),
+        round(pow(p / 10000d, 2), 9).as("pow_p"),
+        round(log(p), 9).as("ln_p"),
+        round(log10(p), 9).as("log10_p"),
+        signum(p - 100000).cast(LongType).as("sign_p"),
+        (col("o_orderkey") % 7).as("mod_k"),
+        greatest(p, lit(150000d)).as("hi"),
+        least(p, lit(150000d)).as("lo"))
+      .orderBy("o_orderkey")
+  },
+    Some("""SELECT o_orderkey,
+           |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p,
+           |  CAST(floor(o_totalprice) AS BIGINT) AS floor_p,
+           |  round(sqrt(o_totalprice), 9) AS sqrt_p,
+           |  round(pow(o_totalprice / 10000, 2), 9) AS pow_p,
+           |  round(ln(o_totalprice), 9) AS ln_p,
+           |  round(log10(o_totalprice), 9) AS log10_p,
+           |  CAST(sign(o_totalprice - 100000) AS BIGINT) AS sign_p,
+           |  o_orderkey % 7 AS mod_k,
+           |  greatest(o_totalprice, 150000) AS hi,
+           |  least(o_totalprice, 150000) AS lo
+           |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin))
+
+  /** Q156 (F18, bitwise breadth): AND/OR/XOR, shifts, popcount — the
+    * fingerprint/bucket arithmetic this engine's own sketches run on,
+    * exposed as the user-facing SQL surface. Integer-exact everywhere. */
+  val q156 = GQuery("q156_bitwise_breadth", (s, d) => {
+    val k = col("o_orderkey")
+    t(s, d, "orders")
+      .filter(k < 5000)
+      .select(k.as("o_orderkey"),
+        k.bitwiseAND(lit(255L)).as("k_and"),
+        k.bitwiseOR(lit(4096L)).as("k_or"),
+        k.bitwiseXOR(lit(0x5aL)).as("k_xor"),
+        shiftleft(k, 3).as("k_shl"),
+        shiftright(k, 2).as("k_shr"),
+        bit_count(k).cast(LongType).as("k_pop"))
+      .orderBy("o_orderkey")
+  },
+    Some("""SELECT o_orderkey,
+           |  o_orderkey & 255 AS k_and,
+           |  o_orderkey | 4096 AS k_or,
+           |  xor(o_orderkey, 90) AS k_xor,
+           |  o_orderkey << 3 AS k_shl,
+           |  o_orderkey >> 2 AS k_shr,
+           |  CAST(bit_count(o_orderkey) AS BIGINT) AS k_pop
+           |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154)
+    q149, q150, q151, q152, q153, q154, q155, q156)
 }
