@@ -215,6 +215,81 @@ object Layout {
     }
   }
 
+  // ------------------------------------------------------------- branches
+  // Nessie-style BRANCHES on top of the tag machinery (the reference's
+  // catalog ref model: iceberg.nessie-catalog.ref=main is a branch;
+  // "create branch etl", write, "merge etl into main" is its isolation
+  // workflow). A branch here is a WRITABLE copy of the table registered
+  // as its own catalog table `<table>__branch_<name>` (one-time fork
+  // cost; a metadata catalog forks pointers instead — same API shape),
+  // plus a HARDLINKED fork tag pinning what main looked like. Merge is a
+  // FAST-FORWARD publish: allowed only while main's live file set still
+  // equals the fork tag's (no concurrent change since the fork) — the
+  // same optimistic-concurrency check Nessie/Iceberg commits make. On
+  // conflict the merge refuses; re-fork and replay (rebase) is the
+  // caller's move, exactly like a rejected Nessie commit.
+
+  private def branchTableName(table: String, branch: String) =
+    s"${table}__branch_$branch"
+  private def forkTag(branch: String) = s"__fork_$branch"
+
+  private def liveFileNames(spark: SparkSession, table: String): Set[String] = {
+    val dir = tableLocation(spark, table)
+    scala.util.Using.resource(Files.walk(dir)) { walk =>
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.getFileName.toString).toSet
+    }
+  }
+
+  /** Fork `branch` off `table`: tags main's current state (the fork
+    * point) and registers a writable branch table seeded with the same
+    * rows. Returns the branch table name — all branch work reads/writes
+    * that table; main never sees it. */
+  def createBranch(spark: SparkSession, table: String, branch: String): String = {
+    val bt = branchTableName(table, branch)
+    require(!spark.catalog.tableExists(bt), s"branch '$branch' already exists for $table")
+    snapshot(spark, table, forkTag(branch))
+    spark.table(table).write.saveAsTable(bt)
+    bt
+  }
+
+  /** Fast-forward merge `branch` into `table`: succeeds only if main is
+    * UNCHANGED since the fork (optimistic concurrency — same rule as a
+    * Nessie commit against a moved ref); publishes the branch's content
+    * as main and deletes the branch + fork tag. Throws on conflict,
+    * leaving both refs intact for a re-fork/replay. */
+  def mergeBranch(spark: SparkSession, table: String, branch: String): Unit = {
+    val bt = branchTableName(table, branch)
+    require(spark.catalog.tableExists(bt), s"unknown branch '$branch' for $table")
+    val forkDir = snapshotDir(tableLocation(spark, table), table, forkTag(branch))
+    require(Files.exists(forkDir), s"missing fork tag for branch '$branch'")
+    // same name filter as liveFileNames: data files only (the snapshot
+    // hardlinks checksum sidecars too, which are not part of table state)
+    val forkFiles = scala.util.Using.resource(Files.walk(forkDir)) { walk =>
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.getFileName.toString).toSet
+    }
+    if (liveFileNames(spark, table) != forkFiles)
+      throw new IllegalStateException(
+        s"merge conflict: $table changed since branch '$branch' forked — " +
+          "re-fork and replay (rebase)")
+    republish(spark, spark.table(bt), table)
+    dropBranch(spark, table, branch)
+  }
+
+  /** Abandon a branch: drop its table and fork tag; main is untouched. */
+  def dropBranch(spark: SparkSession, table: String, branch: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${branchTableName(table, branch)}")
+    expireSnapshots(spark, table,
+      listSnapshots(spark, table).toSet - forkTag(branch))
+  }
+
   /** Expire snapshot tags (Iceberg `expire_snapshots`): every tag NOT in
     * `keep` is deleted and its name returned. Because tags are per-file
     * hardlinks, deleting one only drops inode refcounts — the live table

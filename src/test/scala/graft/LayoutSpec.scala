@@ -104,6 +104,40 @@ class LayoutSpec extends SparkSpec {
     assert(spark.table("layout_exp_nation").count() === 3)
   }
 
+  test("branches isolate writes; merge fast-forwards when main is unmoved, refuses otherwise") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS layout_br")
+    spark.sql("DROP TABLE IF EXISTS layout_br__branch_etl")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable("layout_br")
+
+    // fork, write on the branch: main must not see it
+    val bt = Layout.createBranch(spark, "layout_br", "etl")
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").saveAsTable(bt)
+    assert(spark.table("layout_br").count() === 2)
+    assert(spark.table(bt).count() === 3)
+    intercept[IllegalArgumentException](
+      Layout.createBranch(spark, "layout_br", "etl")) // duplicate branch
+
+    // fast-forward merge publishes the branch and cleans refs
+    Layout.mergeBranch(spark, "layout_br", "etl")
+    assert(spark.table("layout_br").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!spark.catalog.tableExists(bt))
+    assert(Layout.listSnapshots(spark, "layout_br").isEmpty)
+
+    // concurrent change on main since the fork → merge refuses, refs intact
+    val bt2 = Layout.createBranch(spark, "layout_br", "etl2")
+    Seq((4L, "d")).toDF("id", "v").write.mode("append").saveAsTable(bt2)
+    Seq((9L, "z")).toDF("id", "v").write.mode("append").saveAsTable("layout_br")
+    val ex = intercept[IllegalStateException](
+      Layout.mergeBranch(spark, "layout_br", "etl2"))
+    assert(ex.getMessage.contains("conflict"))
+    assert(spark.catalog.tableExists(bt2)) // branch survives for a rebase
+    assert(spark.table("layout_br").count() === 4) // main keeps its own write
+    Layout.dropBranch(spark, "layout_br", "etl2")
+    assert(!spark.catalog.tableExists(bt2))
+  }
+
   test("scdMerge closes current versions and chains multi-change batches correctly") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
