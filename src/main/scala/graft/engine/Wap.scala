@@ -38,4 +38,29 @@ object Wap {
       WapResult(published = false, failed)
     }
   }
+
+  /** Branch-isolated WAP — the form [[writeAuditPublish]]'s scaladoc
+    * apologizes for not being: the batch lands on a BRANCH
+    * ([[Layout.createBranch]]), the audit runs on the branch's post-append
+    * state, and main only ever changes via the fast-forward merge — so
+    * readers of main can NEVER observe a staged row, and a failed audit
+    * costs a branch drop, not a restore. The merge inherits the branch
+    * machinery's optimistic-concurrency check: if main moved during the
+    * audit, the publish refuses (re-fork and replay) rather than
+    * clobbering a concurrent commit. */
+  def writeAuditPublishBranched(spark: SparkSession, table: String,
+      batch: DataFrame, rules: Seq[Checks.Rule], branch: String): WapResult = {
+    val bt = Layout.createBranch(spark, table, branch)
+    batch.write.mode("append").saveAsTable(bt)
+    val failed = Checks.validate(spark.table(bt), rules)
+      .filter(!col("pass"))
+      .select("rule").collect().map(_.getString(0)).toSeq
+    if (failed.isEmpty) {
+      Layout.mergeBranch(spark, table, branch)
+      WapResult(published = true, Nil)
+    } else {
+      Layout.dropBranch(spark, table, branch)
+      WapResult(published = false, failed)
+    }
+  }
 }

@@ -867,7 +867,35 @@ object SurfaceQueries {
            |  CAST(bit_count(o_orderkey) AS BIGINT) AS k_pop
            |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin))
 
+  /** Q157 (L13′, branch lifecycle through the gate): fork a branch off a
+    * seeded table, append the odd half of events there (main must not see
+    * it), fast-forward merge, and read the result — which must equal a
+    * plain aggregate of ALL events. The oracle never sees the branch
+    * machinery, proving isolation + merge leave exactly the logical
+    * content behind. Unique names per invocation (rerun-safe). */
+  val q157 = GQuery("q157_branch_merge", (s, d) => {
+    import graft.engine.Layout
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"brq_main_$run"
+    val events = t(s, d, "events").select("event_id", "event_type", "value")
+    events.filter(col("event_id") % 2 === 0).write.saveAsTable(table)
+    val bt = Layout.createBranch(s, table, "etl")
+    events.filter(col("event_id") % 2 === 1)
+      .write.mode("append").saveAsTable(bt)
+    val mainBeforeMerge = s.table(table).count() // branch write invisible
+    Layout.mergeBranch(s, table, "etl")
+    s.table(table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+      .withColumn("isolated",
+        lit(mainBeforeMerge) === events.filter(col("event_id") % 2 === 0).count())
+      .orderBy("event_type")
+  },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total,
+           |  true AS isolated
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157)
 }

@@ -32,6 +32,29 @@ class WapSpec extends SparkSpec {
       Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("branched WAP: staged rows never touch main; dirty batch costs only a branch drop") {
+    val table = "wap_br_target"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__branch_audit1")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__branch_audit2")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").write.saveAsTable(table)
+    val rules = Seq(Checks.UniqueKey("id"), Checks.InRange("v", 0.0, 100.0))
+
+    val ok = Wap.writeAuditPublishBranched(spark, table,
+      Seq((3L, 30.0)).toDF("id", "v"), rules, branch = "audit1")
+    assert(ok.published && spark.table(table).count() === 3)
+
+    val bad = Wap.writeAuditPublishBranched(spark, table,
+      Seq((3L, 999.0)).toDF("id", "v"), rules, branch = "audit2")
+    assert(!bad.published)
+    assert(bad.failedRules.toSet === Set("unique(id)", "range(v,0.0,100.0)"))
+    // main was never touched — no append, no restore, and no leftover refs
+    assert(spark.table(table).as[(Long, Double)].collect().toSet ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(!spark.catalog.tableExists(s"${table}__branch_audit2"))
+    assert(Layout.listSnapshots(spark, table).isEmpty)
+  }
+
   test("changesBetween emits insert/delete/update_postimage, nothing for unchanged keys") {
     val table = "cdc_target"
     spark.sql(s"DROP TABLE IF EXISTS $table")
