@@ -895,7 +895,77 @@ object SurfaceQueries {
            |  true AS isolated
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Q158 (AN5, ABC / Pareto classification): parts classed A/B/C by
+    * cumulative revenue share (A = the ~80% head). The textbook
+    * formulation is a GLOBAL cumulative window — a single-partition
+    * scale-killer — so the running total goes through the two-level
+    * sharded prefix sum ([[graft.ext.PrefixSum]], 32 shards): a
+    * range-repartition, per-shard sums, a shard-count-sized offset
+    * window, and a narrow add. Revenue is carried as exact DECIMAL cents
+    * (long) so the classification boundary is integer-deterministic. */
+  val q158 = GQuery("q158_abc_classification", (s, d) => {
+    val rev = sum(col("l_extendedprice").cast("decimal(18,2)")
+      * (lit(1) - col("l_discount").cast("decimal(18,2)")))
+    val perPart = t(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg((rev * 100).cast(LongType).as("rc"))
+      .withColumn("__g", lit(0))
+      .withColumn("__negrc", -col("rc"))
+    val total = perPart.agg(sum(col("rc")).as("tot"))
+    graft.ext.PrefixSum
+      .exclusive(perPart, "__g", Seq("__negrc", "l_partkey"), "rc", "__before",
+        shards = 32)
+      .crossJoin(broadcast(total))
+      .withColumn("__cum",
+        (col("__before") + col("rc")).cast("double") / col("tot"))
+      .withColumn("cls", when(col("__cum") <= 0.8, "A")
+        .when(col("__cum") <= 0.95, "B").otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rc")).cast("double") / first(col("tot")), 6).as("rev_share"))
+      .orderBy("cls")
+  },
+    Some("""WITH pp AS (SELECT l_partkey,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100 AS BIGINT) AS rc
+           |  FROM lineitem GROUP BY 1),
+           |t AS (SELECT sum(rc) AS tot FROM pp),
+           |r AS (SELECT rc, sum(rc) OVER (ORDER BY rc DESC, l_partkey) AS cum FROM pp),
+           |c AS (SELECT rc, CASE WHEN CAST(cum AS DOUBLE) / tot <= 0.8 THEN 'A'
+           |        WHEN CAST(cum AS DOUBLE) / tot <= 0.95 THEN 'B'
+           |        ELSE 'C' END AS cls
+           |      FROM r CROSS JOIN t)
+           |SELECT cls, count(*) AS n_parts,
+           |  round(CAST(sum(rc) AS DOUBLE) / (SELECT tot FROM t), 6) AS rev_share
+           |FROM c GROUP BY cls ORDER BY cls""".stripMargin))
+
+  /** Q159 (AN6, new vs returning): each day's active users split by
+    * whether the day is their FIRST — the growth-accounting metric every
+    * product dashboard leads with. One user-keyed min aggregate joined
+    * back (broadcast: users ≪ events), then a per-day distinct count per
+    * class. */
+  val q159 = GQuery("q159_new_vs_returning", (s, d) => {
+    val events = t(s, d, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = events.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    events.join(broadcast(firstDay), "user_id")
+      .groupBy("day")
+      .agg(
+        countDistinct(when(col("day") === col("first_day"), col("user_id")))
+          .as("new_users"),
+        countDistinct(when(col("day") =!= col("first_day"), col("user_id")))
+          .as("returning_users"))
+      .orderBy("day")
+  },
+    Some("""WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           |           FROM events),
+           |f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+           |SELECT day,
+           |  count(DISTINCT CASE WHEN day = first_day THEN e.user_id END) AS new_users,
+           |  count(DISTINCT CASE WHEN day <> first_day THEN e.user_id END) AS returning_users
+           |FROM e JOIN f ON e.user_id = f.user_id
+           |GROUP BY day ORDER BY day""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156, q157)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }
