@@ -965,7 +965,49 @@ object SurfaceQueries {
            |FROM e JOIN f ON e.user_id = f.user_id
            |GROUP BY day ORDER BY day""".stripMargin))
 
+  /** Q160 (AN7, top movers): brand revenue ranks in 1997 vs 1996 and the
+    * rank delta — the "movers & shakers" dashboard pattern. Ranks come
+    * from a year-partitioned window over the ALREADY-AGGREGATED 25-brand
+    * result (bounded input, never raw facts); revenue stays DECIMAL until
+    * the displayed edge; (rev desc, brand) makes ranks total. */
+  val q160 = GQuery("q160_top_movers", (s, d) => {
+    val rev = sum(col("l_extendedprice").cast("decimal(18,2)")
+      * (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev")
+    val byYear = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("yr"), col("p_brand"))
+      .agg(rev)
+    val w = Window.partitionBy(col("yr")).orderBy(col("rev").desc, col("p_brand"))
+    val ranked = byYear.withColumn("rk", row_number().over(w))
+    ranked.filter(col("yr") === 1996)
+      .select(col("p_brand"), col("rk").as("rk_1996"))
+      .join(ranked.filter(col("yr") === 1997)
+        .select(col("p_brand"), col("rk").as("rk_1997")), "p_brand")
+      .select(col("p_brand"),
+        col("rk_1996").cast(LongType).as("rk_1996"),
+        col("rk_1997").cast(LongType).as("rk_1997"),
+        (col("rk_1996") - col("rk_1997")).cast(LongType).as("delta"))
+      .orderBy(col("delta").desc, col("p_brand"))
+  },
+    Some("""WITH by_year AS (SELECT CAST(year(l_shipdate) AS INT) AS yr, p_brand,
+           |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+           |  FROM lineitem JOIN part ON p_partkey = l_partkey
+           |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+           |  GROUP BY 1, 2),
+           |ranked AS (SELECT *, row_number() OVER
+           |    (PARTITION BY yr ORDER BY rev DESC, p_brand) AS rk
+           |  FROM by_year)
+           |SELECT a.p_brand, CAST(a.rk AS BIGINT) AS rk_1996,
+           |  CAST(b.rk AS BIGINT) AS rk_1997,
+           |  CAST(a.rk - b.rk AS BIGINT) AS delta
+           |FROM ranked a JOIN ranked b ON a.p_brand = b.p_brand
+           |WHERE a.yr = 1996 AND b.yr = 1997
+           |ORDER BY delta DESC, a.p_brand""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 }
