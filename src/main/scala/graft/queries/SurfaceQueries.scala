@@ -1007,7 +1007,38 @@ object SurfaceQueries {
            |WHERE a.yr = 1996 AND b.yr = 1997
            |ORDER BY delta DESC, a.p_brand""".stripMargin))
 
+  /** Q161 (P6, weighted sampling without replacement): Efraimidis–Spirakis
+    * A-ES — each doc draws a deterministic uniform u from its id's md5 and
+    * gets key ln(u)/w (w = doc length); the top-k keys ARE a
+    * probability-proportional-to-size sample without replacement. The
+    * corpus-sampling op ("sample 10k docs, long docs proportionally more
+    * likely") as one narrow map + TakeOrdered — no rand() (replays and
+    * retries draw identically, the q43/q109 determinism discipline), no
+    * global sort. Both engines parse the same 8 hex chars to the same
+    * double, so the sample is bit-identical. */
+  val q161 = GQuery("q161_weighted_sample", (s, d) => {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / lit(4294967296d)
+    val key = log(u) / col("n_chars")
+    val w = Window.orderBy(col("key").desc, col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), key.as("key"))
+      .orderBy(col("key").desc, col("doc_id")).limit(20)
+      .withColumn("rk", row_number().over(w))
+      .select(col("rk").cast(LongType).as("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("rk")
+  },
+    Some("""WITH keyed AS (SELECT doc_id, n_chars,
+           |  ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |      + 0.5) / 4294967296.0) / n_chars AS key
+           |  FROM documents),
+           |top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 20)
+           |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rk,
+           |  doc_id, n_chars
+           |FROM top ORDER BY rk""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
+    q161)
 }
