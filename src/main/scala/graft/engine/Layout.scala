@@ -101,118 +101,169 @@ object Layout {
       .drop("p_bucket")
 
   // ------------------------------------------------------------- snapshots
-  // Tagged-read emulation of the reference's versioned catalog (Nessie ref
-  // `main`, compose/trino/catalog/iceberg.properties:6): `snapshot` tags
-  // the table's CURRENT files, `readAt` reads a tag immutably after any
-  // number of later overwrites.
+  // Manifest-file snapshots — the Iceberg-shaped versioned catalog the
+  // reference runs (Nessie ref `main`, compose/trino/catalog/
+  // iceberg.properties:6; MinIO object storage, compose.yaml:59-77).
   //
-  // Mechanism: per-file hardlinks into a sibling `_graft_snapshots/` dir
-  // (copy fallback where links are unsupported). On a POSIX filesystem a
-  // tag is metadata-only — no data bytes move, and an overwrite's deletes
-  // can't disturb the tag (inode refcounts) — which is the same immutable-
-  // data-file property Iceberg snapshots rely on. On object stores a real
-  // table format (Iceberg/Delta) is the production answer; this emulation
-  // keeps the exercised API (tag + read-at-tag) identical.
+  // A tag is a JSON MANIFEST ([[Manifests.Snapshot]]) naming the table's
+  // immutable data files plus per-file stats, never a link farm: object
+  // stores have no hardlinks, and manifest reads also remove the LIST
+  // call from every tagged scan (the reason Iceberg exists). The write
+  // discipline that makes this sound is Iceberg's own: data files are
+  // immutable once a manifest names them, DESTRUCTIVE writes go through
+  // [[overwrite]] (which writes NEW files and repoints the catalog entry
+  // — never deletes in place), and bytes are reclaimed only by
+  // [[expireSnapshots]]'s GC once no tag and no live state references
+  // them. A raw `mode("overwrite").saveAsTable` bypasses the format and
+  // breaks tags here exactly as `rm -rf` breaks an Iceberg table.
 
   import java.nio.file.{Files, Path, Paths}
   import scala.jdk.CollectionConverters._
 
   /** Resolve a catalog table's storage location via the public SQL surface. */
   private def tableLocation(spark: SparkSession, table: String): Path = {
-    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
-      .find(_.getString(0) == "Location")
+    val loc = describeRow(spark, table, "Location")
       .getOrElse(sys.error(s"no Location for table $table"))
-      .getString(1)
     Paths.get(new java.net.URI(loc))
   }
 
-  private def snapshotDir(tableDir: Path, table: String, tag: String): Path =
-    tableDir.getParent.resolve("_graft_snapshots")
-      .resolve(table.replace('.', '_')).resolve(tag)
+  private def describeRow(spark: SparkSession, table: String,
+      key: String): Option[String] =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+      .find(_.getString(0) == key).map(_.getString(1))
 
-  /** Tag the table's current data files as `tag` (Nessie "create tag from
-    * main"). Fails if the tag already exists — tags are immutable. */
-  def snapshot(spark: SparkSession, table: String, tag: String): Unit = {
-    val src = tableLocation(spark, table)
-    val dst = snapshotDir(src, table, tag)
-    require(!Files.exists(dst), s"snapshot tag '$tag' already exists for $table")
-    scala.util.Using.resource(Files.walk(src)) { walk =>
-      walk.iterator().asScala.foreach { p =>
-        val rel = dst.resolve(src.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(rel)
-        else if (!p.getFileName.toString.startsWith("_")) { // skip _SUCCESS markers
-          Files.createDirectories(rel.getParent)
-          try Files.createLink(rel, p)
-          catch { case _: UnsupportedOperationException => Files.copy(p, rel) }
-        }
+  /** A fresh commit-owned data directory (UUID-named: commits never reuse
+    * or rewrite a directory — the immutability GC relies on). */
+  private def newCommitDir(spark: SparkSession, table: String): Path = {
+    val dir = Manifests.root(spark, table).resolve("data")
+      .resolve("c" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    Files.createDirectories(dir.getParent)
+    dir
+  }
+
+  /** All regular files under the live table location (markers included —
+    * used as the GC keep-set, so the live dir is never disturbed). */
+  private def liveFilePaths(spark: SparkSession, table: String): Set[String] =
+    if (!spark.catalog.tableExists(table)) Set.empty
+    else {
+      val dir = tableLocation(spark, table)
+      if (!Files.exists(dir)) Set.empty
+      else scala.util.Using.resource(Files.walk(dir)) { walk =>
+        walk.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(_.toString).toSet
       }
     }
+
+  /** First versioned touch of a MANAGED table converts it to an external
+    * table over a commit-owned directory: Spark deletes a managed table's
+    * directory on DROP/overwrite, which would tear data files out from
+    * under manifests. The conversion MOVES the directory (a local-FS
+    * migration shim — a real object-store deployment is manifest-tracked
+    * from its first commit and never needs it), re-registers the table
+    * external at the new location, and leaves all future file lifecycle
+    * to the manifest GC. External tables pass through untouched. */
+  private[engine] def ensureVersioned(spark: SparkSession, table: String): Unit = {
+    require(describeRow(spark, table, "Num Buckets").isEmpty,
+      s"cannot version bucketed table $table (bucket metadata lives in the catalog)")
+    if (!describeRow(spark, table, "Type").exists(_.trim.equalsIgnoreCase("MANAGED")))
+      return
+    val loc = tableLocation(spark, table)
+    val schema = spark.table(table).schema
+    val partCols = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    val newDir = newCommitDir(spark, table)
+    Files.move(loc, newDir)
+    Files.createDirectories(loc) // empty husk for the managed DROP to delete
+    spark.sql(s"DROP TABLE $table")
+    createExternal(spark, table, schema, partCols, newDir)
   }
 
-  /** Read the table as of `tag` (Nessie "USE REFERENCE tag"): partition
-    * directories and parquet schema come from the tagged files themselves. */
-  def readAt(spark: SparkSession, table: String, tag: String): DataFrame = {
-    val dst = snapshotDir(tableLocation(spark, table), table, tag)
-    require(Files.exists(dst), s"unknown snapshot tag '$tag' for $table")
-    spark.read.parquet(dst.toString)
+  private def createExternal(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType, partCols: Seq[String],
+      dir: Path): Unit =
+    if (partCols.isEmpty)
+      spark.catalog.createTable(table, "parquet", schema,
+        Map("path" -> dir.toUri.toString))
+    else {
+      val colsDdl = schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE $table ($colsDdl) USING parquet " +
+        s"PARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")}) " +
+        s"LOCATION '${dir.toUri}'")
+      spark.catalog.recoverPartitions(table)
+    }
+
+  /** Tag the table's current state as `tag` (Nessie "create tag from
+    * main"): one distributed footer pass collects per-file stats, one
+    * manifest write + atomic refs swap commits. O(files) metadata, zero
+    * data movement. Fails if the tag exists — tags are immutable. */
+  def snapshot(spark: SparkSession, table: String, tag: String): Unit = {
+    ensureVersioned(spark, table)
+    val refs = Manifests.loadRefs(Manifests.root(spark, table))
+    require(!refs.tags.contains(tag),
+      s"snapshot tag '$tag' already exists for $table")
+    val loc = tableLocation(spark, table)
+    Manifests.commit(spark, table, "snapshot", loc.toString,
+      spark.table(table).schema.json,
+      Manifests.collectStats(spark, Manifests.listDataFiles(loc)),
+      tag = Some(tag))
+    ()
   }
 
-  /** Filesystem location of a tag's data (for metadata inspection). */
-  private[engine] def snapshotLocation(spark: SparkSession, table: String,
-      tag: String): String = {
-    val dst = snapshotDir(tableLocation(spark, table), table, tag)
-    require(Files.exists(dst), s"unknown snapshot tag '$tag' for $table")
-    dst.toString
+  private def tagSnapshot(spark: SparkSession, table: String,
+      tag: String): Manifests.Snapshot = {
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
+    require(refs.tags.contains(tag), s"unknown snapshot tag '$tag' for $table")
+    Manifests.loadSnapshot(root, refs.tags(tag))
   }
+
+  private def emptyDf(spark: SparkSession, schemaJson: String): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def readManifest(spark: SparkSession,
+      snap: Manifests.Snapshot): DataFrame =
+    if (snap.files.isEmpty) emptyDf(spark, snap.schemaJson)
+    else spark.read
+      .schema(org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .option("basePath", snap.basePath) // partition-dir columns survive
+      .parquet(snap.files.map(_.path): _*)
+
+  /** Read the table as of `tag` (Nessie "USE REFERENCE tag"): schema and
+    * file list come from the manifest — no directory listing, no live
+    * catalog dependency (works even after the live table is dropped). */
+  def readAt(spark: SparkSession, table: String, tag: String): DataFrame =
+    readManifest(spark, tagSnapshot(spark, table, tag))
 
   /** List a table's snapshot tags. */
-  def listSnapshots(spark: SparkSession, table: String): Seq[String] = {
-    val dir = snapshotDir(tableLocation(spark, table), table, ".").getParent
-    if (!Files.exists(dir)) Seq.empty
-    else scala.util.Using.resource(Files.list(dir))(
-      _.iterator().asScala.map(_.getFileName.toString).toSeq.sorted)
-  }
+  def listSnapshots(spark: SparkSession, table: String): Seq[String] =
+    Manifests.loadRefs(Manifests.root(spark, table)).tags.keys.toSeq.sorted
 
   /** Incremental read BETWEEN two tags (Iceberg's incremental append scan:
-    * "rows added after fromTag, as of toTag"): the file-level diff of the
-    * two tagged snapshots, read directly — no row-level comparison, no
-    * full-table scan, which is the property that makes nightly incremental
-    * pipelines O(new data) instead of O(table).
+    * "rows added after fromTag, as of toTag"): the manifest file-list
+    * diff, read directly — no row-level comparison, no full-table scan,
+    * which is the property that makes nightly incremental pipelines
+    * O(new data) instead of O(table).
     *
-    * Contract: append-only between the tags. Parquet part files are
-    * content-immutable and uniquely named, so "file in toTag but not in
-    * fromTag" IS the appended data; an overwrite/merge between the tags
-    * rewrites every file and the diff correctly degrades to "everything is
-    * new" (same as Iceberg after a rewrite). Deletes are not representable
-    * in an append diff — use [[readAt]] + anti-join for that shape. */
+    * Contract: append-only between the tags. Data files are immutable and
+    * uniquely named, so "file in toTag but not in fromTag" IS the appended
+    * data; an overwrite between the tags rewrites every file and the diff
+    * correctly degrades to "everything is new" (same as Iceberg after a
+    * rewrite). Deletes are not representable in an append diff — use
+    * [[readAt]] + anti-join for that shape. The delta reads with toTag's
+    * MANIFEST schema, so a column added by [[appendEvolved]] between the
+    * tags survives without any footer merging. */
   def readBetween(spark: SparkSession, table: String, fromTag: String,
       toTag: String): DataFrame = {
-    val base = tableLocation(spark, table)
-    val fromDir = snapshotDir(base, table, fromTag)
-    val toDir = snapshotDir(base, table, toTag)
-    require(Files.exists(fromDir), s"unknown snapshot tag '$fromTag' for $table")
-    require(Files.exists(toDir), s"unknown snapshot tag '$toTag' for $table")
-    def files(root: Path): Map[String, Path] =
-      scala.util.Using.resource(Files.walk(root)) { walk =>
-        walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p))
-          .map(p => root.relativize(p).toString -> p)
-          .toMap
-      }
-    val fromFiles = files(fromDir).keySet
-    val added = files(toDir).filterNot { case (rel, _) => fromFiles.contains(rel) }
-    if (added.isEmpty) spark.table(table).limit(0)
-    else {
-      // schema = toTag's MERGED footer union — after an appendEvolved
-      // between the tags the snapshot mixes old and new footers, and a
-      // single-footer inference could silently drop the added column
-      val asOfTo = spark.read.option("mergeSchema", "true")
-        .parquet(toDir.toString).schema
-      spark.read
-        .schema(asOfTo)
-        .option("basePath", toDir.toString) // keep partition-dir columns
-        .parquet(added.values.map(_.toString).toSeq: _*)
-    }
+    val from = tagSnapshot(spark, table, fromTag)
+    val to = tagSnapshot(spark, table, toTag)
+    val fromFiles = from.files.map(_.path).toSet
+    val added = to.files.filterNot(f => fromFiles.contains(f.path))
+    if (added.isEmpty) emptyDf(spark, to.schemaJson)
+    else readManifest(spark, to.copy(files = added))
   }
 
   // ------------------------------------------------------------- branches
@@ -222,27 +273,16 @@ object Layout {
   // workflow). A branch here is a WRITABLE copy of the table registered
   // as its own catalog table `<table>__branch_<name>` (one-time fork
   // cost; a metadata catalog forks pointers instead — same API shape),
-  // plus a HARDLINKED fork tag pinning what main looked like. Merge is a
+  // plus a fork-tag MANIFEST pinning what main looked like. Merge is a
   // FAST-FORWARD publish: allowed only while main's live file set still
-  // equals the fork tag's (no concurrent change since the fork) — the
-  // same optimistic-concurrency check Nessie/Iceberg commits make. On
-  // conflict the merge refuses; re-fork and replay (rebase) is the
+  // equals the fork manifest's (no concurrent change since the fork) —
+  // the same optimistic-concurrency check Nessie/Iceberg commits make.
+  // On conflict the merge refuses; re-fork and replay (rebase) is the
   // caller's move, exactly like a rejected Nessie commit.
 
   private def branchTableName(table: String, branch: String) =
     s"${table}__branch_$branch"
   private def forkTag(branch: String) = s"__fork_$branch"
-
-  private def liveFileNames(spark: SparkSession, table: String): Set[String] = {
-    val dir = tableLocation(spark, table)
-    scala.util.Using.resource(Files.walk(dir)) { walk =>
-      walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(_.getFileName.toString).toSet
-    }
-  }
 
   /** Fork `branch` off `table`: tags main's current state (the fork
     * point) and registers a writable branch table seeded with the same
@@ -264,22 +304,16 @@ object Layout {
   def mergeBranch(spark: SparkSession, table: String, branch: String): Unit = {
     val bt = branchTableName(table, branch)
     require(spark.catalog.tableExists(bt), s"unknown branch '$branch' for $table")
-    val forkDir = snapshotDir(tableLocation(spark, table), table, forkTag(branch))
-    require(Files.exists(forkDir), s"missing fork tag for branch '$branch'")
-    // same name filter as liveFileNames: data files only (the snapshot
-    // hardlinks checksum sidecars too, which are not part of table state)
-    val forkFiles = scala.util.Using.resource(Files.walk(forkDir)) { walk =>
-      walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(_.getFileName.toString).toSet
+    val fork = tagSnapshot(spark, table, forkTag(branch))
+    val dataOnly = liveFilePaths(spark, table).filter { p =>
+      val name = Paths.get(p).getFileName.toString
+      !name.startsWith("_") && !name.startsWith(".")
     }
-    if (liveFileNames(spark, table) != forkFiles)
+    if (dataOnly != fork.files.map(_.path).toSet)
       throw new IllegalStateException(
         s"merge conflict: $table changed since branch '$branch' forked — " +
           "re-fork and replay (rebase)")
-    republish(spark, spark.table(bt), table)
+    overwrite(spark, table, spark.table(bt), operation = s"merge-branch:$branch")
     dropBranch(spark, table, branch)
   }
 
@@ -291,32 +325,124 @@ object Layout {
   }
 
   /** Expire snapshot tags (Iceberg `expire_snapshots`): every tag NOT in
-    * `keep` is deleted and its name returned. Because tags are per-file
-    * hardlinks, deleting one only drops inode refcounts — the live table
-    * and every kept tag are untouched, and the bytes of a data file are
-    * reclaimed exactly when its last referencing tag (or the live table)
-    * releases it. This is the retention half of the snapshot lifecycle:
-    * without it, every overwrite's files live forever. */
+    * `keep` is dereferenced and its name returned, then the GC reclaims
+    * every data file no remaining tag and no live table state references.
+    * Expired manifests stay on disk as commit-log history (metadata-only;
+    * their data is gone, so they are no longer readable). This is the
+    * retention half of the snapshot lifecycle: without it, every
+    * overwrite's files live forever. */
   def expireSnapshots(spark: SparkSession, table: String,
       keep: Set[String]): Seq[String] = {
-    val victims = listSnapshots(spark, table).filterNot(keep)
-    val base = tableLocation(spark, table)
-    victims.foreach { tag =>
-      val dir = snapshotDir(base, table, tag)
-      scala.util.Using.resource(Files.walk(dir)) { walk =>
-        walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-      }
-    }
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
+    val victims = refs.tags.keys.toSeq.sorted.filterNot(keep)
+    Manifests.saveRefs(root, refs.copy(tags = refs.tags -- victims))
+    gc(spark, table)
     victims
   }
 
+  /** Reclaim commit-owned data files referenced by NO remaining tag and
+    * not part of the live table state — Iceberg's expire-time delete
+    * sweep. Only files under this table's `_graft_meta/<t>/data/` are
+    * candidates; user-located external directories are never touched. */
+  private def gc(spark: SparkSession, table: String): Unit = {
+    val dataRoot = Manifests.root(spark, table).resolve("data")
+    if (!Files.exists(dataRoot)) return
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
+    val tagged: Set[String] = refs.tags.values.toSet
+      .flatMap((seq: Long) => Manifests.loadSnapshot(root, seq).files.map(_.path))
+    val keepSet = tagged ++ liveFilePaths(spark, table)
+    scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
+      walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach { p =>
+          if (Files.isRegularFile(p) && !keepSet.contains(p.toString))
+            Files.deleteIfExists(p)
+          else if (Files.isDirectory(p) &&
+            !scala.util.Using.resource(Files.list(p))(_.iterator().hasNext))
+            Files.deleteIfExists(p)
+        }
+    }
+  }
+
   /** Roll the table back to `tag` (Nessie "assign branch main to tag") —
-    * the tagged files are re-written as the table's current contents. The
-    * tag itself is untouched (hardlinked inodes are independent of the
-    * table's live directory), so restore → overwrite → restore again works. */
+    * the tagged state is republished as the table's current contents via
+    * a copy-on-write commit (a pointer-based catalog does this
+    * metadata-only; the API contract is identical). The tag itself is
+    * untouched — its manifest and files are immutable — so
+    * restore → overwrite → restore again works. */
   def restore(spark: SparkSession, table: String, tag: String): Unit =
-    republish(spark, readAt(spark, table, tag), table)
+    overwrite(spark, table, readAt(spark, table, tag), operation = s"restore:$tag")
+
+  // ------------------------------------------------- Nessie catalog surface
+  // The reference catalog's REST inspection verbs (Nessie: GET /trees →
+  // refs; GET /trees/{ref}/history → commit log), answered from the
+  // manifest store — driver-side metadata reads, zero data I/O.
+
+  /** `listRefs` — one row per named ref: every tag (type 'tag', pointing
+    * at its snapshot seq) plus every live branch (type 'branch', pointing
+    * at its FORK snapshot — the Nessie branch-head analog; `main` is the
+    * live table itself and is listed with the commit head). */
+  def listRefs(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val refs = Manifests.loadRefs(Manifests.root(spark, table))
+    val branchPrefix = s"${table}__branch_"
+    val branches = spark.catalog.listTables()
+      .collect().map(_.name).filter(_.startsWith(branchPrefix))
+      .map(_.stripPrefix(branchPrefix)).toSeq.sorted
+      .map(b => (b, "branch", refs.tags.getOrElse(forkTag(b), -1L)))
+    val tags = refs.tags.toSeq
+      .filterNot(_._1.startsWith("__fork_")) // surfaced as their branch row
+      .sortBy(_._1).map { case (t, seq) => (t, "tag", seq) }
+    (("main", "branch", refs.head) +: (branches ++ tags))
+      .toDF("ref_name", "ref_type", "snapshot_seq")
+  }
+
+  /** `commitLog` — the table's commit chain, newest first: (seq, parent,
+    * operation, file_count, record_count, total_bytes, tags). Expired
+    * snapshots remain as history rows (their data may be GC'd); `tags`
+    * lists the live tag names still pointing at each commit. */
+  def commitLog(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
+    val byseq = refs.tags.groupBy(_._2)
+    Manifests.listSnapshots(root).sortBy(-_.seq).map { s =>
+      (s.seq, s.parent, s.operation, s.files.size.toLong,
+        s.recordCount, s.totalBytes,
+        byseq.getOrElse(s.seq, Map.empty).keys.toSeq.sorted)
+    }.toDF("seq", "parent", "operation", "file_count",
+      "record_count", "total_bytes", "tags")
+  }
+
+  /** The format's OVERWRITE commit — every destructive write funnels
+    * here (merge, DML, compact, z-order, restore, branch publish, MV
+    * refresh). `df` is written ONCE to a fresh commit-owned directory,
+    * the catalog entry is repointed there, a manifest commit records the
+    * new state, and the GC reclaims the previous files only if no tag
+    * references them. Because the old files are never overwritten in
+    * place, every existing tag keeps reading its exact bytes — the
+    * immutable-data-file property Iceberg snapshots rely on, without
+    * hardlinks, safe on object storage. (Single write + pointer swap also
+    * replaces round ≤4's stage-to-temp-then-rewrite, halving the data
+    * I/O of every merge/DML/compact.)
+    *
+    * `df` may read from `table` itself (merge does): it materializes to
+    * the new directory before the catalog entry moves. */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+      operation: String = "overwrite"): Unit = {
+    val newDir = newCommitDir(spark, table)
+    df.write.mode(SaveMode.Overwrite).parquet(newDir.toString)
+    val schema = spark.read.parquet(newDir.toString).schema
+    // managed table with no manifests: DROP reclaims its directory (the
+    // pre-format behavior); external: DROP leaves files to the GC
+    spark.sql(s"DROP TABLE $table")
+    spark.catalog.createTable(table, "parquet", schema,
+      Map("path" -> newDir.toUri.toString))
+    Manifests.commit(spark, table, operation, newDir.toString, schema.json,
+      Manifests.collectStats(spark, Manifests.listDataFiles(newDir)))
+    gc(spark, table)
+  }
 
   /** MERGE / upsert (Iceberg `MERGE INTO t USING u ON t.key = u.key WHEN
     * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`): rows of
@@ -327,30 +453,11 @@ object Layout {
     *
     * Plan: one left-anti equi-join (current ⟂ update keys) + unionByName —
     * a single key shuffle, broadcast when `updates` is small (AQE decides).
-    * The rewrite is staged through a temp dir then atomically re-published
-    * via `saveAsTable`, so existing snapshot tags (hardlinked inodes) are
-    * untouched — merge composes with [[snapshot]]/[[readAt]]. At real scale
-    * a table format with row-level deletes (Iceberg merge-on-read) avoids
-    * rewriting unmatched files; this is the copy-on-write formulation. */
-  /** Stage `df` through a temp dir (Spark refuses to overwrite a location
-    * it is reading; snapshot hardlinks must survive), republish as `table`,
-    * then DELETE the staging copy — callers like the streaming upsert sink
-    * invoke this per micro-batch, so a leaked staging dir per call would
-    * grow /tmp without bound. */
-  private[engine] def republish(spark: SparkSession, df: DataFrame, table: String): Unit = {
-    val tmp = Files.createTempDirectory("graft_stage")
-    try {
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      spark.read.parquet(tmp.toString)
-        .write.mode(SaveMode.Overwrite).saveAsTable(table)
-    } finally {
-      scala.util.Using.resource(Files.walk(tmp)) { walk =>
-        walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-      }
-    }
-  }
-
+    * The rewrite commits through [[overwrite]], so existing snapshot tags
+    * keep reading their immutable files — merge composes with
+    * [[snapshot]]/[[readAt]]. At real scale a table format with row-level
+    * deletes (Iceberg merge-on-read) avoids rewriting unmatched files;
+    * this is the copy-on-write formulation. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, tieBreakCol: String): Unit = {
     // tie-break: tieBreakCol desc, then a deterministic content hash — two
@@ -365,7 +472,7 @@ object Layout {
     val merged = spark.table(table)
       .join(dedupedUpdates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(dedupedUpdates)
-    republish(spark, merged, table)
+    overwrite(spark, table, merged, operation = "merge")
   }
 
   /** SCD Type 2 WRITE side (the read side is Q144's point-in-time join):
@@ -378,8 +485,8 @@ object Layout {
     * not in `updates` are untouched; history rows are immutable.
     *
     * Plan: one key-window over the (small) update batch + one key join
-    * against current rows + union — copy-on-write republish, same staging
-    * discipline as [[merge]]. `updates` carries (key, attrs…, tsCol). */
+    * against current rows + union — a copy-on-write [[overwrite]] commit,
+    * same discipline as [[merge]]. `updates` carries (key, attrs…, tsCol). */
   def scdMerge(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, tsCol: String): Unit = {
     val dim = spark.table(table)
@@ -398,12 +505,28 @@ object Layout {
     // close the open version of every touched key at its first update time
     val firstTs = updates.groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__close_at"))
+    // ordering precondition, enforced: an update whose ts PRECEDES the
+    // open version's valid_from would close that row before it opened
+    // (valid_to < valid_from — overlapping validity, corrupted
+    // point-in-time joins). Late-arriving history needs a rebase path,
+    // not a silent corrupt write, so out-of-order batches fail loudly.
+    // Cost: one aggregate over the (small, by contract) update batch
+    // joined to open rows.
+    val outOfOrder = dim.filter(col("valid_to").isNull)
+      .join(broadcast(firstTs), Seq(keyCol))
+      .filter(col("__close_at") < col("valid_from"))
+      .count()
+    require(outOfOrder == 0,
+      s"scdMerge: $outOfOrder key(s) have updates older than their open " +
+        "version's valid_from — out-of-order batch; rebase the history instead")
     val current = dim.filter(col("valid_to").isNull)
       .join(broadcast(firstTs), Seq(keyCol), "left")
       .withColumn("valid_to", coalesce(col("__close_at"), col("valid_to")))
       .drop("__close_at")
     val untouchedHistory = dim.filter(col("valid_to").isNotNull)
-    republish(spark, untouchedHistory.unionByName(current).unionByName(versions), table)
+    overwrite(spark, table,
+      untouchedHistory.unionByName(current).unionByName(versions),
+      operation = "scd-merge")
   }
 
   /** Row-level DELETE (Iceberg `DELETE FROM t WHERE ...` in copy-on-write
@@ -419,7 +542,7 @@ object Layout {
     val cur = spark.table(table)
     val hit = coalesce(pred, lit(false))
     val n = cur.filter(hit).count()
-    if (n > 0) republish(spark, cur.filter(!hit), table)
+    if (n > 0) overwrite(spark, table, cur.filter(!hit), operation = "delete")
     n
   }
 
@@ -442,7 +565,7 @@ object Layout {
           .map(v => when(hit, v).otherwise(col(c)).as(c))
           .getOrElse(col(c))
       }: _*)
-      republish(spark, updated, table)
+      overwrite(spark, table, updated, operation = "update")
     }
     n
   }
@@ -486,7 +609,8 @@ object Layout {
     * staged through a temp dir because the write overwrites its own input. */
   def compact(spark: SparkSession, table: String, numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
-    republish(spark, spark.table(table).repartition(numFiles), table)
+    overwrite(spark, table, spark.table(table).repartition(numFiles),
+      operation = "compact")
   }
 
   /** Compact to a target file SIZE (Iceberg's `target-file-size-bytes` /
@@ -579,11 +703,11 @@ object Layout {
         shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * cols.size + j)
       }
     }.reduce(_ bitwiseOR _)
-    republish(spark,
+    overwrite(spark, table,
       df.withColumn("__z", z)
         .repartitionByRange(numFiles, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop("__z"),
-      table)
+      operation = "zorder")
   }
 }

@@ -1,0 +1,203 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+/** Manifest-file snapshot metadata — the Iceberg-shaped storage model that
+  * replaces round ≤4's POSIX-hardlink tag directories.
+  *
+  * Why manifests: the reference's storage is an object store (MinIO,
+  * compose.yaml:59-77) where hardlinks do not exist and directory listing
+  * is slow and eventually consistent. A snapshot here is therefore what it
+  * is in Iceberg: a JSON **manifest** naming the immutable data files that
+  * make up a table state, plus per-file statistics (row count, size,
+  * per-column min/max bounds read once from the parquet footers). Tagged
+  * reads resolve through the manifest — zero LISTs, zero data movement —
+  * and a snapshot costs O(files) footer reads (distributed), never
+  * O(bytes).
+  *
+  * Layout on disk (per table, under the warehouse):
+  * {{{
+  *   _graft_meta/<table>/
+  *     refs.json          tags → snapshot seq, head pointer, next seq
+  *     snap-<seq>.json    one manifest per commit (the commit log)
+  *     data/c<uuid>/      data-file directories owned by commits
+  * }}}
+  *
+  * Commit protocol: a manifest is written whole to a temp name and
+  * atomically renamed; `refs.json` is swapped the same way. The refs swap
+  * is the single point of atomicity — the local-FS stand-in for an object
+  * store's conditional PUT / a catalog's compare-and-swap (Nessie commit,
+  * Iceberg metadata pointer). Data files are immutable once a manifest
+  * names them; reclamation happens only in [[Layout.expireSnapshots]]'s
+  * GC, exactly Iceberg's `expire_snapshots` contract.
+  */
+object Manifests {
+
+  /** One immutable data file + its manifest statistics. `lower`/`upper`
+    * are per-column min/max as strings (the Iceberg manifest convention);
+    * a column ABSENT from the maps has no usable stats — readers must
+    * treat that as "cannot skip", never as a guess. */
+  final case class FileEntry(path: String, records: Long, bytes: Long,
+      lower: Map[String, String], upper: Map[String, String])
+
+  /** A committed table state. `parent` is the previous head (-1 for the
+    * first commit) — the chain IS the commit log. `schemaJson` pins the
+    * as-of-commit schema so time-travel reads never depend on live state. */
+  final case class Snapshot(seq: Long, parent: Long, operation: String,
+      createdMs: Long, basePath: String, schemaJson: String,
+      files: Seq[FileEntry]) {
+    def recordCount: Long = files.map(_.records).sum
+    def totalBytes: Long = files.map(_.bytes).sum
+  }
+
+  /** The mutable ref state: named tags → snapshot seq, plus the head of
+    * the commit chain. Swapped atomically on every commit. (The contentAs
+    * annotation is the jackson-scala requirement for primitive-valued
+    * generic containers — without it map values deserialize as Integer.) */
+  final case class Refs(head: Long, nextSeq: Long,
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      tags: Map[String, Long])
+
+  private val mapper: ObjectMapper =
+    new ObjectMapper().registerModule(DefaultScalaModule)
+
+  /** Resolve the warehouse dir conf (plain path or file: URI) to a Path. */
+  private def warehousePath(spark: SparkSession): Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    if (wh.startsWith("file:")) Paths.get(new java.net.URI(wh))
+    else Paths.get(wh)
+  }
+
+  /** Per-table metadata root — keyed by NAME, not by table location, so
+    * tagged reads survive even a DROP TABLE of the live table. */
+  def root(spark: SparkSession, table: String): Path =
+    warehousePath(spark).resolve("_graft_meta").resolve(table.replace('.', '_'))
+
+  private def refsPath(root: Path) = root.resolve("refs.json")
+  private def snapPath(root: Path, seq: Long) = root.resolve(f"snap-$seq%06d.json")
+
+  private def writeJsonAtomic(path: Path, value: AnyRef): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(value))
+    Files.move(tmp, path,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def loadRefs(root: Path): Refs =
+    if (!Files.exists(refsPath(root))) Refs(head = -1L, nextSeq = 0L, tags = Map.empty)
+    else mapper.readValue(Files.readAllBytes(refsPath(root)), classOf[Refs])
+
+  def saveRefs(root: Path, refs: Refs): Unit = writeJsonAtomic(refsPath(root), refs)
+
+  def loadSnapshot(root: Path, seq: Long): Snapshot = {
+    val p = snapPath(root, seq)
+    require(Files.exists(p), s"missing manifest snap-$seq under $root")
+    mapper.readValue(Files.readAllBytes(p), classOf[Snapshot])
+  }
+
+  /** All committed manifests, oldest first — the commit log. */
+  def listSnapshots(root: Path): Seq[Snapshot] =
+    if (!Files.exists(root)) Seq.empty
+    else scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
+        .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Snapshot]))
+        .toSeq.sortBy(_.seq)
+    }
+
+  /** Commit a new snapshot: manifest first, then the atomic refs swap
+    * (head advance + optional tag in ONE swap — a reader sees either the
+    * old refs or the fully committed new state). Returns the seq. */
+  def commit(spark: SparkSession, table: String, operation: String,
+      basePath: String, schemaJson: String, files: Seq[FileEntry],
+      tag: Option[String] = None): Long = {
+    val r = root(spark, table)
+    val refs = loadRefs(r)
+    val seq = refs.nextSeq
+    writeJsonAtomic(snapPath(r, seq),
+      Snapshot(seq, refs.head, operation, System.currentTimeMillis(),
+        basePath, schemaJson, files))
+    saveRefs(r, refs.copy(head = seq, nextSeq = seq + 1,
+      tags = tag.fold(refs.tags)(t => refs.tags + (t -> seq))))
+    seq
+  }
+
+  /** Data files under `dir` (skips `_SUCCESS`/checksum sidecars), with
+    * sizes — the listing HALF of manifest creation; stats come from
+    * [[collectStats]]. This is the only place the versioned path lists a
+    * directory, and it runs at WRITE time — reads are list-free. */
+  def listDataFiles(dir: Path): Seq[(String, Long)] =
+    if (!Files.exists(dir)) Seq.empty
+    else scala.util.Using.resource(Files.walk(dir)) { walk =>
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => (p.toString, Files.size(p)))
+        .toList.sortBy(_._1)
+    }
+
+  /** Per-file manifest statistics in ONE distributed footer pass: record
+    * count + per-column min/max bounds. Footers only — column stats and
+    * block metadata, never data pages — so a 100 k-file table costs 100 k
+    * footer reads spread over the cluster.
+    *
+    * Bounds discipline (the skipping-safety rule): a column's bounds are
+    * recorded only if EVERY row-group chunk of that column carries usable
+    * statistics. One stats-less chunk could hide values outside the other
+    * chunks' range, so any such column is left unbounded ("cannot skip")
+    * rather than narrowed. All-null chunks (stats present, no non-null
+    * values) are legitimately skippable and do not widen bounds. */
+  def collectStats(spark: SparkSession,
+      files: Seq[(String, Long)]): Seq[FileEntry] = {
+    if (files.isEmpty) return Seq.empty
+    import spark.implicits._
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(slices)
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        it.map { case (path, bytes) =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new HPath(path), conf))
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala
+            val records = reader.getRecordCount
+            val byCol = blocks.flatMap(_.getColumns.asScala)
+              .groupBy(_.getPath.toDotString)
+            val bounds = byCol.flatMap { case (name, chunks) =>
+              val stats = chunks.map(_.getStatistics)
+              // any chunk with absent/empty stats poisons the column
+              if (stats.exists(s => s == null || s.isEmpty)) None
+              else {
+                val nonNull = stats.filter(_.hasNonNullValue)
+                if (nonNull.isEmpty) None // all-null column: no bounds
+                else {
+                  val merged = nonNull.reduce { (a, b) =>
+                    val c = a.copy(); c.mergeStatistics(b); c
+                  }
+                  Some(name -> (merged.minAsString, merged.maxAsString))
+                }
+              }
+            }
+            FileEntry(path, records, bytes,
+              bounds.map { case (k, v) => k -> v._1 }.toMap,
+              bounds.map { case (k, v) => k -> v._2 }.toMap)
+          } finally reader.close()
+        }
+      }
+      .collect().toSeq.sortBy(_.path)
+  }
+}

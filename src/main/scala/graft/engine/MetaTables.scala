@@ -68,21 +68,35 @@ object MetaTables {
         sum(col("file_size_bytes")).as("total_bytes"))
 
   /** `$snapshots`-style inspection over [[Layout]] tags: one row per
-    * snapshot tag — (tag, file_count, record_count, total_bytes) — footer
-    * reads only, distributed per tag. The tag list is a driver-side
-    * catalog lookup (like Iceberg's metadata-file read); tag counts are
-    * small by construction (retention via [[Layout.expireSnapshots]]). */
+    * snapshot tag — (tag, file_count, record_count, total_bytes). A TRUE
+    * manifest read: the stats were collected once at snapshot time and
+    * live in the tag's manifest ([[Manifests.Snapshot]]), so this costs a
+    * handful of metadata-file reads — zero footer I/O, zero listing,
+    * exactly how Iceberg's `$snapshots` table answers. */
   def snapshotsMetadata(spark: SparkSession, table: String): DataFrame = {
-    val tags = Layout.listSnapshots(spark, table)
-    require(tags.nonEmpty, s"no snapshots for $table")
-    tags.map { tag =>
-      filesMetadata(spark, Layout.snapshotLocation(spark, table, tag))
-        .agg(count(lit(1)).as("file_count"),
-          sum(col("record_count")).as("record_count"),
-          sum(col("file_size_bytes")).as("total_bytes"))
-        .select(lit(tag).as("tag"), col("file_count"),
-          col("record_count"), col("total_bytes"))
-    }.reduce(_ unionByName _)
+    import spark.implicits._
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
+    require(refs.tags.nonEmpty, s"no snapshots for $table")
+    refs.tags.toSeq.sortBy(_._1).map { case (tag, seq) =>
+      val snap = Manifests.loadSnapshot(root, seq)
+      (tag, snap.files.size.toLong, snap.recordCount, snap.totalBytes)
+    }.toDF("tag", "file_count", "record_count", "total_bytes")
+  }
+
+  /** Per-file manifest rows for a TAG — the `$files` view of a snapshot,
+    * answered from the manifest alone (no filesystem access): (file,
+    * record_count, file_size_bytes, lower_bounds, upper_bounds). */
+  def filesMetadataAt(spark: SparkSession, table: String,
+      tag: String): DataFrame = {
+    import spark.implicits._
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
+    require(refs.tags.contains(tag), s"unknown snapshot tag '$tag' for $table")
+    Manifests.loadSnapshot(root, refs.tags(tag)).files
+      .map(f => (f.path, f.records, f.bytes, f.lower, f.upper))
+      .toDF("file", "record_count", "file_size_bytes",
+        "lower_bounds", "upper_bounds")
   }
 
   /** Per-file column BOUNDS — the min/max half of Iceberg's manifest
@@ -93,8 +107,12 @@ object MetaTables {
     * the data-skipping substrate: a scan planner (or a human auditing
     * why files were NOT skipped — the z-order before/after view) can
     * evaluate a predicate against bounds without touching data pages.
-    * Columns whose footer carries no usable stats yield null bounds
-    * (never a guess — absent stats mean "cannot skip"). */
+    * Bounds are reported only when EVERY row-group chunk of the column
+    * carries usable stats — one stats-less chunk could hide values
+    * outside the other chunks' range, so the whole (file, column) goes
+    * null ("cannot skip"), never a narrowed guess. All-null chunks
+    * (stats present, no non-null values) are legitimately skippable and
+    * do not widen bounds. */
   def columnBounds(spark: SparkSession, dir: String,
       columns: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -117,13 +135,17 @@ object MetaTables {
               .groupBy(_.getPath.toDotString)
               .map { case (name, chunks) =>
                 val stats = chunks.map(_.getStatistics)
-                  .filter(s => s != null && s.hasNonNullValue)
+                // any absent/empty chunk stats poison the whole column:
+                // a stats-less chunk could hide out-of-range values
+                val usable = !stats.exists(s => s == null || s.isEmpty)
+                val nonNull = stats.filter(s => s != null && !s.isEmpty)
+                  .filter(_.hasNonNullValue)
                 // merge across row groups with parquet's TYPED merge —
                 // a string min() would order "10" before "9" on numerics
                 val (lo, hi) =
-                  if (stats.isEmpty) (null: String, null: String)
+                  if (!usable || nonNull.isEmpty) (null: String, null: String)
                   else {
-                    val merged = stats.reduce { (a, b) =>
+                    val merged = nonNull.reduce { (a, b) =>
                       val c = a.copy(); c.mergeStatistics(b); c
                     }
                     (merged.minAsString, merged.maxAsString)

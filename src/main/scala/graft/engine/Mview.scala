@@ -97,9 +97,10 @@ object Mview {
     // align types: sum(count) widens; cast back to the stored schema
     val stored = spark.table(view).schema
     val aligned = merged.select(stored.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    // stage-and-republish (Spark can't overwrite a table it is reading);
-    // Layout.republish also cleans its staging dir
-    Layout.republish(spark, aligned, view)
+    // commit through the format: the view rewrite reads the view itself,
+    // and Layout.overwrite materializes to a fresh commit dir before the
+    // catalog entry moves
+    Layout.overwrite(spark, view, aligned, operation = "mv-refresh")
   }
 
   /** Read surface: additive measures come back as stored; sketch measures

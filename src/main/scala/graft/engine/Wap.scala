@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * the swap atomic — the API and semantics are what this layer pins down.
   *
   * Scale: audit cost = the expectation aggregates (one pass); rollback
-  * cost = metadata (hardlinked tag republish), not proportional to the
-  * batch.
+  * cost = republishing the tagged manifest's rows (copy-on-write — a
+  * pointer-based catalog does it metadata-only), and the GC physically
+  * reclaims the rejected batch's staged files at the next commit.
   */
 object Wap {
 

@@ -72,9 +72,11 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Layout.snapshot(spark, "layout_snap_nation", "v1"))
 
-    // overwrite with DIFFERENT data (deletes the original files)
-    nation.filter(col("n_nationkey") < 5)
-      .write.mode("overwrite").saveAsTable("layout_snap_nation")
+    // overwrite with DIFFERENT data through the format's commit path
+    // (a raw directory overwrite bypasses any table format — Iceberg
+    // included — so destructive writes go through Layout.overwrite)
+    Layout.overwrite(spark, "layout_snap_nation",
+      nation.filter(col("n_nationkey") < 5))
     assert(spark.table("layout_snap_nation").count() === 5)
 
     // the tag still reads the full pre-overwrite rows
@@ -91,8 +93,10 @@ class LayoutSpec extends SparkSpec {
     Layout.snapshot(spark, "layout_exp_nation", "old2")
     Layout.snapshot(spark, "layout_exp_nation", "keeper")
     // overwrite so the tags are the only reference to the original files
-    nation.filter(col("n_nationkey") < 3)
-      .write.mode("overwrite").saveAsTable("layout_exp_nation")
+    Layout.overwrite(spark, "layout_exp_nation",
+      nation.filter(col("n_nationkey") < 3))
+    val keeperFiles = Layout.readAt(spark, "layout_exp_nation", "keeper")
+      .inputFiles.toSet
 
     val expired = Layout.expireSnapshots(spark, "layout_exp_nation", Set("keeper"))
     assert(expired.sorted === Seq("old1", "old2"))
@@ -102,6 +106,11 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Layout.readAt(spark, "layout_exp_nation", "old1"))
     assert(spark.table("layout_exp_nation").count() === 3)
+    // GC kept every byte the kept tag references (all three tags shared
+    // the same immutable files, so nothing was reclaimable here)
+    assert(keeperFiles.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        f.stripPrefix("file:")))))
   }
 
   test("branches isolate writes; merge fast-forwards when main is unmoved, refuses otherwise") {
@@ -209,13 +218,13 @@ class LayoutSpec extends SparkSpec {
     val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
     nation.write.mode("overwrite").saveAsTable("layout_restore_t")
     Layout.snapshot(spark, "layout_restore_t", "pre")
-    nation.filter(col("n_nationkey") < 3)
-      .write.mode("overwrite").saveAsTable("layout_restore_t")
+    Layout.overwrite(spark, "layout_restore_t",
+      nation.filter(col("n_nationkey") < 3))
     assert(spark.table("layout_restore_t").count() === 3)
 
     Layout.restore(spark, "layout_restore_t", "pre")
     assert(spark.table("layout_restore_t").count() === 25)
-    // the tag survives the restore (hardlinked inodes are independent)
+    // the tag survives the restore (manifest + files are immutable)
     assert(Layout.listSnapshots(spark, "layout_restore_t") === Seq("pre"))
 
     // fragment into many files, then compact to 1
@@ -332,11 +341,9 @@ class LayoutSpec extends SparkSpec {
     Layout.writePartitionedByDay(events, "ts", "layout_snap_events")
     val total = spark.table("layout_snap_events").count()
     Layout.snapshot(spark, "layout_snap_events", "tag1")
-    spark.sql("DROP TABLE layout_snap_events") // even a drop can't lose the tag's files
-    // read the tagged files directly (partition dirs discovered from layout)
-    val snapDf = spark.read.parquet(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-        "/_graft_snapshots/layout_snap_events/tag1")
+    spark.sql("DROP TABLE layout_snap_events") // even a drop can't lose the tag
+    // manifest-resolved read: no live catalog entry, no directory listing
+    val snapDf = Layout.readAt(spark, "layout_snap_events", "tag1")
     assert(snapDf.count() === total && total > 0)
     assert(snapDf.columns.contains("p_day"), "partition column must survive the tag")
   }
@@ -352,31 +359,51 @@ class LayoutSpec extends SparkSpec {
       .agg(expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_quantity))"))
       .as[Long].head()
 
-    // sum over files of per-file (max-min): the data-skipping proxy —
-    // smaller total range per file = more files skippable by a point filter
-    def rangeSum(c: String): Long =
+    // the data-skipping metric, measured directly: for a grid of point
+    // probes over a column's global range, how many files' [min,max]
+    // bounds contain the probe (= files a bounds-pruning scan must read)?
+    // Round-robin layout: every file spans ~the full range → every probe
+    // hits every file. A LINEAR sort fixes one column and leaves the
+    // other at ~100%. Z-order bounds BOTH columns — the property pinned
+    // here as an absolute budget: with 16 files, 4 z-bits are fixed per
+    // file — two per column — so each column's per-file extent is ~1/4 of
+    // its range (plus sampled-boundary overlap), while round-robin sits
+    // at ~100% and a linear sort leaves the trailing column at ~100%.
+    def fileBounds(c: String): Seq[(Long, Long)] =
       spark.table("layout_zorder_t")
         .groupBy(input_file_name())
-        .agg((max(col(c)) - min(col(c))).as("r"))
-        .agg(sum("r")).as[Long].head()
+        .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    def avgProbeHitFrac(c: String): Double = {
+      val bounds = fileBounds(c)
+      val glo = bounds.map(_._1).min
+      val ghi = bounds.map(_._2).max
+      val probes = (0 until 64).map(i => glo + (ghi - glo) * i / 63)
+      probes.map(p => bounds.count { case (a, b) => a <= p && p <= b })
+        .sum.toDouble / (probes.size * bounds.size)
+    }
 
-    val rawOrd = rangeSum("l_orderkey")
-    val rawPart = rangeSum("l_partkey")
+    val rawOrd = avgProbeHitFrac("l_orderkey")
+    val rawPart = avgProbeHitFrac("l_partkey")
+    assert(rawOrd > 0.9 && rawPart > 0.9,
+      s"round-robin baseline should be unprunable: $rawOrd / $rawPart")
 
-    Layout.zorder(spark, "layout_zorder_t", Seq("l_orderkey", "l_partkey"), numFiles = 8)
+    Layout.zorder(spark, "layout_zorder_t", Seq("l_orderkey", "l_partkey"), numFiles = 16)
 
     assert(spark.table("layout_zorder_t").count() === before)
     val checksumAfter = spark.table("layout_zorder_t")
       .agg(expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_quantity))"))
       .as[Long].head()
     assert(checksumAfter === checksumBefore, "zorder must not change row contents")
+    assert(spark.table("layout_zorder_t").inputFiles
+      .count(_.endsWith(".parquet")) === 16, "zorder must keep the file budget")
 
-    val zOrd = rangeSum("l_orderkey")
-    val zPart = rangeSum("l_partkey")
-    assert(zOrd < rawOrd / 2,
-      s"l_orderkey file ranges should shrink: $zOrd vs $rawOrd")
-    assert(zPart < rawPart / 2,
-      s"l_partkey file ranges should shrink too (the z-order property a " +
-        s"linear sort lacks): $zPart vs $rawPart")
+    val zOrd = avgProbeHitFrac("l_orderkey")
+    val zPart = avgProbeHitFrac("l_partkey")
+    assert(zOrd <= 0.5,
+      s"a point probe on l_orderkey should touch ≤50% of files: $zOrd")
+    assert(zPart <= 0.5,
+      s"a point probe on l_partkey should touch ≤50% of files too (the " +
+        s"z-order property a linear sort lacks): $zPart")
   }
 }

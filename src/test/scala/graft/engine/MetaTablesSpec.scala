@@ -97,8 +97,8 @@ class MetaTablesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mt_snap_nation")
     nation.write.saveAsTable("mt_snap_nation")
     Layout.snapshot(spark, "mt_snap_nation", "v1")
-    nation.filter(col("n_nationkey") < 5).write.mode("overwrite")
-      .saveAsTable("mt_snap_nation")
+    Layout.overwrite(spark, "mt_snap_nation",
+      nation.filter(col("n_nationkey") < 5))
     Layout.snapshot(spark, "mt_snap_nation", "v2")
     val meta = MetaTables.snapshotsMetadata(spark, "mt_snap_nation")
       .orderBy("tag").collect()

@@ -60,9 +60,9 @@ class WapSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.saveAsTable(table)
     Layout.snapshot(spark, table, "v1")
-    // rewrite: update 2, delete 3, insert 4, keep 1
-    Seq((1L, "a"), (2L, "B!"), (4L, "d")).toDF("id", "v")
-      .write.mode("overwrite").saveAsTable(table)
+    // rewrite: update 2, delete 3, insert 4, keep 1 — through the format
+    Layout.overwrite(spark, table,
+      Seq((1L, "a"), (2L, "B!"), (4L, "d")).toDF("id", "v"))
     Layout.snapshot(spark, table, "v2")
 
     val changes = Layout.changesBetween(spark, table, "v1", "v2", "id")
