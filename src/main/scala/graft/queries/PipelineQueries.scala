@@ -133,14 +133,17 @@ object PipelineQueries {
   }, Some(annContractSql))
 
   /** Q31 (similarity / IVF-ANN): recall contract of the inverted-file
-    * approximate top-10 (nprobe=4 of 16 centroids). Floor 1.5/10 per probe
-    * (measured minimum 2/10 at the gate SF). */
+    * approximate top-10 (nprobe=6 of 16 centroids). Floor 1.5/10 per probe
+    * (measured minimum 2/10 at the gate SF; nprobe=4 cleared it there but
+    * dipped below on the sf0.001 data draw — random-init centroids are
+    * draw-sensitive, so the declared query probes 6 lists to hold the
+    * floor across scale dirs while staying genuinely approximate). */
   val q31 = GQuery("q31_ann_ivf_topk", (s, d) => {
     val e = t(s, d, "embeddings")
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val ann = Similarity.ivfTopK(e, probes, "vec_id", "embedding", "probe_id", "pv",
-      k = 10, nCentroids = 16, nprobe = 4)
+      k = 10, nCentroids = 16, nprobe = 6)
     val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", "probe_id", "pv", 10)
     Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10, minHits = 1.5)
   }, Some(annContractSql))

@@ -820,7 +820,11 @@ object SurfaceQueries {
         ceil(p).cast(LongType).as("ceil_p"),
         floor(p).cast(LongType).as("floor_p"),
         round(sqrt(p), 9).as("sqrt_p"),
-        round(pow(p / 10000d, 2), 9).as("pow_p"),
+        // pow over integer cents: squares below 2^53 are exact doubles,
+        // so the column is tie-free — round(pow(p/1e4, 2), 9) sat exactly
+        // on a decimal half-way for some rows and the two engines'
+        // rounding split (observed at sf0.001)
+        pow(round(p * 100), 2).cast(LongType).as("pow_p"),
         round(log(p), 9).as("ln_p"),
         round(log10(p), 9).as("log10_p"),
         signum(p - 100000).cast(LongType).as("sign_p"),
@@ -833,7 +837,7 @@ object SurfaceQueries {
            |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p,
            |  CAST(floor(o_totalprice) AS BIGINT) AS floor_p,
            |  round(sqrt(o_totalprice), 9) AS sqrt_p,
-           |  round(pow(o_totalprice / 10000, 2), 9) AS pow_p,
+           |  CAST(pow(CAST(round(o_totalprice * 100) AS BIGINT), 2) AS BIGINT) AS pow_p,
            |  round(ln(o_totalprice), 9) AS ln_p,
            |  round(log10(o_totalprice), 9) AS log10_p,
            |  CAST(sign(o_totalprice - 100000) AS BIGINT) AS sign_p,
@@ -1037,8 +1041,56 @@ object SurfaceQueries {
            |  doc_id, n_chars
            |FROM top ORDER BY rk""".stripMargin))
 
+  /** Q162 (L13″, Nessie catalog inspection through the gate): the REST
+    * catalog surface the reference exposes (Nessie GET /trees → refs,
+    * GET /trees/{ref}/history → commit log) over the manifest store.
+    * Drives a full ref lifecycle — tag, branch fork, branch append,
+    * fast-forward merge, tag expiry — then reads the COMMIT LOG back:
+    * seq/parent prove the chain (0←1←2), operations name what happened,
+    * per-commit record counts tie each commit to the logical row counts
+    * the oracle recomputes from `events` alone. `refs_during_branch`
+    * pins the ref inventory while the branch was live (main + branch +
+    * tag = 3); `refs_after_expire` pins it after cleanup (main only).
+    * All answered from metadata files — zero data I/O in the log read.
+    * Unique names per invocation (rerun-safe; seqs start at 0 in the
+    * fresh manifest root). */
+  val q162 = GQuery("q162_catalog_refs", (s, d) => {
+    import graft.engine.Layout
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"refq_main_$run"
+    val events = t(s, d, "events").select("event_id", "event_type", "value")
+    events.filter(col("event_id") % 2 === 0).write.saveAsTable(table)
+    Layout.snapshot(s, table, "v1")                      // commit 0 (tag v1)
+    val bt = Layout.createBranch(s, table, "etl")        // commit 1 (fork tag)
+    events.filter(col("event_id") % 2 === 1)
+      .write.mode("append").saveAsTable(bt)
+    val refsDuringBranch = Layout.listRefs(s, table).count() // main + etl + v1
+    Layout.mergeBranch(s, table, "etl")                  // commit 2 (publish)
+    Layout.expireSnapshots(s, table, keep = Set.empty)
+    val refsAfterExpire = Layout.listRefs(s, table).count()  // main only
+    Layout.commitLog(s, table)
+      .select(col("seq"), col("parent"), col("operation"), col("record_count"),
+        lit(refsDuringBranch).as("refs_during_branch"),
+        lit(refsAfterExpire).as("refs_after_expire"))
+      .orderBy("seq")
+  },
+    Some("""WITH c AS (SELECT
+           |    count(*) FILTER (WHERE event_id % 2 = 0) AS even_cnt,
+           |    count(*) AS total_cnt
+           |  FROM events)
+           |SELECT CAST(seq AS BIGINT) AS seq, CAST(parent AS BIGINT) AS parent,
+           |  operation, CAST(record_count AS BIGINT) AS record_count,
+           |  CAST(3 AS BIGINT) AS refs_during_branch,
+           |  CAST(1 AS BIGINT) AS refs_after_expire
+           |FROM (
+           |  SELECT 0 AS seq, -1 AS parent, 'snapshot' AS operation,
+           |    even_cnt AS record_count FROM c
+           |  UNION ALL SELECT 1, 0, 'snapshot', even_cnt FROM c
+           |  UNION ALL SELECT 2, 1, 'merge-branch:etl', total_cnt FROM c
+           |) ORDER BY seq""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q126, q127, q128, q129, q130, q131, q132, q133,
     q134, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
     q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-    q161)
+    q161, q162)
 }
