@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * frame-sample stages.
   *
   * Codec status: image decode/resize (PNG/JPEG/GIF/BMP via the JDK's
-  * javax.imageio — no external library) and WAV PCM parsing (RIFF header +
-  * 16-bit samples, pure byte arithmetic) are REAL ([[decodeImages]],
-  * [[resizeImages]], [[decodeWav]], spec'd against synthesized genuine
-  * containers). Only video remains a clearly-marked STUB
-  * ([[extractFeatures]]' fake decoder) — no video codec ships with the JDK.
+  * javax.imageio — no external library), WAV PCM parsing (RIFF chunk walk +
+  * 16-bit samples, pure byte arithmetic), and MP4 container metadata
+  * (ISO BMFF `ftyp`/`moov` box walk — brand, timescale/duration, track
+  * count, codec fourccs) are all REAL ([[decodeImages]], [[resizeImages]],
+  * [[decodeWav]], [[decodeMp4]], spec'd against synthesized genuine
+  * containers). Video FRAME decode (the pixel half) needs a codec the JDK
+  * does not ship and is out of scope — container metadata is the part a
+  * curation pipeline filters on (duration/track/codec routing) before any
+  * GPU decode stage.
   *
   * At 100 TB: binary payloads dominate row size, so every stage here is a
   * narrow map (no shuffle), metadata-only queries prune the binary column
@@ -23,9 +27,6 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(media_id: Long, media: Array[Byte], format: String, n_bytes: Long)
-  final case class MediaFeatures(
-      media_id: Long, format: String, n_bytes: Long,
-      width: Int, height: Int, mean_byte: Double, features: Array[Float])
 
   /** Wrap any text corpus as an opaque-binary media table (UTF-8 payload
     * standing in for an encoded image/audio blob). Schema is the contract:
@@ -76,34 +77,8 @@ object Multimodal {
     media.select(col("media_id"), col("format"), col("n_bytes"),
       sha2(col("media"), 256).as("digest"))
 
-  /** STUB decode: a real implementation would invoke an image/audio codec
-    * per batch here (e.g. JNI libjpeg / javax.imageio). This deterministic
-    * fake derives pseudo-dimensions and a small feature vector from the
-    * bytes so the distributed path (partition-preserving, batch-iterator
-    * shape, fixed-width output schema) is fully exercised and testable. */
-  private def decodeStub(r: MediaRow): MediaFeatures = {
-    val bytes = r.media
-    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff)) // FNV-ish
-    val width = 16 + (((h % 1024) + 1024) % 1024).toInt
-    val height = 16 + ((((h >> 10) % 1024) + 1024) % 1024).toInt
-    val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-    val feats = Array.tabulate(8) { i =>
-      if (bytes.isEmpty) 0f
-      else bytes.iterator.zipWithIndex.filter(_._2 % 8 == i).map(_._1 & 0xff).sum.toFloat / bytes.length
-    }
-    MediaFeatures(r.media_id, r.format, r.n_bytes, width, height, mean, feats)
-  }
-
-  /** Decode + feature-extract over partition-local batches: one iterator
-    * pass per partition, no shuffle, blob dropped from the output row. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
-      .mapPartitions(_.map(decodeStub))
-  }
-
-  /** "Resize": cap payloads at maxBytes (narrow map; a real impl would
-    * re-encode in decodeStub's place). */
+  /** "Resize": cap payloads at maxBytes (narrow map; [[resizeImages]] is
+    * the real re-encoding form for decodable images). */
   def resize(media: DataFrame, maxBytes: Int): DataFrame =
     media.withColumn("media",
         when(octet_length(col("media")) > maxBytes,
@@ -272,5 +247,125 @@ object Multimodal {
           }
         } catch { case _: Exception => fail(id) }
     })
+  }
+
+  // ------------------------------------------------------ MP4 (ISO BMFF)
+  // The container-metadata half of video handling: an MP4 is a tree of
+  // [size:be32][fourcc][payload] boxes; duration/timescale live in
+  // moov/mvhd, one trak subtree per stream, and each track's codec fourcc
+  // is the first sample-entry of trak/mdia/minf/stbl/stsd. Walking boxes
+  // is pure byte arithmetic (same discipline as the WAV RIFF walk) — no
+  // codec needed for the properties a curation pipeline routes on
+  // (duration caps, track sanity, codec allow-lists). Frame/pixel decode
+  // is explicitly out of scope: the JDK ships no video codec.
+
+  final case class Mp4Meta(
+      media_id: Long, decode_ok: Boolean, major_brand: String,
+      timescale: Long, duration_ms: Long, n_tracks: Int, codecs: String)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** Children of the byte range [start, end): (fourcc, payloadStart,
+    * boxEnd). A box overrunning the range (truncated/corrupt container)
+    * aborts the walk with a parse failure, never a partial read. */
+  private def boxes(b: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+    var off = start
+    val out = List.newBuilder[(String, Int, Int)]
+    while (off + 8 <= end) {
+      val size = be32(b, off)
+      if (size < 8 || off + size > end) throw new IllegalArgumentException("box overrun")
+      out += ((new String(b, off + 4, 4, "US-ASCII"), off + 8, off + size.toInt))
+      off += size.toInt
+    }
+    if (off != end) throw new IllegalArgumentException("trailing garbage")
+    out.result()
+  }
+
+  private def child(b: Array[Byte], start: Int, end: Int,
+      fourcc: String): Option[(Int, Int)] =
+    boxes(b, start, end).collectFirst { case (`fourcc`, s, e) => (s, e) }
+
+  /** REAL MP4 container parse: `ftyp` major brand; `moov/mvhd` timescale +
+    * duration (version 0 and 1 layouts); track count = `trak` boxes; codec
+    * fourccs from each `trak/mdia/minf/stbl/stsd`'s first sample entry,
+    * joined in track order. Corrupt/truncated blobs → `decode_ok=false`
+    * rows (corrupt blobs are data, not task failures). Narrow map; the
+    * blob never survives into the output row. */
+  def decodeMp4(spark: SparkSession, media: DataFrame): Dataset[Mp4Meta] = {
+    import spark.implicits._
+    def fail(id: Long) = Mp4Meta(id, decode_ok = false, "", 0L, 0L, 0, "")
+    media.select("media_id", "media").as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, b) =>
+        try {
+          val top = boxes(b, 0, b.length)
+          val brand = top.collectFirst { case ("ftyp", s, e) if e - s >= 4 =>
+            new String(b, s, 4, "US-ASCII")
+          }
+          val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+          (brand, moov) match {
+            case (Some(br), Some((ms, me))) =>
+              val (timescale, duration) = child(b, ms, me, "mvhd") match {
+                case Some((s, _)) =>
+                  b(s) match {
+                    case 0 => (be32(b, s + 12), be32(b, s + 16))
+                    case 1 => (be32(b, s + 20),
+                      (be32(b, s + 24) << 32) | be32(b, s + 28))
+                    case _ => throw new IllegalArgumentException("mvhd version")
+                  }
+                case None => throw new IllegalArgumentException("no mvhd")
+              }
+              val codecs = boxes(b, ms, me).collect { case ("trak", ts, te) =>
+                (for {
+                  (s1, e1) <- child(b, ts, te, "mdia")
+                  (s2, e2) <- child(b, s1, e1, "minf")
+                  (s3, e3) <- child(b, s2, e2, "stbl")
+                  (s4, e4) <- child(b, s3, e3, "stsd")
+                  if e4 - s4 >= 16 && be32(b, s4 + 4) >= 1
+                } yield new String(b, s4 + 12, 4, "US-ASCII"))
+                  .getOrElse(throw new IllegalArgumentException("no sample entry"))
+              }
+              if (timescale <= 0) fail(id)
+              else Mp4Meta(id, decode_ok = true, br, timescale,
+                duration * 1000L / timescale, codecs.size, codecs.mkString(","))
+            case _ => fail(id)
+          }
+        } catch { case _: Exception => fail(id) }
+    })
+  }
+
+  private def beBytes(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(fourcc: String, payload: Array[Byte]): Array[Byte] =
+    beBytes(payload.length + 8L) ++ fourcc.getBytes("US-ASCII") ++ payload
+
+  /** Synthesize one REAL (minimal, well-formed) MP4 box tree per input
+    * row — the q116 pattern for video: every decoded property is a pure
+    * function of the id that the oracle recomputes without a parser.
+    *   timescale 1000 (so duration units == ms exactly),
+    *   duration  = 500 + (id*37) mod 90000,
+    *   tracks    = 1 + id mod 3,
+    *   codec(t)  = [avc1, mp4a, hev1][(id + t) mod 3]. */
+  def synthesizeMp4(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val codecNames = Array("avc1", "mp4a", "hev1")
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ beBytes(0x200L) ++
+          "isom".getBytes("US-ASCII") ++ "avc1".getBytes("US-ASCII"))
+      val mvhdPayload = new Array[Byte](100) // version 0 fixed layout
+      System.arraycopy(beBytes(1000L), 0, mvhdPayload, 12, 4) // timescale
+      System.arraycopy(beBytes(500L + (id * 37) % 90000), 0, mvhdPayload, 16, 4)
+      val mvhd = box("mvhd", mvhdPayload)
+      val traks = (0 until (1 + (id % 3)).toInt).map { t =>
+        val entry = box(codecNames(((id + t) % 3).toInt), new Array[Byte](8))
+        val stsd = box("stsd", beBytes(0L) ++ beBytes(1L) ++ entry)
+        box("trak", box("mdia", box("minf", box("stbl", stsd))))
+      }
+      (id, ftyp ++ box("moov", mvhd ++ traks.flatten))
+    }).toDF("media_id", "media")
   }
 }

@@ -16,12 +16,30 @@ class MultimodalSpec extends SparkSpec {
     assert(f("n_bytes") === "BIGINT")
   }
 
-  test("extractFeatures is deterministic, drops the blob, fixed-width output") {
-    val a = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
-    val b = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
-    assert(a.map(_.mean_byte).toSeq === b.map(_.mean_byte).toSeq)
-    assert(a.forall(_.features.length == 8))
-    assert(a.forall(r => r.width >= 16 && r.height >= 16))
+  test("decodeMp4 parses real box trees: brand, duration, tracks, codecs; corrupt → decode_ok=false") {
+    import spark.implicits._
+    val ids = Seq(5L, 6L, 7L, 100L).toDF("id")
+    val mp4s = Multimodal.synthesizeMp4(spark, ids, "id")
+    val out = Multimodal.decodeMp4(spark, mp4s).collect()
+      .map(m => m.media_id -> m).toMap
+    // every property is the id-arithmetic the synthesizer declares
+    Seq(5L, 6L, 7L, 100L).foreach { id =>
+      val m = out(id)
+      assert(m.decode_ok && m.major_brand === "isom" && m.timescale === 1000L)
+      assert(m.duration_ms === 500L + (id * 37) % 90000)
+      assert(m.n_tracks === 1 + (id % 3).toInt)
+      val names = Array("avc1", "mp4a", "hev1")
+      val codecs = (0 until m.n_tracks).map(t => names(((id + t) % 3).toInt))
+      assert(m.codecs === codecs.mkString(","))
+    }
+    // truncation and garbage both fail soft, never throw
+    val bad = Seq(
+      (1L, Multimodal.synthesizeMp4(spark, Seq(5L).toDF("id"), "id")
+        .head().getAs[Array[Byte]]("media").take(20)),
+      (2L, "utterly not a video".getBytes("UTF-8"))
+    ).toDF("media_id", "media")
+    val badOut = Multimodal.decodeMp4(spark, bad).collect()
+    assert(badOut.forall(!_.decode_ok))
   }
 
   test("sniffFormat recovers every format from magic bytes; unheadered blobs are unknown") {
