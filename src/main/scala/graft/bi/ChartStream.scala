@@ -39,7 +39,15 @@ object ChartStream {
       df = df.filter(col(tc) >= lit(from).cast("timestamp") &&
         col(tc) < lit(to).cast("timestamp"))
     spec.filters.foreach(f => df = df.filter(ChartCompiler.filterColumn(f)))
-    val keys = window(col(tc), grain) +: spec.groupby.map(col)
+    // Week windows must match the batch compiler's date_trunc('week')
+    // (Monday-aligned ISO weeks). window()'s buckets anchor at the epoch,
+    // and 1970-01-01 was a THURSDAY — so a bare 7-day window would bucket
+    // Thursday→Thursday and silently drift from the batch twin. The
+    // 4-day startTime offset shifts the anchor to Monday 1970-01-05.
+    val win =
+      if (spec.timeGrain.contains("week")) window(col(tc), grain, grain, "4 days")
+      else window(col(tc), grain)
+    val keys = win +: spec.groupby.map(col)
     val aggs = spec.metrics.map(ChartCompiler.metricColumn)
     df.withWatermark(tc, watermark)
       .groupBy(keys: _*)

@@ -50,9 +50,13 @@ object Layout {
   // names the partition column. Iceberg does the translation in its scan
   // planner; here the transform-aware readers do it (a
   // SparkSessionExtensions rule could fold it into arbitrary SQL, but the
-  // two shapes below cover the exercised surface). Bucket hashing uses
-  // xxhash64 (Spark-native, codegen'd) rather than Iceberg's murmur3 —
-  // self-consistent within this engine, documented divergence.
+  // two shapes below cover the exercised surface). Bucket hashing follows
+  // the Iceberg spec by default — murmur3_x86_32 over the spec's value
+  // serialization ([[org.apache.spark.sql.graft.IcebergBucket]], spec
+  // vectors pinned in IcebergBucketSpec) — so a real Iceberg reader's
+  // bucket pruning agrees with this layout. xxhash64 remains as an
+  // engine-internal fast mode (codegen'd, 64-bit) for tables no external
+  // reader will probe.
 
   /** Write `df` to `dir` partitioned by the UTC day of `tsCol` — the
     * `days(ts)` transform. The derived dir column is `p_day`. */
@@ -81,10 +85,20 @@ object Layout {
       .drop("p_day")
   }
 
+  /** The bucket transform as a Column: Iceberg-spec murmur3 (default) or
+    * the engine-internal xxhash64 fast mode. */
+  private def bucketCol(key: org.apache.spark.sql.Column, numBuckets: Int,
+      mode: String): org.apache.spark.sql.Column = mode match {
+    case "iceberg" =>
+      org.apache.spark.sql.graft.IcebergBucketExprs.icebergBucket(key, numBuckets)
+    case "xxhash64" => pmod(xxhash64(key), lit(numBuckets)).cast("int")
+    case other => throw new IllegalArgumentException(s"unknown bucket mode '$other'")
+  }
+
   /** Write `df` to `dir` partitioned by `bucket(numBuckets, keyCol)`. */
   def writeBucketTransform(df: DataFrame, keyCol: String, numBuckets: Int,
-      dir: String): Unit =
-    df.withColumn("p_bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets)))
+      dir: String, mode: String = "iceberg"): Unit =
+    df.withColumn("p_bucket", bucketCol(col(keyCol), numBuckets, mode))
       .repartition(col("p_bucket")) // one file per bucket, not tasks×buckets
       .write.mode(SaveMode.Overwrite).partitionBy("p_bucket").parquet(dir)
 
@@ -92,13 +106,22 @@ object Layout {
     * constant-foldable expression over the literal, so exactly one
     * partition directory survives pruning; the key equality is the exact
     * residual. This is the layout that turns a needle-in-100 TB probe into
-    * a single-directory scan. */
+    * a single-directory scan.
+    *
+    * The probe literal is CAST to the key column's stored type before
+    * hashing: both hash families are type-sensitive (xxhash64 hashes int
+    * and bigint differently; Iceberg's long serialization needs the
+    * widened value), so an Int probe against a bigint key would otherwise
+    * compute the wrong bucket and silently read zero rows — the residual
+    * filter would mask the miss as an empty result. */
   def readBucketTransform(spark: SparkSession, dir: String, keyCol: String,
-      numBuckets: Int, value: Any): DataFrame =
-    spark.read.parquet(dir)
-      .filter(col("p_bucket") === pmod(xxhash64(lit(value)), lit(numBuckets)))
-      .filter(col(keyCol) === lit(value))
+      numBuckets: Int, value: Any, mode: String = "iceberg"): DataFrame = {
+    val df = spark.read.parquet(dir)
+    val probe = lit(value).cast(df.schema(keyCol).dataType)
+    df.filter(col("p_bucket") === bucketCol(probe, numBuckets, mode))
+      .filter(col(keyCol) === probe)
       .drop("p_bucket")
+  }
 
   // ------------------------------------------------------------- snapshots
   // Manifest-file snapshots — the Iceberg-shaped versioned catalog the

@@ -84,7 +84,9 @@ object StreamSink {
     * clean rows take the [[ingestDeduped]] path, dirty rows append to
     * `quarantine` with their violation names and batch id — nothing is
     * silently dropped, nothing dirty reaches the corpus, and the
-    * quarantine table IS the re-ingestion queue after a fix. The flagging
+    * quarantine table IS the re-ingestion queue after a fix. Both sinks
+    * are idempotent under foreachBatch's at-least-once replay: the corpus
+    * via content dedup, the DLQ via a per-batch-id anti-join. The flagging
     * pass is narrow (+ broadcast dims for referential rules), so the DLQ
     * costs one extra column until the split. */
   def ingestValidated(docs: DataFrame, table: String, quarantine: String,
@@ -97,7 +99,19 @@ object StreamSink {
       val dirty = flagged.filter(size(col("violations")) > 0)
         .withColumn("violations", concat_ws(";", col("violations")))
         .withColumn("batch_id", lit(batchId))
-      dirty.write.mode("append").saveAsTable(quarantine)
+      // foreachBatch is at-least-once: a replayed batch must not double
+      // its quarantine rows (the corpus side is idempotent via dedup; the
+      // DLQ needs its own guard). Anti-join on (batch_id, id) against the
+      // already-quarantined rows of THIS batch id makes the append
+      // idempotent even under a partial-append replay — and costs one
+      // filtered scan of the (small by design) quarantine table.
+      val toQuarantine =
+        if (!spark.catalog.tableExists(quarantine)) dirty
+        else dirty.join(
+          spark.table(quarantine)
+            .filter(col("batch_id") === batchId).select(col(idCol)),
+          Seq(idCol), "left_anti")
+      toQuarantine.write.mode("append").saveAsTable(quarantine)
       val clean = flagged.filter(size(col("violations")) === 0)
         .drop("violations")
       val fresh = graft.ext.Dedup

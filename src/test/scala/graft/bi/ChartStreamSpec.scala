@@ -47,6 +47,34 @@ class ChartStreamSpec extends SparkSpec {
     assert(streamed === batch && batch.size === 2)
   }
 
+  test("week grain buckets Monday-aligned, matching the batch date_trunc('week')") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val weekSpec = spec.copy(timeGrain = Some("week"))
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val feed = ChartStream.feed(weekSpec,
+      in.toDF().toDF("ts", "event_type", "value"), watermark = "1 hour")
+    val q = feed.writeStream.format("memory").queryName("chart_feed_wk")
+      .outputMode("append").start()
+    // 2026-03-04 is a Wednesday; its ISO week starts Monday 2026-03-02.
+    // An epoch-anchored 7-day window would start Thursday 2026-02-26.
+    val rows = Seq(
+      (ts("2026-03-04 10:00:00"), "view", 1.0),
+      (ts("2026-03-07 09:00:00"), "view", 2.0))
+    try {
+      in.addData(rows: _*)
+      in.addData((ts("2026-03-20 00:00:00"), "view", 0.0)) // close the week
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("chart_feed_wk")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed.map(_._1).contains(ts("2026-03-02 00:00:00")),
+      s"week bucket must start on Monday: $streamed")
+    val batch = ChartCompiler.compile(spark, weekSpec.copy(rowLimit = 1000),
+        _ => rows.toDF("ts", "event_type", "value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed === batch && batch.size === 1)
+  }
+
   test("raw mode and grain-less specs are refused") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]

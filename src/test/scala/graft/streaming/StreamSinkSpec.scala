@@ -148,6 +148,20 @@ class StreamSinkSpec extends SparkSpec {
     assert(dlqRows(13L).split(";").toSet ===
       Set("not_null(text)", "range(quality,0.0,10.0)"))
 
+    // simulate an at-least-once replay of the same batch (fresh checkpoint
+    // → the log re-delivers as batch id 0): corpus AND quarantine must
+    // both be unchanged — the DLQ's per-batch-id anti-join is what keeps
+    // quarantine counts honest across restarts
+    val ckpt2 = Files.createTempDirectory("val-ckpt2").toString
+    val q2 = StreamSink.ingestValidated(
+      spark.readStream.schema(spark.read.parquet(logDir).schema).parquet(logDir),
+      table, dlq, "doc_id", "text", rules, ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(dlq)
+    assert(spark.table(dlq).count() === 2, "replayed batch must not double the DLQ")
+    assert(spark.table(table).count() === 2, "replayed batch must not re-append")
+
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS $dlq")
   }
