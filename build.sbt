@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The Spark Connect JVM client (shaded) lives in the connect-repl subdir;
+// only that jar is added (the rest is ammonite REPL tooling). Test-scoped:
+// it is the CLIENT side of the wire-protocol endpoint spec.
+Test / unmanagedJars += Attributed.blank(
+  file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

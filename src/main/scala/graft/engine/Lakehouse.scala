@@ -92,4 +92,29 @@ object Lakehouse {
 
   def uncacheTable(spark: SparkSession, fqName: String): Unit =
     spark.catalog.uncacheTable(fqName)
+
+  // -------------------------------------------------- network SQL endpoint
+  // Every client of the reference stack is REMOTE: the Trino CLI speaks
+  // HTTP to the coordinator (seed.sh:6-9), Superset connects via
+  // SQLAlchemy (init_db.py:9), the web UI over the browser (README.md:49).
+  // Spark's native wire protocol is Spark Connect (gRPC + Arrow batches);
+  // starting it turns this in-process engine into the same shape: a
+  // server other processes/languages query over the network, with each
+  // client session isolated server-side but sharing the catalog — exactly
+  // the coordinator model. The service runs inside the driver JVM; on a
+  // cluster deploy this is the standard Spark Connect server.
+
+  /** Start the Spark Connect gRPC endpoint on `port`. Remote clients
+    * connect with `sc://host:port` (JVM/Python/Go clients all speak it). */
+  def startConnectServer(spark: SparkSession, port: Int): Unit = {
+    // the service reads its binding port from the driver's SparkConf
+    // (SparkContext.conf is private; SparkEnv exposes the same instance)
+    org.apache.spark.SparkEnv.get.conf
+      .set("spark.connect.grpc.binding.port", port.toString)
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+  }
+
+  /** Stop the Spark Connect endpoint (idempotent). */
+  def stopConnectServer(): Unit =
+    org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
 }
