@@ -37,35 +37,41 @@ object Bench {
         .orderBy("g")
         .write.format("noop").mode("overwrite").save()
     }
-    // Two passes over the suite; report the per-query minimum. A single pass
-    // is hostage to whatever the host is doing during the first minute (cold
-    // page cache on the parquet files, a concurrent job on the same box,
-    // first-touch JIT) — round 2's driver run showed q04–q17 uniformly 2–4×
-    // slower than steady state while q18+ ran at normal speed. The minimum of
-    // two passes measures the engine, not the neighbor. Failures are flagged
-    // in-band with a negative time so the driver artifact can't report a
-    // broken suite as healthy.
+    // Three reps PER QUERY, run back-to-back, minimum reported. Why this
+    // shape: a whole-suite pass is hostage to whatever the host does during
+    // that minute (round 2's driver run showed q04–q17 uniformly 2–4×
+    // slower than steady state; round 4's showed phantom 3.5–3.9× spikes
+    // on q26/q27 that a same-day judge rerun disproved). Consecutive reps
+    // localize contention to one query's window, rep 1 warms the page
+    // cache for reps 2–3, and the min of three cannot be produced by a
+    // single contended rep. Every rep's time is emitted under "passes" so
+    // a contended rep is VISIBLE in the artifact instead of silently
+    // polluting the headline. Failures are flagged in-band with a negative
+    // time so the driver artifact can't report a broken suite as healthy.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    def onePass(): Seq[(String, Double)] = named.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -secs)
+    val timed: Seq[(String, Seq[Double])] = named.map { case (name, fn) =>
+      name -> (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (ok) secs else -secs
+      }
     }
-    val p1 = onePass().toMap
-    val p2 = onePass().toMap
-    val results = named.map { case (name, _) =>
-      val (a, b) = (p1(name), p2(name))
-      name -> (if (a >= 0 && b >= 0) math.min(a, b) else -math.max(math.abs(a), math.abs(b)))
+    val results = timed.map { case (name, ts) =>
+      name -> (if (ts.forall(_ >= 0)) ts.min else -ts.map(math.abs).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    val passes = timed.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = results.filter(_._2 < 0).map { case (k, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(v => math.abs(v._2)).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
