@@ -49,7 +49,12 @@ object Bench {
     // polluting the headline. Failures are flagged in-band with a negative
     // time so the driver artifact can't report a broken suite as healthy.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional subset (comma-separated name prefixes) — the sf1 scaling
+    // checkpoint times the expensive queries without the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val timed: Seq[(String, Seq[Double])] = named.map { case (name, fn) =>
       name -> (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -255,13 +255,29 @@ object Dedup {
     * random-hyperplane bucket-mates (≥1 of `tables` tables), exact-cosine
     * verified, so every emitted pair is true-positive; recall follows the
     * table/bit parameters (more tables ⇒ higher recall, bigger candidate
-    * set). Same output contract as [[embeddingNearDup]]. */
+    * set). Same output contract as [[embeddingNearDup]].
+    *
+    * Scaling: the candidate stage is Σ_buckets occupancy² — with a FIXED
+    * bit width, occupancy grows with N and the stage re-quadratizes
+    * (measured 20× time for 10× rows at 6 bits). `bits = -1` (default)
+    * sizes the bucket space to the corpus instead: bits =
+    * log2(N / 32), clamped to [4, 20], holding expected occupancy ≈ 32
+    * per table so candidate pairs — and wall-clock — scale ~linearly.
+    * More bits means each table's buckets are finer, so recall shifts to
+    * the `tables` knob (the standard LSH tradeoff); pass explicit `bits`
+    * to pin a recall operating point. */
   def embeddingNearDupLsh(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
+      threshold: Double, tables: Int = 8, bits: Int = -1, dim: Int = 64): DataFrame = {
     val e = embeddings.select(col(idCol).as("eid"),
       col(vecCol).cast("array<double>").as("v"))
-    val buckets = Similarity.lshBuckets(e, "eid", "v", tables, bits, dim)
+    val useBits =
+      if (bits > 0) bits
+      else {
+        val n = embeddings.count().toDouble
+        math.min(20, math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+      }
+    val buckets = Similarity.lshBuckets(e, "eid", "v", tables, useBits, dim)
     val a = buckets.select(col("table_id"), col("bucket"), col("eid").as("id_a"))
     val b = buckets.select(col("table_id"), col("bucket"), col("eid").as("id_b"))
     val candidates = a.join(b, Seq("table_id", "bucket"))

@@ -58,5 +58,22 @@ object Round5Queries {
            |       ELSE c0 || ',' || c1 || ',' || c2 END AS codecs
            |FROM c ORDER BY media_id""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q163)
+  /** Q164 (D5′, embedding near-dup — the SCALE path, benchable): the
+    * LSH-bucketed candidate stage + exact-cosine verify tail
+    * ([[graft.ext.Dedup.embeddingNearDupLsh]]), the form a 100 TB corpus
+    * actually runs — q29's exact all-pairs twin is the ground truth and
+    * intentionally quadratic (its oracle needs exactness), so the scaling
+    * checkpoint (BASELINE.md) times THIS query instead. Deterministic
+    * (seed-42 hyperplanes; every emitted pair is exact-verified ≥
+    * threshold — zero false positives by construction), but candidate
+    * recall is a property of the LSH draw, not SQL-expressible — so this
+    * entry declares no oracle and takes the rows-only check; DedupSpec
+    * holds its recall contract against the exact path. */
+  val q164 = GQuery("q164_embedding_neardup_lsh", (s, d) =>
+    graft.ext.Dedup.embeddingNearDupLsh(
+      t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  val all: Seq[GQuery] = Seq(q163, q164)
 }
