@@ -15,6 +15,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-micros timestamps (not legacy INT96, which parquet writes
+      // WITHOUT column statistics): manifest bounds and row-group skipping
+      // on time columns only exist with spec-compliant INT64 timestamps
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -31,6 +31,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-micros timestamps (not legacy INT96, which parquet writes
+      // WITHOUT column statistics): manifest bounds and row-group skipping
+      // on time columns only exist with spec-compliant INT64 timestamps
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       // engine extensions (all flag-gated, default off — see each rule)
       .withExtensions(_.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule))

@@ -17,14 +17,32 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-micros timestamps (not legacy INT96, which parquet writes
+      // WITHOUT column statistics): manifest bounds and row-group skipping
+      // on time columns only exist with spec-compliant INT64 timestamps
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Dump timestamps as NTZ: the session writes UTC-adjusted
+        // INT64-micros (manifest-stats discipline), but the driver's
+        // pandas compare reads those as tz-AWARE while the DuckDB oracle
+        // yields naive values — a type mismatch on every ts column. The
+        // session timezone is pinned UTC, so the NTZ cast is a pure
+        // representation change (identical instants), restoring the
+        // naive-vs-naive compare every round has used.
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val dumped = df.select(df.schema.fields.map { f =>
+          if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+        dumped.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

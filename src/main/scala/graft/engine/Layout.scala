@@ -144,7 +144,7 @@ object Layout {
   import scala.jdk.CollectionConverters._
 
   /** Resolve a catalog table's storage location via the public SQL surface. */
-  private def tableLocation(spark: SparkSession, table: String): Path = {
+  private[engine] def tableLocation(spark: SparkSession, table: String): Path = {
     val loc = describeRow(spark, table, "Location")
       .getOrElse(sys.error(s"no Location for table $table"))
     Paths.get(new java.net.URI(loc))
@@ -220,17 +220,31 @@ object Layout {
     * main"): one distributed footer pass collects per-file stats, one
     * manifest write + atomic refs swap commits. O(files) metadata, zero
     * data movement. Fails if the tag exists — tags are immutable. */
-  def snapshot(spark: SparkSession, table: String, tag: String): Unit = {
+  def snapshot(spark: SparkSession, table: String, tag: String,
+      bloomCols: Seq[String] = Nil): Unit = {
     ensureVersioned(spark, table)
-    val refs = Manifests.loadRefs(Manifests.root(spark, table))
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
     require(!refs.tags.contains(tag),
       s"snapshot tag '$tag' already exists for $table")
     val loc = tableLocation(spark, table)
-    Manifests.commit(spark, table, "snapshot", loc.toString,
+    // outstanding MOR deletes at head stay outstanding in the tag:
+    // positions are per-file and files are immutable, so delete rows for
+    // files still present apply unchanged (rows naming vanished files
+    // anti-join nothing — harmless)
+    val inheritedDeletes =
+      headSnapshot(spark, table).map(_.deleteEntries).getOrElse(Nil)
+    val seq = Manifests.commit(spark, table, "snapshot", loc.toString,
       spark.table(table).schema.json,
       Manifests.collectStats(spark, Manifests.listDataFiles(loc)),
-      tag = Some(tag))
-    ()
+      tag = Some(tag), deletes = inheritedDeletes)
+    // opt-in equality-skipping metadata: one extra column-pruned pass
+    // over the snapshot's files, stored as an immutable sidecar
+    if (bloomCols.nonEmpty) {
+      val snap = Manifests.loadSnapshot(root, seq)
+      if (snap.files.nonEmpty)
+        Manifests.saveBlooms(root, seq, Blooms.build(spark, snap, bloomCols))
+    }
   }
 
   private def tagSnapshot(spark: SparkSession, table: String,
@@ -249,11 +263,44 @@ object Layout {
   private def readManifest(spark: SparkSession,
       snap: Manifests.Snapshot): DataFrame =
     if (snap.files.isEmpty) emptyDf(spark, snap.schemaJson)
-    else spark.read
+    else if (snap.deleteEntries.isEmpty)
+      readDataFiles(spark, snap) // plain scan: no _metadata overhead
+    else readManifestWithPos(spark, snap).drop("__fp", "__pos")
+
+  private def readDataFiles(spark: SparkSession,
+      snap: Manifests.Snapshot): DataFrame =
+    spark.read
       .schema(org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .option("basePath", snap.basePath) // partition-dir columns survive
       .parquet(snap.files.map(_.path): _*)
+
+  /** Manifest read with row provenance (`__fp`,`__pos` = file URI + row
+    * position) and the snapshot's positional delete files APPLIED — the
+    * Iceberg v2 merge-on-read scan. Deletes subtract via an anti join on
+    * (file, pos); the delete side is broadcast while manifest stats say
+    * it is small (the MOR operating regime — `compact` materializes
+    * oversized delete sets back into data files), so the base relation
+    * never shuffles: at 100 TB the cost of an un-compacted delete pile
+    * is a bigger broadcast, never a table-wide exchange. */
+  private def readManifestWithPos(spark: SparkSession,
+      snap: Manifests.Snapshot): DataFrame = {
+    val base = readDataFiles(spark, snap)
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dels = snap.deleteEntries
+    if (dels.isEmpty) base
+    else {
+      val delDf = spark.read.parquet(dels.map(_.path): _*)
+        .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"))
+      val delRows = dels.map(_.records).sum
+      val delSide = if (delRows <= 5000000L) broadcast(delDf) else delDf
+      base.join(delSide,
+        base("__fp") === delSide("__del_fp") &&
+          base("__pos") === delSide("__del_pos"),
+        "left_anti")
+    }
+  }
 
   /** Read the table as of `tag` (Nessie "USE REFERENCE tag"): schema and
     * file list come from the manifest — no directory listing, no live
@@ -261,9 +308,165 @@ object Layout {
   def readAt(spark: SparkSession, table: String, tag: String): DataFrame =
     readManifest(spark, tagSnapshot(spark, table, tag))
 
+  /** Tagged scan WITH manifest pruning (the Iceberg scan-planning path:
+    * `ManifestEvaluator` deciding from stats which data files exist for
+    * this query): files whose manifest bounds prove no row can match
+    * `preds` are dropped BEFORE the scan — the executors never see them
+    * — and the surviving files are read with `preds` re-applied as the
+    * row-level residual, so pruning can change only the file set, never
+    * the result. Planning is driver-side over the in-memory manifest
+    * (O(files) comparisons — Iceberg's own cost model); at 100 TB this
+    * is what turns a needle query over ~100 k files into a scan of the
+    * few files whose ranges actually cover the probe. Fail-open
+    * throughout ([[Pruning.mayContain]]). */
+  def scanAt(spark: SparkSession, table: String, tag: String,
+      preds: Seq[Pruning.Pred]): DataFrame = {
+    val (snap, kept) = planAt(spark, table, tag, preds)
+    val base = readManifest(spark, snap.copy(files = kept))
+    preds.foldLeft(base)((df, p) => df.filter(Pruning.toColumn(p)))
+  }
+
+  /** The planning half of [[scanAt]]: bounds pruning first (cheap string
+    * compares), then — for Eq/In predicates only — the snapshot's bloom
+    * sidecar, if one was built ([[snapshot]]'s `bloomCols`). Both stages
+    * are fail-open; a file survives only by passing every applicable
+    * test, a predicate prunes only when metadata PROVES emptiness. */
+  private def planAt(spark: SparkSession, table: String, tag: String,
+      preds: Seq[Pruning.Pred]):
+      (Manifests.Snapshot, Seq[Manifests.FileEntry]) = {
+    val snap = tagSnapshot(spark, table, tag)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val (boundsKept, _) = Pruning.prune(snap.files, schema, preds)
+    val sidecar = Manifests.loadBlooms(Manifests.root(spark, table), snap.seq)
+    val kept = sidecar match {
+      case None => boundsKept
+      case Some(sc) =>
+        def bloomOk(f: Manifests.FileEntry, p: Pruning.Pred): Boolean =
+          p match {
+            case Pruning.Eq(c, v) =>
+              schema.fields.find(_.name == c).forall(fd =>
+                Blooms.fileMayContain(sc, f.path, c, fd.dataType, v))
+            case Pruning.In(c, vs) =>
+              schema.fields.find(_.name == c).forall(fd => vs.isEmpty ||
+                vs.exists(v => Blooms.fileMayContain(sc, f.path, c, fd.dataType, v)))
+            case _ => true // range predicates: bounds territory
+          }
+        boundsKept.filter(f => preds.forall(p => bloomOk(f, p)))
+    }
+    (snap, kept)
+  }
+
+  /** Planning telemetry for [[scanAt]]: (files in manifest, files kept).
+    * What a spec asserts to prove skipping actually happened, and what an
+    * operator would log per scan in production. */
+  def scanAtFileCounts(spark: SparkSession, table: String, tag: String,
+      preds: Seq[Pruning.Pred]): (Int, Int) = {
+    val (snap, kept) = planAt(spark, table, tag, preds)
+    (snap.files.size, kept.size)
+  }
+
   /** List a table's snapshot tags. */
   def listSnapshots(spark: SparkSession, table: String): Seq[String] =
     Manifests.loadRefs(Manifests.root(spark, table)).tags.keys.toSeq.sorted
+
+  // --------------------------------------------- merge-on-read deletes
+  // Iceberg v2 positional deletes: DELETE writes a small (file_path, pos)
+  // parquet instead of rewriting data files — O(matches) instead of
+  // O(table), the shape that makes row-level GDPR/dedup deletes viable on
+  // a 100 TB table. Readers subtract the delete set during the scan
+  // (readManifestWithPos); `compact` materializes deletes back into data
+  // files. The raw storage listing (spark.table on the external location)
+  // intentionally still shows deleted rows — exactly what listing an
+  // Iceberg v2 table's parquet behind the format's back shows — so every
+  // read that must honor deletes goes through the manifest surface:
+  // readAt / scanAt / readCurrent, and every mutation verb bases itself
+  // on readCurrent.
+
+  private def headSnapshot(spark: SparkSession,
+      table: String): Option[Manifests.Snapshot] = {
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
+    if (refs.head < 0) None else Some(Manifests.loadSnapshot(root, refs.head))
+  }
+
+  /** The table's CURRENT logical state: the live catalog table when no
+    * MOR deletes are outstanding at head; otherwise the head manifest
+    * with its delete files applied. Every copy-on-write mutation verb
+    * reads its base through this, so a rewrite after a MOR delete can
+    * never resurrect deleted rows. */
+  def readCurrent(spark: SparkSession, table: String): DataFrame =
+    headSnapshot(spark, table) match {
+      case Some(h) if h.deleteEntries.nonEmpty =>
+        // appends since the delete commit are part of current state:
+        // union any live files the head manifest doesn't know (statless
+        // entries — this is a read, not a commit; positions in the
+        // delete files only ever reference known files)
+        val known = h.files.map(_.path).toSet
+        val extra = Manifests.listDataFiles(tableLocation(spark, table))
+          .filterNot { case (p, _) => known(p) }
+          .map { case (p, b) =>
+            Manifests.FileEntry(p, 0L, b, Map.empty, Map.empty) }
+        readManifest(spark, h.copy(files = h.files ++ extra))
+      case _ => spark.table(table)
+    }
+
+  /** Time travel by TIMESTAMP (Iceberg `FOR SYSTEM_TIME AS OF` / Nessie
+    * "at timestamp"): resolve the newest commit created at or before
+    * `tsMs` from the commit log and read its manifest (deletes applied).
+    * Commit-log resolution is driver-side metadata; data cost is one
+    * manifest scan like any tagged read. Note expiry: an expired
+    * commit's manifest survives as history but its unreferenced data
+    * files may be GC'd — same contract as Iceberg after
+    * `expire_snapshots`. */
+  def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame = {
+    val snaps = Manifests.listSnapshots(Manifests.root(spark, table))
+      .filter(_.createdMs <= tsMs)
+    require(snaps.nonEmpty,
+      s"no commit of $table exists at or before epoch-ms $tsMs")
+    readManifest(spark, snaps.maxBy(_.seq))
+  }
+
+  /** Merge-on-read DELETE: append a positional delete file for the rows
+    * matching `predicate` and commit — zero data files touched. The scan
+    * that finds doomed rows already applies PRIOR delete files, so
+    * repeated deletes accumulate without duplicating positions. Returns
+    * the number of rows deleted. A head commit is (re)established first
+    * if the manifest head does not reflect the live file set (first
+    * versioned touch, or a raw append since the last commit). */
+  def deleteWhereMor(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    ensureVersioned(spark, table)
+    val loc = tableLocation(spark, table)
+    val liveNow = Manifests.listDataFiles(loc).map(_._1).toSet
+    val head = headSnapshot(spark, table) match {
+      case Some(h) if h.files.map(_.path).toSet == liveNow => h
+      case _ => // base commit pinning the live files
+        val seq = Manifests.commit(spark, table, "mor-base", loc.toString,
+          spark.table(table).schema.json,
+          Manifests.collectStats(spark, Manifests.listDataFiles(loc)))
+        Manifests.loadSnapshot(Manifests.root(spark, table), seq)
+    }
+    val delDir = newCommitDir(spark, table)
+    readManifestWithPos(spark, head)
+      .filter(predicate)
+      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+      .write.mode(SaveMode.Overwrite).parquet(delDir.toString)
+    val delEntries =
+      Manifests.collectStats(spark, Manifests.listDataFiles(delDir))
+    val n = delEntries.map(_.records).sum
+    if (n == 0L) { // nothing matched: no commit, reclaim the empty dir
+      scala.util.Using.resource(Files.walk(delDir)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+      return 0L
+    }
+    Manifests.commit(spark, table, "delete-mor", head.basePath,
+      head.schemaJson, head.files,
+      deletes = head.deleteEntries ++ delEntries)
+    n
+  }
 
   /** Incremental read BETWEEN two tags (Iceberg's incremental append scan:
     * "rows added after fromTag, as of toTag"): the manifest file-list
@@ -315,7 +518,7 @@ object Layout {
     val bt = branchTableName(table, branch)
     require(!spark.catalog.tableExists(bt), s"branch '$branch' already exists for $table")
     snapshot(spark, table, forkTag(branch))
-    spark.table(table).write.saveAsTable(bt)
+    readCurrent(spark, table).write.saveAsTable(bt)
     bt
   }
 
@@ -373,9 +576,17 @@ object Layout {
     if (!Files.exists(dataRoot)) return
     val root = Manifests.root(spark, table)
     val refs = Manifests.loadRefs(root)
-    val tagged: Set[String] = refs.tags.values.toSet
-      .flatMap((seq: Long) => Manifests.loadSnapshot(root, seq).files.map(_.path))
-    val keepSet = tagged ++ liveFilePaths(spark, table)
+    // a referenced snapshot pins its data files AND its positional delete
+    // files; the (possibly untagged) HEAD pins both too — its delete
+    // files are live state even though no tag names them
+    def pinned(seq: Long): Set[String] = {
+      val s = Manifests.loadSnapshot(root, seq)
+      (s.files.map(_.path) ++ s.deleteEntries.map(_.path)).toSet
+    }
+    val tagged: Set[String] = refs.tags.values.toSet.flatMap(pinned)
+    val headPinned: Set[String] =
+      if (refs.head < 0) Set.empty else pinned(refs.head)
+    val keepSet = tagged ++ headPinned ++ liveFilePaths(spark, table)
     scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
       walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach { p =>
@@ -492,7 +703,7 @@ object Layout {
     val dedupedUpdates = updates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val merged = spark.table(table)
+    val merged = readCurrent(spark, table)
       .join(dedupedUpdates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(dedupedUpdates)
     overwrite(spark, table, merged, operation = "merge")
@@ -512,7 +723,7 @@ object Layout {
     * same discipline as [[merge]]. `updates` carries (key, attrs…, tsCol). */
   def scdMerge(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, tsCol: String): Unit = {
-    val dim = spark.table(table)
+    val dim = readCurrent(spark, table)
     val attrCols = dim.columns.filterNot(c =>
       c == keyCol || c == "valid_from" || c == "valid_to").toSeq
     require(updates.columns.toSet == (Set(keyCol, tsCol) ++ attrCols),
@@ -562,7 +773,7 @@ object Layout {
     * files; this is the copy-on-write formulation, same as [[merge]]. */
   def deleteWhere(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column): Long = {
-    val cur = spark.table(table)
+    val cur = readCurrent(spark, table)
     val hit = coalesce(pred, lit(false))
     val n = cur.filter(hit).count()
     if (n > 0) overwrite(spark, table, cur.filter(!hit), operation = "delete")
@@ -576,7 +787,7 @@ object Layout {
   def updateWhere(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
-    val cur = spark.table(table)
+    val cur = readCurrent(spark, table)
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     assignments.keys.foreach(c => require(cur.columns.contains(c),
       s"unknown column '$c' in UPDATE assignments"))
@@ -632,7 +843,7 @@ object Layout {
     * staged through a temp dir because the write overwrites its own input. */
   def compact(spark: SparkSession, table: String, numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
-    overwrite(spark, table, spark.table(table).repartition(numFiles),
+    overwrite(spark, table, readCurrent(spark, table).repartition(numFiles),
       operation = "compact")
   }
 
@@ -703,7 +914,7 @@ object Layout {
       numFiles: Int, bits: Int = 16): Unit = {
     require(cols.nonEmpty, "need at least one cluster column")
     require(cols.size * bits <= 62, s"${cols.size} cols * $bits bits overflows a long")
-    val df = spark.table(table)
+    val df = readCurrent(spark, table)
     val stats = df.agg(
       cols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"__min_$c"),

@@ -53,10 +53,20 @@ object Manifests {
 
   /** A committed table state. `parent` is the previous head (-1 for the
     * first commit) — the chain IS the commit log. `schemaJson` pins the
-    * as-of-commit schema so time-travel reads never depend on live state. */
+    * as-of-commit schema so time-travel reads never depend on live state.
+    * `deletes` (Iceberg v2 merge-on-read) are POSITIONAL DELETE files:
+    * parquet of (file_path, pos) rows that readers subtract from `files`
+    * — written by [[Layout.deleteWhereMor]], empty for copy-on-write
+    * commits. Read through [[Snapshot.deleteEntries]] only: manifests
+    * written before this field existed deserialize it as null, and the
+    * accessor is the single null boundary. `recordCount` stays the BASE
+    * file count (Iceberg's total-records semantics: position deletes are
+    * accounted separately, not subtracted — subtracting would require
+    * dedup across delete files at commit time). */
   final case class Snapshot(seq: Long, parent: Long, operation: String,
       createdMs: Long, basePath: String, schemaJson: String,
-      files: Seq[FileEntry]) {
+      files: Seq[FileEntry], deletes: Seq[FileEntry] = Seq.empty) {
+    def deleteEntries: Seq[FileEntry] = Option(deletes).getOrElse(Seq.empty)
     def recordCount: Long = files.map(_.records).sum
     def totalBytes: Long = files.map(_.bytes).sum
   }
@@ -86,6 +96,22 @@ object Manifests {
 
   private def refsPath(root: Path) = root.resolve("refs.json")
   private def snapPath(root: Path, seq: Long) = root.resolve(f"snap-$seq%06d.json")
+  private def bloomPath(root: Path, seq: Long) = root.resolve(f"bloom-$seq%06d.json")
+
+  /** Persist a bloom sidecar next to its manifest (same immutability:
+    * written once when the snapshot commits, GC'd with it). Kept OUT of
+    * the manifest proper so plain ref/commit-log reads never pay for
+    * bitset payloads. */
+  def saveBlooms(root: Path, seq: Long, sidecar: Blooms.Sidecar): Unit =
+    writeJsonAtomic(bloomPath(root, seq), sidecar)
+
+  /** The sidecar for a snapshot, if one was built — absent is normal
+    * (blooms are opt-in per snapshot) and means "cannot bloom-skip". */
+  def loadBlooms(root: Path, seq: Long): Option[Blooms.Sidecar] = {
+    val p = bloomPath(root, seq)
+    if (!Files.exists(p)) None
+    else Some(mapper.readValue(Files.readAllBytes(p), classOf[Blooms.Sidecar]))
+  }
 
   private def writeJsonAtomic(path: Path, value: AnyRef): Unit = {
     Files.createDirectories(path.getParent)
@@ -122,13 +148,14 @@ object Manifests {
     * old refs or the fully committed new state). Returns the seq. */
   def commit(spark: SparkSession, table: String, operation: String,
       basePath: String, schemaJson: String, files: Seq[FileEntry],
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None,
+      deletes: Seq[FileEntry] = Seq.empty): Long = {
     val r = root(spark, table)
     val refs = loadRefs(r)
     val seq = refs.nextSeq
     writeJsonAtomic(snapPath(r, seq),
       Snapshot(seq, refs.head, operation, System.currentTimeMillis(),
-        basePath, schemaJson, files))
+        basePath, schemaJson, files, deletes))
     saveRefs(r, refs.copy(head = seq, nextSeq = seq + 1,
       tags = tag.fold(refs.tags)(t => refs.tags + (t -> seq))))
     seq

@@ -75,5 +75,107 @@ object Round5Queries {
       .orderBy("id_a", "id_b"),
     None)
 
-  val all: Seq[GQuery] = Seq(q163, q164)
+  /** Q165 (L1″, manifest-pruned tagged scan through the gate): write
+    * events range-partitioned on `event_id` (8 files with disjoint id
+    * ranges → tight manifest bounds), tag it, then [[graft.engine.Layout.scanAt]]
+    * an id sub-range. The driver-side planner ([[graft.engine.Pruning]])
+    * drops files whose bounds exclude the range BEFORE the scan — the
+    * Iceberg ManifestEvaluator path — and the `pruned` column pins
+    * "fewer files than the manifest" through the oracle (TRUE at every
+    * sf: the probe range covers ≤2 of 8 range-partitioned files).
+    * Row-level semantics are simultaneously gated: the aggregate must
+    * equal DuckDB's over the SAME predicate on the raw table, so pruning
+    * can only ever drop files that contribute nothing. DECIMAL-internal
+    * sum (exact at 2 decimals) keeps the boundary order-insensitive. */
+  val q165 = GQuery("q165_manifest_pruned_scan", (s, d) => {
+    import graft.engine.{Layout, Pruning}
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"prunescan_$run"
+    t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(8, col("event_id"))
+      .write.saveAsTable(table)
+    Layout.snapshot(s, table, "v1")
+    val preds = Seq(Pruning.Ge("event_id", 100L), Pruning.Le("event_id", 299L))
+    val (total, kept) = Layout.scanAtFileCounts(s, table, "v1", preds)
+    Layout.scanAt(s, table, "v1", preds)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
+      .withColumn("pruned", lit(kept < total))
+      .orderBy("event_type")
+  },
+    Some("""SELECT event_type, count(*) AS n,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+           |  TRUE AS pruned
+           |FROM events WHERE event_id BETWEEN 100 AND 299
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Q166 (L1‴, bloom-sidecar point lookup through the gate): the
+    * needle-in-100 TB shape bounds can NEVER prune — a round-robin
+    * layout leaves every file's [min,max] spanning the whole id space,
+    * so a point probe keeps all 8 files on bounds alone. The snapshot
+    * carries a per-file bloom sidecar ([[graft.engine.Blooms]], built in
+    * one codegen'd xxhash64 pass at tag time); [[graft.engine.Layout.scanAt]]
+    * consults it on the driver and hands the executors only the files
+    * whose blooms claim a probe. `bloom_skipped` pins "fewer files than
+    * the manifest" through the oracle (deterministic: each probe id
+    * lives in exactly 1 of 8 files; at ~0.2% fp the other files miss),
+    * while the row results are simultaneously gated against DuckDB over
+    * the raw table — a false positive could only add a file, never a
+    * row. */
+  val q166 = GQuery("q166_bloom_point_lookup", (s, d) => {
+    import graft.engine.{Layout, Pruning}
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"bloomq_$run"
+    t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+      .repartition(8)
+      .write.saveAsTable(table)
+    Layout.snapshot(s, table, "v1", bloomCols = Seq("event_id"))
+    val preds = Seq(Pruning.In("event_id", Seq(123L, 456L, 789L)))
+    val (total, kept) = Layout.scanAtFileCounts(s, table, "v1", preds)
+    Layout.scanAt(s, table, "v1", preds)
+      .withColumn("bloom_skipped", lit(kept < total))
+      .orderBy("event_id")
+  },
+    Some("""SELECT event_id, event_type, value, TRUE AS bloom_skipped
+           |FROM events WHERE event_id IN (123, 456, 789)
+           |ORDER BY event_id""".stripMargin))
+
+  /** Q167 (L10′, merge-on-read DELETE through the gate): two successive
+    * [[graft.engine.Layout.deleteWhereMor]] calls write POSITIONAL DELETE
+    * files — (file, pos) parquet, Iceberg v2 shape — without rewriting a
+    * single data file; the read subtracts them via a broadcast anti join
+    * during the scan. The per-call deleted-row counts ride through the
+    * gate as pinned columns, which also proves the second delete scans
+    * the ALREADY-DELETED state (its count excludes rows the first call
+    * removed — double-counting would show here), and the per-lang
+    * aggregate over [[graft.engine.Layout.readCurrent]] must equal
+    * DuckDB's over the raw table with both predicates negated. */
+  val q167 = GQuery("q167_mor_delete", (s, d) => {
+    import graft.engine.Layout
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"morq_$run"
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(4)
+      .write.saveAsTable(table)
+    val n1 = Layout.deleteWhereMor(s, table, col("doc_id") % 7 === 0)
+    val n2 = Layout.deleteWhereMor(s, table, col("lang") === "de")
+    Layout.readCurrent(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("deleted_first", lit(n1))
+      .withColumn("deleted_second", lit(n2))
+      .orderBy("lang")
+  },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 0)
+           |    AS deleted_first,
+           |  (SELECT count(*) FROM documents
+           |   WHERE lang = 'de' AND doc_id % 7 <> 0) AS deleted_second
+           |FROM documents WHERE doc_id % 7 <> 0 AND lang <> 'de'
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q163, q164, q165, q166, q167)
 }

@@ -12,6 +12,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64-micros timestamps (not legacy INT96, which parquet writes
+      // WITHOUT column statistics): manifest bounds and row-group skipping
+      // on time columns only exist with spec-compliant INT64 timestamps
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
