@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) merge training — the tokenizer-
+  * building half of a training-data pipeline (Sennrich et al. 2016; the
+  * algorithm behind GPT-2/BERT-style subword vocabularies).
+  *
+  * The scale design is the classic one: BPE statistics are a function of
+  * the corpus's WORD-FREQUENCY TABLE, not the corpus. One corpus-sized
+  * shuffle builds `(word, count)` — Zipf-bounded, millions of rows for a
+  * 100 TB corpus, not trillions — and every one of the K merge rounds
+  * then runs over that table alone:
+  *
+  *   round = explode adjacent symbol pairs weighted by word count
+  *         → map-side-combined groupBy(pair).sum
+  *         → TakeOrdered(1) to the driver        (bounded driver state:
+  *           ONE pair per round, like Clustering's per-round scalar)
+  *         → broadcast-free narrow re-map of the symbol sequences
+  *           (the merge is a codegen'd `aggregate` fold, no UDF)
+  *
+  * Each round localCheckpoints the re-mapped word table: K rounds would
+  * otherwise stack K nested fold expressions and re-execute the whole
+  * chain per round (the lineage trap PLANS.md documents for k-means and
+  * connected components).
+  *
+  * Determinism: ties break on (count desc, left asc, right asc), so the
+  * learned merge table is a pure function of the corpus — replays and
+  * retries learn identical vocabularies (the q43 discipline).
+  */
+object BpeTrainer {
+
+  /** One learned merge: rank-ordered, `left`+`right` become one symbol;
+    * `count` is the weighted pair frequency that won the round. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** `(word, count)` with words exploded to character-symbol sequences —
+    * the table the trainer iterates on. One corpus shuffle, total. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(filter(split(col("w"), ""), s => s =!= "").as("syms"),
+        col("cnt"))
+
+  /** The adjacent-pair frequency table of the current symbol sequences:
+    * zip each sequence with its own tail, explode, weight by word count.
+    * All codegen'd array functions — rows shuffled are (pair, partial
+    * count), never sequences. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"), col("cnt"))
+      .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+      .agg(sum(col("cnt")).as("n"))
+
+  /** Left-to-right non-overlapping application of one merge to a symbol
+    * sequence, as a codegen'd fold: append each symbol, but when the
+    * accumulator ends in `left` and the symbol is `right`, replace the
+    * tail with the merged symbol. ("aaa" under (a,a) → [aa, a] — the
+    * merged symbol can't chain because it no longer equals `left`.) */
+  private def applyMerge(syms: Column, left: String, right: String): Column = {
+    val merged = left + right
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(left) && s === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(s))))
+  }
+
+  /** Learn up to `numMerges` merges from `docs(textCol)`. Stops early
+    * when no pair reaches `minPairCount` (merging hapax pairs learns
+    * noise). Returns the rank-ordered merge table. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): Seq[Merge] = {
+    require(numMerges > 0, "numMerges must be positive")
+    var words = wordTable(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("l"), col("r")) // fused top-1
+        .limit(1).collect()
+      top.headOption.filter(_.getAs[Long]("n") >= minPairCount) match {
+        case None => done = true // corpus exhausted below the floor
+        case Some(row) =>
+          val (l, r) = (row.getAs[String]("l"), row.getAs[String]("r"))
+          merges += Merge(rank, l, r, row.getAs[Long]("n"))
+          val next = words
+            .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
+            .localCheckpoint() // cut the fold chain: one round, one plan
+          words.unpersist()
+          words = next
+          rank += 1
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** Encode `textCol` with a learned merge table: the training word
+    * split, then every merge applied in rank order. The merges compose
+    * as K stacked folds in ONE expression tree — right for the gate's
+    * K≈10–50; a production encoder at K≈50 000 would compile the merge
+    * table into a `mapPartitions` greedy-trie tokenizer instead (the
+    * expression tree, not the algorithm, is the K limit here). Adds
+    * `tokens` (array) and `n_tokens`. */
+  def encode(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ms = merges.sortBy(_.rank)
+    docs
+      .withColumn("tokens", flatten(transform(
+        filter(split(col(textCol), "\\s+"), w => length(w) > 0),
+        w => ms.foldLeft(filter(split(w, ""), s => s =!= ""))(
+          (c, m) => applyMerge(c, m.left, m.right)))))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+}

@@ -177,5 +177,28 @@ object Round5Queries {
            |FROM documents WHERE doc_id % 7 <> 0 AND lang <> 'de'
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q163, q164, q165, q166, q167)
+  /** Q168 (T12, distributed BPE-merge training): learn the first 16
+    * byte-pair merges of a subword vocabulary from `documents.text` —
+    * the tokenizer-building op of a training-data pipeline. The trainer
+    * iterates on the word-FREQUENCY table (one corpus shuffle total,
+    * Zipf-bounded thereafter); each round is a map-side-combined pair
+    * count + fused top-1 + codegen'd fold re-map
+    * ([[graft.ext.BpeTrainer]]). The merge sequence is deterministic
+    * (count desc, pair asc tie-break) but K chained argmax rounds are
+    * not SQL-expressible, so this entry declares no oracle (rows-only
+    * gate); BpeTrainerSpec pins the trainer rank-for-rank (merges AND
+    * winning counts) against an independent single-node reference, plus
+    * lossless-encode and early-stop contracts. */
+  val q168 = GQuery("q168_bpe_train", (s, d) => {
+    import s.implicits._
+    val merges = graft.ext.BpeTrainer.train(
+      t(s, d, "documents").select(col("text")), "text",
+      numMerges = 16, minPairCount = 2)
+    s.createDataset(merges).toDF()
+      .select(col("rank").cast(LongType).as("rank"),
+        col("left"), col("right"), col("count"))
+      .orderBy("rank")
+  }, None)
+
+  val all: Seq[GQuery] = Seq(q163, q164, q165, q166, q167, q168)
 }

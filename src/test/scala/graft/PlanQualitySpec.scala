@@ -350,4 +350,42 @@ class PlanQualitySpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("MOR read subtracts deletes via broadcast anti join — base never shuffles") {
+    import graft.engine.Layout
+    val t = s"pq_mor_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.events(spark, sf0001)
+      .select("event_id", "event_type", "value").repartition(4)
+      .write.saveAsTable(t)
+    Layout.deleteWhereMor(spark, t, col("event_id") % 3 === 0)
+    val plan = executed(Layout.readCurrent(spark, t))
+    val anti = plan.collect { case j: BroadcastHashJoinExec
+      if j.joinType.toString == "LeftAnti" => j }
+    assert(anti.nonEmpty, s"expected broadcast LeftAnti for the delete set:\n$plan")
+    // the base table side must reach the anti join without an exchange:
+    // the delete subtraction is a scan-side operation, not a shuffle
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"MOR read must not shuffle the base relation:\n$plan")
+  }
+
+  test("scanAt hands the executors only the kept files") {
+    import graft.engine.{Layout, Pruning}
+    val t = s"pq_prune_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.events(spark, sf0001)
+      .select("event_id", "event_type")
+      .repartitionByRange(4, col("event_id"))
+      .write.saveAsTable(t)
+    Layout.snapshot(spark, t, "v1")
+    val preds = Seq(Pruning.Le("event_id", 100L))
+    val df = Layout.scanAt(spark, t, "v1", preds)
+    val plan = executed(df)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val (total, kept) = Layout.scanAtFileCounts(spark, t, "v1", preds)
+    assert(kept < total)
+    // the scan relation itself holds only the kept files — skipping
+    // happened at PLAN time, not as a runtime row filter
+    assert(scans.map(_.relation.location.inputFiles.length).sum === kept,
+      s"scan must see exactly the $kept kept files of $total:\n$plan")
+  }
 }
