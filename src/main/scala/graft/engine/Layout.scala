@@ -227,23 +227,73 @@ object Layout {
     val refs = Manifests.loadRefs(root)
     require(!refs.tags.contains(tag),
       s"snapshot tag '$tag' already exists for $table")
-    val loc = tableLocation(spark, table)
-    // outstanding MOR deletes at head stay outstanding in the tag:
-    // positions are per-file and files are immutable, so delete rows for
-    // files still present apply unchanged (rows naming vanished files
-    // anti-join nothing — harmless)
-    val inheritedDeletes =
-      headSnapshot(spark, table).map(_.deleteEntries).getOrElse(Nil)
-    val seq = Manifests.commit(spark, table, "snapshot", loc.toString,
-      spark.table(table).schema.json,
-      Manifests.collectStats(spark, Manifests.listDataFiles(loc)),
-      tag = Some(tag), deletes = inheritedDeletes)
+    // tag the CURRENT logical state: head entries are reused (no footer
+    // re-read for known files — the Iceberg fast-append property), raw
+    // appends since the last commit are stats-collected fresh, and any
+    // outstanding MOR delete files (positional + equality) stay
+    // outstanding in the tag — positions are per-file and files are
+    // immutable, so they apply unchanged; rows naming vanished files
+    // anti-join nothing
+    val cur = currentSnapshot(spark, table)
+    val seq = Manifests.commit(spark, table, "snapshot", cur.basePath,
+      cur.schemaJson, cur.files,
+      tag = Some(tag), deletes = cur.deleteEntries,
+      eqDeletes = cur.eqDeleteEntries)
     // opt-in equality-skipping metadata: one extra column-pruned pass
     // over the snapshot's files, stored as an immutable sidecar
     if (bloomCols.nonEmpty) {
       val snap = Manifests.loadSnapshot(root, seq)
       if (snap.files.nonEmpty)
         Manifests.saveBlooms(root, seq, Blooms.build(spark, snap, bloomCols))
+    }
+  }
+
+  /** The table's current state as an (uncommitted) Snapshot value: the
+    * head manifest plus stats-collected entries for any live-dir files
+    * the head doesn't know (raw appends since the last commit; their
+    * dataSeq is the NEXT commit seq — appended rows postdate every
+    * existing delete), under the LIVE schema (so uncommitted column
+    * evolution is visible). With no head, the whole live dir is
+    * collected. Read-only: commits nothing. */
+  private def currentSnapshot(spark: SparkSession,
+      table: String): Manifests.Snapshot = {
+    val loc = tableLocation(spark, table)
+    val live = Manifests.listDataFiles(loc)
+    val nextSeq = Manifests.loadRefs(Manifests.root(spark, table)).nextSeq
+    val schemaJson = spark.table(table).schema.json
+    headSnapshot(spark, table) match {
+      case Some(h) =>
+        val known = h.files.map(_.path).toSet
+        val extras = live.filterNot { case (p, _) => known(p) }
+        val extraEntries =
+          if (extras.isEmpty) Nil
+          else Manifests.collectStats(spark, extras)
+            .map(_.copy(dataSeq = nextSeq))
+        h.copy(basePath = loc.toString, schemaJson = schemaJson,
+          files = h.files ++ extraEntries)
+      case None =>
+        Manifests.Snapshot(-1L, -1L, "uncommitted", 0L, loc.toString,
+          schemaJson,
+          Manifests.collectStats(spark, live).map(_.copy(dataSeq = nextSeq)))
+    }
+  }
+
+  /** Like [[currentSnapshot]] but COMMITTED if the head was missing or
+    * stale — MOR writers call this first so pre-existing rows get a data
+    * sequence number strictly below the writer's own commit seq (the
+    * scoping equality deletes rely on). */
+  private def ensureHeadCurrent(spark: SparkSession,
+      table: String): Manifests.Snapshot = {
+    val root = Manifests.root(spark, table)
+    val live = Manifests.listDataFiles(tableLocation(spark, table)).map(_._1)
+    headSnapshot(spark, table) match {
+      case Some(h) if live.forall(h.files.map(_.path).toSet) => h
+      case _ =>
+        val cur = currentSnapshot(spark, table)
+        val seq = Manifests.commit(spark, table, "mor-base", cur.basePath,
+          cur.schemaJson, cur.files, deletes = cur.deleteEntries,
+          eqDeletes = cur.eqDeleteEntries)
+        Manifests.loadSnapshot(root, seq)
     }
   }
 
@@ -263,17 +313,23 @@ object Layout {
   private def readManifest(spark: SparkSession,
       snap: Manifests.Snapshot): DataFrame =
     if (snap.files.isEmpty) emptyDf(spark, snap.schemaJson)
-    else if (snap.deleteEntries.isEmpty)
+    else if (snap.deleteEntries.isEmpty && snap.eqDeleteEntries.isEmpty)
       readDataFiles(spark, snap) // plain scan: no _metadata overhead
     else readManifestWithPos(spark, snap).drop("__fp", "__pos")
 
   private def readDataFiles(spark: SparkSession,
-      snap: Manifests.Snapshot): DataFrame =
-    spark.read
+      snap: Manifests.Snapshot): DataFrame = {
+    val reader = spark.read
       .schema(org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .option("basePath", snap.basePath) // partition-dir columns survive
+    // basePath keeps partition-dir columns alive for partitioned layouts;
+    // it is only legal while every file sits under it — an upsert commit
+    // adds files under their own commit dirs, and those tables are
+    // unpartitioned by construction, so the option is dropped there
+    val allUnder = snap.files.forall(_.path.startsWith(snap.basePath))
+    (if (allUnder) reader.option("basePath", snap.basePath) else reader)
       .parquet(snap.files.map(_.path): _*)
+  }
 
   /** Manifest read with row provenance (`__fp`,`__pos` = file URI + row
     * position) and the snapshot's positional delete files APPLIED — the
@@ -289,17 +345,59 @@ object Layout {
       .withColumn("__fp", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     val dels = snap.deleteEntries
-    if (dels.isEmpty) base
-    else {
-      val delDf = spark.read.parquet(dels.map(_.path): _*)
-        .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"))
-      val delRows = dels.map(_.records).sum
-      val delSide = if (delRows <= 5000000L) broadcast(delDf) else delDf
-      base.join(delSide,
-        base("__fp") === delSide("__del_fp") &&
-          base("__pos") === delSide("__del_pos"),
-        "left_anti")
-    }
+    val posApplied =
+      if (dels.isEmpty) base
+      else {
+        val delDf = spark.read.parquet(dels.map(_.path): _*)
+          .select(col("file_path").as("__del_fp"), col("pos").as("__del_pos"))
+        val delRows = dels.map(_.records).sum
+        val delSide = if (delRows <= 5000000L) broadcast(delDf) else delDf
+        base.join(delSide,
+          base("__fp") === delSide("__del_fp") &&
+            base("__pos") === delSide("__del_pos"),
+          "left_anti")
+      }
+    applyEqDeletes(spark, snap, posApplied)
+  }
+
+  /** Equality-delete application (Iceberg v2): each eq-delete file is a
+    * key-value parquet (one column, named after the key) that erases
+    * matching rows from data files whose dataSeq PREDATES the delete's —
+    * the sequence-number scoping that lets an upsert's inserted rows
+    * survive the same commit's delete of their key. Plan shape: one
+    * broadcast map (file → dataSeq, manifest-sized) tags each row with
+    * its file's sequence, then one broadcast anti join per key column
+    * with the `<` residual on the hash-matched pairs. The base never
+    * shuffles — same cost model as positional deletes. */
+  private def applyEqDeletes(spark: SparkSession,
+      snap: Manifests.Snapshot, base: DataFrame): DataFrame = {
+    val eqs = snap.eqDeleteEntries
+    if (eqs.isEmpty) return base
+    import spark.implicits._
+    // join on PLAIN paths: `_metadata.file_path` URI spelling varies
+    // ("file:/x" vs "file:///x") while manifest entries are plain
+    val fileSeq = snap.files.map(f => (f.path, f.dataSeq))
+      .toDF("__fsp", "__fdseq")
+    val tagged = base
+      .withColumn("__fpn", regexp_replace(col("__fp"), "^file:/*", "/"))
+      .join(broadcast(fileSeq), col("__fpn") === fileSeq("__fsp"), "left")
+      .drop("__fsp", "__fpn")
+    val byKeyCol: Map[String, Seq[Manifests.FileEntry]] =
+      eqs.groupBy { e =>
+        spark.read.parquet(e.path).schema.fields.head.name
+      }
+    byKeyCol.toSeq.sortBy(_._1).foldLeft(tagged) {
+      case (df, (keyCol, entries)) =>
+        val keys = entries.map(e =>
+          spark.read.parquet(e.path)
+            .select(col(keyCol).as("__eq_key"),
+              lit(e.dataSeq).as("__eq_dseq")))
+          .reduce(_ unionByName _)
+        df.join(broadcast(keys),
+          df(keyCol) === keys("__eq_key") &&
+            coalesce(df("__fdseq"), lit(0L)) < keys("__eq_dseq"),
+          "left_anti")
+    }.drop("__fdseq")
   }
 
   /** Read the table as of `tag` (Nessie "USE REFERENCE tag"): schema and
@@ -397,17 +495,16 @@ object Layout {
     * never resurrect deleted rows. */
   def readCurrent(spark: SparkSession, table: String): DataFrame =
     headSnapshot(spark, table) match {
-      case Some(h) if h.deleteEntries.nonEmpty =>
-        // appends since the delete commit are part of current state:
-        // union any live files the head manifest doesn't know (statless
-        // entries — this is a read, not a commit; positions in the
-        // delete files only ever reference known files)
-        val known = h.files.map(_.path).toSet
-        val extra = Manifests.listDataFiles(tableLocation(spark, table))
-          .filterNot { case (p, _) => known(p) }
-          .map { case (p, b) =>
-            Manifests.FileEntry(p, 0L, b, Map.empty, Map.empty) }
-        readManifest(spark, h.copy(files = h.files ++ extra))
+      case Some(h) if h.deleteEntries.nonEmpty || h.eqDeleteEntries.nonEmpty
+          || !h.files.map(_.path).toSet.subsetOf(
+               Manifests.listDataFiles(tableLocation(spark, table))
+                 .map(_._1).toSet) =>
+        // MOR state outstanding (delete files to subtract, or data files
+        // living under commit dirs the raw listing can't see): read the
+        // current-state manifest. Appends since the last commit are
+        // unioned with dataSeq = next seq — appended rows postdate every
+        // existing equality delete, so they survive it.
+        readManifest(spark, currentSnapshot(spark, table))
       case _ => spark.table(table)
     }
 
@@ -437,16 +534,7 @@ object Layout {
   def deleteWhereMor(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column): Long = {
     ensureVersioned(spark, table)
-    val loc = tableLocation(spark, table)
-    val liveNow = Manifests.listDataFiles(loc).map(_._1).toSet
-    val head = headSnapshot(spark, table) match {
-      case Some(h) if h.files.map(_.path).toSet == liveNow => h
-      case _ => // base commit pinning the live files
-        val seq = Manifests.commit(spark, table, "mor-base", loc.toString,
-          spark.table(table).schema.json,
-          Manifests.collectStats(spark, Manifests.listDataFiles(loc)))
-        Manifests.loadSnapshot(Manifests.root(spark, table), seq)
-    }
+    val head = ensureHeadCurrent(spark, table)
     val delDir = newCommitDir(spark, table)
     readManifestWithPos(spark, head)
       .filter(predicate)
@@ -464,8 +552,56 @@ object Layout {
     }
     Manifests.commit(spark, table, "delete-mor", head.basePath,
       head.schemaJson, head.files,
-      deletes = head.deleteEntries ++ delEntries)
+      deletes = head.deleteEntries ++ delEntries,
+      eqDeletes = head.eqDeleteEntries)
     n
+  }
+
+  /** Merge-on-read UPSERT (the Flink→Iceberg CDC ingest model, Iceberg
+    * v2 equality deletes): one commit writes (a) the update rows as NEW
+    * data files and (b) an EQUALITY DELETE file — the distinct updated
+    * keys, one column, named after the key. Readers erase matching rows
+    * from data files whose dataSeq predates the commit, so the upsert's
+    * own rows survive while every older version of the key dies —
+    * O(batch) work per upsert regardless of table size, where [[merge]]
+    * (copy-on-write) rewrites every unmatched row. The price is read
+    * amplification (one broadcast anti join per outstanding delete
+    * family) until [[compact]] materializes; that pairing is exactly the
+    * production trade: MOR for the hot ingest path, scheduled compaction
+    * for read-heavy consumers.
+    *
+    * `updates` must carry the table's full schema and at most one row
+    * per key (enforced — a multi-row key would land BOTH rows, since
+    * same-commit rows are out of equality-delete scope by design). */
+  def upsertMor(spark: SparkSession, table: String, updates: DataFrame,
+      keyCol: String): Unit = {
+    ensureVersioned(spark, table)
+    val head = ensureHeadCurrent(spark, table)
+    val tableCols = spark.table(table).columns.toSet
+    require(updates.columns.toSet == tableCols,
+      s"updates must carry the table's full schema ($tableCols)")
+    require(updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).isEmpty,
+      s"updates must have at most one row per $keyCol " +
+        "(same-commit rows are outside equality-delete scope)")
+    val seq = Manifests.loadRefs(Manifests.root(spark, table)).nextSeq
+    val dataDir = newCommitDir(spark, table)
+    updates.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val newEntries = Manifests
+      .collectStats(spark, Manifests.listDataFiles(dataDir))
+      .map(_.copy(dataSeq = seq))
+    val eqDir = newCommitDir(spark, table)
+    updates.select(col(keyCol)).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(eqDir.toString)
+    val eqEntries = Manifests
+      .collectStats(spark, Manifests.listDataFiles(eqDir))
+      .map(_.copy(dataSeq = seq))
+    val committed = Manifests.commit(spark, table, "upsert-mor",
+      head.basePath, head.schemaJson, head.files ++ newEntries,
+      deletes = head.deleteEntries,
+      eqDeletes = head.eqDeleteEntries ++ eqEntries)
+    assert(committed == seq, s"concurrent commit detected ($committed != $seq)")
   }
 
   /** Incremental read BETWEEN two tags (Iceberg's incremental append scan:
@@ -581,7 +717,8 @@ object Layout {
     // files are live state even though no tag names them
     def pinned(seq: Long): Set[String] = {
       val s = Manifests.loadSnapshot(root, seq)
-      (s.files.map(_.path) ++ s.deleteEntries.map(_.path)).toSet
+      (s.files.map(_.path) ++ s.deleteEntries.map(_.path) ++
+        s.eqDeleteEntries.map(_.path)).toSet
     }
     val tagged: Set[String] = refs.tags.values.toSet.flatMap(pinned)
     val headPinned: Set[String] =

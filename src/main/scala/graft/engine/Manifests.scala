@@ -47,9 +47,17 @@ object Manifests {
   /** One immutable data file + its manifest statistics. `lower`/`upper`
     * are per-column min/max as strings (the Iceberg manifest convention);
     * a column ABSENT from the maps has no usable stats — readers must
-    * treat that as "cannot skip", never as a guess. */
+    * treat that as "cannot skip", never as a guess. `dataSeq` is the
+    * Iceberg DATA SEQUENCE NUMBER: the commit seq at which the file's
+    * rows entered the table (inherited across commits by path). It
+    * scopes equality deletes — an equality-delete file at seq D erases
+    * matching rows only from data files with dataSeq < D, which is what
+    * lets an upsert's own inserted rows survive its own delete. Old
+    * manifests deserialize it as 0 (every file predates every delete —
+    * the conservative direction). */
   final case class FileEntry(path: String, records: Long, bytes: Long,
-      lower: Map[String, String], upper: Map[String, String])
+      lower: Map[String, String], upper: Map[String, String],
+      dataSeq: Long = 0L)
 
   /** A committed table state. `parent` is the previous head (-1 for the
     * first commit) — the chain IS the commit log. `schemaJson` pins the
@@ -65,8 +73,14 @@ object Manifests {
     * dedup across delete files at commit time). */
   final case class Snapshot(seq: Long, parent: Long, operation: String,
       createdMs: Long, basePath: String, schemaJson: String,
-      files: Seq[FileEntry], deletes: Seq[FileEntry] = Seq.empty) {
+      files: Seq[FileEntry], deletes: Seq[FileEntry] = Seq.empty,
+      eqDeletes: Seq[FileEntry] = Seq.empty) {
     def deleteEntries: Seq[FileEntry] = Option(deletes).getOrElse(Seq.empty)
+    /** Equality-delete files (Iceberg v2): parquet of key values, one
+      * column named after the key; each erases matching rows from data
+      * files with dataSeq < the delete's dataSeq. Null-safe accessor for
+      * pre-field manifests, like [[deleteEntries]]. */
+    def eqDeleteEntries: Seq[FileEntry] = Option(eqDeletes).getOrElse(Seq.empty)
     def recordCount: Long = files.map(_.records).sum
     def totalBytes: Long = files.map(_.bytes).sum
   }
@@ -149,13 +163,14 @@ object Manifests {
   def commit(spark: SparkSession, table: String, operation: String,
       basePath: String, schemaJson: String, files: Seq[FileEntry],
       tag: Option[String] = None,
-      deletes: Seq[FileEntry] = Seq.empty): Long = {
+      deletes: Seq[FileEntry] = Seq.empty,
+      eqDeletes: Seq[FileEntry] = Seq.empty): Long = {
     val r = root(spark, table)
     val refs = loadRefs(r)
     val seq = refs.nextSeq
     writeJsonAtomic(snapPath(r, seq),
       Snapshot(seq, refs.head, operation, System.currentTimeMillis(),
-        basePath, schemaJson, files, deletes))
+        basePath, schemaJson, files, deletes, eqDeletes))
     saveRefs(r, refs.copy(head = seq, nextSeq = seq + 1,
       tags = tag.fold(refs.tags)(t => refs.tags + (t -> seq))))
     seq

@@ -200,5 +200,48 @@ object Round5Queries {
       .orderBy("rank")
   }, None)
 
-  val all: Seq[GQuery] = Seq(q163, q164, q165, q166, q167, q168)
+  /** Q169 (L10″, merge-on-read UPSERT through the gate): one
+    * [[graft.engine.Layout.upsertMor]] commit carries a batch that
+    * UPDATES every doc_id<50 (new lang, doubled n_chars) and INSERTS 20
+    * brand-new keys — written as new data files + an equality-delete
+    * file (the Flink→Iceberg CDC ingest shape), zero existing files
+    * rewritten. Correct sequence-number scoping is what the oracle
+    * actually checks: the upsert's own rows must survive the same
+    * commit's delete of their keys (update rows land exactly once) while
+    * every pre-existing version dies — any scoping error double-counts
+    * or zeroes the 'upserted' group. DuckDB recomputes the post-upsert
+    * state from the raw table with plain CASE/UNION. */
+  val q169 = GQuery("q169_mor_upsert", (s, d) => {
+    import graft.engine.Layout
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"upsq_$run"
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(4).write.saveAsTable(table)
+    val updates = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), lit("upserted").as("lang"),
+        (col("n_chars") * 2).as("n_chars"))
+    val inserts = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("brandnew").as("lang"),
+        lit(7L).cast("bigint").as("n_chars"))
+    Layout.upsertMor(s, table, updates.unionByName(inserts), "doc_id")
+    Layout.readCurrent(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  },
+    Some("""WITH cur AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id < 50 THEN 'upserted' ELSE lang END AS lang,
+           |    CASE WHEN doc_id < 50 THEN n_chars * 2 ELSE n_chars END AS n_chars
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, 'brandnew', 7 FROM documents WHERE doc_id < 20
+           |)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM cur GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q163, q164, q165, q166, q167, q168, q169)
 }
