@@ -658,6 +658,28 @@ object Layout {
     bt
   }
 
+  /** Fork `branch` from an EXISTING tag instead of the current state
+    * (Nessie "create branch X at tag Y" — reproduce-or-repair workflows
+    * start from a pinned historical state). The fork manifest is the
+    * tag's snapshot re-committed under the fork ref: metadata-only, zero
+    * data movement beyond populating the branch's writable copy. Note
+    * the merge contract is unchanged: [[mergeBranch]] fast-forwards only
+    * if main still equals the FORK state, so a branch forked from an old
+    * tag of a since-moved main will refuse to merge (the same
+    * non-fast-forward rejection a Nessie commit gets) — re-fork from
+    * head and replay, or [[restore]] main to the tag first. */
+  def createBranchAt(spark: SparkSession, table: String, branch: String,
+      tag: String): String = {
+    val bt = branchTableName(table, branch)
+    require(!spark.catalog.tableExists(bt), s"branch '$branch' already exists for $table")
+    val snap = tagSnapshot(spark, table, tag)
+    Manifests.commit(spark, table, s"fork:$branch@$tag", snap.basePath,
+      snap.schemaJson, snap.files, tag = Some(forkTag(branch)),
+      deletes = snap.deleteEntries, eqDeletes = snap.eqDeleteEntries)
+    readAt(spark, table, tag).write.saveAsTable(bt)
+    bt
+  }
+
   /** Fast-forward merge `branch` into `table`: succeeds only if main is
     * UNCHANGED since the fork (optimistic concurrency — same rule as a
     * Nessie commit against a moved ref); publishes the branch's content

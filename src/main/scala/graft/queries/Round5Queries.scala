@@ -243,5 +243,46 @@ object Round5Queries {
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM cur GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q163, q164, q165, q166, q167, q168, q169)
+  /** Q170 (N5, int8 embedding quantization through the gate): symmetric
+    * per-vector quantization ([[graft.ext.Quantize.int8]]) — the 4×
+    * memory/shuffle compression under every ANN stage; per-vector scales
+    * cancel in cosine, so rankings survive (QuantizeSpec holds the ≥0.9
+    * recall contract and the half-step reconstruction bound). The gate
+    * checks the quantization ARITHMETIC exactly: `floor(x/scale + 0.5)`
+    * is IEEE-exact and identically defined in both engines, so the
+    * emitted integer summaries (sum, L1 mass, extremes of each quantized
+    * vector) must match DuckDB bit-for-bit — no float-compare slack
+    * anywhere. All codegen'd array HOFs, one narrow pass. */
+  val q170 = GQuery("q170_embedding_quantize", (s, d) => {
+    import graft.ext.Quantize
+    val q = Quantize.int8(
+      t(s, d, "embeddings").filter(col("vec_id") < 500), "embedding")
+    q.select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        aggregate(col("q8"), lit(0L),
+          (acc, v) => acc + v.cast("long")).as("q_sum"),
+        aggregate(col("q8"), lit(0L),
+          (acc, v) => acc + abs(v.cast("long"))).as("q_l1"),
+        array_min(col("q8")).cast(LongType).as("q_min"),
+        array_max(col("q8")).cast(LongType).as("q_max"))
+      .orderBy("vec_id")
+  },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS s,
+           |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+           |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+           |      ELSE list_transform(embedding,
+           |        x -> CAST(floor(x / (list_max(list_transform(embedding,
+           |               y -> abs(y))) / 127.0) + 0.5) AS BIGINT)) END AS q8
+           |  FROM embeddings WHERE vec_id < 500)
+           |SELECT vec_id, round(s, 6) AS scale,
+           |  CAST(list_sum(q8) AS BIGINT) AS q_sum,
+           |  CAST(list_sum(list_transform(q8, v -> abs(v))) AS BIGINT) AS q_l1,
+           |  CAST(list_min(q8) AS BIGINT) AS q_min,
+           |  CAST(list_max(q8) AS BIGINT) AS q_max
+           |FROM q ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[GQuery] =
+    Seq(q163, q164, q165, q166, q167, q168, q169, q170)
 }

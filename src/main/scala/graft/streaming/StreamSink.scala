@@ -125,4 +125,45 @@ object StreamSink {
       .foreachBatch(applyBatch)
       .start()
   }
+
+  /** Merge-on-read CDC ingestion (ST13) — [[upsertInto]]'s semantics at
+    * Iceberg-v2 cost: each micro-batch lands through
+    * [[graft.engine.Layout.upsertMor]] as new data files + an
+    * equality-delete file, so a batch costs O(batch) regardless of table
+    * size, where the merge sink's copy-on-write rewrite is O(table) per
+    * batch — THE difference between a CDC stream that keeps up at 100 TB
+    * and one that falls behind. This is the Flink→Iceberg streaming
+    * upsert write model.
+    *
+    * Idempotence under at-least-once replay comes from sequence-number
+    * scoping rather than content dedup: a replayed batch's equality
+    * delete (higher data sequence) erases the earlier application's rows
+    * for the same keys while its own identical rows land — the table
+    * converges to exactly one copy, byte-equal to the single-delivery
+    * state. The batch is first deduplicated to one row per key (latest
+    * `tieBreakCol`, content-hash tie-break — the [[upsertInto]]
+    * discipline, and [[graft.engine.Layout.upsertMor]]'s precondition).
+    * Schedule [[graft.engine.Layout.compact]] to bound the delete-file
+    * pile (read amplification), exactly as Iceberg documents for
+    * streaming upserts. */
+  def ingestCdc(updates: DataFrame, table: String, keyCol: String,
+      tieBreakCol: String, checkpointDir: String): StreamingQuery = {
+    val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val contentHash = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col(tieBreakCol).desc, contentHash)
+      val deduped = batch
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // an empty micro-batch must not commit (manifest churn)
+      if (!deduped.isEmpty)
+        Layout.upsertMor(batch.sparkSession, table, deduped, keyCol)
+    }
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch)
+      .start()
+  }
 }

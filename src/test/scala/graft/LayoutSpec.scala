@@ -406,4 +406,38 @@ class LayoutSpec extends SparkSpec {
       s"a point probe on l_partkey should touch ≤50% of files too (the " +
         s"z-order property a linear sort lacks): $zPart")
   }
+
+  test("createBranchAt forks from a historical tag; stale merges refuse") {
+    import spark.implicits._
+    val t = s"layout_brat_${java.util.UUID.randomUUID().toString.take(8)}"
+    (0L until 100L).map(k => (k, s"v$k")).toDF("k", "payload")
+      .write.saveAsTable(t)
+    Layout.snapshot(spark, t, "v1")
+    // main moves past the tag
+    Layout.deleteWhere(spark, t, col("k") >= 50L)
+    assert(spark.table(t).count() === 50)
+    // fork AT the old tag: the branch sees the pinned historical state
+    val bt = Layout.createBranchAt(spark, t, "repair", "v1")
+    assert(spark.table(bt).count() === 100)
+    // refs surface lists the branch
+    assert(Layout.listRefs(spark, t)
+      .filter(col("ref_name") === "repair").count() === 1)
+    // main moved since the fork state → non-fast-forward merge refuses
+    intercept[IllegalStateException] {
+      Layout.mergeBranch(spark, t, "repair")
+    }
+    Layout.dropBranch(spark, t, "repair")
+
+    // fork at a tag while main still SITS at that tag's files: writes on
+    // the branch fast-forward into main
+    val t2 = s"layout_brat2_${java.util.UUID.randomUUID().toString.take(8)}"
+    (0L until 40L).map(k => (k, s"v$k")).toDF("k", "payload")
+      .write.saveAsTable(t2)
+    Layout.snapshot(spark, t2, "pin")
+    val bt2 = Layout.createBranchAt(spark, t2, "repair2", "pin")
+    Seq((1000L, "branched")).toDF("k", "payload")
+      .write.mode("append").saveAsTable(bt2)
+    Layout.mergeBranch(spark, t2, "repair2")
+    assert(spark.table(t2).count() === 41)
+  }
 }

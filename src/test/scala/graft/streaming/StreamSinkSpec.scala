@@ -205,4 +205,49 @@ class StreamSinkSpec extends SparkSpec {
 
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("MOR CDC sink equals the merge sink's state; replay converges (ST13)") {
+    val table = s"cdc_mor_${java.util.UUID.randomUUID().toString.take(8)}"
+    val logDir = Files.createTempDirectory("cdc-log").toString
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+
+    (0L until 10L).map(k => (k, 0L, s"base$k")).toDF("k", "ver", "payload")
+      .write.saveAsTable(table)
+    Seq((3L, 1L, "v1")).toDF("k", "ver", "payload")
+      .write.mode("append").parquet(logDir)
+    Seq((3L, 2L, "v2"), (5L, 1L, "five")).toDF("k", "ver", "payload")
+      .write.mode("append").parquet(logDir)
+    Seq((42L, 1L, "new"), (42L, 1L, "new")).toDF("k", "ver", "payload")
+      .write.mode("append").parquet(logDir)
+
+    val updates = spark.readStream
+      .schema(spark.read.parquet(logDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(logDir)
+    val q = StreamSink.ingestCdc(updates, table, "k", "ver", ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    def state() = Layout.readCurrent(spark, table)
+      .as[(Long, Long, String)].collect().toSet
+    val streamed = state()
+    assert(streamed === ((0L until 10L).filterNot(k => k == 3 || k == 5)
+      .map(k => (k, 0L, s"base$k")).toSet
+      + ((3L, 2L, "v2")) + ((5L, 1L, "five")) + ((42L, 1L, "new"))))
+
+    // at-least-once replay: a fresh checkpoint re-delivers the whole log;
+    // sequence-number scoping must converge to the same state, not grow
+    val ckpt2 = Files.createTempDirectory("cdc-ckpt2").toString
+    val updates2 = spark.readStream
+      .schema(spark.read.parquet(logDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(logDir)
+    val q2 = StreamSink.ingestCdc(updates2, table, "k", "ver", ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() === streamed, "replaying the log must not change state")
+
+    // compaction bounds the delete pile and converges the raw table
+    Layout.compact(spark, table, 2)
+    assert(spark.table(table).as[(Long, Long, String)].collect().toSet
+      === streamed)
+  }
 }
