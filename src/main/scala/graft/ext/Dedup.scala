@@ -337,4 +337,67 @@ object Dedup {
         col("__seen").isNull && row_number().over(w) === 1)
       .drop("__seen")
   }
+
+  /** The slim segment inventory: one row per non-overlapping
+    * `segmentWords`-token window of each document — (doc_id, pos, seg).
+    * Same staged tokenize→grid→slice pipeline as [[Chunker.chunk]] with
+    * stride == window (the tail segment may be short; `tokens` is never
+    * empty, so the grid is never empty and `explode_outer` ≡ `explode`
+    * — outer form keeps the optimizer from inferring a size filter that
+    * would re-run the tokenizer below the staged projection). */
+  private def segmentRows(docs: DataFrame, idCol: String, textCol: String,
+      segmentWords: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__toks", TextPrep.tokens(col("__text")))
+      .select(col("doc_id"), col("__toks"),
+        explode_outer(sequence(lit(0), size(col("__toks")) - 1,
+          lit(segmentWords))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          slice(col("__toks"), col("pos") + 1, lit(segmentWords))).as("seg"))
+
+  /** Segment-level exact dedup — the C4/RefinedWeb "paragraph dedup"
+    * generalized to fixed word windows (this corpus is single-line, so the
+    * newline segmenter degenerates; any segmenter that tiles the document
+    * works identically). Every distinct segment keeps exactly its FIRST
+    * corpus occurrence (ordered by (doc_id, pos) — deterministic, not
+    * arbitrary-row); later occurrences are cut out of their documents, and
+    * documents are reassembled from their surviving segments in original
+    * order. Documents that lose every segment (exact duplicates of earlier
+    * docs) drop out entirely.
+    *
+    * Shape at scale — segment TEXT never rides the dedup shuffle:
+    *   1. slim inventory (md5(seg) 16 B, doc_id, pos) is what shuffles to
+    *      the first-occurrence window (partitioned by the segment key,
+    *      never global);
+    *   2. winners collapse to one (doc_id, sorted pos list) row per doc —
+    *      a second slim exchange;
+    *   3. reassembly joins that back to the ORIGINAL docs table at doc
+    *      granularity and re-slices the token array in place, so full text
+    *      crosses exactly one exchange (the doc-id join), the same floor
+    *      as any operator that must emit rewritten documents.
+    *
+    * Output: (doc_id, text, kept_segments, total_segments) with `text`
+    * rebuilt from surviving segments. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segmentWords: Int): DataFrame = {
+    require(segmentWords > 0, s"segmentWords must be positive: $segmentWords")
+    val w = Window.partitionBy(col("seg_md5")).orderBy(col("doc_id"), col("pos"))
+    val winners = segmentRows(docs, idCol, textCol, segmentWords)
+      .select(md5(col("seg")).as("seg_md5"), col("doc_id"), col("pos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(winners, Seq("doc_id"))
+      .withColumn("__toks", TextPrep.tokens(col("__text")))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("__keep"),
+          p => concat_ws(" ", slice(col("__toks"), p + 1, lit(segmentWords)))))
+          .as("text"),
+        size(col("__keep")).cast("long").as("kept_segments"),
+        (floor((size(col("__toks")) - 1) / segmentWords) + 1)
+          .cast("long").as("total_segments"))
+  }
 }

@@ -283,6 +283,35 @@ object Round5Queries {
            |  CAST(list_max(q8) AS BIGINT) AS q_max
            |FROM q ORDER BY vec_id""".stripMargin))
 
+  /** Q171 (D10, segment-level exact dedup): the C4/RefinedWeb paragraph
+    * dedup — every distinct 12-word segment keeps only its first corpus
+    * occurrence and documents are rebuilt from surviving segments
+    * ([[graft.ext.Dedup.segmentDedup]]). Rebuilt text is verified by md5
+    * so the oracle checks every byte of every surviving document, not
+    * just the counts. Scale shape: segment text never rides the dedup
+    * shuffle — a slim (md5, doc_id, pos) inventory does — and full text
+    * crosses exactly one exchange (the doc-granularity reassembly join). */
+  val q171 = GQuery("q171_segment_dedup", (s, d) =>
+    graft.ext.Dedup.segmentDedup(t(s, d, "documents"), "doc_id", "text", 12)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("kept_segments"), col("total_segments"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+           |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+           |segs AS (SELECT doc_id, g.start AS pos,
+           |    array_to_string(list_slice(w, g.start + 1,
+           |      g.start + least(12, len(w) - g.start)), ' ') AS seg
+           |  FROM t, LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 12)) AS start) g),
+           |keep AS (SELECT doc_id, pos, seg FROM segs
+           |  QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1),
+           |re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text2,
+           |    count(*) AS kept FROM keep GROUP BY doc_id)
+           |SELECT r.doc_id, md5(r.text2) AS text_md5,
+           |  CAST(r.kept AS BIGINT) AS kept_segments,
+           |  CAST(floor((len(t.w) - 1) / 12) + 1 AS BIGINT) AS total_segments
+           |FROM re r JOIN t ON r.doc_id = t.doc_id
+           |ORDER BY r.doc_id""".stripMargin))
+
   val all: Seq[GQuery] =
-    Seq(q163, q164, q165, q166, q167, q168, q169, q170)
+    Seq(q163, q164, q165, q166, q167, q168, q169, q170, q171)
 }

@@ -96,4 +96,32 @@ class DedupSpec extends SparkSpec {
     // stage must still recover a solid majority of the true pairs
     assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
   }
+
+  test("segmentDedup keeps first occurrences, rebuilds docs, drops emptied docs") {
+    val d = spark.createDataFrame(Seq(
+      // doc 1: two distinct segments (2-word windows)
+      (1L, "a b c d"),
+      // doc 2: first segment duplicates doc 1's first; second is new
+      (2L, "a b x y"),
+      // doc 3: exact duplicate of doc 1 — loses everything
+      (3L, "a b c d"),
+      // doc 4: short tail segment, unique
+      (4L, "p q r"))).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L), "doc 3 is fully duplicate")
+    assert(out(1L) === (("a b c d", 2L, 2L)))
+    assert(out(2L) === (("x y", 1L, 2L)), "dup head segment cut, tail survives")
+    assert(out(4L) === (("p q r", 2L, 2L)), "short tail segment kept intact")
+  }
+
+  test("segmentDedup is idempotent: re-running on its output changes nothing") {
+    val docs3 = Tables.documents(spark, sf0001)
+    val once = Dedup.segmentDedup(docs3, "doc_id", "text", 12)
+    val twice = Dedup.segmentDedup(once, "doc_id", "text", 12)
+      .select("doc_id", "text")
+    assert(once.select("doc_id", "text").exceptAll(twice).isEmpty &&
+      twice.exceptAll(once.select("doc_id", "text")).isEmpty)
+  }
 }
