@@ -252,22 +252,52 @@ object Datasets {
   * computation happens at this layer; each chart's query is its ChartSpec. */
 object Dashboard {
   final case class ChartCell(id: String, chartName: String, row: Int, colOffset: Int,
-      width: Int = 6, height: Int = 50)
+      width: Int = 6, height: Int = 50, chartId: Int = 0)
   final case class DashboardDef(title: String, cells: Seq[ChartCell])
 
-  /** Grid placement exactly as the reference: 2 per row, each 6 wide. */
+  /** Grid placement exactly as the reference: 2 per row, each 6 wide;
+    * `chartId` is the 1-based slice id a fresh init assigns in insertion
+    * order (init_db.py `chart.id` on a clean metadata DB). */
   def grid(title: String, chartNames: Seq[String]): DashboardDef =
     DashboardDef(title, chartNames.zipWithIndex.map { case (name, idx) =>
-      ChartCell(s"CHART-${idx + 1}", name, row = idx / 2, colOffset = (idx % 2) * 6)
+      ChartCell(s"CHART-${idx + 1}", name, row = idx / 2,
+        colOffset = (idx % 2) * 6, chartId = idx + 1)
     })
 
-  /** Minimal v2-shaped JSON rendering (ROOT → GRID → CHART-i). */
+  /** The v2 `position_json` structure BYTE-compatible with what the
+    * reference writes (init_db.py:272-307 → `json.dumps(dashboard_json)`):
+    * same node set (DASHBOARD_VERSION_KEY, ROOT_ID → GRID_ID → CHART-i),
+    * same per-node field order (python dict insertion order), same meta
+    * fields (chartId, height 50, sliceName, width 6), and python's
+    * default `", "` / `": "` separators — so a reference Superset
+    * instance ingests it unmodified. */
   def toJson(d: DashboardDef): String = {
+    def str(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def obj(fields: (String, String)*) =
+      fields.map { case (k, v) => s"${str(k)}: $v" }.mkString("{", ", ", "}")
+    def arr(xs: Seq[String]) = xs.mkString("[", ", ", "]")
     val cells = d.cells.map { c =>
-      s""""${c.id}":{"type":"CHART","meta":{"sliceName":"${c.chartName}","width":${c.width},"height":${c.height}},"parents":["ROOT_ID","GRID_ID"]}"""
-    }.mkString(",")
-    val children = d.cells.map(c => s""""${c.id}"""").mkString(",")
-    s"""{"DASHBOARD_VERSION_KEY":"v2","ROOT_ID":{"type":"ROOT","children":["GRID_ID"]},""" +
-      s""""GRID_ID":{"type":"GRID","children":[$children],"parents":["ROOT_ID"]},$cells}"""
+      c.id -> obj(
+        "children" -> arr(Nil),
+        "id" -> str(c.id),
+        "meta" -> obj(
+          "chartId" -> c.chartId.toString,
+          "height" -> c.height.toString,
+          "sliceName" -> str(c.chartName),
+          "width" -> c.width.toString),
+        "type" -> str("CHART"),
+        "parents" -> arr(Seq(str("ROOT_ID"), str("GRID_ID"))))
+    }
+    obj((Seq(
+      "DASHBOARD_VERSION_KEY" -> str("v2"),
+      "ROOT_ID" -> obj(
+        "children" -> arr(Seq(str("GRID_ID"))),
+        "id" -> str("ROOT_ID"),
+        "type" -> str("ROOT")),
+      "GRID_ID" -> obj(
+        "children" -> arr(d.cells.map(c => str(c.id))),
+        "id" -> str("GRID_ID"),
+        "parents" -> arr(Seq(str("ROOT_ID"))),
+        "type" -> str("GRID"))) ++ cells): _*)
   }
 }

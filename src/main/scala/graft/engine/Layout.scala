@@ -718,9 +718,11 @@ object Layout {
   def expireSnapshots(spark: SparkSession, table: String,
       keep: Set[String]): Seq[String] = {
     val root = Manifests.root(spark, table)
-    val refs = Manifests.loadRefs(root)
-    val victims = refs.tags.keys.toSeq.sorted.filterNot(keep)
-    Manifests.saveRefs(root, refs.copy(tags = refs.tags -- victims))
+    val victims =
+      Manifests.loadRefs(root).tags.keys.toSeq.sorted.filterNot(keep)
+    // CAS-retried pointer update: expiry claims no seq, so losing a race
+    // to a concurrent commit just re-applies the tag removal on top.
+    Manifests.updateRefs(root)(r => r.copy(tags = r.tags -- victims))
     gc(spark, table)
     victims
   }

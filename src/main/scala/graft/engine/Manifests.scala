@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -86,15 +86,44 @@ object Manifests {
   }
 
   /** The mutable ref state: named tags → snapshot seq, plus the head of
-    * the commit chain. Swapped atomically on every commit. (The contentAs
-    * annotation is the jackson-scala requirement for primitive-valued
-    * generic containers — without it map values deserialize as Integer.) */
+    * the commit chain. Swapped via conditional PUT on every commit. (The
+    * contentAs annotation is the jackson-scala requirement for
+    * primitive-valued generic containers — without it map values
+    * deserialize as Integer.)
+    *
+    * `snaps` maps committed seq (as a string key — JSON object keys) to
+    * the manifest FILE NAME for that seq. Manifest names are
+    * attempt-unique (uuid suffix), so a committer that loses the refs
+    * race can never have overwritten the winner's manifest — the Iceberg
+    * metadata-file-per-attempt discipline. Pre-field manifests (legacy
+    * `snap-<seq>.json` names) deserialize `snaps` as null; resolution
+    * falls back to the legacy name via [[snapName]]. */
   final case class Refs(head: Long, nextSeq: Long,
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
-      tags: Map[String, Long])
+      tags: Map[String, Long],
+      snaps: Map[String, String] = Map.empty) {
+    def snapName(seq: Long): String =
+      Option(snaps).flatMap(_.get(seq.toString)).getOrElse(f"snap-$seq%06d.json")
+    def snapsOrEmpty: Map[String, String] = Option(snaps).getOrElse(Map.empty)
+  }
+
+  /** A commit lost the refs compare-and-swap: someone else committed
+    * between this writer's refs read and its swap. The table state is
+    * untouched by the loser; retry by re-running the whole commit (reload
+    * refs, re-resolve seq). */
+  final class ConcurrentCommitException(table: String, seq: Long)
+    extends RuntimeException(
+      s"concurrent commit on $table: seq $seq was taken between refs " +
+        "read and swap; reload and retry")
 
   private val mapper: ObjectMapper =
     new ObjectMapper().registerModule(DefaultScalaModule)
+
+  /** The storage backend for all manifest/refs I/O. Defaults to the local
+    * FS; tests swap in degraded stores (non-atomic writes, conditional
+    * PUT only) to prove the commit protocol needs nothing more than
+    * [[FileIO.putIfMatch]]. */
+  @volatile var io: FileIO = LocalFileIO
 
   /** Resolve the warehouse dir conf (plain path or file: URI) to a Path. */
   private def warehousePath(spark: SparkSession): Path = {
@@ -109,7 +138,6 @@ object Manifests {
     warehousePath(spark).resolve("_graft_meta").resolve(table.replace('.', '_'))
 
   private def refsPath(root: Path) = root.resolve("refs.json")
-  private def snapPath(root: Path, seq: Long) = root.resolve(f"snap-$seq%06d.json")
   private def bloomPath(root: Path, seq: Long) = root.resolve(f"bloom-$seq%06d.json")
 
   /** Persist a bloom sidecar next to its manifest (same immutability:
@@ -127,52 +155,89 @@ object Manifests {
     else Some(mapper.readValue(Files.readAllBytes(p), classOf[Blooms.Sidecar]))
   }
 
-  private def writeJsonAtomic(path: Path, value: AnyRef): Unit = {
-    Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(value))
-    Files.move(tmp, path,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  private def writeJsonAtomic(path: Path, value: AnyRef): Unit =
+    io.writeAtomic(path, mapper.writeValueAsBytes(value))
+
+  private def parseRefs(bytes: Option[Array[Byte]]): Refs =
+    bytes.map(b => mapper.readValue(b, classOf[Refs]))
+      .getOrElse(Refs(head = -1L, nextSeq = 0L, tags = Map.empty))
+
+  def loadRefs(root: Path): Refs = parseRefs(io.readBytes(refsPath(root)))
+
+  /** Read-modify-write of refs under compare-and-swap, retried on
+    * contention — for pointer updates with no seq claim (tag expiry).
+    * Commits do NOT retry here: a lost commit race must surface as
+    * [[ConcurrentCommitException]] so the caller re-resolves its base
+    * state, never silently re-applies on top of someone else's commit. */
+  def updateRefs(root: Path)(f: Refs => Refs): Refs = {
+    var attempts = 0
+    while (attempts < 16) {
+      val bytes = io.readBytes(refsPath(root))
+      val next = f(parseRefs(bytes))
+      if (io.putIfMatch(refsPath(root), bytes, mapper.writeValueAsBytes(next)))
+        return next
+      attempts += 1
+    }
+    throw new IllegalStateException(s"refs update contended 16x under $root")
   }
 
-  def loadRefs(root: Path): Refs =
-    if (!Files.exists(refsPath(root))) Refs(head = -1L, nextSeq = 0L, tags = Map.empty)
-    else mapper.readValue(Files.readAllBytes(refsPath(root)), classOf[Refs])
-
-  def saveRefs(root: Path, refs: Refs): Unit = writeJsonAtomic(refsPath(root), refs)
-
   def loadSnapshot(root: Path, seq: Long): Snapshot = {
-    val p = snapPath(root, seq)
+    val p = root.resolve(loadRefs(root).snapName(seq))
     require(Files.exists(p), s"missing manifest snap-$seq under $root")
     mapper.readValue(Files.readAllBytes(p), classOf[Snapshot])
   }
 
-  /** All committed manifests, oldest first — the commit log. */
-  def listSnapshots(root: Path): Seq[Snapshot] =
-    if (!Files.exists(root)) Seq.empty
-    else scala.util.Using.resource(Files.list(root)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.matches("snap-\\d+\\.json"))
-        .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Snapshot]))
-        .toSeq.sortBy(_.seq)
+  /** All committed manifests, oldest first — the commit log. Committed =
+    * named by refs (`snaps` map) or legacy-pattern files; a losing
+    * attempt's orphan manifest has a uuid name no refs state ever points
+    * to, so it can never appear here. */
+  def listSnapshots(root: Path): Seq[Snapshot] = {
+    if (!Files.exists(root)) return Seq.empty
+    val legacy = scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("snap-\\d+\\.json")).toSeq
     }
+    val named = loadRefs(root).snapsOrEmpty.values.toSeq
+    (legacy ++ named).distinct.map(root.resolve)
+      .filter(Files.exists(_))
+      .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Snapshot]))
+      .sortBy(_.seq)
+  }
 
-  /** Commit a new snapshot: manifest first, then the atomic refs swap
-    * (head advance + optional tag in ONE swap — a reader sees either the
-    * old refs or the fully committed new state). Returns the seq. */
+  /** Commit a new snapshot. Protocol (the Iceberg pointer-swap shape):
+    *
+    *   1. read refs (remembering the exact bytes — the CAS expectation);
+    *   2. write the manifest under an ATTEMPT-UNIQUE name (uuid suffix) —
+    *      immutable, collision-free even against a racing committer that
+    *      resolved the same seq;
+    *   3. conditional-PUT refs (head advance + seq→name binding +
+    *      optional tag in ONE swap) expecting the bytes from (1).
+    *
+    * A reader sees either the old refs or the fully committed new state;
+    * a racing committer loses the swap, deletes its orphan manifest, and
+    * gets [[ConcurrentCommitException]] — the winner's state is untouched
+    * because the loser never wrote to any name the winner's refs mention.
+    * Returns the committed seq. */
   def commit(spark: SparkSession, table: String, operation: String,
       basePath: String, schemaJson: String, files: Seq[FileEntry],
       tag: Option[String] = None,
       deletes: Seq[FileEntry] = Seq.empty,
       eqDeletes: Seq[FileEntry] = Seq.empty): Long = {
     val r = root(spark, table)
-    val refs = loadRefs(r)
+    val refsBytes = io.readBytes(refsPath(r))
+    val refs = parseRefs(refsBytes)
     val seq = refs.nextSeq
-    writeJsonAtomic(snapPath(r, seq),
+    val name = f"snap-$seq%06d-${java.util.UUID.randomUUID().toString.take(8)}%s.json"
+    writeJsonAtomic(r.resolve(name),
       Snapshot(seq, refs.head, operation, System.currentTimeMillis(),
         basePath, schemaJson, files, deletes, eqDeletes))
-    saveRefs(r, refs.copy(head = seq, nextSeq = seq + 1,
-      tags = tag.fold(refs.tags)(t => refs.tags + (t -> seq))))
+    val next = refs.copy(head = seq, nextSeq = seq + 1,
+      tags = tag.fold(refs.tags)(t => refs.tags + (t -> seq)),
+      snaps = refs.snapsOrEmpty + (seq.toString -> name))
+    if (!io.putIfMatch(refsPath(r), refsBytes, mapper.writeValueAsBytes(next))) {
+      io.deleteIfExists(r.resolve(name))
+      throw new ConcurrentCommitException(table, seq)
+    }
     seq
   }
 

@@ -105,10 +105,9 @@ object BpeTrainer {
   /** Encode `textCol` with a learned merge table: the training word
     * split, then every merge applied in rank order. The merges compose
     * as K stacked folds in ONE expression tree — right for the gate's
-    * K≈10–50; a production encoder at K≈50 000 would compile the merge
-    * table into a `mapPartitions` greedy-trie tokenizer instead (the
-    * expression tree, not the algorithm, is the K limit here). Adds
-    * `tokens` (array) and `n_tokens`. */
+    * K≈10–50; the production encoder at K≈50 000 is
+    * [[encodePartitioned]] (the expression tree, not the algorithm, is
+    * the K limit here). Adds `tokens` (array) and `n_tokens`. */
   def encode(docs: DataFrame, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val ms = merges.sortBy(_.rank)
@@ -118,5 +117,111 @@ object BpeTrainer {
         w => ms.foldLeft(filter(split(w, ""), s => s =!= ""))(
           (c, m) => applyMerge(c, m.left, m.right)))))
       .withColumn("n_tokens", size(col("tokens")))
+  }
+
+  /** The production encoder: the merge table compiled ONCE per executor
+    * (broadcast `(left, right) → rank` hash map), applied per word inside
+    * `mapPartitions` — constant plan size regardless of K, so a 50 000-
+    * merge vocabulary encodes as cheaply as a 16-merge one. Semantics are
+    * EXACTLY [[encode]]'s (rank order, each merge one left-to-right
+    * non-overlapping pass — pinned by BpeTrainerSpec at K=16).
+    *
+    * Per word it runs the classic heap-over-linked-list BPE
+    * (O(L log L), independent of K): symbols form a doubly-linked list,
+    * a min-heap holds (rank, leftPos) for every adjacent pair in the
+    * merge table, entries validate lazily on pop (the pair must still be
+    * live and still have that rank — merges invalidate neighbors without
+    * heap surgery). Heap order (rank, then position) IS the fold order:
+    * all positions of the winning rank pop together left-to-right, and a
+    * merge can never recreate its own pair (the new symbol `l+r` ≠ `l`),
+    * so rank application advances monotonically exactly as the stacked
+    * folds do; pairs CREATED by a merge are pushed only when their rank
+    * exceeds the rank being applied — earlier ranks are already spent in
+    * fold semantics. Words are interned per partition via a bounded memo
+    * (Zipf: the top few thousand words cover most tokens).
+    *
+    * Adds the same `tokens` / `n_tokens` columns as [[encode]]. */
+  def encodePartitioned(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructField, StructType}
+    val spark = docs.sparkSession
+    val rankOf: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(rankOf)
+    val outSchema = StructType(docs.schema.fields ++ Seq(
+      StructField("tokens", ArrayType(StringType, containsNull = false)),
+      StructField("n_tokens", IntegerType, nullable = false)))
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    docs.mapPartitions { rows =>
+      val ranks = bc.value
+      // Zipf-bounded word memo: encode each distinct word once per task.
+      val memo = new java.util.LinkedHashMap[String, Array[String]](1 << 12, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[String]]): Boolean = size > 8192
+      }
+      def encodeWord(w: String): Array[String] = {
+        val cached = memo.get(w)
+        if (cached != null) return cached
+        // code-point symbols — `split("")` (the training splitter) keeps
+        // surrogate pairs whole, so the encoder must too
+        val cps = w.codePoints().toArray
+        val n = cps.length
+        val sym = new Array[String](n)
+        val next = new Array[Int](n) // -1 = end; -2 on dead nodes
+        val prev = new Array[Int](n) // -1 = start
+        var i = 0
+        while (i < n) {
+          sym(i) = new String(Character.toChars(cps(i)))
+          next(i) = if (i == n - 1) -1 else i + 1
+          prev(i) = i - 1
+          i += 1
+        }
+        // (rank, leftPos) min-heap; Long packing keeps it primitive
+        val heap = new java.util.PriorityQueue[java.lang.Long]()
+        def push(pos: Int, minRankExclusive: Int): Unit = {
+          val nx = next(pos)
+          if (nx >= 0) ranks.get((sym(pos), sym(nx))).foreach { r =>
+            if (r > minRankExclusive)
+              heap.add((r.toLong << 32) | pos.toLong)
+          }
+        }
+        i = 0
+        while (i < n - 1) { push(i, -1); i += 1 }
+        while (!heap.isEmpty) {
+          val packed = heap.poll()
+          val rank = (packed >> 32).toInt
+          val pos = (packed & 0xFFFFFFFFL).toInt
+          val nx = next(pos)
+          // lazy validation: node live, right neighbor live, pair intact
+          if (nx >= 0 && ranks.get((sym(pos), sym(nx))).contains(rank)) {
+            sym(pos) = sym(pos) + sym(nx)
+            // unlink nx
+            val nn = next(nx)
+            next(pos) = nn
+            if (nn >= 0) prev(nn) = pos
+            next(nx) = -2
+            // new adjacencies; ranks <= the one being applied are spent
+            if (prev(pos) >= 0) push(prev(pos), rank)
+            push(pos, rank)
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[String]()
+        var p = 0
+        while (p != -1) { out += sym(p); p = next(p) }
+        val arr = out.toArray
+        memo.put(w, arr)
+        arr
+      }
+      rows.map { row =>
+        val text = row.getString(textIdx)
+        val toks: Array[String] =
+          if (text == null) Array.empty
+          else text.split("\\s+").iterator.filter(_.nonEmpty)
+            .flatMap(encodeWord).toArray
+        Row.fromSeq(row.toSeq ++ Seq(toks.toSeq, toks.length))
+      }
+    }(outEnc)
   }
 }

@@ -265,18 +265,18 @@ object Dedup {
     * per table so candidate pairs — and wall-clock — scale ~linearly.
     * More bits means each table's buckets are finer, so recall shifts to
     * the `tables` knob (the standard LSH tradeoff); pass explicit `bits`
-    * to pin a recall operating point. */
+    * to pin a recall operating point, or `n` when the corpus row count is
+    * already known (manifest stats) — otherwise N is resolved job-free
+    * from parquet footers / plan statistics
+    * ([[graft.engine.TableStats.rowCountNoJob]]), never a `count()` scan
+    * just to pick a parameter. */
   def embeddingNearDupLsh(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 8, bits: Int = -1, dim: Int = 64): DataFrame = {
+      threshold: Double, tables: Int = 8, bits: Int = -1, dim: Int = 64,
+      n: Long = -1L): DataFrame = {
     val e = embeddings.select(col(idCol).as("eid"),
       col(vecCol).cast("array<double>").as("v"))
-    val useBits =
-      if (bits > 0) bits
-      else {
-        val n = embeddings.count().toDouble
-        math.min(20, math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
-      }
+    val useBits = Similarity.autoBits(embeddings, bits, n)
     val buckets = Similarity.lshBuckets(e, "eid", "v", tables, useBits, dim)
     val a = buckets.select(col("table_id"), col("bucket"), col("eid").as("id_a"))
     val b = buckets.select(col("table_id"), col("bucket"), col("eid").as("id_b"))
@@ -344,10 +344,17 @@ object Dedup {
     * stride == window (the tail segment may be short; `tokens` is never
     * empty, so the grid is never empty and `explode_outer` ≡ `explode`
     * — outer form keeps the optimizer from inferring a size filter that
-    * would re-run the tokenizer below the staged projection). */
+    * would re-run the tokenizer below the staged projection).
+    *
+    * Null-text docs are excluded UP FRONT: without the filter,
+    * explode_outer manufactures a null-pos row per null doc and md5(null)
+    * pools them all into one dedup group — divergent from any sane
+    * "dedup the documents that have text" semantics (and from the SQL
+    * twin, which drops them). A null document has no segments. */
   private def segmentRows(docs: DataFrame, idCol: String, textCol: String,
       segmentWords: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__toks", TextPrep.tokens(col("__text")))
       .select(col("doc_id"), col("__toks"),
         explode_outer(sequence(lit(0), size(col("__toks")) - 1,
@@ -382,11 +389,19 @@ object Dedup {
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
       segmentWords: Int): DataFrame = {
     require(segmentWords > 0, s"segmentWords must be positive: $segmentWords")
-    val w = Window.partitionBy(col("seg_md5")).orderBy(col("doc_id"), col("pos"))
+    // First occurrence = min(struct(doc_id, pos)) per segment key: an
+    // aggregate with map-side partial combine, not a row_number window —
+    // a ubiquitous boilerplate segment would otherwise full-sort one hot
+    // partition on a single task. Keying on md5(seg) (16 bytes) instead
+    // of the segment string assumes 128-bit collision-freedom — standard
+    // for content-addressed dedup (C4 does the same); a collision would
+    // drop one non-duplicate segment. Key on the raw seg if that ever
+    // becomes unacceptable.
     val winners = segmentRows(docs, idCol, textCol, segmentWords)
       .select(md5(col("seg")).as("seg_md5"), col("doc_id"), col("pos"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(col("seg_md5"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"), col("__w.pos").as("pos"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("__keep"))
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))

@@ -37,6 +37,25 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** Occupancy-constant LSH bucket sizing: bits = log2(N / 32) clamped to
+    * [4, 20], so expected bucket occupancy stays ≈ 32 per table as the
+    * corpus grows and the candidate stage (Σ occupancy² per bucket) scales
+    * ~linearly instead of re-quadratizing — the q164 fix, shared by every
+    * hyperplane-LSH operator. `explicitBits > 0` pins a manual operating
+    * point; `n > 0` supplies a known row count (e.g. from manifest stats,
+    * [[graft.engine.Manifests.FileEntry.records]]); otherwise N comes from
+    * [[graft.engine.TableStats.rowCountNoJob]] — parquet footers / plan
+    * statistics, never a `count()` job over the corpus. */
+  private[ext] def autoBits(vecs: DataFrame, explicitBits: Int, n: Long = -1L): Int =
+    if (explicitBits > 0) explicitBits
+    else {
+      val rows =
+        if (n > 0) n.toDouble
+        else graft.engine.TableStats.rowCountNoJob(vecs).toDouble
+      math.min(20, math.max(4,
+        math.ceil(math.log(rows / 32.0) / math.log(2.0)).toInt))
+    }
+
   /** Exact cosine top-k of `corpus` for each probe row.
     * Output: (probe_id, id, cos_sim) — cos rounded for stable ordering. */
   def bruteForceTopK(
@@ -91,15 +110,25 @@ object Similarity {
       .select(col(idCol), col("tb.table_id"), col("tb.bucket"))
   }
 
-  /** LSH-bucketed approximate top-k with exact cosine re-rank. */
+  /** LSH-bucketed approximate top-k with exact cosine re-rank.
+    *
+    * `bits = -1` (default) sizes the bucket space to the corpus via
+    * [[autoBits]] — with FIXED bits, per-probe candidates are N/2^bits
+    * per table, i.e. linear in corpus size, and the candidate stage
+    * swamps the verify tail at 10⁹ vectors; occupancy-constant sizing
+    * holds candidate volume flat and moves the recall trade into the
+    * `tables` knob. Pass explicit `bits` to pin an operating point, or
+    * `n` when the row count is already known (manifest stats). */
   def lshTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
-      k: Int, tables: Int = 8, bits: Int = 6, dim: Int = 64): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, tables, bits, dim)
+      k: Int, tables: Int = 8, bits: Int = -1, dim: Int = 64,
+      n: Long = -1L): DataFrame = {
+    val useBits = autoBits(corpus, bits, n)
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, useBits, dim)
     val pb = lshBuckets(
       probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")),
-      "pid", "pv", tables, bits, dim)
+      "pid", "pv", tables, useBits, dim)
     val candidates = cb.join(pb, Seq("table_id", "bucket"))
       .select(col("pid").as(probeIdCol), col(idCol)).distinct()
     val rescored = candidates
@@ -149,29 +178,44 @@ object Similarity {
       k, nprobe, centroids)
   }
 
-  private def ivfSearch(
+  /** Nearest-`keep` centroids per row (broadcast centroid table).
+    * Assignment metric = search metric (cosine): lists must be built with
+    * the same geometry probes search with, or recall drops to the random-
+    * subset floor. Output: (m_id, centroid_id). */
+  private def nearestCentroids(df: DataFrame, did: Column, dvec: Column,
+      keep: Int, centroids: DataFrame): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .select(did.as("m_id"), col("centroid_id"),
+        VectorFunctions.cosine(dvec, col("cv")).as("csim"))
+    val w = Window.partitionBy(col("m_id")).orderBy(col("csim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+      .select(col("m_id"), col("centroid_id"))
+  }
+
+  /** The inverted lists: each corpus vector on its single nearest
+    * centroid's list — the index's big half, built once per index and
+    * persisted by [[IvfIndex]] for search-many workloads. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    nearestCentroids(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("av")),
+      col(idCol), col("av"), 1, centroids)
+      .select(col("m_id").as(idCol), col("centroid_id"))
+
+  /** Probe-side IVF search against PREBUILT centroids + inverted lists:
+    * assign each probe to its `nprobe` nearest centroids (k-row broadcast,
+    * probe-count rows — the cheap side), join candidates off the prebuilt
+    * lists, exact-cosine re-rank. This is the search half of the
+    * build-once/search-many split; [[ivfTopK]]/[[ivfTopKTrained]] are the
+    * build-per-query composition. */
+  def ivfSearchLists(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
-      k: Int, nprobe: Int, centroids: DataFrame): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-
-    // Assignment metric = search metric (cosine): lists must be built with
-    // the same geometry probes search with, or recall drops to the random-
-    // subset floor.
-    def nearest(df: DataFrame, did: Column, dvec: Column, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .select(did.as("m_id"), col("centroid_id"),
-          VectorFunctions.cosine(dvec, col("cv")).as("csim"))
-      val w = Window.partitionBy(col("m_id")).orderBy(col("csim").desc, col("centroid_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
-        .select(col("m_id"), col("centroid_id"))
-    }
-
-    val assignment = nearest(corpus.select(col(idCol), v.as("av")), col(idCol), col("av"), 1)
-      .select(col("m_id").as(idCol), col("centroid_id"))
-    val probeLists = nearest(
+      k: Int, nprobe: Int, centroids: DataFrame,
+      assignment: DataFrame): DataFrame = {
+    val probeLists = nearestCentroids(
       probes.select(col(probeIdCol), col(probeVecCol).cast("array<double>").as("pv")),
-      col(probeIdCol), col("pv"), nprobe)
+      col(probeIdCol), col("pv"), nprobe, centroids)
       .select(col("m_id").as(probeIdCol), col("centroid_id"))
 
     val candidates = probeLists.join(assignment, Seq("centroid_id"))
@@ -185,5 +229,67 @@ object Similarity {
     val w = Window.partitionBy(col(probeIdCol)).orderBy(col("cos_sim").desc, col(idCol))
     rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col(probeIdCol), col(idCol), col("cos_sim"))
+  }
+
+  private def ivfSearch(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, nprobe: Int, centroids: DataFrame): DataFrame =
+    ivfSearchLists(corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,
+      k, nprobe, centroids, ivfAssign(corpus, idCol, vecCol, centroids))
+
+  /** LSH-bucketed top-k with the verify tail in int8: candidates are
+    * scored with [[Quantize.cosineQ8]] (integer dot products over q8
+    * vectors — a quarter of the verify stage's bytes at any dim), the
+    * top `rerankFactor`·k per probe re-ranked in float for the final k.
+    * The bucket stage is identical to [[lshTopK]] (hyperplane signs are
+    * scale-invariant, so hashing the float vectors is correct); only the
+    * wide verify join — the stage whose bytes dominate at 10⁹ vectors —
+    * rides the quantized representation. Same output shape as
+    * [[lshTopK]]: (probeIdCol, idCol, cos_sim) with float-exact scores,
+    * so the q30-family recall contract applies unchanged, and the
+    * integers under the hood are the q170-gated [[Quantize.int8]]. */
+  def lshTopKQ8(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, tables: Int = 8, bits: Int = -1, dim: Int = 64,
+      n: Long = -1L, rerankFactor: Int = 4): DataFrame = {
+    val useBits = autoBits(corpus, bits, n)
+    val corpusF = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("fv"))
+    val probesF = probes.select(col(probeIdCol).as("pid"),
+      col(probeVecCol).cast("array<double>").as("pv"))
+    val corpusQ = Quantize.int8(corpusF, "fv")
+      .select(col(idCol), col("q8").as("cq8"))
+    val probesQ = Quantize.int8(probesF, "pv")
+      .select(col("pid"), col("q8").as("pq8"))
+
+    val cb = lshBuckets(corpusF, idCol, "fv", tables, useBits, dim)
+    val pb = lshBuckets(probesF, "pid", "pv", tables, useBits, dim)
+    val candidates = cb.join(pb, Seq("table_id", "bucket"))
+      .select(col("pid"), col(idCol)).distinct()
+
+    // verify in int8: the candidate-volume × vector-width product is the
+    // scan/shuffle cost at scale — q8 rides it at 4× fewer bytes
+    val q8Scored = candidates
+      .join(broadcast(probesQ), Seq("pid"))
+      .join(corpusQ, Seq(idCol))
+      .where(col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol),
+        Quantize.cosineQ8(col("cq8"), col("pq8")).as("q8_sim"))
+    val wq = Window.partitionBy(col("pid")).orderBy(col("q8_sim").desc, col(idCol))
+    val shortlist = q8Scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k * rerankFactor)
+      .select(col("pid"), col(idCol))
+
+    // float re-rank of the short list only (k·rerankFactor rows/probe)
+    val rescored = shortlist
+      .join(broadcast(probesF), Seq("pid"))
+      .join(corpusF, Seq(idCol))
+      .select(col("pid"), col(idCol),
+        round(VectorFunctions.cosine(col("fv"), col("pv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col(idCol))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
   }
 }

@@ -121,13 +121,16 @@ object PipelineQueries {
   /** Q30 (similarity / LSH-ANN): recall contract of the bucketed
     * approximate top-10 (exact re-rank) vs the in-plan brute-force top-10 —
     * [[Similarity.recallContract]]. Floor 2/10 per probe (measured minimum
-    * 3/10 at the gate SF; random-candidate floor ≈ 1.2/10). */
+    * 3/10 at the gate SF; random-candidate floor ≈ 1.2/10). Bucket bits
+    * are occupancy-auto-sized from the corpus row count (parquet footer
+    * stats, no count() job) — the q164 scaling fix applied to the ANN
+    * path, so candidate volume stays flat as the corpus grows. */
   val q30 = GQuery("q30_ann_lsh_topk", (s, d) => {
     val e = t(s, d, "embeddings")
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val ann = Similarity.lshTopK(e, probes, "vec_id", "embedding", "probe_id", "pv",
-      k = 10, tables = 8, bits = 6, dim = 64)
+      k = 10, tables = 8, dim = 64)
     val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", "probe_id", "pv", 10)
     Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10, minHits = 2.0)
   }, Some(annContractSql))

@@ -21,7 +21,8 @@ object Registry {
   lazy val all: Seq[GQuery] =
     CoreQueries.all ++ ExtQueries.all ++ PipelineQueries.all ++
       AdvancedQueries.all ++ AnalyticsQueries.all ++ Round4Queries.all ++
-      CorpusQueries.all ++ SurfaceQueries.all ++ Round5Queries.all
+      CorpusQueries.all ++ SurfaceQueries.all ++ Round5Queries.all ++
+      Round6Queries.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -208,9 +208,43 @@ class ChartCompilerSpec extends SparkSpec {
   test("dashboard grid lays out 2-per-row, width 6 (init_db.py:273-307)") {
     val d = Dashboard.grid("Demo", Seq("a", "b", "c"))
     assert(d.cells.map(c => (c.row, c.colOffset)) === Seq((0, 0), (0, 6), (1, 0)))
-    val json = Dashboard.toJson(d)
-    assert(json.contains("\"DASHBOARD_VERSION_KEY\":\"v2\""))
-    assert(json.contains("\"CHART-3\""))
+    assert(d.cells.map(_.chartId) === Seq(1, 2, 3))
+  }
+
+  test("position_json is byte-identical to the reference's json.dumps output") {
+    // Pinned vector: the EXACT bytes `json.dumps(dashboard_json)` emits
+    // when init_db.py:272-307 runs over three charts named a/b/c with
+    // slice ids 1/2/3 (python dict insertion order, default ", "/": "
+    // separators). Byte equality means a reference Superset instance
+    // ingests our layout unmodified.
+    val want =
+      """{"DASHBOARD_VERSION_KEY": "v2", "ROOT_ID": {"children": ["GRID_ID"], "id": "ROOT_ID", "type": "ROOT"}, "GRID_ID": {"children": ["CHART-1", "CHART-2", "CHART-3"], "id": "GRID_ID", "parents": ["ROOT_ID"], "type": "GRID"}, "CHART-1": {"children": [], "id": "CHART-1", "meta": {"chartId": 1, "height": 50, "sliceName": "a", "width": 6}, "type": "CHART", "parents": ["ROOT_ID", "GRID_ID"]}, "CHART-2": {"children": [], "id": "CHART-2", "meta": {"chartId": 2, "height": 50, "sliceName": "b", "width": 6}, "type": "CHART", "parents": ["ROOT_ID", "GRID_ID"]}, "CHART-3": {"children": [], "id": "CHART-3", "meta": {"chartId": 3, "height": 50, "sliceName": "c", "width": 6}, "type": "CHART", "parents": ["ROOT_ID", "GRID_ID"]}}"""
+    assert(Dashboard.toJson(Dashboard.grid("Demo", Seq("a", "b", "c"))) === want)
+  }
+
+  test("position_json survives a field-for-field walk of the init_db.py shape") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(
+      Dashboard.toJson(Dashboard.grid("Demo", Seq("x", "y", "z", "w", "v"))))
+    assert(node.get("DASHBOARD_VERSION_KEY").asText() === "v2")
+    assert(node.get("ROOT_ID").get("children").get(0).asText() === "GRID_ID")
+    val grid = node.get("GRID_ID")
+    assert(grid.get("parents").get(0).asText() === "ROOT_ID")
+    val children = (0 until grid.get("children").size())
+      .map(grid.get("children").get(_).asText())
+    assert(children === (1 to 5).map(i => s"CHART-$i"))
+    children.zipWithIndex.foreach { case (cid, i) =>
+      val c = node.get(cid)
+      assert(c.get("id").asText() === cid)
+      assert(c.get("type").asText() === "CHART")
+      assert(c.get("children").size() === 0)
+      assert((0 until c.get("parents").size()).map(c.get("parents").get(_).asText())
+        === Seq("ROOT_ID", "GRID_ID"))
+      val meta = c.get("meta")
+      assert(meta.get("chartId").asInt() === i + 1)
+      assert(meta.get("height").asInt() === 50)
+      assert(meta.get("width").asInt() === 6)
+    }
   }
 
   test("dataset registry introspects columns like the Superset inspector") {

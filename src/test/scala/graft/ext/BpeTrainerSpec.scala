@@ -110,6 +110,56 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("partitioned encoder ≡ fold encoder on the gate corpus at K=16") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").limit(200)
+    val merges = BpeTrainer.train(docs, "text", 16, 2)
+    assert(merges.size === 16)
+    val fold = BpeTrainer.encode(docs, "text", merges)
+      .select("doc_id", "tokens", "n_tokens")
+    val part = BpeTrainer.encodePartitioned(docs, "text", merges)
+      .select("doc_id", "tokens", "n_tokens")
+    assert(fold.exceptAll(part).isEmpty && part.exceptAll(fold).isEmpty,
+      "trie-encode must equal fold-encode token for token")
+  }
+
+  test("partitioned encoder handles a 65k-merge vocabulary the fold path cannot express") {
+    import spark.implicits._
+    // Synthetic binary-tree vocabulary over 2^16 DISTINCT leaves
+    // (supplementary-plane code points — also exercises the surrogate-
+    // pair path): level ℓ's merges pair up adjacent level-(ℓ-1) symbols
+    // left to right, ranked level-major. 65 535 merges totalling
+    // O(L log L) key bytes; the word collapses to ONE token only if
+    // every merge applies in exact rank order.
+    val depth = 16
+    val leaves = (0 until (1 << depth)).map(i => new String(Character.toChars(0x20000 + i)))
+    val word = leaves.mkString
+    val mergesB = Seq.newBuilder[BpeTrainer.Merge]
+    var level = leaves
+    var rank = 0
+    while (level.size > 1) {
+      val nextLevel = level.grouped(2).map { case Seq(l, r) =>
+        mergesB += BpeTrainer.Merge(rank, l, r, 2L); rank += 1; l + r
+      }.toIndexedSeq
+      level = nextLevel
+    }
+    val merges = mergesB.result()
+    assert(merges.size === (1 << depth) - 1) // 65 535 — 1000× the fold cap
+    val docs = Seq(word, word.take(4), leaves.head * 3).toDF("text")
+    val enc = BpeTrainer.encodePartitioned(docs, "text", merges)
+      .select(col("text"), col("tokens"), col("n_tokens")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // the full word collapses to a single token...
+    assert(enc(word) === Seq(word))
+    // ...the first two leaves (4 chars: surrogate pairs) to the rank-0 symbol
+    assert(enc(word.take(4)) === Seq(word.take(4)))
+    // ...and a word with no applicable merge stays per-leaf symbols
+    assert(enc(leaves.head * 3) === Seq(leaves.head, leaves.head, leaves.head))
+    // round-trip: token concatenation rebuilds every word byte-exactly
+    enc.foreach { case (text, toks) =>
+      assert(toks.mkString === text.replaceAll("\\s+", ""))
+    }
+  }
+
   test("trains on the documents corpus and compresses it") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
     val merges = BpeTrainer.train(docs.limit(200), "text", 8, 2)

@@ -51,4 +51,59 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     lshScores.foreach { case (k, v) => assert(bruteScores(k) === v) }
   }
+
+  test("lshTopKQ8 recall matches the float LSH path; final scores are float-exact") {
+    val q8 = topkSet(Similarity.lshTopKQ8(emb, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10, tables = 8, dim = 64))
+    val recall = brute.map { case (p, ids) =>
+      q8.getOrElse(p, Nil).count(ids.contains).toDouble / ids.size
+    }.sum / brute.size
+    assert(recall >= 0.3, s"Q8-verify LSH recall@10 = $recall")
+    // the re-rank emits EXACT float cosine — quantization never leaks
+    // into reported scores
+    val bruteScores = Similarity.bruteForceTopK(emb, probes, "vec_id",
+      "embedding", "probe_id", "pv", 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    Similarity.lshTopKQ8(emb, probes, "vec_id", "embedding", "probe_id", "pv", 10)
+      .collect().foreach(r =>
+        assert(bruteScores((r.getLong(0), r.getLong(1))) === r.getDouble(2)))
+  }
+
+  test("prebuilt IVF index: search equals the build-per-query path, build runs once") {
+    val idx = IvfIndex.buildTrained(emb, "vec_id", "embedding",
+      nCentroids = 8, lloydIters = 2)
+    try {
+      val prebuilt = IvfIndex.search(idx, emb, probes, "vec_id", "embedding",
+        "probe_id", "pv", k = 10, nprobe = 3)
+      val perQuery = Similarity.ivfTopKTrained(emb, probes, "vec_id", "embedding",
+        "probe_id", "pv", k = 10, nCentroids = 8, nprobe = 3, lloydIters = 2)
+      assert(prebuilt.exceptAll(perQuery).isEmpty &&
+        perQuery.exceptAll(prebuilt).isEmpty,
+        "prebuilt-index search must equal the per-query build result")
+      // centroids are driver-pinned: a LocalRelation leaf, no Lloyd rerun
+      val leaves = idx.centroids.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l
+      }
+      assert(leaves.forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    } finally IvfIndex.drop(idx)
+  }
+
+  test("q8 verify representation is ≤ 1/3 the parquet bytes of the float one") {
+    val dir = java.nio.file.Files.createTempDirectory("q8bytes")
+    val base = Quantize.int8(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("fv")), "fv")
+    base.select(col("vec_id"), col("fv"))
+      .write.mode("overwrite").parquet(s"$dir/float")
+    base.select(col("vec_id"), col("q8"))
+      .write.mode("overwrite").parquet(s"$dir/q8")
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (fb, qb) = (bytes(s"$dir/float"), bytes(s"$dir/q8"))
+    // theoretical 8× (double→int8); parquet packs ints as INT32 but
+    // bit-packs/RLEs the small magnitudes, so ≥3× measured is the floor
+    assert(qb * 3 <= fb, s"q8 bytes $qb vs float bytes $fb — expected ≥3× cut")
+  }
 }
