@@ -1,0 +1,504 @@
+package graft.engine
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Iceberg v2 metadata EXPORT — the graft manifest layer re-serialized in
+  * the open table-format's own wire shapes, per the public Iceberg table
+  * spec (format-version 2): `vN.metadata.json`, one Avro manifest list
+  * per snapshot, and Avro manifests (data + deletes) with spec field ids
+  * (500-series manifest-list fields, 100-series data-file fields).
+  *
+  * The reference's catalog (compose/trino/catalog/iceberg.properties:1-19)
+  * is a real Iceberg catalog any engine can open; graft tables keep their
+  * JSON manifests as the READ path (a jar-free format this container can
+  * always parse), and this emitter closes the interop gap from the write
+  * side: everything the graft layer knows — schemas, snapshot lineage,
+  * sequence numbers, per-file stats, MOR delete files with their data
+  * sequence numbers, tags/branches — lands in the exact field ids and
+  * encodings the spec pins, so an Iceberg reader holding these files has
+  * the full table state. All data-file paths inside are absolute, which
+  * is why the metadata directory can live beside the graft manifests
+  * (`_graft_meta/<table>/iceberg/`) rather than inside the bare data dir
+  * (where a nested `metadata/` would pollute `listDataFiles`).
+  *
+  * Not claimed: byte-identity with files the Iceberg Java library writes
+  * (it randomizes snapshot ids and avro sync markers); claimed and
+  * spec-tested: structural identity — ids, names, encodings — walked
+  * back with an independent parser, plus pinned serialized-record byte
+  * vectors for both Avro schemas.
+  */
+object IcebergMeta {
+
+  /** Manifest-list entry schema (spec §"Manifest Lists", field ids
+    * 500-517; optional partition summaries omitted — graft manifests are
+    * unpartitioned at spec-id 0). */
+  val ManifestListSchemaJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin
+
+  /** Manifest entry schema (spec §"Manifests": status/snapshot/sequence
+    * envelope ids 0-4; data_file struct ids 100-140; bounds maps as the
+    * avro array-of-(key,value) map encoding with the spec's key/value
+    * ids). */
+  val ManifestEntrySchemaJson: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+      |{"name":"key","type":"int","field-id":126},
+      |{"name":"value","type":"bytes","field-id":127}]}}]},
+      |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+      |{"name":"key","type":"int","field-id":129},
+      |{"name":"value","type":"bytes","field-id":130}]}}]},
+      |{"name":"equality_ids","field-id":135,"default":null,"type":["null",{"type":"array","items":"int","element-id":136}]}
+      |]}}]}""".stripMargin
+
+  lazy val manifestListSchema: Schema = new Schema.Parser().parse(ManifestListSchemaJson)
+  lazy val manifestEntrySchema: Schema = new Schema.Parser().parse(ManifestEntrySchemaJson)
+
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- schema
+
+  /** Spark StructType → Iceberg schema JSON (`{"type":"struct",...}`)
+    * plus (name → field-id) for top-level columns and the last assigned
+    * column id. Ids are assigned depth-first in field order — unique and
+    * stable for a pinned schema, which is what the spec requires. */
+  def icebergSchema(struct: StructType, schemaId: Int): (ObjectNode, Map[String, Int], Int) = {
+    var nextId = 0
+    def allocate(): Int = { nextId += 1; nextId }
+    def typeNode(dt: DataType): Either[String, ObjectNode] = dt match {
+      case IntegerType | ShortType | ByteType => Left("int")
+      case LongType => Left("long")
+      case FloatType => Left("float")
+      case DoubleType => Left("double")
+      case StringType => Left("string")
+      case BooleanType => Left("boolean")
+      case BinaryType => Left("binary")
+      case DateType => Left("date")
+      case TimestampType => Left("timestamptz")
+      case TimestampNTZType => Left("timestamp")
+      case d: DecimalType => Left(s"decimal(${d.precision}, ${d.scale})")
+      case ArrayType(elem, containsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", allocate())
+        typeNode(elem) match {
+          case Left(s) => n.put("element", s)
+          case Right(o) => n.set[ObjectNode]("element", o)
+        }
+        n.put("element-required", !containsNull)
+        Right(n)
+      case MapType(kt, vt, valueContainsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", allocate())
+        typeNode(kt) match {
+          case Left(s) => n.put("key", s)
+          case Right(o) => n.set[ObjectNode]("key", o)
+        }
+        n.put("value-id", allocate())
+        typeNode(vt) match {
+          case Left(s) => n.put("value", s)
+          case Right(o) => n.set[ObjectNode]("value", o)
+        }
+        n.put("value-required", !valueContainsNull)
+        Right(n)
+      case s: StructType => Right(structNode(s))
+      case other => Left(other.typeName) // fail-open: name the type
+    }
+    def structNode(s: StructType): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val fields = mapper.createArrayNode()
+      s.fields.foreach { f =>
+        val fn = mapper.createObjectNode()
+        fn.put("id", allocate())
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        typeNode(f.dataType) match {
+          case Left(str) => fn.put("type", str)
+          case Right(o) => fn.set[ObjectNode]("type", o)
+        }
+        fields.add(fn)
+      }
+      n.set[ArrayNode]("fields", fields)
+      n
+    }
+    // Top-level ids must be assigned before any nested ids for the
+    // (name → id) map to be stable against nested-type evolution — the
+    // Iceberg fresh-assignment convention. Two passes: reserve top-level
+    // ids first, then build with a child allocator starting after them.
+    val topIds = struct.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    nextId = struct.fields.length
+    val root = mapper.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", schemaId)
+    val fields = mapper.createArrayNode()
+    struct.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = mapper.createObjectNode()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      typeNode(f.dataType) match {
+        case Left(str) => fn.put("type", str)
+        case Right(o) => fn.set[ObjectNode]("type", o)
+      }
+      fields.add(fn)
+    }
+    root.set[ArrayNode]("fields", fields)
+    (root, topIds, nextId)
+  }
+
+  // ---------------------------------------------------------------- bounds
+
+  private def le(n: Int, bytes: Int): Array[Byte] =
+    ByteBuffer.allocate(bytes).order(ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+  private def le(n: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(n).array()
+
+  private def parseLong(s: String): Option[Long] =
+    try Some(s.trim.toLong) catch { case _: Exception => None }
+
+  /** Iceberg single-value binary serialization of a stringified parquet
+    * stat, typed by the table schema (spec Appendix D): little-endian
+    * numerics, UTF-8 strings, big-endian unscaled decimals, date as
+    * int days, timestamptz as long micros. None when the stat string
+    * doesn't parse for the type — bounds are optional, never guessed. */
+  def boundBytes(dt: DataType, s: String): Option[Array[Byte]] = dt match {
+    case IntegerType | ShortType | ByteType =>
+      parseLong(s).map(v => le(v.toInt, 4))
+    case LongType => parseLong(s).map(le)
+    case FloatType =>
+      (try Some(s.trim.toFloat) catch { case _: Exception => None })
+        .map(f => ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(f).array())
+    case DoubleType =>
+      (try Some(s.trim.toDouble) catch { case _: Exception => None })
+        .map(d => ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
+    case BooleanType => s.trim.toLowerCase match {
+      case "true" => Some(Array[Byte](1))
+      case "false" => Some(Array[Byte](0))
+      case _ => None
+    }
+    case StringType => Some(s.getBytes(StandardCharsets.UTF_8))
+    case DateType =>
+      (try Some(java.time.LocalDate.parse(s.trim).toEpochDay)
+      catch { case _: Exception => None })
+        .orElse(parseLong(s))
+        .map(d => le(d.toInt, 4))
+    case TimestampType | TimestampNTZType =>
+      // parquet INT64-micros stats stringify as the raw long; ISO forms
+      // appear when stats were produced elsewhere
+      parseLong(s)
+        .orElse(try Some(java.time.Instant.parse(s.trim).toEpochMilli * 1000L +
+          java.time.Instant.parse(s.trim).getNano / 1000 % 1000)
+        catch { case _: Exception => None })
+        .map(le)
+    case d: DecimalType =>
+      (try {
+        val bd = new java.math.BigDecimal(s.trim).setScale(d.scale)
+        Some(bd.unscaledValue().toByteArray) // minimal big-endian, per spec
+      } catch { case _: Exception => None })
+    case _ => None
+  }
+
+  // ----------------------------------------------------------------- emit
+
+  private def avroMap(items: Seq[(Int, Array[Byte])], itemSchema: Schema): GenericData.Array[GenericRecord] = {
+    val arr = new GenericData.Array[GenericRecord](items.size, Schema.createArray(itemSchema))
+    items.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k)
+      r.put("value", ByteBuffer.wrap(v))
+      arr.add(r)
+    }
+    arr
+  }
+
+  /** One manifest entry record. `content`: 0 data, 1 position deletes,
+    * 2 equality deletes. */
+  private def entryRecord(f: Manifests.FileEntry, status: Int, snapshotId: Long,
+      fileSeq: Long, content: Int, schema: StructType,
+      fieldIds: Map[String, Int]): GenericRecord = {
+    val entry = new GenericData.Record(manifestEntrySchema)
+    entry.put("status", status)
+    entry.put("snapshot_id", snapshotId)
+    entry.put("sequence_number", f.dataSeq)
+    entry.put("file_sequence_number", fileSeq)
+    val dfSchema = manifestEntrySchema.getField("data_file").schema()
+    val df = new GenericData.Record(dfSchema)
+    df.put("content", content)
+    df.put("file_path", f.path)
+    df.put("file_format", "PARQUET")
+    df.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+    df.put("record_count", f.records)
+    df.put("file_size_in_bytes", f.bytes)
+    val typesByName = schema.fields.map(x => x.name -> x.dataType).toMap
+    def bounds(m: Map[String, String]): Seq[(Int, Array[Byte])] =
+      Option(m).getOrElse(Map.empty).toSeq.flatMap { case (name, v) =>
+        for {
+          id <- fieldIds.get(name)
+          dt <- typesByName.get(name)
+          b <- boundBytes(dt, v)
+        } yield id -> b
+      }
+    val lowerSchema = dfSchema.getField("lower_bounds").schema()
+      .getTypes.get(1).getElementType
+    val upperSchema = dfSchema.getField("upper_bounds").schema()
+      .getTypes.get(1).getElementType
+    val lo = bounds(f.lower); val hi = bounds(f.upper)
+    if (lo.nonEmpty) df.put("lower_bounds", avroMap(lo, lowerSchema))
+    if (hi.nonEmpty) df.put("upper_bounds", avroMap(hi, upperSchema))
+    if (content == 2) {
+      // equality ids: the delete file's key column(s), resolved by name
+      val ids = Option(f.lower).getOrElse(Map.empty).keys
+        .flatMap(fieldIds.get).toSeq.sorted
+      if (ids.nonEmpty) {
+        val arrSchema = dfSchema.getField("equality_ids").schema().getTypes.get(1)
+        val arr = new GenericData.Array[Integer](ids.size, arrSchema)
+        ids.foreach(i => arr.add(Int.box(i)))
+        df.put("equality_ids", arr)
+      }
+    }
+    entry.put("data_file", df)
+    entry
+  }
+
+  private def writeAvro(path: Path, schema: Schema, meta: Map[String, String],
+      records: Seq[GenericRecord]): Long = {
+    Files.createDirectories(path.getParent)
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    writer.create(schema, path.toFile)
+    try records.foreach(writer.append) finally writer.close()
+    Files.size(path)
+  }
+
+  /** Export the table's full committed state as Iceberg v2 metadata under
+    * `_graft_meta/<table>/iceberg/`. Returns the `vN.metadata.json` path.
+    * Idempotent: re-emission overwrites deterministically-named files. */
+  def emit(spark: SparkSession, table: String): Path = {
+    val root = Manifests.root(spark, table)
+    val refs = Manifests.loadRefs(root)
+    val snaps = Manifests.listSnapshots(root)
+    require(snaps.nonEmpty, s"no committed snapshots for $table")
+    val dir = root.resolve("iceberg")
+    Files.createDirectories(dir)
+
+    // schema registry: distinct schema JSONs in first-use order
+    val schemaJsons = snaps.map(_.schemaJson).distinct
+    val schemaIdOf: Map[String, Int] = schemaJsons.zipWithIndex.toMap
+    val parsed = schemaJsons.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType])
+    val converted = parsed.zipWithIndex.map { case (st, id) =>
+      icebergSchema(st, id)
+    }
+
+    val byPathPrev = snaps.map(s => s.seq ->
+      s.files.map(_.path).toSet).toMap
+
+    val snapshotNodes = mapper.createArrayNode()
+    val snapshotLog = mapper.createArrayNode()
+    snaps.foreach { snap =>
+      val schemaId = schemaIdOf(snap.schemaJson)
+      val (_, fieldIds, _) = converted(schemaId)
+      val st = parsed(schemaId)
+      val prevPaths = if (snap.parent < 0) Set.empty[String]
+        else byPathPrev.getOrElse(snap.parent, Set.empty)
+      val dataEntries = snap.files.map { f =>
+        val added = !prevPaths.contains(f.path)
+        entryRecord(f, if (added) 1 else 0, snap.seq,
+          if (added) snap.seq else f.dataSeq, content = 0, st, fieldIds)
+      }
+      val manifests = Seq.newBuilder[(Path, Int, Long, Long, Long)]
+      val dataManifest = dir.resolve(f"snap-${snap.seq}%06d-data.avro")
+      val commonMeta = Map(
+        "schema" -> mapper.writeValueAsString(converted(schemaId)._1),
+        "schema-id" -> schemaId.toString,
+        "partition-spec" -> "[]",
+        "partition-spec-id" -> "0",
+        "format-version" -> "2")
+      val dataLen = writeAvro(dataManifest, manifestEntrySchema,
+        commonMeta + ("content" -> "data"), dataEntries)
+      val addedRows = snap.files.filter(f => !prevPaths.contains(f.path)).map(_.records).sum
+      manifests += ((dataManifest, 0, dataLen,
+        snap.files.count(f => !prevPaths.contains(f.path)).toLong, addedRows))
+
+      val delEntries =
+        snap.deleteEntries.map(entryRecord(_, 1, snap.seq, snap.seq, 1, st, fieldIds)) ++
+        snap.eqDeleteEntries.map(entryRecord(_, 1, snap.seq, snap.seq, 2, st, fieldIds))
+      if (delEntries.nonEmpty) {
+        val delManifest = dir.resolve(f"snap-${snap.seq}%06d-deletes.avro")
+        val delLen = writeAvro(delManifest, manifestEntrySchema,
+          commonMeta + ("content" -> "deletes"), delEntries)
+        manifests += ((delManifest, 1, delLen, delEntries.size.toLong,
+          (snap.deleteEntries ++ snap.eqDeleteEntries).map(_.records).sum))
+      }
+
+      // manifest list for this snapshot
+      val listPath = dir.resolve(f"snap-${snap.seq}%06d-manifest-list.avro")
+      val listRecords = manifests.result().map { case (p, content, len, addedFiles, addedRows) =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", p.toString)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", snap.seq)
+        r.put("min_sequence_number",
+          (snap.files.map(_.dataSeq) :+ snap.seq).min)
+        r.put("added_snapshot_id", snap.seq)
+        r.put("added_files_count", addedFiles.toInt)
+        r.put("existing_files_count",
+          (if (content == 0) snap.files.size - addedFiles else 0L).toInt)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", addedRows)
+        r.put("existing_rows_count",
+          if (content == 0) snap.recordCount - addedRows else 0L)
+        r.put("deleted_rows_count", 0L)
+        r
+      }
+      writeAvro(listPath, manifestListSchema, Map(
+        "format-version" -> "2",
+        "snapshot-id" -> snap.seq.toString,
+        "sequence-number" -> snap.seq.toString,
+        "parent-snapshot-id" -> snap.parent.toString), listRecords)
+
+      val sn = mapper.createObjectNode()
+      sn.put("snapshot-id", snap.seq)
+      if (snap.parent >= 0) sn.put("parent-snapshot-id", snap.parent)
+      sn.put("sequence-number", snap.seq)
+      sn.put("timestamp-ms", snap.createdMs)
+      sn.put("manifest-list", listPath.toString)
+      val summary = mapper.createObjectNode()
+      summary.put("operation",
+        if (snap.operation.contains("delete")) "delete"
+        else if (snap.operation.contains("upsert") ||
+          snap.operation.contains("overwrite")) "overwrite"
+        else "append")
+      summary.put("graft-operation", snap.operation)
+      sn.set[ObjectNode]("summary", summary)
+      sn.put("schema-id", schemaId)
+      snapshotNodes.add(sn)
+      val logEntry = mapper.createObjectNode()
+      logEntry.put("timestamp-ms", snap.createdMs)
+      logEntry.put("snapshot-id", snap.seq)
+      snapshotLog.add(logEntry)
+    }
+
+    val head = snaps.last
+    val metaRoot = mapper.createObjectNode()
+    metaRoot.put("format-version", 2)
+    metaRoot.put("table-uuid",
+      java.util.UUID.nameUUIDFromBytes(table.getBytes(StandardCharsets.UTF_8)).toString)
+    metaRoot.put("location", head.basePath)
+    metaRoot.put("last-sequence-number", head.seq)
+    metaRoot.put("last-updated-ms", head.createdMs)
+    metaRoot.put("last-column-id",
+      converted(schemaIdOf(head.schemaJson))._3)
+    metaRoot.put("current-schema-id", schemaIdOf(head.schemaJson))
+    val schemasNode = mapper.createArrayNode()
+    converted.foreach { case (node, _, _) => schemasNode.add(node) }
+    metaRoot.set[ArrayNode]("schemas", schemasNode)
+    metaRoot.put("default-spec-id", 0)
+    val specs = mapper.createArrayNode()
+    val spec0 = mapper.createObjectNode()
+    spec0.put("spec-id", 0)
+    spec0.set[ArrayNode]("fields", mapper.createArrayNode())
+    specs.add(spec0)
+    metaRoot.set[ArrayNode]("partition-specs", specs)
+    metaRoot.put("last-partition-id", 999)
+    metaRoot.put("default-sort-order-id", 0)
+    val orders = mapper.createArrayNode()
+    val order0 = mapper.createObjectNode()
+    order0.put("order-id", 0)
+    order0.set[ArrayNode]("fields", mapper.createArrayNode())
+    orders.add(order0)
+    metaRoot.set[ArrayNode]("sort-orders", orders)
+    metaRoot.set[ObjectNode]("properties", mapper.createObjectNode())
+    metaRoot.put("current-snapshot-id", refs.head)
+    metaRoot.set[ArrayNode]("snapshots", snapshotNodes)
+    metaRoot.set[ArrayNode]("snapshot-log", snapshotLog)
+    metaRoot.set[ArrayNode]("metadata-log", mapper.createArrayNode())
+    val refsNode = mapper.createObjectNode()
+    val main = mapper.createObjectNode()
+    main.put("snapshot-id", refs.head)
+    main.put("type", "branch")
+    refsNode.set[ObjectNode]("main", main)
+    refs.tags.toSeq.sortBy(_._1).foreach { case (tag, seq) =>
+      val t = mapper.createObjectNode()
+      t.put("snapshot-id", seq)
+      t.put("type", "tag")
+      refsNode.set[ObjectNode](tag, t)
+    }
+    metaRoot.set[ObjectNode]("refs", refsNode)
+
+    val version = snaps.size
+    val metaPath = dir.resolve(f"v$version%05d.metadata.json")
+    Files.write(metaPath,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(metaRoot))
+    Files.write(dir.resolve("version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    metaPath
+  }
+
+  /** Serialize one record with the schema's binary encoding (no container
+    * framing) — the pinnable byte layout for spec vectors. */
+  def recordBytes(schema: Schema, record: GenericRecord): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val encoder = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(record, encoder)
+    encoder.flush()
+    out.toByteArray
+  }
+
+  /** Read an emitted Avro file back with the stock generic reader — the
+    * independent-parser half of the spec walk. */
+  def readAvro(path: Path): (Schema, Map[String, String], Seq[GenericRecord]) = {
+    val reader = new DataFileReader[GenericRecord](path.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val schema = reader.getSchema
+      val meta = reader.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro."))
+        .map(k => k -> reader.getMetaString(k)).toMap
+      val records = reader.iterator().asScala.toList
+      (schema, meta, records)
+    } finally reader.close()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.engine
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.{SparkSpec, Tables}
+
+/** Drives the Nessie-shaped HTTP facade over a REAL socket (JDK
+  * HttpClient against an ephemeral port) and diffs every response field
+  * against the q162 library surface ([[Layout.listRefs]]/
+  * [[Layout.commitLog]]) — the facade must be a pure re-encoding, never
+  * a second source of truth. */
+class NessieHttpSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(url: String): (Int, JsonNode) = {
+    val resp = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private def freshRefTable(): String = {
+    val t = s"nessie_${java.util.UUID.randomUUID().toString.take(8)}"
+    val events = Tables.events(spark, sf0001).select("event_id", "event_type", "value")
+    events.filter(col("event_id") % 2 === 0).write.saveAsTable(t)
+    Layout.snapshot(spark, t, "v1") // commit 0, tag v1
+    Layout.deleteWhereMor(spark, t, col("event_id") < 100L) // commit 1
+    t
+  }
+
+  test("GET /trees lists main + tags exactly as Layout.listRefs") {
+    val t = freshRefTable()
+    val server = NessieHttp.start(spark, t)
+    try {
+      val (code, body) = get(server.uri("/api/v2/trees"))
+      assert(code === 200)
+      val got = (0 until body.get("references").size())
+        .map(body.get("references").get(_))
+        .map(n => (n.get("name").asText(), n.get("type").asText(),
+          java.lang.Long.parseLong(n.get("hash").asText(), 16)))
+      val want = Layout.listRefs(spark, t).collect()
+        .map(r => (r.getString(0), r.getString(1).toUpperCase, r.getLong(2))).toSeq
+      assert(got === want)
+      assert(got.exists(r => r._1 == "main" && r._2 == "BRANCH" && r._3 == 1L))
+      assert(got.exists(r => r._1 == "v1" && r._2 == "TAG" && r._3 == 0L))
+    } finally server.stop()
+  }
+
+  test("GET /trees/{ref}/history matches Layout.commitLog and truncates at the ref") {
+    val t = freshRefTable()
+    val server = NessieHttp.start(spark, t)
+    try {
+      // main: both commits, newest first, parent chain linked by hash
+      val (code, body) = get(server.uri("/api/v2/trees/main/history"))
+      assert(code === 200)
+      val entries = (0 until body.get("logEntries").size())
+        .map(body.get("logEntries").get(_))
+      val wantLog = Layout.commitLog(spark, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(entries.size === wantLog.length)
+      entries.zip(wantLog).foreach { case (e, (seq, parent, op, nf, nr, tb)) =>
+        val meta = e.get("commitMeta")
+        assert(java.lang.Long.parseLong(meta.get("hash").asText(), 16) === seq)
+        assert(meta.get("message").asText() === op)
+        assert(meta.get("numFiles").asLong() === nf)
+        assert(meta.get("numRecords").asLong() === nr)
+        assert(meta.get("totalBytes").asLong() === tb)
+        if (parent >= 0)
+          assert(java.lang.Long.parseLong(
+            e.get("parentCommitHash").asText(), 16) === parent)
+        else assert(e.get("parentCommitHash") == null)
+      }
+      // tag v1 points at commit 0: history from the tag has ONE entry
+      val (c2, b2) = get(server.uri("/api/v2/trees/v1/history"))
+      assert(c2 === 200)
+      assert(b2.get("logEntries").size() === 1)
+      assert(java.lang.Long.parseLong(
+        b2.get("logEntries").get(0).get("commitMeta").get("hash").asText(), 16) === 0L)
+      // unknown refs 404 (JSON); unknown routes 404 (server default — may
+      // not be JSON, so check status only)
+      assert(get(server.uri("/api/v2/trees/nope/history"))._1 === 404)
+      val raw = client.send(
+        HttpRequest.newBuilder(URI.create(server.uri("/api/v2/nope"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(raw.statusCode() === 404)
+    } finally server.stop()
+  }
+}
