@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{IvfIndex, Similarity}
+import graft.ext.{BpeTrainer, IvfIndex, Similarity}
 
 /** Round-6 declared queries: the build-once/search-many ANN split
   * (`q78_build` / `q78_search` — the round-5 bench-placement critique)
@@ -77,5 +77,32 @@ object Round6Queries {
       minHits = 2.0)
   }, Some(PipelineQueries.annContractSql))
 
-  val all: Seq[GQuery] = Seq(q78b, q78s, q172)
+  /** Q173 (T12′, production BPE encoder through the gate): train K=16
+    * merges on a deterministic document slice, encode the WHOLE corpus
+    * with [[BpeTrainer.encodePartitioned]] (the mapPartitions
+    * heap-encoder — constant plan size at any K), and gate the
+    * invariants DuckDB can recompute: every document round-trips
+    * byte-exactly (token concatenation rebuilds the whitespace-stripped
+    * text) and the corpus compresses vs raw characters. The
+    * trie≡fold-encode equivalence itself is spec-pinned
+    * (BpeTrainerSpec); this entry keeps the production encoder on the
+    * per-round oracle treadmill. */
+  val q173 = GQuery("q173_bpe_encode", (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val merges = BpeTrainer.train(
+      docs.filter(col("doc_id") < 200), "text", numMerges = 16, minPairCount = 2)
+    BpeTrainer.encodePartitioned(docs, "text", merges)
+      .select(col("doc_id"), col("n_tokens"),
+        (concat_ws("", col("tokens")) ===
+          regexp_replace(col("text"), "\\s+", "")).as("ok"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_roundtrip_fail"),
+        (sum(col("n_tokens")) < sum(col("n_chars"))).as("compressed"))
+  },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(0 AS BIGINT) AS n_roundtrip_fail,
+           |  true AS compressed FROM documents""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173)
 }
