@@ -415,4 +415,77 @@ object Dedup {
         (floor((size(col("__toks")) - 1) / segmentWords) + 1)
           .cast("long").as("total_segments"))
   }
+
+  /** Exact substring dedup — the sliding-window generalization of
+    * [[segmentDedup]] (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022: remove every repeated substring
+    * of ≥ L tokens, keeping its first corpus occurrence). Where segment
+    * dedup tiles the document (stride = window, so a duplicated span
+    * straddling a tile boundary survives), this slides a `windowTokens`
+    * window at stride 1: every token covered by ANY duplicated window —
+    * an L-gram whose first corpus occurrence (by (doc_id, pos)) is
+    * elsewhere — is removed, and overlapping duplicated windows merge
+    * into maximal spans for free under the coverage rule.
+    *
+    * Shape at scale — same floor as [[segmentDedup]], text never rides
+    * the dedup shuffle:
+    *   1. slim inventory (md5(window) 16 B, doc_id, pos), ~n rows per
+    *      n-token doc (stride 1), shuffles on the hash;
+    *   2. first occurrence per hash = min(struct(doc_id, pos)) — a
+    *      map-side-combined aggregate, never a per-hash sort (a
+    *      boilerplate window repeated 10⁶× combines locally); the
+    *      rejoin that classifies each occurrence against its winner is
+    *      an equi-join on the same hash (AQE splits the hot keys);
+    *   3. duplicated-window positions collapse to one (doc_id, sorted
+    *      pos array) row per affected doc — the second slim exchange —
+    *      and full text crosses exactly one exchange (the doc-id
+    *      reassembly join), where a per-index coverage filter re-slices
+    *      the token array in place.
+    *
+    * The md5 keying carries the same 128-bit collision assumption as
+    * [[segmentDedup]] (standard for content-addressed dedup). Null-text
+    * docs are excluded up front (a null document has no windows — and no
+    * tokens to keep). Docs shorter than the window have no windows and
+    * pass through unchanged; docs that lose every token are emitted with
+    * empty text (kept_tokens = 0), not dropped — span removal is a
+    * rewrite, not a filter, and the caller decides the empty-doc policy.
+    *
+    * Output: (doc_id, text, kept_tokens, total_tokens). */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val L = windowTokens
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__toks", TextPrep.tokens(col("__text")))
+    // guard: sequence(0, n-L) with n < L would COUNT DOWN (Spark infers
+    // step -1), manufacturing phantom negative positions
+    val wins = base
+      .select(col("doc_id"), col("__toks"),
+        explode(when(size(col("__toks")) >= L,
+          sequence(lit(0), size(col("__toks")) - L))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ",
+          slice(col("__toks"), col("pos") + 1, lit(L)))).as("__h"))
+    val winners = wins
+      .groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__w"))
+    val dupPos = wins.join(winners, Seq("__h"))
+      .where(col("doc_id") =!= col("__w.doc_id") ||
+        col("pos") =!= col("__w.pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__dups"))
+    base.join(dupPos, Seq("doc_id"), "left")
+      .withColumn("__d", coalesce(col("__dups"), array().cast("array<int>")))
+      .withColumn("__keep",
+        filter(sequence(lit(0), size(col("__toks")) - 1),
+          i => !exists(col("__d"), q => q <= i && i < q + L)))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          transform(col("__keep"), i => element_at(col("__toks"), i + 1)))
+          .as("text"),
+        size(col("__keep")).cast("long").as("kept_tokens"),
+        size(col("__toks")).cast("long").as("total_tokens"))
+  }
 }

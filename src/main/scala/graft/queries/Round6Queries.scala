@@ -104,5 +104,99 @@ object Round6Queries {
            |  CAST(0 AS BIGINT) AS n_roundtrip_fail,
            |  true AS compressed FROM documents""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173)
+  /** Q174 (D11, exact substring dedup): the Lee-et-al sliding-window
+    * span remover ([[graft.ext.Dedup.substringDedup]]) — every token
+    * covered by a repeated 8-gram whose first corpus occurrence is
+    * elsewhere is cut, documents are rebuilt in place, and the rebuilt
+    * text is verified by md5 so the oracle checks every byte of every
+    * rewritten document. Complements q171: segment dedup tiles (stride =
+    * window, boundary-straddling dupes survive), this slides (stride 1,
+    * maximal duplicated spans are removed wherever they sit). */
+  val q174 = GQuery("q174_substring_dedup", (s, d) =>
+    graft.ext.Dedup.substringDedup(t(s, d, "documents"), "doc_id", "text", 8)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("kept_tokens"), col("total_tokens"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+           |    string_split_regex(lower(trim(text)), '\s+') AS w
+           |  FROM documents WHERE text IS NOT NULL),
+           |wins AS (SELECT doc_id, g.pos AS pos,
+           |    md5(array_to_string(list_slice(w, g.pos + 1, g.pos + 8), ' ')) AS h
+           |  FROM t, LATERAL (SELECT unnest(generate_series(0, len(w) - 8)) AS pos) g
+           |  WHERE len(w) >= 8),
+           |dups AS (SELECT doc_id, pos FROM wins
+           |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1),
+           |toks AS (SELECT doc_id, i.i AS i, w[i.i + 1] AS tok
+           |  FROM t, LATERAL (SELECT unnest(generate_series(0, len(w) - 1)) AS i) i),
+           |kept AS (SELECT tk.doc_id, tk.i, tk.tok FROM toks tk
+           |  WHERE NOT EXISTS (SELECT 1 FROM dups d
+           |    WHERE d.doc_id = tk.doc_id AND tk.i BETWEEN d.pos AND d.pos + 7)),
+           |re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text2,
+           |    count(*) AS kept FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, md5(coalesce(re.text2, '')) AS text_md5,
+           |  CAST(coalesce(re.kept, 0) AS BIGINT) AS kept_tokens,
+           |  CAST(len(t.w) AS BIGINT) AS total_tokens
+           |FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+           |ORDER BY t.doc_id""".stripMargin))
+
+  /** Q175 (N8, product-quantization ANN): the compressed-domain tier —
+    * per-subspace codebooks trained with joint Lloyd rounds
+    * ([[graft.ext.Pq.train]]), the corpus stored as m=8 small ints
+    * (32× fewer candidate-scan bytes than float at dim 64), probes
+    * scored with ADC lookup tables, float re-rank of the shortlist.
+    * Gated by the q30-family recall contract against the float
+    * brute-force top-10; the lossless-alphabet exactness and code-range
+    * invariants are spec-pinned (PqSpec). */
+  val q175 = GQuery("q175_ann_pq_adc", (s, d) => {
+    val e = t(s, d, "embeddings")
+    val probes = probesOf(e)
+    val ann = graft.ext.Pq.topK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10, m = 8, ksub = 16, iters = 2, dim = 64)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,
+      minHits = 2.0)
+  }, Some(PipelineQueries.annContractSql))
+
+  /** Q176 (L16′, Iceberg-metadata round-trip scan): a table is written,
+    * MOR-deleted and MOR-upserted through [[graft.engine.Layout]], its
+    * state exported as Iceberg v2 metadata, and then read back through
+    * [[graft.engine.IcebergMeta.open]] — version-hint → metadata.json →
+    * Avro manifest list → Avro manifests → parquet, with the v2
+    * positional- and equality-delete semantics replayed from the spec
+    * fields alone (no graft JSON consulted). The oracle recomputes the
+    * expected post-delete post-upsert state from the raw table, so the
+    * gate proves the exported metadata carries the FULL table state —
+    * the interop claim, executed. */
+  val q176 = GQuery("q176_iceberg_roundtrip", (s, d) => {
+    import graft.engine.{IcebergMeta, Layout}
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"iceq_$run"
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(4)
+      .write.saveAsTable(table)
+    Layout.snapshot(s, table, "t0")
+    Layout.deleteWhereMor(s, table, col("doc_id") % 5 === 0)
+    val updates = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .where(col("doc_id") < 40)
+      .withColumn("n_chars", col("n_chars") + 1000000L)
+    Layout.upsertMor(s, table, updates, "doc_id")
+    IcebergMeta.emit(s, table)
+    IcebergMeta.open(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  },
+    Some("""WITH cur AS (
+           |  SELECT doc_id, lang, n_chars + 1000000 AS n_chars
+           |  FROM documents WHERE doc_id < 40
+           |  UNION ALL
+           |  SELECT doc_id, lang, n_chars FROM documents
+           |  WHERE doc_id % 5 <> 0 AND doc_id >= 40)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM cur GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173, q174, q175, q176)
 }

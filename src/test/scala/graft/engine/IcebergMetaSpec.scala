@@ -124,6 +124,65 @@ class IcebergMetaSpec extends SparkSpec {
     }
   }
 
+  test("open() reconstructs full MOR table state from Iceberg files alone") {
+    val t = freshTable("iceberg_open")
+    Layout.snapshot(spark, t, "t0")                          // seq 0
+    Layout.deleteWhereMor(spark, t, col("event_id") % 3 === 0L) // seq 1 (+pos deletes)
+    val updates = Tables.events(spark, sf0001)
+      .select("event_id", "event_type", "value")
+      .where(col("event_id") < 20L)
+      .withColumn("value", col("value") * 10.0)
+    Layout.upsertMor(spark, t, updates, "event_id")          // seq 2 (+eq deletes)
+    IcebergMeta.emit(spark, t)
+
+    // current state: version-hint → metadata.json → avro manifests →
+    // parquet + replayed v2 delete semantics, no graft JSON consulted
+    val viaIceberg = IcebergMeta.open(spark, t)
+      .orderBy("event_id").collect()
+    val viaGraft = Layout.readCurrent(spark, t)
+      .orderBy("event_id").collect()
+    assert(viaIceberg.length === viaGraft.length)
+    assert(viaIceberg === viaGraft,
+      "Iceberg-metadata read must equal the native MOR read, row for row")
+    // the MOR semantics actually bit: upserted keys carry the ×10 value
+    val original = Tables.events(spark, sf0001)
+      .select("event_id", "value").where(col("event_id") < 20L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val upserted = viaIceberg.filter(_.getLong(0) < 20L)
+    assert(upserted.nonEmpty)
+    upserted.foreach(r =>
+      assert(r.getDouble(2) === original(r.getLong(0)) * 10.0,
+        s"event ${r.getLong(0)} must carry the upserted value"))
+
+    // time travel by snapshot id: seq 0 = the pre-delete tag
+    val atZero = IcebergMeta.open(spark, t, snapshotId = 0L)
+      .orderBy("event_id").collect()
+    val tagged = Layout.readAt(spark, t, "t0")
+      .orderBy("event_id").collect()
+    assert(atZero === tagged)
+
+    // unknown snapshot refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      IcebergMeta.open(spark, t, snapshotId = 999L)
+    }
+    assert(err.getMessage.contains("999"))
+  }
+
+  test("sparkSchema inverts icebergSchema on nested types") {
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("tags", ArrayType(StringType, containsNull = false)),
+      StructField("attrs", MapType(StringType, DoubleType)),
+      StructField("nested", StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", DecimalType(12, 2), nullable = false))))))
+    val (node, fieldIds, _) = IcebergMeta.icebergSchema(st, 0)
+    val (back, idToName) = IcebergMeta.sparkSchema(node)
+    assert(back === st)
+    assert(idToName === fieldIds.map(_.swap))
+  }
+
   test("bound encoding follows the spec's single-value serialization") {
     def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
     // little-endian numerics

@@ -124,4 +124,58 @@ class DedupSpec extends SparkSpec {
     assert(once.select("doc_id", "text").exceptAll(twice).isEmpty &&
       twice.exceptAll(once.select("doc_id", "text")).isEmpty)
   }
+
+  test("substringDedup removes repeated sliding spans, keeps first occurrence") {
+    val d = spark.createDataFrame(Seq(
+      // doc 1: owns the first occurrence of every one of its 3-grams
+      (1L, "a b c d e"),
+      // doc 2: embeds doc 1's span "b c d" mid-document — windows at the
+      // straddling positions are dups, so exactly those 3 tokens vanish
+      (2L, "x y b c d z w"),
+      // doc 3: exact duplicate of doc 1 — every window is a dup, doc empties
+      (3L, "a b c d e"),
+      // doc 4: shorter than the window — no windows, passes through
+      (4L, "p q"),
+      // doc 5: internal repetition — second "m n o" is a dup of the first
+      (5L, "m n o u v m n o"))).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L),
+      "rewrite, not filter: emptied docs stay, with zero kept tokens")
+    assert(out(1L) === (("a b c d e", 5L, 5L)))
+    assert(out(2L) === (("x y z w", 4L, 7L)), "only the borrowed span is cut")
+    assert(out(3L) === (("", 0L, 5L)), "full duplicate loses every token")
+    assert(out(4L) === (("p q", 2L, 2L)), "sub-window doc untouched")
+    assert(out(5L) === (("m n o u v", 5L, 8L)), "internal repeat cut once")
+  }
+
+  test("substringDedup catches tile-straddling dupes segmentDedup misses") {
+    // The duplicated span "c d e f" straddles doc 2's 4-token tile
+    // boundary (tiles: [q r c d] [e f s t]) — segment dedup sees no
+    // duplicate tile, substring dedup removes the span.
+    val d = spark.createDataFrame(Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "q r c d e f s t"))).toDF("doc_id", "text")
+    val seg = Dedup.segmentDedup(d, "doc_id", "text", 4)
+      .where(col("doc_id") === 2L).select("text")
+      .collect().head.getString(0)
+    assert(seg === "q r c d e f s t", "tiling misses the straddling span")
+    val sub = Dedup.substringDedup(d, "doc_id", "text", 4)
+      .where(col("doc_id") === 2L).select("text")
+      .collect().head.getString(0)
+    assert(sub === "q r s t", "sliding windows remove it")
+  }
+
+  test("substringDedup excludes null-text docs and matches between runs") {
+    val d = spark.createDataFrame(Seq(
+      (1L, Option("a b c")), (2L, Option.empty[String])))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, "doc_id", "text", 2)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // deterministic on the real corpus: two runs, identical bytes
+    val a = Dedup.substringDedup(docs, "doc_id", "text", 8)
+    val b = Dedup.substringDedup(docs, "doc_id", "text", 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
