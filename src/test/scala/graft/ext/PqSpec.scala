@@ -82,6 +82,22 @@ class PqSpec extends SparkSpec {
       s"recall floor: ${contract.mkString(", ")}")
   }
 
+  test("prebuilt index search equals the build-per-query composition") {
+    val idx = Pq.build(embeddings, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, dim = 64)
+    try {
+      // codebooks are driver-pinned: search plans must not re-run Lloyd
+      assert(idx.codebooks.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.getClass.getSimpleName.contains("LocalRelation")))
+      val viaIndex = Pq.search(idx, embeddings, probes, "vec_id", "embedding",
+        "probe_id", "pv", k = 10)
+      val composed = Pq.topK(embeddings, probes, "vec_id", "embedding",
+        "probe_id", "pv", k = 10, m = 8, ksub = 16, iters = 2, dim = 64)
+      assert(viaIndex.exceptAll(composed).isEmpty &&
+        composed.exceptAll(viaIndex).isEmpty)
+    } finally Pq.drop(idx)
+  }
+
   test("PQ search is deterministic across runs") {
     val run = () => Pq.topK(embeddings, probes, "vec_id", "embedding",
       "probe_id", "pv", k = 10, m = 8, ksub = 16, iters = 1, dim = 64)
