@@ -144,26 +144,20 @@ object Pq {
         array().cast("array<double>"), (acc, v) => concat(acc, v))
         .as("recon"))
 
-  /** ADC top-k: score every code row with m LUT lookups, take the
-    * `rerankFactor·k` shortlist per probe, re-rank the shortlist in
-    * float. Output (probeIdCol, idCol, cos_sim) — the
-    * [[Similarity.recallContract]] shape. */
-  def topKAdc(corpus: DataFrame, codes: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
-      codebooks: DataFrame, k: Int, m: Int, ksub: Int,
-      rerankFactor: Int = 4): DataFrame = {
-    val dim = {
-      // subspace width from the codebook itself (k-row metadata, no
-      // corpus job): dim = m · |cv|
-      val subDim = codebooks.select(size(col("cv"))).head().getInt(0)
-      m * subDim
-    }
-    // per-probe LUT: lut[j·ksub + cid] = ⟨q_j, c_{j,cid}⟩, one flat
-    // m·ksub-double array per probe, built from k-row joins and broadcast
-    val probeSubs = subvectors(
+  /** Subspace width from the codebook itself (k-row metadata read, no
+    * corpus job): dim = m · |cv|. */
+  private def dimOf(codebooks: DataFrame, m: Int): Int =
+    m * codebooks.select(size(col("cv"))).head().getInt(0)
+
+  /** Per-probe ADC lookup table: lut[j·ksub + cid] = ⟨q_j, c_{j,cid}⟩,
+    * one flat m·ksub-double array per probe — built from k-row joins,
+    * broadcast to the candidate scan. Output: (pid, lut). */
+  private def probeLuts(probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, codebooks: DataFrame, m: Int, dim: Int): DataFrame =
+    subvectors(
       probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")),
       "pid", "pv", m, dim / m)
-    val luts = probeSubs.join(broadcast(codebooks), Seq("j"))
+      .join(broadcast(codebooks), Seq("j"))
       .select(col("pid"), col("j"), col("cid"),
         VectorFunctions.dot(col("sv"), col("cv")).as("w"))
       .groupBy(col("pid"))
@@ -171,17 +165,16 @@ object Pq {
         array_sort(collect_list(struct(col("j"), col("cid"), col("w")))),
         x => x.getField("w")).as("lut"))
 
-    val adcScored = codes.crossJoin(broadcast(luts))
-      .where(col(idCol) =!= col("pid"))
-      .select(col("pid"), col(idCol),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, j) => acc + get(col("lut"), j * ksub + get(col("codes"), j)))
-          .as("adc"))
-    val ws = Window.partitionBy(col("pid")).orderBy(col("adc").desc, col(idCol))
-    val shortlist = adcScored.withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= k * rerankFactor)
-      .select(col("pid"), col(idCol))
+  /** ADC score (m LUT lookups) for a (pid, codes) row set. */
+  private def adcScore(m: Int, ksub: Int): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + get(col("lut"), j * ksub + get(col("codes"), j)))
 
+  /** Float re-rank of a (pid, id) shortlist — the exact-scores tail every
+    * ANN operator here shares. Output: (probeIdCol, idCol, cos_sim). */
+  private def rerank(shortlist: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
     val corpusF = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("fv"))
     val probesF = probes.select(col(probeIdCol).as("pid"),
       col(probeVecCol).cast("array<double>").as("pvf"))
@@ -193,6 +186,60 @@ object Pq {
     val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col(idCol))
     rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
+  }
+
+  /** ADC top-k: score every code row with m LUT lookups, take the
+    * `rerankFactor·k` shortlist per probe, re-rank the shortlist in
+    * float. Output (probeIdCol, idCol, cos_sim) — the
+    * [[Similarity.recallContract]] shape. */
+  def topKAdc(corpus: DataFrame, codes: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      codebooks: DataFrame, k: Int, m: Int, ksub: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val dim = dimOf(codebooks, m)
+    val luts = probeLuts(probes, probeIdCol, probeVecCol, codebooks, m, dim)
+    val adcScored = codes.crossJoin(broadcast(luts))
+      .where(col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol), adcScore(m, ksub).as("adc"))
+    val ws = Window.partitionBy(col("pid")).orderBy(col("adc").desc, col(idCol))
+    val shortlist = adcScored.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= k * rerankFactor)
+      .select(col("pid"), col(idCol))
+    rerank(shortlist, corpus, probes, idCol, vecCol, probeIdCol, probeVecCol, k)
+  }
+
+  /** IVF-PQ (the IVFADC architecture of Jégou et al. §V / FAISS
+    * `IndexIVFPQ` — the composition production systems run at 10⁹
+    * vectors): the IVF coarse quantizer restricts candidates to the
+    * `nprobe` nearest inverted lists (probe-count × nprobe slim rows
+    * joined against the prebuilt assignment — the full-corpus ADC scan
+    * of [[topKAdc]] never happens), the survivors are scored in the
+    * compressed domain (m LUT lookups each), and only the
+    * `rerankFactor·k` shortlist touches float vectors. Cost per probe:
+    * O(N/nlist · nprobe) code lookups + O(k·rerankFactor) float rows —
+    * both knobs, neither corpus-sized. */
+  def searchIvfAdc(ivf: IvfIndex.Index, pq: Index,
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    val dim = dimOf(pq.codebooks, pq.m)
+    val probeLists = Similarity.nearestCentroids(
+      probes.select(col(probeIdCol), col(probeVecCol).cast("array<double>").as("pv")),
+      col(probeIdCol), col("pv"), nprobe, ivf.centroids)
+      .select(col("m_id").as("pid"), col("centroid_id"))
+    val candidates = probeLists.join(ivf.assignment, Seq("centroid_id"))
+      .select(col("pid"), col(idCol))
+    val luts = probeLuts(probes, probeIdCol, probeVecCol, pq.codebooks, pq.m, dim)
+    val adcScored = candidates
+      .join(pq.codes, Seq(idCol))
+      .join(broadcast(luts), Seq("pid"))
+      .where(col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol), adcScore(pq.m, pq.ksub).as("adc"))
+    val ws = Window.partitionBy(col("pid")).orderBy(col("adc").desc, col(idCol))
+    val shortlist = adcScored.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= k * rerankFactor)
+      .select(col("pid"), col(idCol))
+    rerank(shortlist, corpus, probes, idCol, vecCol, probeIdCol, probeVecCol, k)
   }
 
   /** Train + encode + ADC-search in one call — the build-per-query

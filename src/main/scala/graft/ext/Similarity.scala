@@ -182,7 +182,7 @@ object Similarity {
     * Assignment metric = search metric (cosine): lists must be built with
     * the same geometry probes search with, or recall drops to the random-
     * subset floor. Output: (m_id, centroid_id). */
-  private def nearestCentroids(df: DataFrame, did: Column, dvec: Column,
+  private[ext] def nearestCentroids(df: DataFrame, did: Column, dvec: Column,
       keep: Int, centroids: DataFrame): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))
       .select(did.as("m_id"), col("centroid_id"),

@@ -205,5 +205,55 @@ object Round6Queries {
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM cur GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173, q174, q175, q176)
+  /** Q177 (N2″, prebuilt-signature LSH search): the q30 family's missing
+    * amortization — the round-6 sf1 checkpoint measured q30's in-query
+    * signature scan as the dominant LINEAR term (exponent 0.98) once
+    * auto-bits flattened the candidate stage. [[graft.ext.LshIndex]]
+    * makes signatures index state: hashed once per (session, dir), a
+    * search touches probe signatures + bucket-mates only. Same
+    * hyperplanes, buckets, and exact re-rank as q30, so the recall
+    * contract carries over; LshIndexSpec pins search ≡ lshTopK exactly. */
+  val q177 = GQuery("q177_ann_lsh_prebuilt", (s, d) => {
+    import graft.ext.LshIndex
+    val e = t(s, d, "embeddings")
+    val probes = probesOf(e)
+    val idx = LshIndex.cached(s.sparkContext.applicationId + ":" + d) {
+      LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
+    }
+    val ann = LshIndex.search(idx, e, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,
+      minHits = 2.0)
+  }, Some(PipelineQueries.annContractSql))
+
+  /** Q178 (N9, IVF-PQ / IVFADC): the composition production ANN runs at
+    * 10⁹ vectors (FAISS IndexIVFPQ): prebuilt IVF lists restrict
+    * candidates to nprobe inverted lists, prebuilt PQ codes score the
+    * survivors in the compressed domain (m LUT lookups each), float
+    * touches only the re-rank shortlist. Neither stage is corpus-sized
+    * at query time ([[graft.ext.Pq.searchIvfAdc]]). Same recall-contract
+    * gate; the widened nprobe/rerank knobs buy back the compounded
+    * approximation (IVF candidate loss × ADC ranking noise). */
+  val q178 = GQuery("q178_ann_ivf_pq", (s, d) => {
+    import graft.ext.{IvfIndex, Pq}
+    val e = t(s, d, "embeddings")
+    val probes = probesOf(e)
+    val ivf = IvfIndex.cached(s.sparkContext.applicationId + ":" + d) {
+      IvfIndex.buildTrained(e, "vec_id", "embedding",
+        nCentroids = 8, lloydIters = 2)
+    }
+    val pq = Pq.cached(s.sparkContext.applicationId + ":" + d) {
+      Pq.build(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 2, dim = 64)
+    }
+    val ann = Pq.searchIvfAdc(ivf, pq, e, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10, nprobe = 4, rerankFactor = 8)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,
+      minHits = 2.0)
+  }, Some(PipelineQueries.annContractSql))
+
+  val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173, q174, q175, q176, q177, q178)
 }

@@ -222,6 +222,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q174 substring dedup: document text crosses at most one exchange") {
+    val plan = executed(run("q174_substring_dedup"))
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.nonEmpty, "dedup must shuffle its slim window inventory")
+    // the (md5, doc_id, pos) inventory shuffles and the dup-position
+    // aggregation must never carry document text or token arrays; only
+    // the single doc-granularity reassembly join may
+    val wide = shuffles.filter { e =>
+      val fields = e.child.schema.fieldNames.toSet
+      fields.contains("__text") || fields.contains("__toks") || fields.contains("text")
+    }
+    assert(wide.size <= 1,
+      s"text rides ${wide.size} exchanges: ${wide.map(_.child.schema.fieldNames.mkString(","))}")
+  }
+
+  test("q175 PQ ADC scan reads only codes; probe LUTs broadcast") {
+    val plan = executed(run("q175_ann_pq_adc"))
+    // the corpus-sized ADC stage must join against a broadcast LUT —
+    // a shuffle of the code table keyed by probe would be the
+    // non-scalable formulation
+    val bcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty, "ADC scoring must broadcast the probe LUTs")
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    shuffles.foreach { e =>
+      val fields = e.child.schema.fieldNames.toSet
+      assert(!fields.contains("codes") || !fields.contains("lut"),
+        s"code×lut product rides a shuffle: $fields")
+    }
+  }
+
   test("q91 shipping priority: both joins broadcast, fact scan pruned, top-10 fused") {
     val plan = executed(run("q91_shipping_priority"))
     assert(plan.collect { case j: BroadcastHashJoinExec => j }.size === 2, plan.toString)

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class LshIndexSpec extends SparkSpec {
+
+  // NOT cached: autoBits sizes buckets from parquet footer counts; a
+  // .cache() swaps the leaf for an InMemoryRelation whose size-estimate
+  // stats would mis-size bits. Production (q177) reads parquet the same way.
+  private lazy val embeddings = Tables.embeddings(spark, sf0001)
+  private lazy val probes = embeddings.where(col("vec_id") < 5)
+    .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+
+  test("prebuilt-signature search equals lshTopK exactly (same planes, same buckets)") {
+    val idx = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    try {
+      val viaIndex = LshIndex.search(idx, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      val inQuery = Similarity.lshTopK(embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10,
+        tables = 8, bits = idx.bits, dim = 64)
+      assert(viaIndex.exceptAll(inQuery).isEmpty &&
+        inQuery.exceptAll(viaIndex).isEmpty,
+        "index search must be the same operator with the corpus pass hoisted")
+    } finally LshIndex.drop(idx)
+  }
+
+  test("auto-bits sizing matches the in-query path and needs no corpus job") {
+    val idx = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 4, dim = 64)
+    try {
+      // 500 vectors → ceil(log2(500/32)) = 4 (clamped floor)
+      assert(idx.bits === 4)
+      assert(idx.tables === 4)
+      // signatures: one row per (vector, table)
+      assert(idx.buckets.count() === embeddings.count() * 4)
+    } finally LshIndex.drop(idx)
+  }
+
+  test("recall contract holds through the prebuilt path") {
+    val idx = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    try {
+      val ann = LshIndex.search(idx, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      val exact = Similarity.bruteForceTopK(embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", 10)
+      val contract = Similarity.recallContract(ann, exact, "probe_id",
+        "vec_id", k = 10, minHits = 2.0).collect()
+      assert(contract.length === 5 && contract.forall(_.getBoolean(2)),
+        contract.mkString(", "))
+    } finally LshIndex.drop(idx)
+  }
+}

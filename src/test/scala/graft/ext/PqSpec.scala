@@ -98,6 +98,32 @@ class PqSpec extends SparkSpec {
     } finally Pq.drop(idx)
   }
 
+  test("IVF-PQ restricts ADC to the probed lists and keeps the recall floor") {
+    val ivf = IvfIndex.buildTrained(embeddings, "vec_id", "embedding",
+      nCentroids = 8, lloydIters = 2)
+    val pq = Pq.build(embeddings, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, dim = 64)
+    try {
+      val ann = Pq.searchIvfAdc(ivf, pq, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10,
+        nprobe = 4, rerankFactor = 8)
+      val exact = Similarity.bruteForceTopK(embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", 10)
+      val contract = Similarity.recallContract(ann, exact, "probe_id",
+        "vec_id", k = 10, minHits = 2.0).collect()
+      assert(contract.length === 5 && contract.forall(_.getBoolean(2)),
+        contract.mkString(", "))
+      // with every list probed the candidate set is the whole corpus:
+      // IVF-PQ degrades to plain ADC — the composition is sound
+      val allLists = Pq.searchIvfAdc(ivf, pq, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10,
+        nprobe = 8, rerankFactor = 4)
+      val plain = Pq.search(pq, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      assert(allLists.exceptAll(plain).isEmpty && plain.exceptAll(allLists).isEmpty)
+    } finally { IvfIndex.drop(ivf); Pq.drop(pq) }
+  }
+
   test("PQ search is deterministic across runs") {
     val run = () => Pq.topK(embeddings, probes, "vec_id", "embedding",
       "probe_id", "pv", k = 10, m = 8, ksub = 16, iters = 1, dim = 64)
