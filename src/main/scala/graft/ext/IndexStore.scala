@@ -1,0 +1,122 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable ANN index storage — the missing half of build-once/search-many:
+  * [[LshIndex]]/[[IvfIndex]]/[[Pq]] builds materialize into THIS process
+  * (persisted DataFrames + a process-lifetime memo), but a production index
+  * over 10⁹ vectors is built by one job and served by many — it must
+  * survive the JVM. Each index kind serializes to a directory of plain
+  * parquet tables plus a `meta.json` carrying the structural parameters
+  * (the part of an index that is NOT a table: bits, tables, m, ksub…).
+  *
+  * Layout discipline mirrors what each search scans:
+  *   - LSH signatures cluster by (table_id, bucket) — a search joins
+  *     probe buckets against exactly these keys, so co-locating a
+  *     bucket's rows keeps the join's build side dense (and at 100 TB the
+  *     written table would be bucketed on the same key, making the
+  *     search join shuffle-free on the index side).
+  *   - IVF assignment clusters by centroid_id — a search reads the
+  *     `nprobe` lists its probes select; clustering turns that into a
+  *     contiguous-row-group read instead of a full-table sieve.
+  *   - PQ codes write as-is: the design point of PQ is that search SCANS
+  *     the whole code table (m bytes/vector), so there is no key to
+  *     cluster by — only the small codebooks ride beside it.
+  *
+  * Writes are idempotent overwrites of a directory the caller owns; a
+  * production deployment would publish the directory through the same
+  * snapshot-commit protocol as any table ([[graft.engine.Manifests]]) —
+  * index publication is just a table commit.
+  */
+object IndexStore {
+
+  private val mapper = new ObjectMapper()
+
+  private def writeMeta(dir: String, kvs: (String, Any)*): Unit = {
+    val n = mapper.createObjectNode()
+    kvs.foreach {
+      case (k, v: Int)    => n.put(k, v)
+      case (k, v: Long)   => n.put(k, v)
+      case (k, v: String) => n.put(k, v)
+      case (k, v)         => n.put(k, String.valueOf(v))
+    }
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "meta.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+  }
+
+  private def readMeta(dir: String) =
+    mapper.readTree(new String(
+      Files.readAllBytes(Paths.get(dir, "meta.json")), UTF_8))
+
+  private def requireKind(dir: String, kind: String) = {
+    val m = readMeta(dir)
+    require(m.path("kind").asText() == kind,
+      s"$dir holds a '${m.path("kind").asText()}' index, expected '$kind'")
+    m
+  }
+
+  /** k-row/driver-safe table → LocalRelation pin (the build-time
+    * discipline, reapplied at load so search plans broadcast without
+    * re-reading the file). */
+  private def pinLocal(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  // ---- LSH ----------------------------------------------------------
+
+  def writeLsh(index: LshIndex.Index, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "lsh", "tables" -> index.tables,
+      "bits" -> index.bits, "dim" -> index.dim)
+    index.buckets
+      .repartition(col("table_id"), col("bucket"))
+      .sortWithinPartitions("table_id", "bucket")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/buckets")
+  }
+
+  def loadLsh(spark: SparkSession, dir: String): LshIndex.Index = {
+    val m = requireKind(dir, "lsh")
+    LshIndex.Index(spark.read.parquet(s"$dir/buckets"),
+      m.get("tables").asInt(), m.get("bits").asInt(), m.get("dim").asInt())
+  }
+
+  // ---- IVF ----------------------------------------------------------
+
+  def writeIvf(index: IvfIndex.Index, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "ivf")
+    index.centroids.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    index.assignment
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/assignment")
+  }
+
+  def loadIvf(spark: SparkSession, dir: String): IvfIndex.Index = {
+    requireKind(dir, "ivf")
+    IvfIndex.Index(pinLocal(spark.read.parquet(s"$dir/centroids")),
+      spark.read.parquet(s"$dir/assignment"))
+  }
+
+  // ---- PQ -----------------------------------------------------------
+
+  def writePq(index: Pq.Index, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "pq", "m" -> index.m, "ksub" -> index.ksub)
+    index.codebooks.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    index.codes.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+  }
+
+  def loadPq(spark: SparkSession, dir: String): Pq.Index = {
+    val m = requireKind(dir, "pq")
+    Pq.Index(pinLocal(spark.read.parquet(s"$dir/codebooks")),
+      spark.read.parquet(s"$dir/codes"),
+      m.get("m").asInt(), m.get("ksub").asInt())
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class IndexStoreSpec extends SparkSpec {
+
+  // uncached: autoBits sizes from parquet footer stats (production shape)
+  private lazy val embeddings = Tables.embeddings(spark, sf0001)
+  private lazy val probes = embeddings.where(col("vec_id") < 5)
+    .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-idxstore").toString
+
+  private def assertSame(a: DataFrame, b: DataFrame, hint: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, hint)
+
+  test("LSH index round-trips: loaded search ≡ in-memory search, meta intact") {
+    val built = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    val dir = tmp()
+    try {
+      IndexStore.writeLsh(built, dir)
+      val loaded = IndexStore.loadLsh(spark, dir)
+      assert(loaded.tables === built.tables && loaded.bits === built.bits &&
+        loaded.dim === built.dim)
+      assertSame(
+        LshIndex.search(loaded, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10),
+        LshIndex.search(built, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10),
+        "search through the stored index must equal the in-memory index")
+    } finally LshIndex.drop(built)
+  }
+
+  test("IVF index round-trips and the loaded centroids are driver-pinned") {
+    val built = IvfIndex.buildTrained(embeddings, "vec_id", "embedding",
+      nCentroids = 8, lloydIters = 2)
+    val dir = tmp()
+    try {
+      IndexStore.writeIvf(built, dir)
+      val loaded = IndexStore.loadIvf(spark, dir)
+      assertSame(
+        IvfIndex.search(loaded, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10, nprobe = 2),
+        IvfIndex.search(built, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10, nprobe = 2),
+        "search through the stored index must equal the in-memory index")
+      // centroids must be a LocalRelation (broadcast with zero recompute),
+      // not a lazy file scan re-read by every search plan
+      assert(loaded.centroids.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.nonEmpty, loaded.centroids.queryExecution.optimizedPlan.toString)
+    } finally IvfIndex.drop(built)
+  }
+
+  test("PQ index round-trips: ADC search ≡, codebooks and params intact") {
+    val built = Pq.build(embeddings, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, dim = 64)
+    val dir = tmp()
+    try {
+      IndexStore.writePq(built, dir)
+      val loaded = IndexStore.loadPq(spark, dir)
+      assert(loaded.m === built.m && loaded.ksub === built.ksub)
+      assertSame(loaded.codebooks, built.codebooks, "codebooks differ")
+      assertSame(
+        Pq.search(loaded, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10),
+        Pq.search(built, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10),
+        "search through the stored index must equal the in-memory index")
+    } finally Pq.drop(built)
+  }
+
+  test("kind mismatch is refused, not misparsed") {
+    val built = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 4, dim = 64)
+    val dir = tmp()
+    try {
+      IndexStore.writeLsh(built, dir)
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.loadPq(spark, dir)
+      }
+      assert(e.getMessage.contains("lsh") && e.getMessage.contains("pq"))
+    } finally LshIndex.drop(built)
+  }
+}
