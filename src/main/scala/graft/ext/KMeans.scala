@@ -54,6 +54,53 @@ object KMeans {
       .select(col(idCol), col("cid"))
   }
 
+  /** Nearest-centroid assignment as a map-side-combined aggregate — the
+    * large-k formulation: [[assign]]'s per-row window re-shuffles the
+    * N·k scored rows by id; this one folds them with partial aggregation
+    * before any exchange (max of (sim, -cid) per id — the -cid makes
+    * exact ties deterministic toward the smaller cid, so identical
+    * vectors always co-cluster). At SemDeDup-scale k (N/256) the window
+    * form would shuffle 256× the corpus; this shuffles at most one
+    * combined row per (id, input partition). Output: (idCol, cid). */
+  def assignAgg(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol),
+        struct(VectorFunctions.cosine(col("__v"), col("cv")).as("__csim"),
+          (-col("cid")).as("__ncid")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(max(col("__s")).as("__m"))
+      .select(col(idCol), (-col("__m.__ncid")).as("cid"))
+
+  /** Large-k training: ONE-pass deterministic hash seeding (top-k by
+    * xxhash64 — the uniform-sample stand-in for k-means‖ oversampling,
+    * Bahmani et al. VLDB'12) + the same Lloyd loop with the [[assignAgg]]
+    * assignment. [[fit]]'s farthest-first init is the right trade at
+    * IVF-scale k (one corpus pass per seed, 8–64 seeds); SemDeDup-scale
+    * k (N/256 clusters) needs seeding whose cost does not scale with k.
+    * Output: (cid, cv), k rows, cid = each seed row's id. */
+  def fitHashSeeded(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int): DataFrame = {
+    val unitized = unitize(vecs, vecCol, "__nv").select(col(idCol), col("__nv"))
+    var centroids = unitized
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .select(col(idCol).cast("long").as("cid"), col("__nv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 0 until maxIter) {
+      val assigned = assignAgg(unitized, idCol, "__nv", centroids)
+      val means = unitize(
+        VectorAgg.centroids(assigned.join(unitized, idCol), "cid", "__nv"),
+        "centroid", "cv")
+        .select(col("group").cast("long").as("cid"), col("cv"))
+      centroids = means
+        .unionByName(centroids.join(means.select("cid"), Seq("cid"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
   /** Train `k` unit-length centroids with `maxIter` Lloyd rounds.
     *
     * Init: deterministic farthest-first traversal — seed with the hash-min

@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Semantic deduplication — SemDeDup (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedding space with k-means, then
+  * within each cluster remove every point that is τ-similar to an
+  * earlier point. The clusters are what make the operator tractable at
+  * corpus scale: pairwise cosine is quadratic, but only WITHIN a
+  * cluster — k is chosen so N/k points fit a single executor's partition
+  * (the paper runs k ≈ 11 000 on 1.3 B embeddings, ~10⁵ per cluster),
+  * turning an O(N²) global problem into N·(N/k) work sharded by
+  * centroid_id, with AQE skew-split covering the fat clusters.
+  *
+  * Keep rule (deterministic): a point is DROPPED iff some same-cluster
+  * point with a smaller id is τ-similar to it; kept otherwise. Two
+  * invariants follow and are what [[contract]] re-verifies from the
+  * output alone: no two kept points in a cluster are τ-similar (if they
+  * were, the larger id would have been dropped), and every dropped point
+  * has an earlier τ-similar same-cluster witness. This is the
+  * min-id-representative flavor of the paper's "keep one per ε-group";
+  * the connected-components flavor (representatives by quality) is
+  * [[Dedup.corpusDedup]]'s job — SemDeDup trades that global chase for
+  * strictly cluster-local decisions, which is why it scales to 10⁹.
+  *
+  * Shape at scale: one k-means fit (bounded driver state, [[KMeans.fit]]
+  * discipline), one broadcast-assign pass (k-row centroid table), one
+  * centroid_id-keyed self-join whose both sides are (id, centroid_id,
+  * vector) — vectors cross exactly two exchanges (the join's two sides),
+  * dropped ids collapse to a slim distinct, and the verdict is a
+  * left-anti join on id. No stage is globally quadratic.
+  */
+object SemDedup {
+
+  /** Cluster + dedup. Output: (idCol, cluster_id, kept) — cluster_id
+    * dense-renumbered 0..k-1 in centroid-id order so downstream gates
+    * are stable across runs (the raw k-means cid is the seed point's
+    * id — deterministic but data-valued).
+    *
+    * k should scale with the corpus (k ≈ N/256 keeps expected cluster
+    * size — and thus the per-cluster quadratic factor — constant);
+    * clustering is [[KMeans.fitHashSeeded]] (one-pass seeding +
+    * map-side-combined assignment), whose per-round cost is one corpus
+    * pass regardless of k. Broadcast bound: assignment ships k·dim
+    * doubles to every executor, so cap k around 2^16 (32 MB at dim 64)
+    * and let cluster sizes grow past that — the paper's own regime
+    * (fixed k ≈ 11k at 1.3 B embeddings); past ~10⁶ clusters the
+    * assignment itself would need a coarse quantizer on the centroids. */
+  def dedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, lloydIters: Int, tau: Double): DataFrame = {
+    // centroids come back localCheckpoint'd (k slim rows, lineage
+    // truncated) — assignment broadcasts them, nothing re-runs Lloyd
+    val centroids = KMeans.fitHashSeeded(embeddings, idCol, vecCol, k, lloydIters)
+      .select(col("cid").as("centroid_id"), col("cv"))
+    val members = KMeans.assignAgg(embeddings, idCol, vecCol,
+        centroids.select(col("centroid_id").as("cid"), col("cv")))
+      .select(col(idCol), col("cid").as("centroid_id"))
+      .join(embeddings.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+    // within-cluster, earlier-id τ-witnesses → dropped set (slim ids)
+    val a = members.select(col(idCol).as("__ida"), col("centroid_id"),
+      col("__v").as("__va"))
+    val b = members.select(col(idCol).as("__idb"), col("centroid_id"),
+      col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .where(col("__idb") < col("__ida") &&
+        VectorFunctions.cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__ida").as(idCol)).distinct()
+    val clusters = denseClusters(centroids)
+    members.join(dropped.withColumn("__dropped", lit(true)), Seq(idCol), "left")
+      .join(broadcast(clusters), Seq("centroid_id"))
+      .select(col(idCol), col("cluster_id"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+
+  /** centroid_id → dense 0..k-1 (k rows, ordered by centroid id). */
+  private def denseClusters(centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    centroids.select(col("centroid_id"))
+      .withColumn("cluster_id",
+        row_number().over(Window.orderBy(col("centroid_id"))).cast("long") - 1)
+  }
+
+  /** Re-verify the two SemDeDup invariants from the verdict + embeddings
+    * alone — one contract row per cluster (always exactly k rows; an
+    * empty cluster is vacuously ok):
+    *   - `kept_ok`: no τ-similar pair among the cluster's kept points;
+    *   - `dropped_ok`: every dropped point has an earlier τ-similar
+    *     same-cluster witness.
+    * Output: (cluster_id, kept_ok, dropped_ok) — the q30-family contract
+    * shape: the oracle states the same k constant-true rows, so a
+    * clustering or join bug flips a boolean and the gate goes red. */
+  def contract(verdict: DataFrame, embeddings: DataFrame,
+      idCol: String, vecCol: String, k: Int, tau: Double): DataFrame = {
+    val vd = verdict.join(
+      embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+      Seq(idCol))
+    val a = vd.select(col(idCol).as("__ida"), col("cluster_id"),
+      col("kept").as("__ka"), col("__v").as("__va"))
+    val b = vd.select(col(idCol).as("__idb"), col("cluster_id"),
+      col("kept").as("__kb"), col("__v").as("__vb"))
+    val sim = VectorFunctions.cosine(col("__va"), col("__vb")) >= tau
+    val keptViolations = a.join(b, Seq("cluster_id"))
+      .where(col("__ka") && col("__kb") && col("__idb") < col("__ida") && sim)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__kv"))
+    // witness count per dropped point via conditional aggregation — a
+    // pre-filter + groupBy would silently LOSE zero-witness points (the
+    // violation this contract exists to catch)
+    val droppedUnwitnessed = a.where(!col("__ka"))
+      .join(b, Seq("cluster_id"))
+      .groupBy(col("cluster_id"), col("__ida"))
+      .agg(sum(when(col("__idb") < col("__ida") && sim, 1L).otherwise(0L))
+        .as("__w"))
+      .where(col("__w") === 0)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__dv"))
+    // base = range(k), not the verdict's clusters: an EMPTY cluster still
+    // yields its (vacuously true) row, so the gate's shape is always k
+    verdict.sparkSession.range(k).select(col("id").as("cluster_id"))
+      .join(keptViolations, Seq("cluster_id"), "left")
+      .join(droppedUnwitnessed, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        (coalesce(col("__kv"), lit(0L)) === 0).as("kept_ok"),
+        (coalesce(col("__dv"), lit(0L)) === 0).as("dropped_ok"))
+      .orderBy(col("cluster_id"))
+  }
+}

@@ -255,5 +255,34 @@ object Round6Queries {
       minHits = 2.0)
   }, Some(PipelineQueries.annContractSql))
 
-  val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173, q174, q175, q176, q177, q178)
+  /** Q179 (D12, SemDeDup): semantic dedup by k-means clustering +
+    * within-cluster τ-similar removal (Abbas et al. 2023,
+    * arXiv:2303.09540 — [[graft.ext.SemDedup]]). k scales as N/256
+    * (constant expected cluster size, so the per-cluster quadratic
+    * factor never grows), N from parquet footer stats — no count() job.
+    * The gate is the q30-family contract shape, recomputed in-plan from
+    * the verdict + embeddings alone: per cluster, no τ-similar kept
+    * pair survives and every dropped point has an earlier τ-similar
+    * same-cluster witness; the oracle states the same k constant-true
+    * rows (k recomputed by DuckDB from the same count/256 formula). */
+  val q179 = GQuery("q179_semdedup", (s, d) => {
+    import graft.engine.TableStats
+    import graft.ext.SemDedup
+    val e = t(s, d, "embeddings")
+    // k capped at 2^16: past that the centroid broadcast itself becomes
+    // the bottleneck (k·dim doubles) — the paper's regime (fixed k ≈ 11k
+    // at 1.3B embeddings) accepts growing cluster sizes instead
+    val k = math.min(65536L, math.max(8L, TableStats.rowCountNoJob(e) / 256)).toInt
+    val verdict = SemDedup.dedup(e, "vec_id", "embedding",
+      k = k, lloydIters = 2, tau = 0.4)
+    SemDedup.contract(verdict, e, "vec_id", "embedding", k = k, tau = 0.4)
+  },
+    Some("""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,
+           |  true AS kept_ok, true AS dropped_ok
+           |FROM embeddings
+           |QUALIFY cluster_id < (SELECT least(65536, greatest(8, CAST(floor(count(*)/256) AS BIGINT))) FROM embeddings)
+           |ORDER BY cluster_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173, q174, q175, q176, q177,
+    q178, q179)
 }

@@ -64,4 +64,33 @@ class KMeansSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(10L -> 0L, 11L -> 1L))
   }
+
+  test("assignAgg ≡ assign on real vectors, including the smaller-cid tie-break") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val centroids = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIter = 1)
+    val viaWindow = KMeans.assign(emb, "vec_id", "embedding", centroids)
+    val viaAgg = KMeans.assignAgg(emb, "vec_id", "embedding", centroids)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty,
+      "map-side-combined assignment must be the same operator")
+    // explicit tie: two centroids equidistant from a vector → both forms
+    // must deterministically pick the smaller cid
+    val cs = Seq((5L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("cid", "cv")
+    val vs = Seq((10L, Seq(1.0, 1.0))).toDF("id", "vec")
+    assert(KMeans.assignAgg(vs, "id", "vec", cs).head().getLong(1) === 2L)
+    assert(KMeans.assign(vs, "id", "vec", cs).head().getLong(1) === 2L)
+  }
+
+  test("fitHashSeeded: k centroids, deterministic, Lloyd improves the objective") {
+    val k = 9
+    val init = KMeans.fitHashSeeded(blobs, "id", "vec", k, maxIter = 0)
+    val trained = KMeans.fitHashSeeded(blobs, "id", "vec", k, maxIter = 3)
+    assert(init.count() === k && trained.count() === k)
+    val objInit = KMeans.objective(blobs, "id", "vec", init)
+    val objTrained = KMeans.objective(blobs, "id", "vec", trained)
+    assert(objTrained >= objInit - 1e-9,
+      s"Lloyd rounds worsened the objective: $objInit -> $objTrained")
+    val again = KMeans.fitHashSeeded(blobs, "id", "vec", k, maxIter = 3)
+    assert(trained.exceptAll(again).isEmpty && again.exceptAll(trained).isEmpty)
+  }
 }
