@@ -17,13 +17,20 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS), which Spark's Parquet reader
-      // rejects as a timestamp; read the raw nanos and truncate to Spark's
-      // native microsecond precision (same truncation DuckDB applies when
-      // casting TIMESTAMP_NS to TIMESTAMP, so oracle results line up).
+      // events.ts has shipped as INT64 TIMESTAMP(NANOS) in some data
+      // drops and TIMESTAMP(MICROS) (read as NTZ) in others; normalize
+      // both to Spark's native session-UTC microsecond TimestampType so
+      // every downstream query (and the DuckDB oracle, which reads the
+      // same file as a naive timestamp) sees identical instants.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ: same wall-clock field values, UTC session
+          raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
