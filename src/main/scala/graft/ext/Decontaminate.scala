@@ -91,4 +91,110 @@ object Decontaminate {
           .as("containment"))
       .filter(col("containment") >= tau)
   }
+
+  /** Bloom-filter contamination pre-filter — the ZERO-SHUFFLE variant of
+    * [[contamination]] for the common case where the benchmark/test side
+    * fits a sketch (it always does: benchmark suites are ≤10⁷ n-grams).
+    *
+    * The test set's distinct shingle hashes go into ONE bloom filter
+    * (Spark's own `BloomFilterAggregate`, the sketch behind runtime
+    * row-level filtering); the corpus then streams through a map-only
+    * `might_contain` probe — per-doc hit counts with NO join and NO
+    * shuffle of the corpus side at all (the only shuffle in the plan is
+    * the per-doc count aggregate, slim (id, long) rows). At 100 TB this
+    * turns decontamination from an inverted-index equi-join into a scan.
+    *
+    * One-sided error, in the safe direction: bloom filters have NO false
+    * negatives, so every truly contaminated document is flagged —
+    * guaranteed decontamination; false positives over-drop clean docs at
+    * a rate bounded by `fpp` per shingle (union-bounded per doc by its
+    * shingle count — the default 1e-4 holds expected per-doc fp odds
+    * ≈ 1% at 100-shingle docs). The sketch is collected to the driver
+    * and embedded as a binary literal: `numBits` is derived from the
+    * optimal bits-per-item formula −ln(fpp)/ln²2 and capped at 2²⁷ bits
+    * (16 MB — the bounded-driver-state discipline; a benchmark set
+    * overflowing the cap degrades fpp, never correctness).
+    *
+    * `expectedShingles` ≤ 0 sizes the filter from
+    * [[graft.engine.TableStats.rowCountNoJob]] × `shinglesPerDocHint` —
+    * no count() job for a parameter.
+    *
+    * Output: (doc_id, n_shingles, n_hits, flagged) per corpus doc —
+    * flagged = n_hits ≥ minHits.
+    */
+  def bloomContaminationFlags(
+      corpus: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      minHits: Int = 1,
+      fpp: Double = 1e-4,
+      expectedShingles: Long = -1L,
+      shinglesPerDocHint: Int = 128): DataFrame = {
+    import org.apache.spark.sql.graft.SketchExprs
+
+    val nItems = math.max(1024L,
+      if (expectedShingles > 0) expectedShingles
+      else graft.engine.TableStats.rowCountNoJob(test) * shinglesPerDocHint)
+    val bitsPerItem = -math.log(fpp) / (math.log(2) * math.log(2))
+    val numBits = math.min(1L << 27, math.max(64L, (nItems * bitsPerItem).ceil.toLong))
+
+    val testHashes = Dedup.shingleSets(test, idCol, textCol, shingleK)
+      .select(explode_outer(col("sh")).as("__sh"))
+      .select(xxhash64(col("__sh")).as("__h"))
+      .distinct()
+    // Bounded driver read: ONE binary cell, ≤ numBits/8 bytes by
+    // construction — sketch state, not data (the catalog-listing class
+    // of collect).
+    val bf = testHashes
+      .agg(SketchExprs.bloomAgg(col("__h"), nItems, numBits).as("__bf"))
+      .head().getAs[Array[Byte]]("__bf")
+
+    Dedup.shingleSets(corpus, idCol, textCol, shingleK)
+      .select(col("doc_id").as(idCol), explode_outer(col("sh")).as("__sh"))
+      .withColumn("__h", xxhash64(col("__sh")))
+      .withColumn("__hit",
+        when(SketchExprs.bloomMightContain(bf, col("__h")), 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("__hit")).as("n_hits"))
+      .withColumn("flagged", col("n_hits") >= minHits)
+  }
+
+  /** Gate contract for [[bloomContaminationFlags]]: one row
+    * (n_corpus, n_contaminated, no_missed, fp_bounded).
+    *
+    * The exact contaminated set (≥1 shared distinct shingle with the
+    * test set, STRING identity — hash-independent) is recomputed
+    * in-plan for the gate; `no_missed` asserts the bloom path flagged
+    * every one of them (must hold: no false negatives), `fp_bounded`
+    * bounds over-dropping at `fpBound` of the corpus. The two exact
+    * counts are the only sketch-independent values, so the oracle
+    * recomputes them and states the booleans. */
+  def bloomContract(
+      corpus: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      fpBound: Double = 0.05): DataFrame = {
+    val flags = bloomContaminationFlags(corpus, test, idCol, textCol, shingleK)
+    val corpusSh = Dedup.shingleSets(corpus, idCol, textCol, shingleK)
+      .select(col("doc_id").as(idCol), explode_outer(col("sh")).as("__sh"))
+    val testSh = Dedup.shingleSets(test, idCol, textCol, shingleK)
+      .select(explode_outer(col("sh")).as("__sh")).distinct()
+    val exact = corpusSh.join(broadcast(testSh), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct().withColumn("__exact", lit(1L))
+    flags.join(exact, Seq(idCol), "left")
+      .agg(
+        count(lit(1)).as("n_corpus"),
+        sum(coalesce(col("__exact"), lit(0L))).as("n_contaminated"),
+        sum(when(col("__exact") === 1L && !col("flagged"), 1L).otherwise(0L))
+          .as("__missed"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("__n_flagged"))
+      .select(col("n_corpus"), col("n_contaminated"),
+        (col("__missed") === 0L).as("no_missed"),
+        (col("__n_flagged") - col("n_contaminated") <=
+          ceil(col("n_corpus") * fpBound)).as("fp_bounded"))
+  }
 }

@@ -40,9 +40,24 @@ object PrefixSum {
       val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
       df.withColumn(out, sum(size).over(w) - size)
     } else {
+      // localCheckpoint is load-bearing, not an optimization: `keyed`
+      // feeds BOTH the offsets aggregate and the final join, and
+      // `repartitionByRange` picks its boundaries by reservoir SAMPLING
+      // seeded per evaluation. If AQE compiles the two consumers as
+      // separate stages without exchange reuse (column pruning gives the
+      // two exchanges different outputs, defeating canonical-plan
+      // matching), the branches see DIFFERENT shard assignments and the
+      // joined offsets are wrong — ranks can exceed n (caught at sf0.1
+      // by q181's tercile bound). Materializing the assignment once
+      // makes both reads see the same partitioning; at scale this is the
+      // same work the second pass would have spent recomputing the
+      // upstream pipeline (callers pass slim projections; a cluster
+      // deployment would use a reliable checkpoint dir instead of
+      // executor-local blocks).
       val keyed = df
         .repartitionByRange(shards, col(groupCol) +: order: _*)
         .withColumn("__shard", spark_partition_id())
+        .localCheckpoint()
       val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__shard"))
       val offsets = keyed.groupBy(col(groupCol), col("__shard"))
         .agg(sum(size).as("__ssum"))

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting / sampling — the train/val/test
@@ -125,6 +126,56 @@ object Splits {
         strataCol, Seq("__draw", keyCol), sizeCol, "__before", shards)
       .filter(col("__before") < budget)
       .drop("__draw", "__before")
+  }
+
+  /** Temperature-scaled source mixing — the GPT-3/PaLM-style data-mix
+    * op: sampling share of source s ∝ n_s^τ (τ < 1 flattens the natural
+    * distribution toward uniform, upweighting small high-quality sources;
+    * τ = 1 is proportional, τ = 0 uniform). Targets apportion a fixed
+    * total by the largest-remainder method (Hamilton) so they sum to
+    * EXACTLY `total`, then each source keeps its `target` smallest
+    * md5-draw docs — a pure function of the corpus, no rand().
+    *
+    * Scale shape: the share/target table is k source rows (one tiny
+    * aggregate + a k-row window); per-source selection ranks by the draw
+    * through [[PrefixSum.exclusive]]'s two-level scan — `shards > 0`
+    * avoids the one-task-per-source window when sources are few and fat
+    * (the 100 TB case). Float discipline: shares and remainders are
+    * rounded to 6 places before any comparison so rank order is
+    * engine-stable (the documented log/exp rounding rule).
+    *
+    * Output: the selected (strataCol, keyCol) rows. */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+      total: Long, tau: Double, shards: Int = 0): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val wSrc = Window.orderBy(col(strataCol))
+    // k-row plan: weights, shares, floor targets, largest-remainder top-up
+    val targets = counts
+      .withColumn("__w", pow(col("__n").cast("double"), lit(tau)))
+      .withColumn("__p", col("__w") / sum(col("__w")).over(
+        wSrc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__x", round(col("__p") * total, 6))
+      .withColumn("__base", floor(col("__x")))
+      .withColumn("__rem", round(col("__x") - col("__base"), 6))
+      .withColumn("__rr", row_number().over(
+        Window.orderBy(col("__rem").desc, col(strataCol))))
+      .withColumn("__short", (lit(total) - sum(col("__base")).over(
+        wSrc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .cast("long"))
+      .select(col(strataCol),
+        (col("__base") + when(col("__rr") <= col("__short"), 1L).otherwise(0L))
+          .cast("long").as("__target"))
+    // A source smaller than its (τ-upweighted) target contributes all
+    // its docs — undershoot, never replacement; epoch-style upsampling
+    // is the caller's loop, not a hidden row duplication here.
+    val ranked = PrefixSum.exclusive(
+      df.select(col(strataCol), col(keyCol))
+        .withColumn("__draw", md5Prefix(col(keyCol)))
+        .withColumn("__one", lit(1L)),
+      strataCol, Seq("__draw", keyCol), "__one", "__rank", shards)
+    ranked.join(broadcast(targets), Seq(strataCol))
+      .filter(col("__rank") < col("__target"))
+      .select(col(strataCol), col(keyCol))
   }
 
   /** Stratified deterministic sample: a per-stratum fraction, as a pure

@@ -1,0 +1,184 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level document quality filtering — the rule-based and
+  * model-based (perplexity) filters every LLM pre-training pipeline runs
+  * between raw crawl and dedup (the reference stack ships none of this;
+  * it is pipeline-side functionality layered over the same document
+  * tables the reference's BI surface reads,
+  * `/root/reference/seed.sh:40-70` being the closest analogue: a static
+  * seed of curated tables).
+  *
+  * Two families:
+  *
+  *  - [[gopherRules]]: the heuristic rule battery of Gopher (Rae et al.
+  *    2021, arXiv:2112.11446 §A1.1) — word-count bounds, mean-word-length
+  *    bounds, symbol/word ratio, bullet- and ellipsis-line fractions,
+  *    alphabetic-word fraction, stop-word floor. Each rule is a named
+  *    boolean column; `keep` is their conjunction. All rules are pure
+  *    Catalyst expression trees over ONE staged token array — narrow,
+  *    codegen'd, zero shuffles: at 100 TB this is a map-only pass whose
+  *    cost is the parquet scan itself.
+  *
+  *  - [[perplexityBuckets]]: CCNet-style LM scoring (Wenzek et al. 2020,
+  *    arXiv:1911.00359) — score each document under an add-α-smoothed
+  *    bigram LM estimated on the corpus itself, then cut the corpus into
+  *    head/middle/tail perplexity terciles. The LM state is the bigram
+  *    count table (Zipf-bounded, ≪ corpus); it broadcasts onto the
+  *    per-document bigram stream, so the whole pass is the bigram
+  *    explode + one map-side-combined count + one per-doc aggregate —
+  *    no all-pairs, no driver loops.
+  *
+  * == Oracle discipline ==
+  *
+  * Every ratio is rounded before comparison; per-document log-prob sums
+  * go through `DECIMAL` so summation order cannot change the result
+  * (`ln` is computed per-row on identical IEEE doubles — the q124
+  * precedent — then rounded to 6 places BEFORE the sum, so the decimal
+  * sum is exact and order-independent on both engines).
+  */
+object TextQuality {
+
+  /** Default stop-word list shared with the DuckDB twin (the q33 list —
+    * chosen to intersect the synthetic corpus vocabulary; Gopher's own
+    * list is {the, be, to, of, and, that, have, with}). */
+  val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "is")
+
+  /** The Gopher rule battery over a document text column.
+    *
+    * Thresholds are the paper's except where the synthetic gate corpus
+    * (10–99 words/doc, single-line, all-alphabetic tokens) would make a
+    * rule vacuously one-sided: word bounds are scaled from the paper's
+    * [50, 100k] to [minWords, maxWords] so the gate SF exercises both
+    * outcomes. Returns (feature/rule name → column); callers select
+    * them all plus [[gopherKeep]].
+    *
+    * `toks` and `lines` MUST be materialized attribute columns (staged
+    * via withColumn) — each is referenced from several lambda bodies
+    * and would otherwise be recomputed per element (see
+    * [[TextPrep]]'s evaluation-cost discipline).
+    */
+  def gopherRules(text: Column, toks: Column, lines: Column,
+      minWords: Int = 20, maxWords: Int = 90): Seq[(String, Column)] = {
+    val nW = size(toks)
+    val nL = size(lines)
+    // non-whitespace chars / words — same estimator q33 uses
+    val meanLen = length(regexp_replace(lower(trim(text)), "\\s+", ""))
+      .cast("double") / greatest(nW, lit(1))
+    val hashCnt = length(text) - length(regexp_replace(text, "#", ""))
+    val ellCnt = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symRatio = (hashCnt + ellCnt).cast("double") / greatest(nW, lit(1))
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike("^[-•*]"))).cast("double") / greatest(nL, lit(1))
+    val ellLineFrac = size(filter(lines,
+      l => l.rlike("\\.\\.\\.$"))).cast("double") / greatest(nL, lit(1))
+    val alphaFrac = size(filter(toks,
+      t => t.rlike("[a-z]"))).cast("double") / greatest(nW, lit(1))
+    val stopCnt = size(filter(toks, t => t.isInCollection(StopWords)))
+    Seq(
+      "word_count" -> nW.cast("long"),
+      "mean_word_len" -> round(meanLen, 6),
+      "symbol_ratio" -> round(symRatio, 6),
+      "bullet_line_frac" -> round(bulletFrac, 6),
+      "ellipsis_line_frac" -> round(ellLineFrac, 6),
+      "alpha_word_frac" -> round(alphaFrac, 6),
+      "stop_word_count" -> stopCnt.cast("long"),
+      "r_words" -> (nW >= minWords && nW <= maxWords),
+      "r_mean_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "r_symbols" -> (symRatio < 0.1),
+      "r_bullets" -> (bulletFrac < 0.9),
+      "r_ellipsis" -> (ellLineFrac < 0.3),
+      "r_alpha" -> (alphaFrac > 0.8),
+      "r_stops" -> (stopCnt >= 2))
+  }
+
+  /** Conjunction of the rule booleans emitted by [[gopherRules]]. */
+  def gopherKeep(rules: Seq[(String, Column)]): Column =
+    rules.collect { case (n, c) if n.startsWith("r_") => c }.reduce(_ && _)
+
+  /** Per-document Gopher verdicts: doc_id, the feature values, the seven
+    * rule booleans, and `keep`. One staged projection, map-only. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 90): DataFrame = {
+    val staged = docs
+      .withColumn("__toks", TextPrep.tokens(col(textCol)))
+      .withColumn("__lines", split(col(textCol), "\n"))
+    val rules = gopherRules(col(textCol), col("__toks"), col("__lines"),
+      minWords, maxWords)
+    staged.select(
+      col(idCol) +: rules.map { case (n, c) => c.as(n) }
+        :+ gopherKeep(rules).as("keep"): _*)
+  }
+
+  /** Per-document (a, b) bigram stream — the doc-keyed twin of the
+    * corpus bigram helper. One explode; bigram rows are slim (id + two
+    * tokens), the full text never leaves the scan projection. */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__toks", TextPrep.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("bg",
+        explode_outer(when(col("__n") >= 2,
+          transform(sequence(lit(1), col("__n") - 1),
+            i => struct(element_at(col("__toks"), i).as("a"),
+              element_at(col("__toks"), i + 1).as("b"))))))
+      .filter(col("bg").isNotNull)
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+
+  /** CCNet-style perplexity scoring + head/middle/tail terciles.
+    *
+    * LM: add-α-smoothed bigram model estimated on `docs` itself —
+    * P(b|a) = (c(a,b) + α) / (c(a,·) + α·V), V = |vocab|. Per doc:
+    * ppl = exp(−Σ ln P / n). The count tables are Zipf-bounded and
+    * broadcast onto the bigram stream (at 100 TB the bigram table of a
+    * natural-language corpus is millions of rows — still broadcast
+    * range; a genuinely huge vocab would flip these to shuffle joins
+    * with no plan change elsewhere).
+    *
+    * Determinism: ln is per-row on identical doubles, rounded to 6
+    * places, summed as DECIMAL(24,6) (exact, order-independent), and
+    * the final exp is rounded to 4 — the documented float discipline.
+    * Buckets: tercile = ⌊rank·3/n⌋ over the (ppl, id) total order, with
+    * rank from [[PrefixSum.exclusive]]'s two-level sharded scan — NOT a
+    * global single-task window (q158's ABC-classification discipline);
+    * the oracle states the identical closed form over row_number().
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol)
+    val counts = bg.groupBy("a", "b").agg(count(lit(1)).as("ab_cnt"))
+    val aCounts = bg.groupBy("a").agg(count(lit(1)).as("a_cnt"))
+    // vocab = distinct tokens (both positions), the LM's V
+    val vocab = bg.select(col("a").as("tok"))
+      .union(bg.select(col("b").as("tok")))
+      .agg(count_distinct(col("tok")).as("v"))
+    // counts/aCounts are NOT force-broadcast: Zipf keeps them far below
+    // the corpus, but a web-scale vocabulary's pair table (~10⁸ rows)
+    // outgrows a broadcast — AQE picks broadcast vs shuffle by actual
+    // size (at the gate SFs they always broadcast). vocab is one row.
+    val lp = bg
+      .join(counts, Seq("a", "b"))
+      .join(aCounts, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        round(log((col("ab_cnt") + alpha)
+          / (col("a_cnt") + lit(alpha) * col("v"))), 6)
+          .cast("decimal(24,6)"))
+    val perDoc = lp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp")).as("__sum_lp"))
+      .withColumn("ppl",
+        round(exp(-col("__sum_lp").cast("double") / col("n_bigrams")), 4))
+    val n = perDoc.agg(count(lit(1)).as("__n"))
+    val ranked = PrefixSum.exclusive(
+      perDoc.withColumn("__g", lit(0)).withColumn("__one", lit(1L)),
+      "__g", Seq("ppl", idCol), "__one", "__rank", shards = 8)
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        element_at(typedLit(Seq("head", "middle", "tail")),
+          (floor(col("__rank") * 3 / col("__n")) + 1).cast("int")))
+      .select(col(idCol), col("n_bigrams"), col("ppl"), col("bucket"))
+  }
+}

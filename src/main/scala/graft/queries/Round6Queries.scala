@@ -283,6 +283,191 @@ object Round6Queries {
            |QUALIFY cluster_id < (SELECT least(65536, greatest(8, CAST(floor(count(*)/256) AS BIGINT))) FROM embeddings)
            |ORDER BY cluster_id""".stripMargin))
 
+  /** Q180 (T13, Gopher rule battery): the heuristic quality filter of
+    * Rae et al. 2021 §A1.1 as one map-only staged projection —
+    * [[graft.ext.TextQuality.gopherFilter]]. Word-count bounds are
+    * scaled to the synthetic corpus (paper: [50, 100k]) so the gate SF
+    * exercises both keep and drop; every other threshold is the
+    * paper's. Fully SQL-expressible, so the oracle recomputes every
+    * feature, rule boolean, and the keep conjunction. */
+  val q180 = GQuery("q180_gopher_rules", (s, d) =>
+    graft.ext.TextQuality.gopherFilter(
+      t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, text,
+           |    string_split_regex(lower(trim(text)), '\s+') AS w,
+           |    string_split(text, chr(10)) AS ln
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |    CAST(len(w) AS BIGINT) AS word_count,
+           |    length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))::DOUBLE
+           |      / greatest(len(w), 1) AS mean_word_len_raw,
+           |    ((length(text) - length(replace(text, '#', '')))
+           |      + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+           |      / greatest(len(w), 1) AS symbol_ratio_raw,
+           |    len(list_filter(ln, l -> regexp_matches(trim(l), '^[-•*]')))::DOUBLE
+           |      / greatest(len(ln), 1) AS bullet_frac_raw,
+           |    len(list_filter(ln, l -> regexp_matches(l, '\.\.\.$')))::DOUBLE
+           |      / greatest(len(ln), 1) AS ell_frac_raw,
+           |    len(list_filter(w, tk -> regexp_matches(tk, '[a-z]')))::DOUBLE
+           |      / greatest(len(w), 1) AS alpha_frac_raw,
+           |    CAST(len(list_filter(w, tk ->
+           |      list_contains(['the','a','and','of','to','is'], tk))) AS BIGINT)
+           |      AS stop_word_count
+           |  FROM t)
+           |SELECT doc_id, word_count,
+           |  round(mean_word_len_raw, 6) AS mean_word_len,
+           |  round(symbol_ratio_raw, 6) AS symbol_ratio,
+           |  round(bullet_frac_raw, 6) AS bullet_line_frac,
+           |  round(ell_frac_raw, 6) AS ellipsis_line_frac,
+           |  round(alpha_frac_raw, 6) AS alpha_word_frac,
+           |  stop_word_count,
+           |  (word_count BETWEEN 20 AND 90) AS r_words,
+           |  (mean_word_len_raw BETWEEN 3.0 AND 10.0) AS r_mean_len,
+           |  (symbol_ratio_raw < 0.1) AS r_symbols,
+           |  (bullet_frac_raw < 0.9) AS r_bullets,
+           |  (ell_frac_raw < 0.3) AS r_ellipsis,
+           |  (alpha_frac_raw > 0.8) AS r_alpha,
+           |  (stop_word_count >= 2) AS r_stops,
+           |  ((word_count BETWEEN 20 AND 90) AND (mean_word_len_raw BETWEEN 3.0 AND 10.0)
+           |    AND (symbol_ratio_raw < 0.1) AND (bullet_frac_raw < 0.9)
+           |    AND (ell_frac_raw < 0.3) AND (alpha_frac_raw > 0.8)
+           |    AND (stop_word_count >= 2)) AS keep
+           |FROM f ORDER BY doc_id""".stripMargin))
+
+  /** Q181 (T14, CCNet perplexity buckets): add-α bigram-LM scoring of
+    * every document plus head/middle/tail terciles (Wenzek et al. 2020)
+    * — [[graft.ext.TextQuality.perplexityBuckets]]. Log-probs are
+    * rounded per-row then DECIMAL-summed (order-independent), and the
+    * tercile is the closed form ⌊rank·3/n⌋ over a sharded prefix-sum
+    * rank — no global single-task window; the oracle states the same
+    * closed form over row_number(). */
+  val q181 = GQuery("q181_perplexity_buckets", (s, d) =>
+    graft.ext.TextQuality.perplexityBuckets(
+      t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+    Some("""WITH bg AS (
+           |  SELECT doc_id, bg.a AS a, bg.b AS b FROM (
+           |    SELECT doc_id, unnest([struct_pack(a := w[i], b := w[i+1])
+           |                           for i in range(1, len(w))]) AS bg
+           |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |          FROM documents)
+           |    WHERE len(w) >= 2)),
+           |c AS (SELECT a, b, count(*) AS ab_cnt FROM bg GROUP BY a, b),
+           |ac AS (SELECT a, count(*) AS a_cnt FROM bg GROUP BY a),
+           |v AS (SELECT count(DISTINCT tok) AS v FROM (
+           |  SELECT a AS tok FROM bg UNION ALL SELECT b FROM bg)),
+           |lp AS (SELECT bg.doc_id,
+           |    CAST(round(ln((c.ab_cnt + 0.5) / (ac.a_cnt + 0.5 * v.v)), 6)
+           |      AS DECIMAL(24,6)) AS lp
+           |  FROM bg JOIN c USING (a, b) JOIN ac USING (a) CROSS JOIN v),
+           |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+           |    round(exp(-(sum(lp)::DOUBLE) / count(*)), 4) AS ppl
+           |  FROM lp GROUP BY doc_id),
+           |rk AS (SELECT doc_id, n_bigrams, ppl,
+           |    row_number() OVER (ORDER BY ppl, doc_id) - 1 AS rnk,
+           |    count(*) OVER () AS n
+           |  FROM pd)
+           |SELECT doc_id, n_bigrams, ppl,
+           |  CASE floor(rnk * 3 / n) WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+           |    ELSE 'tail' END AS bucket
+           |FROM rk ORDER BY doc_id""".stripMargin))
+
+  /** Q182 (D13, bloom-filter decontamination): the zero-shuffle
+    * contamination pre-filter — the benchmark set's distinct 5-shingle
+    * hashes go into ONE bloom filter (Spark's `BloomFilterAggregate`,
+    * 16 MB cap), and the corpus streams through a map-only
+    * `might_contain` probe; no corpus-side join or shuffle at all
+    * ([[graft.ext.Decontaminate.bloomContaminationFlags]]). One-sided
+    * error in the safe direction: no false negatives, so `no_missed`
+    * must hold by construction; `fp_bounded` caps over-dropping at 5%.
+    * Test set = every 50th document; exact contaminated set recomputed
+    * in-plan on shingle STRINGS (hash-independent) for the gate. */
+  val q182 = GQuery("q182_bloom_decontaminate", (s, d) => {
+    val docs = t(s, d, "documents")
+    val test = docs.filter(col("doc_id") % 50 === 0)
+    graft.ext.Decontaminate.bloomContract(docs, test, "doc_id", "text",
+      shingleK = 5, fpBound = 0.05)
+  },
+    Some("""WITH t AS (SELECT doc_id,
+           |    string_split_regex(lower(trim(text)), '\s+') AS w
+           |  FROM documents),
+           |sh AS (SELECT doc_id,
+           |    unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+           |                          for i in range(1, len(w) - 3)])) AS sh
+           |  FROM t WHERE len(w) >= 5),
+           |test AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+           |cont AS (SELECT count(DISTINCT s.doc_id) AS n_contaminated
+           |         FROM sh s JOIN test USING (sh)),
+           |nc AS (SELECT count(*) AS n_corpus FROM t WHERE len(w) >= 5)
+           |SELECT nc.n_corpus, cont.n_contaminated,
+           |  true AS no_missed, true AS fp_bounded
+           |FROM nc, cont""".stripMargin))
+
+  /** Q183 (A20, KMV corpus-overlap sketch): bottom-k distinct-hash
+    * Jaccard between two corpus halves ([[graft.ext.Kmv]], Beyer et al.
+    * 2007) — the pre-dedup overlap estimate. The estimate rides the
+    * sketch (k = 256 rows of state, one slim distinct shuffle); the
+    * exact twin is computed in-plan for the contract only, so `est_ok`
+    * is the single sketch-dependent column and the oracle restates the
+    * exact Jaccard plus `true` (the q129/q138 approximate-op
+    * discipline). Tolerance 0.12 ≈ 4 standard errors at k=256.
+    * 64-bit shingle-hash collisions are accepted (≲10⁻⁷ at sf0.1). */
+  val q183 = GQuery("q183_kmv_overlap", (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("grp", when(length(col("source")) === 4, "a").otherwise("b"))
+    graft.ext.Kmv.jaccardContract(docs, "grp", "text", grpA = "a",
+      shingleK = 3, k = 256, tol = 0.12)
+  },
+    Some("""WITH t AS (SELECT
+           |    CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS grp,
+           |    string_split_regex(lower(trim(text)), '\s+') AS w
+           |  FROM documents),
+           |s AS (SELECT DISTINCT grp,
+           |    unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+           |                          for i in range(1, len(w) - 1)])) AS sh
+           |  FROM t WHERE len(w) >= 3),
+           |m AS (SELECT sh,
+           |    max(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS in_a,
+           |    max(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS in_b
+           |  FROM s GROUP BY sh)
+           |SELECT CAST(256 AS BIGINT) AS k,
+           |  round(sum(in_a * in_b)::DOUBLE
+           |    / sum(CASE WHEN in_a + in_b > 0 THEN 1 ELSE 0 END), 6) AS exact_jaccard,
+           |  true AS est_ok
+           |FROM m""".stripMargin))
+
+  /** Q184 (P7, temperature-scaled source mixing): the GPT-3/PaLM data-mix
+    * schedule — share of source s ∝ n_s^0.7, targets apportioned to a
+    * fixed total by largest remainder (exactly Σ=200 when every source is
+    * big enough), each source keeping its target smallest md5-draw docs
+    * ([[graft.ext.Splits.temperatureMix]]). Fully deterministic (portable
+    * md5 draw, shares rounded to 6 before ranking), so the oracle
+    * reproduces the exact selected set. Per-source ranks ride the sharded
+    * prefix-sum scan, not a one-task-per-source window. */
+  val q184 = GQuery("q184_temperature_mix", (s, d) =>
+    graft.ext.Splits.temperatureMix(
+      t(s, d, "documents"), "source", "doc_id",
+      total = 200L, tau = 0.7, shards = 8)
+      .orderBy("source", "doc_id"),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |p AS (SELECT source, n,
+           |    pow(n, 0.7) / sum(pow(n, 0.7)) OVER () AS p FROM c),
+           |x AS (SELECT source, round(p * 200, 6) AS x FROM p),
+           |t AS (SELECT source, floor(x) AS base,
+           |    round(x - floor(x), 6) AS rem FROM x),
+           |r AS (SELECT source, base,
+           |    row_number() OVER (ORDER BY rem DESC, source) AS rr,
+           |    200 - sum(base) OVER () AS short FROM t),
+           |tt AS (SELECT source,
+           |    CAST(base + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT)
+           |      AS target FROM r),
+           |rk AS (SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) - 1
+           |      AS rnk
+           |  FROM documents)
+           |SELECT rk.source, rk.doc_id FROM rk JOIN tt USING (source)
+           |WHERE rnk < target ORDER BY source, doc_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173, q174, q175, q176, q177,
-    q178, q179)
+    q178, q179, q180, q181, q182, q183, q184)
 }

@@ -166,4 +166,24 @@ object SketchExprs {
     ExpressionUtils.column(SimHash64(e(hashes)))
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     ExpressionUtils.column(LshBands(e(sig), bands, rowsPerBand))
+
+  /** Spark's own bloom-filter aggregate over a BIGINT key column (the
+    * expression behind runtime row-level filtering, public SQL name
+    * `bloom_filter_agg`) — one binary sketch cell per group. */
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        e(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Membership probe against a driver-held bloom filter embedded as a
+    * binary literal (foldable, so `BloomFilterMightContain`'s
+    * constant-or-subquery analysis rule accepts it). */
+  def bloomMightContain(bf: Array[Byte], key: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bf, BinaryType),
+        e(key)))
 }

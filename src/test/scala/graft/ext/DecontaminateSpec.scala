@@ -64,4 +64,41 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.contamination(train, tiny, "doc_id", "text",
       shingleK = 3, tau = 0.0).count() === 0L)
   }
+
+  test("bloom flags every truly contaminated doc (no false negatives)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),    // contains test 3-grams
+      (2L, "one two three four nine ten eleven twelve"),
+      (3L, "completely different content entirely here now")
+    ).toDF("doc_id", "text")
+    val test = Seq((10L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val flags = Decontaminate.bloomContaminationFlags(corpus, test,
+        "doc_id", "text", shingleK = 3)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(flags(1L)._4, "doc sharing test shingles must be flagged")
+    assert(flags(1L)._3 >= 2L)
+    // fp on 3 clean docs at fpp 1e-4 would be a ~1-in-1000 event; a fail
+    // here is a bug, not bad luck (hashes are deterministic)
+    assert(!flags(2L)._4 && !flags(3L)._4)
+  }
+
+  test("bloom contract row matches the exact containment accounting") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val test = docs.filter(col("doc_id") % 50 === 0)
+    val row = Decontaminate.bloomContract(docs, test, "doc_id", "text",
+      shingleK = 5, fpBound = 0.05).head()
+    assert(row.getAs[Long]("n_corpus") === 500L)
+    // the planted test docs are themselves in the corpus -> at least them
+    assert(row.getAs[Long]("n_contaminated") >= 10L)
+    assert(row.getAs[Boolean]("no_missed"))
+    assert(row.getAs[Boolean]("fp_bounded"))
+  }
+
+  test("empty test set flags nothing") {
+    val corpus = train
+    val test = train.filter(col("doc_id") < 0)
+    val flags = Decontaminate.bloomContaminationFlags(corpus, test,
+      "doc_id", "text", shingleK = 3)
+    assert(flags.filter(col("flagged")).count() === 0L)
+  }
 }

@@ -102,4 +102,52 @@ class SplitsSpec extends SparkSpec {
       .select("shard", "pos_in_shard", "doc_id").as[(Int, Int, Long)].collect()
     assert(other.sorted.toSeq !== order.sorted.toSeq)
   }
+
+  test("temperatureMix: targets sum to total and tau<1 flattens the mix") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val mix = Splits.temperatureMix(docs, "source", "doc_id",
+      total = 200L, tau = 0.7, shards = 8)
+    val bySrc = mix.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.values.sum === 200L)
+    // 20 equal-sized sources (25 docs each): τ makes shares equal → 10 per source
+    assert(bySrc.values.forall(_ === 10L), s"expected uniform 10s, got $bySrc")
+
+    // skewed synthetic mix: tau=1 is proportional, tau=0.5 pulls the
+    // small source ABOVE its proportional share
+    val skew = (1 to 900).map(i => ("big", i.toLong)) ++
+      (901 to 1000).map(i => ("small", i.toLong))
+    val sdf = skew.toDF("source", "doc_id")
+    def share(tau: Double) = Splits.temperatureMix(sdf, "source", "doc_id",
+        total = 100L, tau = tau)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val prop = share(1.0)
+    val flat = share(0.5)
+    assert(prop("big") === 90L && prop("small") === 10L)
+    assert(flat("small") > 10L && flat("small") < 50L)
+    assert(flat("big") + flat("small") === 100L)
+  }
+
+  test("temperatureMix: undershooting source contributes all its docs") {
+    import spark.implicits._
+    val skew = (1 to 6).map(i => ("tiny", i.toLong)) ++
+      (7 to 1000).map(i => ("big", i.toLong))
+    val mix = Splits.temperatureMix(skew.toDF("source", "doc_id"),
+        "source", "doc_id", total = 400L, tau = 0.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // tau=0 → 200 each, but tiny has only 6 docs
+    assert(mix("tiny") === 6L && mix("big") === 200L)
+  }
+
+  test("temperatureMix is deterministic and partitioning-independent") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val a = Splits.temperatureMix(docs, "source", "doc_id", 200L, 0.7, shards = 8)
+      .as[(String, Long)].collect().sorted.toSeq
+    val b = Splits.temperatureMix(docs.repartition(13), "source", "doc_id",
+        200L, 0.7, shards = 3)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(a === b && a.length === 200)
+  }
 }
