@@ -154,18 +154,20 @@ object TextQuality {
     val vocab = bg.select(col("a").as("tok"))
       .union(bg.select(col("b").as("tok")))
       .agg(count_distinct(col("tok")).as("v"))
-    // counts/aCounts are NOT force-broadcast: Zipf keeps them far below
-    // the corpus, but a web-scale vocabulary's pair table (~10⁸ rows)
-    // outgrows a broadcast — AQE picks broadcast vs shuffle by actual
-    // size (at the gate SFs they always broadcast). vocab is one row.
-    val lp = bg
-      .join(counts, Seq("a", "b"))
+    // The LM is pre-assembled on the SMALL side: counts ⋈ aCounts ⋈ vocab
+    // are Zipf-bounded tables, so their joins never touch corpus-sized
+    // data; the bigram stream then joins the finished (a, b) → lp table
+    // exactly once. No force-broadcast: a web-scale pair table (~10⁸
+    // rows) outgrows a broadcast — AQE picks broadcast vs shuffle by
+    // actual size (at the gate SFs it always broadcasts).
+    val lmTable = counts
       .join(aCounts, Seq("a"))
       .crossJoin(broadcast(vocab))
-      .withColumn("__lp",
+      .select(col("a"), col("b"),
         round(log((col("ab_cnt") + alpha)
           / (col("a_cnt") + lit(alpha) * col("v"))), 6)
-          .cast("decimal(24,6)"))
+          .cast("decimal(24,6)").as("__lp"))
+    val lp = bg.join(lmTable, Seq("a", "b"))
     val perDoc = lp.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__lp")).as("__sum_lp"))
