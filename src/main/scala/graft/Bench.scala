@@ -80,7 +80,17 @@ object Bench {
     val errs = results.filter(_._2 < 0).map { case (k, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(v => math.abs(v._2)).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the TAIL of stdout, which has truncated the
+    // leading `"value":` total in past rounds — persist the full line so
+    // the artifact survives capture truncation (VERDICT r6 "What's wrong #3").
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

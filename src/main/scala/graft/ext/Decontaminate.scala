@@ -113,7 +113,13 @@ object Decontaminate {
     * and embedded as a binary literal: `numBits` is derived from the
     * optimal bits-per-item formula −ln(fpp)/ln²2 and capped at 2²⁷ bits
     * (16 MB — the bounded-driver-state discipline; a benchmark set
-    * overflowing the cap degrades fpp, never correctness).
+    * overflowing the cap degrades fpp, never correctness). Spark's
+    * `BloomFilterAggregate` SILENTLY clamps its arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 2²⁶)
+    * and `…maxNumItems` (default 4M) — half/below our cap — so both
+    * confs are raised to the requested size before aggregating;
+    * otherwise the effective bits/item would halve at scale and break
+    * the fp bound while the docstring still claimed 2²⁷.
     *
     * `expectedShingles` ≤ 0 sizes the filter from
     * [[graft.engine.TableStats.rowCountNoJob]] × `shinglesPerDocHint` —
@@ -139,6 +145,15 @@ object Decontaminate {
       else graft.engine.TableStats.rowCountNoJob(test) * shinglesPerDocHint)
     val bitsPerItem = -math.log(fpp) / (math.log(2) * math.log(2))
     val numBits = math.min(1L << 27, math.max(64L, (nItems * bitsPerItem).ceil.toLong))
+    // Lift BloomFilterAggregate's silent conf clamps (see docstring) up
+    // to the sizes this call actually requests.
+    val spark = corpus.sparkSession
+    val prevBits = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val prevItems = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(numBits, 1L << 26))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(nItems, 4000000L))
 
     val testHashes = Dedup.shingleSets(test, idCol, textCol, shingleK)
       .select(explode_outer(col("sh")).as("__sh"))
@@ -147,9 +162,16 @@ object Decontaminate {
     // Bounded driver read: ONE binary cell, ≤ numBits/8 bytes by
     // construction — sketch state, not data (the catalog-listing class
     // of collect).
-    val bf = testHashes
-      .agg(SketchExprs.bloomAgg(col("__h"), nItems, numBits).as("__bf"))
-      .head().getAs[Array[Byte]]("__bf")
+    val bf =
+      try testHashes
+        .agg(SketchExprs.bloomAgg(col("__h"), nItems, numBits).as("__bf"))
+        .head().getAs[Array[Byte]]("__bf")
+      finally {
+        def restore(k: String, prev: Option[String]): Unit =
+          prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        restore("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", prevBits)
+        restore("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", prevItems)
+      }
 
     Dedup.shingleSets(corpus, idCol, textCol, shingleK)
       .select(col("doc_id").as(idCol), explode_outer(col("sh")).as("__sh"))

@@ -43,16 +43,29 @@ object Kmv {
 
   /** Per-hash membership flags for a two-group element stream:
     * (h, in_a, in_b), one row per distinct hash — the merged-domain
-    * view both the estimator and the exact twin aggregate over. */
-  private def membership(elems: DataFrame, grpA: String): DataFrame =
-    elems.groupBy(col("__h"))
+    * view both the estimator and the exact twin aggregate over.
+    *
+    * `grpB == null` selects A-vs-REST semantics (in_b = any group other
+    * than `grpA` — correct only when the stream genuinely carries two
+    * groups); passing `grpB` explicitly filters the stream to exactly
+    * {grpA, grpB}, so a 3+-group input measures J(A, B) rather than
+    * silently measuring J(A, rest). */
+  private def membership(elems: DataFrame, grpA: String,
+      grpB: String): DataFrame = {
+    val two =
+      if (grpB == null) elems
+      else elems.where(col("__grp").isin(grpA, grpB))
+    two.groupBy(col("__h"))
       .agg(max(when(col("__grp") === grpA, 1).otherwise(0)).as("__in_a"),
         max(when(col("__grp") =!= grpA, 1).otherwise(0)).as("__in_b"))
+  }
 
   /** Ĵ(A, B) from the k smallest union hashes: one row
-    * (k, est_jaccard). `elems` = (group, hash) distinct stream. */
-  def jaccardEstimate(elems: DataFrame, grpA: String, k: Int): DataFrame =
-    membership(elems, grpA)
+    * (k, est_jaccard). `elems` = (group, hash) distinct stream;
+    * `grpB` null = A-vs-rest (see [[membership]]). */
+  def jaccardEstimate(elems: DataFrame, grpA: String, k: Int,
+      grpB: String = null): DataFrame =
+    membership(elems, grpA, grpB)
       .orderBy(col("__h")).limit(k)
       .agg(count(lit(1)).cast("long").as("k_actual"),
         round(sum(col("__in_a") * col("__in_b")).cast("double")
@@ -64,13 +77,14 @@ object Kmv {
     * (k, exact_jaccard, est_ok) — est_ok is the only column that sees
     * the estimate, so the oracle restates exact_jaccard and `true`. */
   def jaccardContract(docs: DataFrame, grpCol: String, textCol: String,
-      grpA: String, shingleK: Int, k: Int, tol: Double): DataFrame = {
+      grpA: String, shingleK: Int, k: Int, tol: Double,
+      grpB: String = null): DataFrame = {
     val elems = shingleHashes(docs, grpCol, textCol, shingleK)
-    val exact = membership(elems, grpA)
+    val exact = membership(elems, grpA, grpB)
       .agg(round(sum(col("__in_a") * col("__in_b")).cast("double")
         / sum(when(col("__in_a") + col("__in_b") > 0, 1).otherwise(0)), 6)
         .as("exact_jaccard"))
-    jaccardEstimate(elems, grpA, k)
+    jaccardEstimate(elems, grpA, k, grpB)
       .crossJoin(broadcast(exact))
       .select(lit(k.toLong).as("k"), col("exact_jaccard"),
         (abs(col("est_jaccard") - col("exact_jaccard")) <= tol &&

@@ -33,7 +33,14 @@ import org.apache.spark.sql.functions._
   *
   * == Oracle discipline ==
   *
-  * Every ratio is rounded before comparison; per-document log-prob sums
+  * Every EMITTED ratio column is rounded to 6 places before comparison;
+  * the `r_*` rule booleans deliberately threshold the RAW unrounded
+  * doubles (and the DuckDB twin does the same — both engines compute the
+  * ratios from integer-valued inputs with single correctly-rounded IEEE
+  * ops, so the raw values are bit-identical; rounding before comparison
+  * would only matter if a rule formula gained a non-exact op, at which
+  * point the rule must switch to comparing the rounded feature column on
+  * BOTH engines). Per-document log-prob sums
   * go through `DECIMAL` so summation order cannot change the result
   * (`ln` is computed per-row on identical IEEE doubles — the q124
   * precedent — then rounded to 6 places BEFORE the sum, so the decimal

@@ -415,7 +415,7 @@ object Round6Queries {
     val docs = t(s, d, "documents")
       .withColumn("grp", when(length(col("source")) === 4, "a").otherwise("b"))
     graft.ext.Kmv.jaccardContract(docs, "grp", "text", grpA = "a",
-      shingleK = 3, k = 256, tol = 0.12)
+      shingleK = 3, k = 256, tol = 0.12, grpB = "b")
   },
     Some("""WITH t AS (SELECT
            |    CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS grp,
