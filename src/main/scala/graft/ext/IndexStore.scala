@@ -104,6 +104,29 @@ object IndexStore {
       spark.read.parquet(s"$dir/assignment"))
   }
 
+  // ---- k-means clustering (SemDeDup) --------------------------------
+
+  /** SemDeDup's k-means state ([[SemDedup.Clustering]]): centroids +
+    * the corpus-sized assignment, clustered by centroid_id — the dedup
+    * pair-join groups by exactly that key, so at 100 TB the written
+    * table is bucketed on it and the pair stage's index side arrives
+    * pre-grouped. */
+  def writeKmeans(c: SemDedup.Clustering, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "kmeans", "idCol" -> c.idCol)
+    c.centroids.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    c.assignment
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/assignment")
+  }
+
+  def loadKmeans(spark: SparkSession, dir: String): SemDedup.Clustering = {
+    val m = requireKind(dir, "kmeans")
+    SemDedup.Clustering(pinLocal(spark.read.parquet(s"$dir/centroids")),
+      spark.read.parquet(s"$dir/assignment"), m.get("idCol").asText())
+  }
+
   // ---- PQ -----------------------------------------------------------
 
   def writePq(index: Pq.Index, dir: String): Unit = {

@@ -266,15 +266,70 @@ object Round6Queries {
     * same-cluster witness; the oracle states the same k constant-true
     * rows (k recomputed by DuckDB from the same count/256 formula). */
   val q179 = GQuery("q179_semdedup", (s, d) => {
-    import graft.engine.TableStats
     import graft.ext.SemDedup
     val e = t(s, d, "embeddings")
     // k capped at 2^16: past that the centroid broadcast itself becomes
     // the bottleneck (k·dim doubles) — the paper's regime (fixed k ≈ 11k
     // at 1.3B embeddings) accepts growing cluster sizes instead
-    val k = math.min(65536L, math.max(8L, TableStats.rowCountNoJob(e) / 256)).toInt
+    val k = semdedupK(e)
     val verdict = SemDedup.dedup(e, "vec_id", "embedding",
       k = k, lloydIters = 2, tau = 0.4)
+    SemDedup.contract(verdict, e, "vec_id", "embedding", k = k, tau = 0.4)
+  },
+    Some("""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,
+           |  true AS kept_ok, true AS dropped_ok
+           |FROM embeddings
+           |QUALIFY cluster_id < (SELECT least(65536, greatest(8, CAST(floor(count(*)/256) AS BIGINT))) FROM embeddings)
+           |ORDER BY cluster_id""".stripMargin))
+
+  /** The q179 family's shared k formula: N/256 (constant expected
+    * cluster size) from footer stats, capped at 2^16 (centroid
+    * broadcast bound). */
+  private def semdedupK(e: DataFrame): Int =
+    math.min(65536L, math.max(8L, graft.engine.TableStats.rowCountNoJob(e) / 256)).toInt
+
+  /** Q179_BUILD (k-means clustering build, priced alone): the SemDeDup
+    * fit+assign state built eagerly ([[graft.ext.SemDedup.cluster]]
+    * materializes the corpus pass), round-tripped through
+    * [[graft.ext.IndexStore]] `kind=kmeans` so this entry also exercises
+    * the durable path, and summarized by invariants the oracle can
+    * recompute from the corpus alone: k from the same N/256 formula,
+    * every vector on exactly one cluster. The q78_build precedent —
+    * the round-6 verdict's bench-placement critique of q179 ("What's
+    * wrong #2") closed the same way. */
+  val q179b = GQuery("q179_build", (s, d) => {
+    import graft.ext.{IndexStore, SemDedup}
+    val e = t(s, d, "embeddings")
+    val k = semdedupK(e)
+    val c = SemDedup.cluster(e, "vec_id", "embedding", k = k, lloydIters = 2)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_idx/kmeans_${math.abs(d.hashCode)}"
+    IndexStore.writeKmeans(c, dir)
+    SemDedup.drop(c)
+    val loaded = IndexStore.loadKmeans(s, dir)
+    val nAssigned = loaded.assignment.count()
+    import s.implicits._
+    Seq((k.toLong, nAssigned)).toDF("k", "n_assigned")
+  },
+    Some("""SELECT (SELECT least(65536, greatest(8, CAST(floor(count(*)/256) AS BIGINT)))
+           |        FROM embeddings) AS k,
+           |  CAST(count(*) AS BIGINT) AS n_assigned FROM embeddings""".stripMargin))
+
+  /** Q179_SEARCH (SemDeDup against a PREBUILT clustering): the k-means
+    * state is built once per (session, table dir) via
+    * [[graft.ext.SemDedup.cached]] and reused — bench rep 1 pays the
+    * fit, reps 2+ measure the cluster-local pair stage alone, which is
+    * the steady state of a pipeline that refreshes its clustering far
+    * less often than it dedups increments. Same contract and oracle as
+    * q179 (identical clustering discipline, so the invariants carry). */
+  val q179s = GQuery("q179_search", (s, d) => {
+    import graft.ext.SemDedup
+    val e = t(s, d, "embeddings")
+    val k = semdedupK(e)
+    val c = SemDedup.cached(s.sparkContext.applicationId + ":" + d) {
+      SemDedup.cluster(e, "vec_id", "embedding", k = k, lloydIters = 2)
+    }
+    val verdict = SemDedup.dedupClustered(e, "embedding", c, tau = 0.4)
     SemDedup.contract(verdict, e, "vec_id", "embedding", k = k, tau = 0.4)
   },
     Some("""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,
@@ -469,5 +524,5 @@ object Round6Queries {
            |WHERE rnk < target ORDER BY source, doc_id""".stripMargin))
 
   val all: Seq[GQuery] = Seq(q78b, q78s, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180, q181, q182, q183, q184)
+    q178, q179, q179b, q179s, q180, q181, q182, q183, q184)
 }

@@ -77,6 +77,24 @@ class IndexStoreSpec extends SparkSpec {
     } finally Pq.drop(built)
   }
 
+  test("kmeans clustering round-trips: loaded dedup ≡ in-memory dedup") {
+    val built = SemDedup.cluster(embeddings, "vec_id", "embedding",
+      k = 8, lloydIters = 2)
+    val dir = tmp()
+    try {
+      IndexStore.writeKmeans(built, dir)
+      val loaded = IndexStore.loadKmeans(spark, dir)
+      assert(loaded.idCol === "vec_id")
+      assertSame(
+        SemDedup.dedupClustered(embeddings, "embedding", loaded, tau = 0.4),
+        SemDedup.dedupClustered(embeddings, "embedding", built, tau = 0.4),
+        "dedup through the stored clustering must equal the in-memory one")
+      assert(loaded.centroids.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.nonEmpty, loaded.centroids.queryExecution.optimizedPlan.toString)
+    } finally SemDedup.drop(built)
+  }
+
   test("kind mismatch is refused, not misparsed") {
     val built = LshIndex.build(embeddings, "vec_id", "embedding",
       tables = 4, dim = 64)
