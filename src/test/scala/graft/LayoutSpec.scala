@@ -60,30 +60,47 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("snapshot tags survive a table overwrite (Nessie ref=main emulation)") {
-    val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
-    nation.write.mode("overwrite").saveAsTable("layout_snap_nation")
-    val before = spark.table("layout_snap_nation").collect()
-      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+  private def withIo[A](io: graft.engine.FileIO)(body: => A): A = {
+    val prev = graft.engine.Manifests.io
+    graft.engine.Manifests.io = io
+    try body finally graft.engine.Manifests.io = prev
+  }
 
-    Layout.snapshot(spark, "layout_snap_nation", "v1")
-    assert(Layout.listSnapshots(spark, "layout_snap_nation") === Seq("v1"))
-    // tags are immutable: re-tagging the same name must fail
-    intercept[IllegalArgumentException](
-      Layout.snapshot(spark, "layout_snap_nation", "v1"))
+  // The tag/branch lifecycles run over BOTH storage backends: the local
+  // lock-file FileIO and the etag-CAS object store — the commit protocol
+  // must not quietly depend on POSIX atomic rename.
+  private val ioImpls: Seq[(String, () => graft.engine.FileIO)] = Seq(
+    ("local", () => graft.engine.LocalFileIO),
+    ("objectstore", () => new graft.engine.ObjectStoreFileIO()))
 
-    // overwrite with DIFFERENT data through the format's commit path
-    // (a raw directory overwrite bypasses any table format — Iceberg
-    // included — so destructive writes go through Layout.overwrite)
-    Layout.overwrite(spark, "layout_snap_nation",
-      nation.filter(col("n_nationkey") < 5))
-    assert(spark.table("layout_snap_nation").count() === 5)
+  for ((ioName, mkIo) <- ioImpls)
+  test(s"snapshot tags survive a table overwrite (Nessie ref=main emulation) [$ioName]") {
+    withIo(mkIo()) {
+      val tbl = s"layout_snap_nation_$ioName"
+      val nation = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
+      nation.write.mode("overwrite").saveAsTable(tbl)
+      val before = spark.table(tbl).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
 
-    // the tag still reads the full pre-overwrite rows
-    val atTag = Layout.readAt(spark, "layout_snap_nation", "v1").collect()
-      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
-    assert(atTag === before)
-    assert(before.size === 25)
+      Layout.snapshot(spark, tbl, "v1")
+      assert(Layout.listSnapshots(spark, tbl) === Seq("v1"))
+      // tags are immutable: re-tagging the same name must fail
+      intercept[IllegalArgumentException](
+        Layout.snapshot(spark, tbl, "v1"))
+
+      // overwrite with DIFFERENT data through the format's commit path
+      // (a raw directory overwrite bypasses any table format — Iceberg
+      // included — so destructive writes go through Layout.overwrite)
+      Layout.overwrite(spark, tbl,
+        nation.filter(col("n_nationkey") < 5))
+      assert(spark.table(tbl).count() === 5)
+
+      // the tag still reads the full pre-overwrite rows
+      val atTag = Layout.readAt(spark, tbl, "v1").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      assert(atTag === before)
+      assert(before.size === 25)
+    }
   }
 
   test("expireSnapshots deletes only unkept tags; kept tags and live data survive") {
@@ -113,38 +130,42 @@ class LayoutSpec extends SparkSpec {
         f.stripPrefix("file:")))))
   }
 
-  test("branches isolate writes; merge fast-forwards when main is unmoved, refuses otherwise") {
-    import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS layout_br")
-    spark.sql("DROP TABLE IF EXISTS layout_br__branch_etl")
-    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable("layout_br")
+  for ((ioName, mkIo) <- ioImpls)
+  test(s"branches isolate writes; merge fast-forwards when main is unmoved, refuses otherwise [$ioName]") {
+    withIo(mkIo()) {
+      import spark.implicits._
+      val tbl = s"layout_br_$ioName"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__branch_etl")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable(tbl)
 
-    // fork, write on the branch: main must not see it
-    val bt = Layout.createBranch(spark, "layout_br", "etl")
-    Seq((3L, "c")).toDF("id", "v").write.mode("append").saveAsTable(bt)
-    assert(spark.table("layout_br").count() === 2)
-    assert(spark.table(bt).count() === 3)
-    intercept[IllegalArgumentException](
-      Layout.createBranch(spark, "layout_br", "etl")) // duplicate branch
+      // fork, write on the branch: main must not see it
+      val bt = Layout.createBranch(spark, tbl, "etl")
+      Seq((3L, "c")).toDF("id", "v").write.mode("append").saveAsTable(bt)
+      assert(spark.table(tbl).count() === 2)
+      assert(spark.table(bt).count() === 3)
+      intercept[IllegalArgumentException](
+        Layout.createBranch(spark, tbl, "etl")) // duplicate branch
 
-    // fast-forward merge publishes the branch and cleans refs
-    Layout.mergeBranch(spark, "layout_br", "etl")
-    assert(spark.table("layout_br").as[(Long, String)].collect().toSet ===
-      Set((1L, "a"), (2L, "b"), (3L, "c")))
-    assert(!spark.catalog.tableExists(bt))
-    assert(Layout.listSnapshots(spark, "layout_br").isEmpty)
+      // fast-forward merge publishes the branch and cleans refs
+      Layout.mergeBranch(spark, tbl, "etl")
+      assert(spark.table(tbl).as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(!spark.catalog.tableExists(bt))
+      assert(Layout.listSnapshots(spark, tbl).isEmpty)
 
-    // concurrent change on main since the fork → merge refuses, refs intact
-    val bt2 = Layout.createBranch(spark, "layout_br", "etl2")
-    Seq((4L, "d")).toDF("id", "v").write.mode("append").saveAsTable(bt2)
-    Seq((9L, "z")).toDF("id", "v").write.mode("append").saveAsTable("layout_br")
-    val ex = intercept[IllegalStateException](
-      Layout.mergeBranch(spark, "layout_br", "etl2"))
-    assert(ex.getMessage.contains("conflict"))
-    assert(spark.catalog.tableExists(bt2)) // branch survives for a rebase
-    assert(spark.table("layout_br").count() === 4) // main keeps its own write
-    Layout.dropBranch(spark, "layout_br", "etl2")
-    assert(!spark.catalog.tableExists(bt2))
+      // concurrent change on main since the fork → merge refuses, refs intact
+      val bt2 = Layout.createBranch(spark, tbl, "etl2")
+      Seq((4L, "d")).toDF("id", "v").write.mode("append").saveAsTable(bt2)
+      Seq((9L, "z")).toDF("id", "v").write.mode("append").saveAsTable(tbl)
+      val ex = intercept[IllegalStateException](
+        Layout.mergeBranch(spark, tbl, "etl2"))
+      assert(ex.getMessage.contains("conflict"))
+      assert(spark.catalog.tableExists(bt2)) // branch survives for a rebase
+      assert(spark.table(tbl).count() === 4) // main keeps its own write
+      Layout.dropBranch(spark, tbl, "etl2")
+      assert(!spark.catalog.tableExists(bt2))
+    }
   }
 
   test("scdMerge closes current versions and chains multi-change batches correctly") {

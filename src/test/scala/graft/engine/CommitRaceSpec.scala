@@ -72,10 +72,40 @@ class CommitRaceSpec extends SparkSpec {
     path = name, records = 1L, bytes = 10L,
     lower = Map.empty, upper = Map.empty)
 
-  test("two racing commits on a non-atomic store: one winner, one clean refusal") {
-    val table = "race_t1"
+  /** Delegating wrapper that holds refs.json readers at a latch — the
+    * same worst-case both-commit-on-the-same-base interleaving
+    * RacyFileIO arms, applicable to ANY store impl. */
+  private final class Gated(inner: FileIO, gate: CountDownLatch) extends FileIO {
+    override def readBytes(path: Path): Option[Array[Byte]] = {
+      val r = inner.readBytes(path)
+      if (path.getFileName.toString == "refs.json") {
+        gate.countDown()
+        gate.await(5, TimeUnit.SECONDS)
+      }
+      r
+    }
+    override def writeAtomic(path: Path, bytes: Array[Byte]): Unit =
+      inner.writeAtomic(path, bytes)
+    override def putIfMatch(path: Path, expected: Option[Array[Byte]],
+        bytes: Array[Byte]): Boolean = inner.putIfMatch(path, expected, bytes)
+    override def deleteIfExists(path: Path): Unit = inner.deleteIfExists(path)
+  }
+
+  // The one-winner/one-refusal race, proven over BOTH degraded-store
+  // flavors: non-atomic local writes (RacyFileIO) and the etag-CAS
+  // object store with eventually-visible reads (ObjectStoreFileIO —
+  // conditional PUT judges authoritative state, so stale reads can only
+  // produce clean refusals, never a lost update).
+  private val raceImpls: Seq[(String, CountDownLatch => FileIO, Long)] = Seq(
+    ("non-atomic local store", g => new RacyFileIO(Some(g)), 0L),
+    ("etag object store with 100ms read lag",
+      g => new Gated(new ObjectStoreFileIO(visibilityLagMs = 100L), g), 150L))
+
+  for (((ioName, mkIo, settleMs), i) <- raceImpls.zipWithIndex)
+  test(s"two racing commits on a $ioName: one winner, one clean refusal") {
+    val table = s"race_t1_$i"
     val gate = new CountDownLatch(2)
-    withIo(new RacyFileIO(Some(gate))) {
+    withIo(mkIo(gate)) {
       val root = Manifests.root(spark, table)
       val results = new java.util.concurrent.ConcurrentHashMap[String, Any]()
       val threads = Seq("a", "b").map { who =>
@@ -88,6 +118,8 @@ class CommitRaceSpec extends SparkSpec {
       }
       threads.foreach(_.start())
       threads.foreach(_.join(10000))
+      // let eventual visibility settle before asserting on reads
+      if (settleMs > 0) Thread.sleep(settleMs)
 
       val outcomes = Seq(results.get("a"), results.get("b"))
       val wins = outcomes.collect { case s: Long => s }
@@ -141,6 +173,40 @@ class CommitRaceSpec extends SparkSpec {
     assert(!io.putIfMatch(p, Some("wrong".getBytes), "v2".getBytes))
     assert(io.putIfMatch(p, Some("v1".getBytes), "v2".getBytes))
     assert(io.readBytes(p).map(new String(_)) === Some("v2"))
+  }
+
+  test("object store putIfMatch: etag compare, create-only, mismatch") {
+    val dir = Files.createTempDirectory("osio")
+    val p = dir.resolve("refs.json")
+    val io = new ObjectStoreFileIO()
+    assert(io.putIfMatch(p, None, "v1".getBytes), "If-None-Match:* create")
+    assert(!io.putIfMatch(p, None, "v2".getBytes), "create over existing must refuse")
+    assert(!io.putIfMatch(p, Some("wrong".getBytes), "v2".getBytes), "etag mismatch")
+    assert(io.putIfMatch(p, Some("v1".getBytes), "v2".getBytes), "etag match")
+    assert(io.readBytes(p).map(new String(_)) === Some("v2"))
+    // pre-existing untracked files read through and CAS against their etag
+    val q = dir.resolve("pre.json")
+    Files.write(q, "old".getBytes)
+    assert(!io.putIfMatch(q, None, "x".getBytes))
+    assert(io.putIfMatch(q, Some("old".getBytes), "x".getBytes))
+  }
+
+  test("stale reads under visibility lag can only cause clean refusals, never lost updates") {
+    val dir = Files.createTempDirectory("osio-lag")
+    val p = dir.resolve("refs.json")
+    val io = new ObjectStoreFileIO(visibilityLagMs = 300L)
+    io.writeAtomic(p, "v1".getBytes)
+    Thread.sleep(400L) // v1 fully visible
+    assert(io.putIfMatch(p, Some("v1".getBytes), "v2".getBytes))
+    // within the lag window: reads still serve v1...
+    assert(io.readBytes(p).map(new String(_)) === Some("v1"))
+    // ...but the conditional PUT judges the AUTHORITATIVE v2: a commit
+    // based on the stale v1 read is REFUSED (the safe direction) —
+    // accepting it would silently drop v2, the lost-update anomaly.
+    assert(!io.putIfMatch(p, Some("v1".getBytes), "v3".getBytes))
+    Thread.sleep(400L)
+    assert(io.readBytes(p).map(new String(_)) === Some("v2"))
+    assert(io.putIfMatch(p, Some("v2".getBytes), "v3".getBytes))
   }
 
   test("updateRefs retries through contention (tag expiry never claims a seq)") {
