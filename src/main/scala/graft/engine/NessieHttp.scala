@@ -12,13 +12,32 @@ import org.apache.spark.sql.SparkSession
   * service (compose.yaml:93-107) and Trino speaks its REST API; graft
   * has the verbs as library calls ([[Layout.listRefs]]/[[Layout.commitLog]],
   * q162-gated) and this facade puts them on a real socket in the Nessie
-  * v2 REST shapes:
+  * v2 REST shapes. Round 7 adds the WRITE verbs (round 6 served reads
+  * only — "a Nessie client cannot yet write over the wire"):
   *
   *   - `GET /api/v2/trees` → `{"references": [{"name", "type"
   *     ("BRANCH"/"TAG"), "hash"}]}`  — reference listing
   *   - `GET /api/v2/trees/{ref}/history` → `{"logEntries":
   *     [{"commitMeta": {...}, "parentCommitHash"}]}` — commit log,
   *     newest first, truncated at the ref's snapshot
+  *   - `POST /api/v2/trees?name=X&type=BRANCH[&sourceRefName=R]` →
+  *     [[Layout.createBranch]] (or [[Layout.createBranchAt]] when the
+  *     source ref is a tag); duplicate branch → 409, the
+  *     REFERENCE_ALREADY_EXISTS a real Nessie returns
+  *   - `POST /api/v2/trees/{branch}/history/commit` with
+  *     `{"commitMeta": {"message"}, "expectedHash", "operations":
+  *     [{"op": "PUT", "path", "records", "bytes"}]}` →
+  *     [[Manifests.commit]] on the ref's table. `expectedHash` is the
+  *     optimistic base (the Nessie commit contract): a stale hash → 409
+  *     BEFORE touching the store, and a lost CAS race inside the commit
+  *     ([[Manifests.ConcurrentCommitException]]) → the same 409 —
+  *     NESSIE_CONFLICT either way. Data files move on the data plane
+  *     (Spark writes to the store), exactly as with real Nessie: the
+  *     API carries metadata pointers, never bytes.
+  *   - `POST /api/v2/trees/main/history/merge` with
+  *     `{"fromRefName": branch}` → [[Layout.mergeBranch]]; a
+  *     since-moved main → 409 (non-fast-forward merge conflict)
+  *   - `DELETE /api/v2/trees/{branch}` → [[Layout.dropBranch]]
   *
   * Zero new dependencies: the JDK's `com.sun.net.httpserver` (the same
   * choice Spark's own test fixtures make for tiny HTTP endpoints).
@@ -48,36 +67,189 @@ object NessieHttp {
       try route(spark, table, exchange)
       catch {
         case scala.util.control.NonFatal(e) =>
-          send(exchange, 500, s"""{"message":"${e.getClass.getSimpleName}"}""")
+          val n = mapper.createObjectNode()
+          n.put("message", s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          send(exchange, 500, mapper.writeValueAsString(n))
       }
     })
     http.start()
     Server(http, http.getAddress.getPort)
   }
 
+  /** Inverse of [[hashOf]] — unsigned parse, because the pre-first-commit
+    * head (-1) renders as ffffffffffffffff and must round-trip. */
+  def seqOf(hash: String): Long = java.lang.Long.parseUnsignedLong(hash, 16)
+
   private def route(spark: SparkSession, table: String,
       exchange: HttpExchange): Unit = {
     val path = exchange.getRequestURI.getPath
-    if (exchange.getRequestMethod != "GET") send(exchange, 405, """{"message":"GET only"}""")
-    else path match {
-      case "/api/v2/trees" | "/api/v2/trees/" =>
+    (exchange.getRequestMethod, path) match {
+      case ("GET", "/api/v2/trees" | "/api/v2/trees/") =>
         send(exchange, 200, referencesJson(spark, table))
-      case HistoryPath(ref) =>
+      case ("POST", "/api/v2/trees" | "/api/v2/trees/") =>
+        createReference(spark, table, exchange)
+      case ("GET", HistoryPath(ref)) =>
         historyJson(spark, table, ref) match {
           case Some(body) => send(exchange, 200, body)
           case None => send(exchange, 404,
             s"""{"message":"reference not found: $ref"}""")
         }
-      case _ => send(exchange, 404, """{"message":"no route"}""")
+      case ("POST", CommitPath(ref)) => commitRef(spark, table, ref, exchange)
+      case ("POST", MergePath(ref)) => mergeRef(spark, table, ref, exchange)
+      case ("DELETE", RefPath(ref)) => deleteRef(spark, table, ref, exchange)
+      case ("GET" | "POST" | "DELETE", _) =>
+        send(exchange, 404, """{"message":"no route"}""")
+      case _ => send(exchange, 405, """{"message":"method not allowed"}""")
     }
   }
 
-  private object HistoryPath {
-    private val re = "/api/v2/trees/([^/]+)/history".r
+  private final class PathMatcher(pattern: String) {
+    private val re = pattern.r
     def unapply(path: String): Option[String] = path match {
       case re(ref) => Some(java.net.URLDecoder.decode(ref, "UTF-8"))
       case _ => None
     }
+  }
+  private val HistoryPath = new PathMatcher("/api/v2/trees/([^/]+)/history")
+  private val CommitPath = new PathMatcher("/api/v2/trees/([^/]+)/history/commit")
+  private val MergePath = new PathMatcher("/api/v2/trees/([^/]+)/history/merge")
+  private val RefPath = new PathMatcher("/api/v2/trees/([^/]+)")
+
+  private def queryParams(exchange: HttpExchange): Map[String, String] =
+    Option(exchange.getRequestURI.getQuery).map(_.split("&").toSeq).getOrElse(Seq.empty)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  private def refJson(name: String, tpe: String, seq: Long): String = {
+    val n = mapper.createObjectNode()
+    val ref = mapper.createObjectNode()
+    ref.put("name", name)
+    ref.put("type", tpe)
+    ref.put("hash", hashOf(seq))
+    n.set[ObjectNode]("reference", ref)
+    mapper.writeValueAsString(n)
+  }
+
+  /** `POST /trees?name=X&type=BRANCH[&sourceRefName=R]`: fork a branch
+    * off main's head, or off a TAG when the source ref names one (the
+    * "create branch X at tag Y" workflow). 409 on a duplicate branch —
+    * Nessie's REFERENCE_ALREADY_EXISTS. */
+  private def createReference(spark: SparkSession, table: String,
+      exchange: HttpExchange): Unit = {
+    val params = queryParams(exchange)
+    val name = params.getOrElse("name", "")
+    if (name.isEmpty || params.getOrElse("type", "BRANCH") != "BRANCH") {
+      send(exchange, 400, """{"message":"name + type=BRANCH required"}"""); return
+    }
+    val source = params.get("sourceRefName").filterNot(_ == "main")
+    try {
+      source match {
+        case Some(tag) => Layout.createBranchAt(spark, table, name, tag)
+        case None => Layout.createBranch(spark, table, name)
+      }
+      val seq = Manifests.loadRefs(Manifests.root(spark, table))
+        .tags.getOrElse(s"__fork_$name", -1L)
+      send(exchange, 200, refJson(name, "BRANCH", seq))
+    } catch {
+      case e: IllegalArgumentException if e.getMessage.contains("already exists") =>
+        send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
+      case e: IllegalArgumentException =>
+        send(exchange, 400, s"""{"message":"${e.getMessage}"}""")
+    }
+  }
+
+  /** The table a ref's commits land on: main = the table itself; any
+    * other branch = its branch table (same naming as [[Layout]]). */
+  private def refTable(table: String, ref: String): String =
+    if (ref == "main") table else s"${table}__branch_$ref"
+
+  /** `POST /trees/{branch}/history/commit`: the Nessie commit contract
+    * lowered to [[Manifests.commit]]. Operations carry metadata pointers
+    * (path/records/bytes per PUT) — the data plane moved the bytes. */
+  private def commitRef(spark: SparkSession, table: String, ref: String,
+      exchange: HttpExchange): Unit = {
+    val target = refTable(table, ref)
+    if (ref != "main" && !spark.catalog.tableExists(target)) {
+      send(exchange, 404, s"""{"message":"reference not found: $ref"}"""); return
+    }
+    val body = mapper.readTree(exchange.getRequestBody)
+    val head = Manifests.loadRefs(Manifests.root(spark, target)).head
+    val expected = Option(body.get("expectedHash")).map(_.asText())
+    if (expected.exists(h => seqOf(h) != head)) {
+      send(exchange, 409, s"""{"message":"expected hash ${expected.get} is not head ${hashOf(head)}: commit conflict"}""")
+      return
+    }
+    val message = Option(body.at("/commitMeta/message").asText(""))
+      .filter(_.nonEmpty).getOrElse("commit")
+    val ops = Option(body.get("operations")).map(_.elements())
+    val files = ops.map { it =>
+      val b = Seq.newBuilder[Manifests.FileEntry]
+      while (it.hasNext) {
+        val op = it.next()
+        if (op.path("op").asText("PUT") == "PUT")
+          b += Manifests.FileEntry(
+            path = op.path("path").asText(),
+            records = op.path("records").asLong(0L),
+            bytes = op.path("bytes").asLong(0L),
+            lower = Map.empty, upper = Map.empty)
+      }
+      b.result()
+    }.getOrElse(Seq.empty)
+    try {
+      val seq = Manifests.commit(spark, target, message,
+        basePath = body.path("basePath").asText(""),
+        schemaJson = body.path("schemaJson").asText("{}"),
+        files = files)
+      val n = mapper.createObjectNode()
+      val tb = mapper.createObjectNode()
+      tb.put("name", ref)
+      tb.put("type", "BRANCH")
+      tb.put("hash", hashOf(seq))
+      n.set[ObjectNode]("targetBranch", tb)
+      send(exchange, 200, mapper.writeValueAsString(n))
+    } catch {
+      case e: Manifests.ConcurrentCommitException =>
+        send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
+    }
+  }
+
+  /** `POST /trees/main/history/merge` `{"fromRefName": branch}`:
+    * fast-forward [[Layout.mergeBranch]]; a moved main → the 409 a
+    * non-fast-forward Nessie merge returns, refs intact for a rebase. */
+  private def mergeRef(spark: SparkSession, table: String, ref: String,
+      exchange: HttpExchange): Unit = {
+    if (ref != "main") {
+      send(exchange, 400, """{"message":"merge target must be main"}"""); return
+    }
+    val from = mapper.readTree(exchange.getRequestBody)
+      .path("fromRefName").asText("")
+    try {
+      Layout.mergeBranch(spark, table, from)
+      val head = Manifests.loadRefs(Manifests.root(spark, table)).head
+      send(exchange, 200, refJson("main", "BRANCH", head))
+    } catch {
+      case e: IllegalArgumentException =>
+        send(exchange, 404, s"""{"message":"${e.getMessage}"}""")
+      case e: IllegalStateException if e.getMessage.contains("conflict") =>
+        send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
+    }
+  }
+
+  /** `DELETE /trees/{branch}`: abandon the branch; main untouched. */
+  private def deleteRef(spark: SparkSession, table: String, ref: String,
+      exchange: HttpExchange): Unit = {
+    if (ref == "main") {
+      send(exchange, 400, """{"message":"cannot delete main"}"""); return
+    }
+    if (!spark.catalog.tableExists(refTable(table, ref))) {
+      send(exchange, 404, s"""{"message":"reference not found: $ref"}"""); return
+    }
+    Layout.dropBranch(spark, table, ref)
+    send(exchange, 200, "{}")
   }
 
   private def send(exchange: HttpExchange, code: Int, body: String): Unit = {

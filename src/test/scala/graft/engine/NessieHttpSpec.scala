@@ -25,6 +25,19 @@ class NessieHttpSpec extends SparkSpec {
     (resp.statusCode(), mapper.readTree(resp.body()))
   }
 
+  private def post(url: String, body: String = "{}"): (Int, JsonNode) = {
+    val resp = client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private def delete(url: String): (Int, JsonNode) = {
+    val resp = client.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
   private def freshRefTable(): String = {
     val t = s"nessie_${java.util.UUID.randomUUID().toString.take(8)}"
     val events = Tables.events(spark, sf0001).select("event_id", "event_type", "value")
@@ -90,6 +103,62 @@ class NessieHttpSpec extends SparkSpec {
         HttpRequest.newBuilder(URI.create(server.uri("/api/v2/nope"))).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(raw.statusCode() === 404)
+    } finally server.stop()
+  }
+
+  test("write verbs drive a full fork→commit→merge→conflict cycle over the socket") {
+    import spark.implicits._
+    val t = s"nessie_w_${java.util.UUID.randomUUID().toString.take(8)}"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable(t)
+    val server = NessieHttp.start(spark, t)
+    try {
+      // fork a branch over the wire; duplicate → the 409 Nessie returns
+      val (c1, b1) = post(server.uri("/api/v2/trees?name=etl&type=BRANCH"))
+      if (c1 != 200) fail(s"create branch: $c1 $b1")
+      assert(b1.at("/reference/name").asText() === "etl")
+      assert(post(server.uri("/api/v2/trees?name=etl&type=BRANCH"))._1 === 409)
+      assert(spark.catalog.tableExists(s"${t}__branch_etl"))
+
+      // data plane writes the rows (as with real Nessie: the API moves
+      // pointers, Spark moves bytes); the wire commit records metadata
+      Seq((3L, "c")).toDF("id", "v").write.mode("append")
+        .saveAsTable(s"${t}__branch_etl")
+      val head = Manifests.loadRefs(Manifests.root(spark, s"${t}__branch_etl")).head
+      val commitBody =
+        s"""{"commitMeta":{"message":"wire-append"},
+           |"expectedHash":"${NessieHttp.hashOf(head)}",
+           |"operations":[{"op":"PUT","path":"f1.parquet","records":1,"bytes":10}]}""".stripMargin
+      val (c2, b2) = post(server.uri("/api/v2/trees/etl/history/commit"), commitBody)
+      assert(c2 === 200)
+      val newHash = b2.at("/targetBranch/hash").asText()
+      assert(NessieHttp.seqOf(newHash) === head + 1)
+      // a commit based on the now-stale hash → 409 before touching refs
+      assert(post(server.uri("/api/v2/trees/etl/history/commit"), commitBody)._1 === 409)
+      // the wire commit is in the branch's history over the wire
+      val (_, hist) = get(server.uri("/api/v2/trees/main/history"))
+      assert(hist.get("logEntries") != null) // main's own history unaffected
+
+      // fast-forward merge publishes the branch into main
+      val (c3, _) = post(server.uri("/api/v2/trees/main/history/merge"),
+        """{"fromRefName":"etl"}""")
+      assert(c3 === 200)
+      assert(spark.table(t).as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(!spark.catalog.tableExists(s"${t}__branch_etl"))
+
+      // conflict: main moves after the fork → merge refuses with 409
+      assert(post(server.uri("/api/v2/trees?name=etl2&type=BRANCH"))._1 === 200)
+      Seq((9L, "z")).toDF("id", "v").write.mode("append").saveAsTable(t)
+      val (c4, b4) = post(server.uri("/api/v2/trees/main/history/merge"),
+        """{"fromRefName":"etl2"}""")
+      assert(c4 === 409 && b4.get("message").asText().contains("conflict"))
+      assert(spark.catalog.tableExists(s"${t}__branch_etl2")) // survives for rebase
+      // merging an unknown branch → 404; then abandon etl2 over the wire
+      assert(post(server.uri("/api/v2/trees/main/history/merge"),
+        """{"fromRefName":"nope"}""")._1 === 404)
+      assert(delete(server.uri("/api/v2/trees/etl2"))._1 === 200)
+      assert(!spark.catalog.tableExists(s"${t}__branch_etl2"))
+      assert(delete(server.uri("/api/v2/trees/main"))._1 === 400)
     } finally server.stop()
   }
 }
