@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.UnigramLm
+
+/** Round-7 declared queries: the unigram-LM (SentencePiece) tokenizer
+  * family — the major subword family missing next to BPE (q168/q173).
+  */
+object Round7Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Q185 (T15, unigram-LM training): hard-EM over the Zipf-bounded
+    * word table ([[graft.ext.UnigramLm]], Kudo 2018) on a deterministic
+    * document slice. EM argmax + prune is not SQL-expressible, so this
+    * is a DECLARED rows-only gate (the q164/q168 class); the
+    * vocabulary's correctness contract lives in UnigramLmSpec, which
+    * pins piece-for-piece equality against an independent single-node
+    * reference. Output: (rank, piece, log_prob) — deterministic, so the
+    * rows-only check still hash-stabilizes across runs. */
+  val q185 = GQuery("q185_unigram_train", (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    UnigramLm.train(docs.filter(col("doc_id") < 200), "text",
+      vocabSize = 64, maxPieceLen = 5, seedSize = 256, emIters = 1)
+      .map(p => (p.rank, p.piece, BigDecimal(p.logProb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("rank", "piece", "log_prob")
+      .orderBy("rank")
+  }, None)
+
+  /** Q186 (T15′, unigram Viterbi encoder through the gate): train on
+    * the q185 slice, segment the WHOLE corpus with
+    * [[UnigramLm.segmentPartitioned]] (broadcast vocab + per-partition
+    * DP — constant plan size at any vocabulary), and gate the
+    * invariants DuckDB can recompute: byte-exact round-trip (piece
+    * concatenation rebuilds the whitespace-stripped text — the Viterbi
+    * cover guarantee) and corpus-level compression vs raw characters
+    * (multi-piece wins must actually apply). The q173 shape. */
+  val q186 = GQuery("q186_unigram_encode", (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val vocab = UnigramLm.train(docs.filter(col("doc_id") < 200), "text",
+      vocabSize = 64, maxPieceLen = 5, seedSize = 256, emIters = 1)
+    UnigramLm.segmentPartitioned(docs, "text", vocab, maxPieceLen = 5)
+      .select(col("doc_id"), col("n_tokens"),
+        (concat_ws("", col("tokens")) ===
+          regexp_replace(col("text"), "\\s+", "")).as("ok"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_roundtrip_fail"),
+        (sum(col("n_tokens")) < sum(col("n_chars"))).as("compressed"))
+  },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(0 AS BIGINT) AS n_roundtrip_fail,
+           |  true AS compressed FROM documents""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q185, q186)
+}
