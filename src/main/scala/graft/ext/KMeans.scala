@@ -73,6 +73,80 @@ object KMeans {
       .agg(max(col("__s")).as("__m"))
       .select(col(idCol), (-col("__m.__ncid")).as("cid"))
 
+  /** Two-level (coarse-quantized) nearest-centroid assignment — the
+    * large-k regime. [[assignAgg]] scores N·k pairs; when k scales with
+    * N (SemDeDup's k = N/256) that is O(N²/256) and re-quadratizes: the
+    * round-7 sf10 checkpoint measured q179_build at decade exponent
+    * 1.37 (435 s at sf10 — 1 B scored rows). This is the standard IVF
+    * answer applied to the centroids themselves:
+    *
+    *   1. coarse = √k of the centroids (deterministic hash sample);
+    *   2. each FINE centroid registers in its `nprobe` nearest coarse
+    *      cells (k·√k scores — centroid-sized, never corpus-sized;
+    *      boundary centroids appear in several cells, softening cell-
+    *      edge misassignment the way IVF nprobe does);
+    *   3. each point takes its best coarse cell (N·√k scores, struct-max
+    *      map-side combined) and scores ONLY that cell's fine members
+    *      (expected nprobe·k/√k = nprobe·√k each) — argmax as in
+    *      [[assignAgg]], same (-cid) tie-break.
+    *
+    * Total N·(1+nprobe)·√k vs N·k — 15× fewer scored rows at sf10, and
+    * with k capped at 2^16 ([[graft.queries.Round6Queries]] q179's
+    * broadcast bound) the assignment is asymptotically LINEAR in N
+    * (the SemDeDup paper's own fixed-k regime past the cap).
+    *
+    * Approximation note: a point whose true nearest fine centroid lives
+    * outside its chosen coarse cell lands on its best IN-CELL centroid
+    * instead — exactly IVF's recall trade, softened by fine-side nprobe.
+    * SemDeDup's invariants (and the q179 contract) are stated over the
+    * PRODUCED clustering, so they hold under any assignment; results
+    * stay deterministic (hash sample, rounded ranks, struct-max ties).
+    * Every cell always contains its own coarse centroid (coarse ⊆ fine,
+    * self-registered), so no point can end up candidate-less. */
+  def assignAggTwoLevel(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val nc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = centroids
+      .orderBy(xxhash64(col("cid")), col("cid")).limit(nc)
+      .select(col("cid").as("ccid"), col("cv").as("ccv"))
+    // fine → nprobe nearest coarse cells (k·nc rows — centroid-sized,
+    // a window here never touches the corpus)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("__cs").desc, col("ccid"))
+    val members = centroids.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cv"), col("ccid"),
+        VectorFunctions.cosine(col("cv"), col("ccv")).as("__cs"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nprobe)
+      .select(col("ccid"), col("cid"), col("cv"))
+      // self-registration: a cell always holds its own coarse centroid
+      .unionByName(coarse.select(col("ccid"), col("ccid").as("cid"),
+        col("ccv").as("cv")))
+      .distinct()
+    // point → best coarse cell (N·nc, map-side-combined argmax)
+    val cells = assignAgg(vecs, idCol, vecCol,
+      coarse.select(col("ccid").as("cid"), col("ccv").as("cv")))
+      .select(col(idCol), col("cid").as("ccid"))
+    // point → best fine centroid among its cell's members
+    vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .join(cells, Seq(idCol))
+      .join(broadcast(members), Seq("ccid"))
+      .select(col(idCol),
+        struct(VectorFunctions.cosine(col("__v"), col("cv")).as("__csim"),
+          (-col("cid")).as("__ncid")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(max(col("__s")).as("__m"))
+      .select(col(idCol), (-col("__m.__ncid")).as("cid"))
+  }
+
+  /** [[assignAggTwoLevel]] when k is large enough for the coarse pass
+    * to pay for itself; plain [[assignAgg]] below — gate-SF plans (and
+    * their oracles) are unchanged. */
+  def assignAggAuto(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int): DataFrame =
+    if (k >= 64) assignAggTwoLevel(vecs, idCol, vecCol, centroids, k)
+    else assignAgg(vecs, idCol, vecCol, centroids)
+
   /** Large-k training: ONE-pass deterministic hash seeding (top-k by
     * xxhash64 — the uniform-sample stand-in for k-means‖ oversampling,
     * Bahmani et al. VLDB'12) + the same Lloyd loop with the [[assignAgg]]
@@ -89,7 +163,7 @@ object KMeans {
       .select(col(idCol).cast("long").as("cid"), col("__nv").as("cv"))
       .localCheckpoint(true)
     for (_ <- 0 until maxIter) {
-      val assigned = assignAgg(unitized, idCol, "__nv", centroids)
+      val assigned = assignAggAuto(unitized, idCol, "__nv", centroids, k)
       val means = unitize(
         VectorAgg.centroids(assigned.join(unitized, idCol), "cid", "__nv"),
         "centroid", "cv")

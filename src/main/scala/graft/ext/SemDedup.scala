@@ -66,11 +66,13 @@ object SemDedup {
   private def clusterLazy(embeddings: DataFrame, idCol: String,
       vecCol: String, k: Int, lloydIters: Int): Clustering = {
     // centroids come back localCheckpoint'd (k slim rows, lineage
-    // truncated) — assignment broadcasts them, nothing re-runs Lloyd
+    // truncated) — assignment broadcasts them, nothing re-runs Lloyd.
+    // Large k takes the two-level assignment: N·k scoring with k = N/256
+    // is O(N²) — the re-quadratization the sf10 checkpoint caught.
     val centroids = KMeans.fitHashSeeded(embeddings, idCol, vecCol, k, lloydIters)
       .select(col("cid").as("centroid_id"), col("cv"))
-    val assignment = KMeans.assignAgg(embeddings, idCol, vecCol,
-        centroids.select(col("centroid_id").as("cid"), col("cv")))
+    val assignment = KMeans.assignAggAuto(embeddings, idCol, vecCol,
+        centroids.select(col("centroid_id").as("cid"), col("cv")), k)
       .select(col(idCol), col("cid").as("centroid_id"))
     Clustering(centroids, assignment, idCol)
   }

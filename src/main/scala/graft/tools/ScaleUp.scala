@@ -4,7 +4,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Generate an sf-scaled copy of a testdata dir by principled fact
-  * replication — the scaling-checkpoint harness (BASELINE.md §sf1).
+  * replication — the scaling-checkpoint harness (BASELINE.md §sf1,
+  * §sf10). The factor is arbitrary: the round-7 100× checkpoint runs
+  * this tool directly at factor 100 (one pass, same per-copy key
+  * offsets / word perturbation / sign flips — composing 10×-of-10×
+  * would produce the identical structure with an extra generation).
   *
   * Shape: dimension tables stay fixed; fact tables are replicated
   * `factor`× with per-copy key offsets (each copy is a disjoint key

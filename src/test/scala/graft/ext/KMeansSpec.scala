@@ -81,6 +81,47 @@ class KMeansSpec extends SparkSpec {
     assert(KMeans.assign(vs, "id", "vec", cs).head().getLong(1) === 2L)
   }
 
+  /** 100 well-separated blobs in 64 dims — k ≥ 64 exercises the
+    * two-level (coarse-quantized) assignment path. */
+  private def manyBlobs = {
+    val rnd = new scala.util.Random(11)
+    val centers = (0 until 100).map { c =>
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    (0 until 1000).map { i =>
+      val c = centers(i % 100)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.01))
+    }.toDF("id", "vec")
+  }
+
+  test("two-level assignment: total, deterministic, near-exact objective at large k") {
+    val data = manyBlobs
+    val centroids = KMeans.fitHashSeeded(data, "id", "vec", k = 100, maxIter = 1)
+      .select(col("cid"), col("cv"))
+    val exact = KMeans.assignAgg(data, "id", "vec", centroids)
+    val two = KMeans.assignAggTwoLevel(data, "id", "vec", centroids, k = 100)
+    // total: every point assigned exactly once, to a real centroid
+    assert(two.count() === 1000L)
+    assert(two.groupBy("id").count().where(col("count") > 1).isEmpty)
+    assert(two.join(centroids, Seq("cid"), "left_anti").isEmpty)
+    // deterministic
+    val again = KMeans.assignAggTwoLevel(data, "id", "vec", centroids, k = 100)
+    assert(two.exceptAll(again).isEmpty && again.exceptAll(two).isEmpty)
+    // quality: mean cosine to the assigned centroid within 2% of exact
+    def obj(a: org.apache.spark.sql.DataFrame): Double = a
+      .join(data.select(col("id"), col("vec").cast("array<double>").as("__v")), Seq("id"))
+      .join(broadcast(centroids), Seq("cid"))
+      .agg(avg(graft.functions.VectorFunctions.cosine(col("__v"), col("cv"))))
+      .head().getDouble(0)
+    val (oe, ot) = (obj(exact), obj(two))
+    assert(ot >= oe - 0.02, s"two-level objective $ot vs exact $oe")
+    // and the auto switch routes large k to the two-level path, small k to exact
+    val viaAuto = KMeans.assignAggAuto(data, "id", "vec", centroids, k = 100)
+    assert(viaAuto.exceptAll(two).isEmpty && two.exceptAll(viaAuto).isEmpty)
+  }
+
   test("fitHashSeeded: k centroids, deterministic, Lloyd improves the objective") {
     val k = 9
     val init = KMeans.fitHashSeeded(blobs, "id", "vec", k, maxIter = 0)
