@@ -65,6 +65,55 @@ object LshIndex {
       .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
   }
 
+  /** [[search]] with the probe buckets PUSHED INTO the index scan — the
+    * stored-index (IndexStore) serving path. `search`'s broadcast join
+    * filters bucket-mates during the scan, but the scan itself still
+    * READS the whole signature table; on a parquet-backed index that is
+    * the entire remaining linear term (the 0.63–0.66 second-decade
+    * exponents of the steady-state searches in BASELINE §sf10). The
+    * probe bucket set is tiny and known up front (probes × tables keys —
+    * the probe side is small by contract), so it becomes a literal
+    * per-table `bucket IN (...)` predicate that reaches the parquet
+    * reader as a pushed filter; [[IndexStore.writeLsh]] clusters and
+    * sorts the stored table by (table_id, bucket), so row-group min/max
+    * stats skip everything outside the probed buckets — the scan reads
+    * O(selected buckets), not O(N). (At 100 TB the same layout serves
+    * partition-level pruning; this is the row-group form of it.)
+    *
+    * The driver-side `collect` of probe buckets is the bounded
+    * metadata-class read (probes × tables rows); results are identical
+    * to [[search]] — the predicate selects a superset of the join keys,
+    * and the same join then applies exactly. */
+  def searchPruned(index: Index, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
+    // probe-count rows: cheap to recompute, no persist needed (a persist
+    // here would accumulate cache entries across serving calls)
+    val pb = Similarity.lshBuckets(
+      probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")),
+      "pid", "pv", index.tables, index.bits, index.dim)
+    // bounded: probes × tables (table_id, bucket) keys
+    val probed = pb.select(col("table_id"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val prune = probed.toSeq.sortBy(_._1).map { case (t, bs) =>
+      col("table_id") === t && col("bucket").isin(bs: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val candidates = index.buckets.where(prune)
+      .join(broadcast(pb), Seq("table_id", "bucket"))
+      .select(col("pid"), col(idCol)).distinct()
+    val rescored = candidates
+      .join(broadcast(probes.select(col(probeIdCol).as("pid"),
+        col(probeVecCol).as("pv"))), Seq("pid"))
+      .join(corpus, Seq(idCol))
+      .where(col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("pv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col(idCol))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
+  }
+
   /** Release the index's cluster-side state. */
   def drop(index: Index): Unit = { index.buckets.unpersist(); () }
 

@@ -57,5 +57,36 @@ object Round7Queries {
            |  CAST(0 AS BIGINT) AS n_roundtrip_fail,
            |  true AS compressed FROM documents""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q185, q186)
+  /** Q187 (N11, bucket-pruned search over a STORED LSH index): the full
+    * durable serving path — build once, persist through
+    * [[graft.ext.IndexStore]], reload, and search with the probe buckets
+    * PUSHED INTO the parquet scan ([[graft.ext.LshIndex.searchPruned]]):
+    * the stored table is clustered+sorted by (table_id, bucket), so
+    * row-group stats skip everything outside the probed buckets and the
+    * scan reads O(selected buckets), not O(N) — the remaining linear
+    * term of the steady-state searches in BASELINE §sf10. Memoized per
+    * (session, dir): rep 1 pays build+write+load, reps 2+ price the
+    * pruned steady state. Same recall contract as the q30 family. */
+  val q187 = GQuery("q187_ann_lsh_pruned", (s, d) => {
+    import graft.ext.{IndexStore, LshIndex, Similarity}
+    val e = t(s, d, "embeddings")
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val idx = LshIndex.cached(s.sparkContext.applicationId + ":pruned:" + d) {
+      val built = LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/lsh_${math.abs(d.hashCode)}"
+      IndexStore.writeLsh(built, dir)
+      LshIndex.drop(built)
+      IndexStore.loadLsh(s, dir)
+    }
+    val ann = LshIndex.searchPruned(idx, e, probes,
+      "vec_id", "embedding", "probe_id", "pv", k = 10)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,
+      minHits = 2.0)
+  }, Some(PipelineQueries.annContractSql))
+
+  val all: Seq[GQuery] = Seq(q185, q186, q187)
 }

@@ -27,6 +27,33 @@ class LshIndexSpec extends SparkSpec {
     } finally LshIndex.drop(idx)
   }
 
+  test("pruned search over a STORED index: identical results, filter pushed to the parquet scan") {
+    val built = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-pruned").toString
+    try {
+      IndexStore.writeLsh(built, dir)
+      val loaded = IndexStore.loadLsh(spark, dir)
+      val pruned = LshIndex.searchPruned(loaded, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      val plain = LshIndex.search(built, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+        "bucket pruning must not change results — it selects a join-key superset")
+      // the probe buckets must reach the parquet reader as pushed filters
+      // (row-group skipping on the (table_id, bucket)-sorted layout).
+      // Plan assertion via the formatted explain: AQE wraps finalized
+      // stages in leaf QueryStageExec nodes, so a TreeNode.collect can't
+      // reach the scan — the explain string renders the whole tree.
+      val explained = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val scanBlock = explained.linesIterator
+        .filter(l => l.contains("PushedFilters")).mkString("\n")
+      assert(scanBlock.contains("In(bucket") || scanBlock.contains("EqualTo(bucket"),
+        s"bucket predicate not pushed:\n$explained")
+    } finally LshIndex.drop(built)
+  }
+
   test("auto-bits sizing matches the in-query path and needs no corpus job") {
     val idx = LshIndex.build(embeddings, "vec_id", "embedding",
       tables = 4, dim = 64)
