@@ -88,5 +88,49 @@ object Round7Queries {
       minHits = 2.0)
   }, Some(PipelineQueries.annContractSql))
 
-  val all: Seq[GQuery] = Seq(q185, q186, q187)
+  /** Q188 (T16, WordPiece training): likelihood-scored merges
+    * ([[graft.ext.WordPiece]], Schuster & Nakajima 2012 — the BERT
+    * tokenizer) on the q185 document slice. The iterative argmax is not
+    * SQL-expressible → DECLARED rows-only (the q168 class); WordPieceSpec
+    * pins merge-for-merge equality vs an independent reference. Output:
+    * (rank, left, right, n, score) — deterministic. */
+  val q188 = GQuery("q188_wordpiece_train", (s, d) => {
+    import graft.ext.WordPiece
+    import s.implicits._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    WordPiece.train(docs.filter(col("doc_id") < 200), "text",
+      numMerges = 16, minPairCount = 2)
+      .map(m => (m.rank, m.left, m.right, m.count, BigDecimal(m.score)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("rank", "left", "right", "n", "score")
+      .orderBy("rank")
+  }, None)
+
+  /** Q189 (T16′, WordPiece greedy encoder through the gate): merges from
+    * the slice, ALPHABET from the full corpus (character coverage is a
+    * cheap full pass — so no [UNK] can fire and every word round-trips),
+    * greedy longest-match encode of the whole corpus. Oracle gates the
+    * q173/q186 invariants: strip-`##` concatenation rebuilds the
+    * whitespace-stripped text byte-exactly, and the corpus compresses. */
+  val q189 = GQuery("q189_wordpiece_encode", (s, d) => {
+    import graft.ext.WordPiece
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val merges = WordPiece.train(docs.filter(col("doc_id") < 200), "text",
+      numMerges = 16, minPairCount = 2)
+    val pieces = WordPiece.vocab(docs, "text", merges)
+    WordPiece.encodeGreedy(docs, "text", pieces)
+      .select(col("doc_id"), col("n_tokens"),
+        (concat_ws("", transform(col("tokens"),
+          tk => regexp_replace(tk, "^##", ""))) ===
+          regexp_replace(col("text"), "\\s+", "")).as("ok"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_roundtrip_fail"),
+        (sum(col("n_tokens")) < sum(col("n_chars"))).as("compressed"))
+  },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(0 AS BIGINT) AS n_roundtrip_fail,
+           |  true AS compressed FROM documents""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189)
 }
