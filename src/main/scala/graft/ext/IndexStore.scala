@@ -127,6 +127,33 @@ object IndexStore {
       spark.read.parquet(s"$dir/assignment"), m.get("idCol").asText())
   }
 
+  // ---- MinHash band index (incremental text dedup) ------------------
+
+  /** [[MinHashIndex]]: band keys clustered by (band_id, band_key) — the
+    * probe's equi-join keys — and shingle sets clustered by doc_id —
+    * the exact-verify candidate fetch (both halves laid out as what a
+    * probe scans, the LSH/IVF rule). */
+  def writeMinhash(index: MinHashIndex.Index, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "minhash", "numHashes" -> index.numHashes,
+      "numBands" -> index.numBands, "shingleK" -> index.shingleK)
+    index.bands
+      .repartition(col("band_id"), col("band_key"))
+      .sortWithinPartitions("band_id", "band_key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
+    index.shingles
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles")
+  }
+
+  def loadMinhash(spark: SparkSession, dir: String): MinHashIndex.Index = {
+    val m = requireKind(dir, "minhash")
+    MinHashIndex.Index(spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"),
+      m.get("numHashes").asInt(), m.get("numBands").asInt(),
+      m.get("shingleK").asInt())
+  }
+
   // ---- PQ -----------------------------------------------------------
 
   def writePq(index: Pq.Index, dir: String): Unit = {

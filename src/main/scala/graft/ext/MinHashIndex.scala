@@ -1,0 +1,104 @@
+package graft.ext
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SketchExprs
+import org.apache.spark.storage.StorageLevel
+
+/** Build-once / probe-increment MinHash band index — the text-dedup
+  * twin of the ANN index lifecycle ([[LshIndex]]/[[IvfIndex]]/[[Pq]]):
+  * [[Dedup.minHashLshPairs]] sketches the ENTIRE corpus inside every
+  * call (shingle → 128 hashes → band keys per document), but the
+  * production shape of crawl dedup is incremental — yesterday's corpus
+  * is already indexed; only the new increment should pay sketching,
+  * and its candidates should verify against stored corpus state.
+  *
+  * Index anatomy (both halves are what a probe JOINS, so the stored
+  * layout clusters on exactly those keys — the [[IndexStore]] rule):
+  *   - `bands` — (band_id, band_key, doc_id): the banded MinHash keys,
+  *     clustered by (band_id, band_key) — a probe joins the increment's
+  *     band keys against these;
+  *   - `shingles` — (doc_id, sh): the distinct word-shingle sets,
+  *     clustered by doc_id — the exact-Jaccard verify fetches candidate
+  *     corpus docs' sets by id (the q187 candidate-fetch lesson: the
+  *     verify side must be a clustered lookup, not a text re-scan).
+  *
+  * A probe therefore costs: sketch the INCREMENT (increment-sized), one
+  * slim band equi-join, exact verification on the surviving candidates.
+  * The corpus is never re-read, never re-hashed. Growing the index with
+  * the deduplicated increment is a table append of the increment's two
+  * halves — at 100 TB, a [[graft.engine.Manifests]] commit.
+  *
+  * Same sketch parameters and verification as [[Dedup.minHashLshPairs]]
+  * (identical native expressions), so the candidate/recall surface of
+  * the q26 gate carries over unchanged.
+  */
+object MinHashIndex {
+
+  final case class Index(bands: DataFrame, shingles: DataFrame,
+      numHashes: Int, numBands: Int, shingleK: Int)
+
+  /** Banded MinHash keys of a document set: (band_id, band_key, doc_id). */
+  private[ext] def bandKeys(sh: DataFrame, numHashes: Int,
+      numBands: Int): DataFrame =
+    sh.withColumn("hs", TextPrep.baseHashes(col("sh")))
+      .select(col("doc_id"),
+        posexplode(SketchExprs.lshBands(
+          SketchExprs.minHashSig(col("hs"), numHashes),
+          numBands, numHashes / numBands))
+          .as(Seq("band_id", "band_key")))
+      .select(col("band_id"), col("band_key"), col("doc_id"))
+
+  /** Sketch + shingle the corpus once; both halves persisted and
+    * materialized — build cost is paid HERE, never inside a probe. */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, numBands: Int = 32): Index = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val sh = Dedup.shingleSets(corpus, idCol, textCol, shingleK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = bandKeys(sh, numHashes, numBands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bands.count() // materialize the corpus pass now
+    Index(bands, sh, numHashes, numBands, shingleK)
+  }
+
+  /** Near-dup pairs between a NEW increment and the indexed corpus:
+    * sketch only `newDocs`, join band keys, exact-verify candidates
+    * against the index's stored shingle sets. Output:
+    * (id_a = corpus doc, id_b = new doc, jaccard ≥ threshold), rounded
+    * to 6 places (engine-stable ordering). An increment doc whose id
+    * collides with an indexed id is the caller's upstream bug — ids are
+    * assumed globally unique across corpus generations. */
+  def probe(index: Index, newDocs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val newSh = Dedup.shingleSets(newDocs, idCol, textCol, index.shingleK)
+    val newBands = bandKeys(newSh, index.numHashes, index.numBands)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
+    val candidates = index.bands
+      .select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
+      .join(newBands, Seq("band_id", "band_key"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(index.shingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(newSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextPrep.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Release the index's cluster-side state. */
+  def drop(index: Index): Unit = {
+    index.bands.unpersist(); index.shingles.unpersist(); ()
+  }
+
+  private val cache = new ConcurrentHashMap[String, Index]()
+
+  /** Process-lifetime memo — the q78_search serving semantics. */
+  def cached(key: String)(build: => Index): Index =
+    cache.computeIfAbsent(key, _ => build)
+}

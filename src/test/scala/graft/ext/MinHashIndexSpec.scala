@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The incremental dedup probe must be the SAME operator as the full
+  * minHashLshPairs pass, restricted to (corpus × increment) pairs —
+  * identical sketches, identical verification — and must survive the
+  * IndexStore round-trip. */
+class MinHashIndexSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+    .select(col("doc_id"), col("text"))
+  private val cut = 300L
+  private lazy val corpus = docs.filter(col("doc_id") < cut)
+  private lazy val increment = docs.filter(col("doc_id") >= cut)
+
+  test("probe ≡ full-pass pairs restricted to the corpus×increment cross") {
+    val idx = MinHashIndex.build(corpus, "doc_id", "text")
+    try {
+      val got = MinHashIndex.probe(idx, increment, "doc_id", "text",
+        threshold = 0.8)
+      val full = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          threshold = 0.8, shingleK = 3, numHashes = 128, bands = 32)
+        .where(col("id_a") < cut && col("id_b") >= cut)
+      assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+        "incremental probe must equal the full pass on cross pairs")
+      assert(got.count() > 0, "gate data must actually contain cross dups")
+    } finally MinHashIndex.drop(idx)
+  }
+
+  test("stored index round-trips: loaded probe ≡ in-memory probe") {
+    val built = MinHashIndex.build(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    try {
+      IndexStore.writeMinhash(built, dir)
+      val loaded = IndexStore.loadMinhash(spark, dir)
+      assert(loaded.numHashes === built.numHashes &&
+        loaded.numBands === built.numBands &&
+        loaded.shingleK === built.shingleK)
+      val a = MinHashIndex.probe(loaded, increment, "doc_id", "text", 0.8)
+      val b = MinHashIndex.probe(built, increment, "doc_id", "text", 0.8)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally MinHashIndex.drop(built)
+  }
+
+  test("only the increment is sketched: corpus text never enters the probe plan") {
+    val idx = MinHashIndex.build(corpus, "doc_id", "text")
+    try {
+      val probe = MinHashIndex.probe(idx, increment, "doc_id", "text", 0.8)
+      // the probe's unresolved-to-optimized lineage must not re-read the
+      // corpus docs' text: its only corpus-side inputs are the index's
+      // persisted bands/shingles (InMemoryRelation after build)
+      val plan = probe.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("doc_id < 300"),
+        s"corpus filter leaked into the probe plan:\n$plan")
+    } finally MinHashIndex.drop(idx)
+  }
+}
