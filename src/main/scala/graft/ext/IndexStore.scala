@@ -43,6 +43,7 @@ object IndexStore {
     kvs.foreach {
       case (k, v: Int)    => n.put(k, v)
       case (k, v: Long)   => n.put(k, v)
+      case (k, v: Double) => n.put(k, v)
       case (k, v: String) => n.put(k, v)
       case (k, v)         => n.put(k, String.valueOf(v))
     }
@@ -152,6 +153,30 @@ object IndexStore {
       spark.read.parquet(s"$dir/shingles"),
       m.get("numHashes").asInt(), m.get("numBands").asInt(),
       m.get("shingleK").asInt())
+  }
+
+  // ---- BM25 inverted index ------------------------------------------
+
+  /** [[InvertedIndex]]: postings clustered+sorted by term, so a query's
+    * `term IN (...)` predicate row-group-skips to exactly the queried
+    * terms; docFreq rides beside (vocabulary-sized); the two corpus
+    * scalars live in meta. */
+  def writeInverted(index: InvertedIndex.Index, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "inverted", "nDocs" -> index.nDocs,
+      "avgdl" -> index.avgdl)
+    index.postings
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+    index.docFreq.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/docfreq")
+  }
+
+  def loadInverted(spark: SparkSession, dir: String): InvertedIndex.Index = {
+    val m = requireKind(dir, "inverted")
+    InvertedIndex.Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/docfreq"),
+      m.get("nDocs").asLong(), m.get("avgdl").asDouble())
   }
 
   // ---- PQ -----------------------------------------------------------

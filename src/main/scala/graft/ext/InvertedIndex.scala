@@ -1,0 +1,90 @@
+package graft.ext
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Build-once / query-many BM25 inverted index — the relevance twin of
+  * the serving lifecycles ([[LshIndex]]/[[MinHashIndex]]):
+  * [[Relevance.bm25TopK]] tokenizes the ENTIRE corpus inside every
+  * query (the corpus scan dominates; the per-query terms only prune
+  * AFTER the explode), but search serving builds postings once and
+  * answers queries from them — the oldest index structure there is.
+  *
+  * Index anatomy:
+  *   - `postings` — (term, doc_id, tf, dl): one row per distinct
+  *     (document, term), with the document length riding along so
+  *     scoring never re-joins a lengths table. Stored through
+  *     [[IndexStore.writeInverted]] it clusters+sorts by term — a query
+  *     is a `term IN (...)` literal predicate pushed to the parquet
+  *     reader (the q187 move), so the scan reads the queried terms'
+  *     row groups, not the corpus.
+  *   - `docFreq` — (term, df): Zipf-bounded (vocabulary-sized),
+  *     broadcast onto the postings at query time.
+  *   - (nDocs, avgdl) — two scalars, pinned at build.
+  *
+  * A query therefore costs: selected postings rows (Σ df over query
+  * terms) + a vocabulary-row broadcast — independent of corpus size for
+  * fixed query terms. [[bm25]] is expression-for-expression the
+  * [[Relevance.bm25TopK]] scorer (same log form, same rounding), so the
+  * q55 oracle carries over unchanged.
+  */
+object InvertedIndex {
+
+  final case class Index(postings: DataFrame, docFreq: DataFrame,
+      nDocs: Long, avgdl: Double)
+
+  /** Tokenize + count once; postings persisted and materialized, df and
+    * the corpus scalars computed at build (bounded driver state). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val toks = docs
+      .withColumn("__toks", TextPrep.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("__toks"),
+        size(col("__toks")).as("dl"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    postings.count() // pay the corpus pass HERE
+    val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("a")).head()
+    Index(postings, docFreq, stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** BM25 top-k from the index: postings filtered to the query terms
+    * (literal IN — pushed to the scan on a stored index), df broadcast,
+    * the [[Relevance.bm25TopK]] scoring expression verbatim. */
+  def bm25(index: Index, terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    index.postings
+      .where(col("term").isin(terms: _*))
+      .join(broadcast(index.docFreq.where(col("term").isin(terms: _*))),
+        Seq("term"))
+      .select(col("doc_id"),
+        (log((lit(index.nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + (col("dl") / index.avgdl * b + (1.0 - b)) * k1))
+          .as("__s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Release the index's cluster-side state. */
+  def drop(index: Index): Unit = {
+    index.postings.unpersist(); index.docFreq.unpersist(); ()
+  }
+
+  private val cache = new ConcurrentHashMap[String, Index]()
+
+  /** Process-lifetime memo — the q78_search serving semantics. */
+  def cached(key: String)(build: => Index): Index =
+    cache.computeIfAbsent(key, _ => build)
+}

@@ -159,5 +159,36 @@ object Round7Queries {
             |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
             |ORDER BY id_a, id_b""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190)
+  /** Q191 (R2, BM25 against a stored inverted index): the serving form
+    * of q55 — postings built once per (session, dir) via
+    * [[graft.ext.InvertedIndex.cached]] (rep 1 pays the build, reps 2+
+    * price the steady state: a term-pruned postings read + a
+    * vocabulary-row broadcast, independent of corpus size for fixed
+    * terms), scoring expression-for-expression the q55 BM25, so the q55
+    * oracle carries over verbatim. */
+  val q191 = GQuery("q191_bm25_indexed", (s, d) => {
+    import graft.ext.InvertedIndex
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val idx = InvertedIndex.cached(s.sparkContext.applicationId + ":" + d) {
+      InvertedIndex.build(docs, "doc_id", "text")
+    }
+    InvertedIndex.bm25(idx, Seq("spark", "window", "hash"), topK = 20)
+  },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |           FROM documents),
+           |d AS (SELECT doc_id, len(w) AS dl FROM t),
+           |c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+           |p AS (SELECT doc_id, tok AS term, count(*) AS tf
+           |      FROM t, unnest(w) AS u(tok)
+           |      WHERE tok IN ('spark', 'window', 'hash') GROUP BY doc_id, tok),
+           |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+           |sc AS (SELECT p.doc_id,
+           |         ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+           |           * (p.tf * 2.2)
+           |           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+           |       FROM p JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN c)
+           |SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc GROUP BY doc_id
+           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190, q191)
 }
