@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): pick the raw-corpus documents whose hashed-n-gram
+  * distribution looks most like a small target corpus. The method behind
+  * "select crawl data that resembles Wikipedia" in recent LM data
+  * pipelines, and the natural next step after the rule-based filters
+  * ([[TextQuality]]) and dedup families already in this package: rules
+  * say what to THROW AWAY, DSIR says what to KEEP.
+  *
+  * Reference anchor: the reference stack curates `documents`-style
+  * corpora with SQL filters only (`/root/reference/scripts/init_db.py:61-96`
+  * seeds the tables; no selection op exists there) — this is the
+  * training-data-pipeline tier the build brief adds on top.
+  *
+  * Method (paper §3, hashed n-gram variant — the one DSIR actually ships):
+  *  1. Features: unigrams + bigrams of whitespace words, hashed into `B`
+  *     buckets. The hash here is the first 8 hex chars of md5 mod B — the
+  *     repo's portable-draw discipline ([[Splits.md5Prefix]]), so the
+  *     DuckDB oracle recomputes the identical buckets.
+  *  2. Fit two bag-of-n-grams multinomials over buckets: p̂_target from
+  *     the target slice, p̂_raw from the whole raw stream, both add-α
+  *     smoothed.
+  *  3. Per-document importance log-weight: Σ over the doc's n-gram
+  *     OCCURRENCES of (ln p̂_target[b] − ln p̂_raw[b]).
+  *  4. Gumbel top-k resampling (paper §2: sampling without replacement ≡
+  *     top-k of log w + Gumbel noise): the noise is a deterministic
+  *     Gumbel(0,1) from a salted md5 draw of the id, so selection is a
+  *     pure function of the corpus — no rand(), same rows on any cluster.
+  *
+  * Scale shape (100 TB): two passes over the n-gram stream (model, then
+  * score), each a narrow explode→project feeding exactly ONE map-side-
+  * combined exchange — the model pass collapses to ≤B rows, the scoring
+  * pass to one row per document. The model is a ≤B-row broadcast; no
+  * all-pairs, no driver loop, and selection is TakeOrdered(k), never a
+  * global sort. B=10⁴ buckets ⇒ the model state is ~100 KB regardless of
+  * corpus size.
+  *
+  * Float discipline: each bucket's log-ratio is one ln-subtract rounded
+  * to 6 places and cast DECIMAL(24,6); per-document sums are decimal, so
+  * summation order cannot change a result (the q181 rule). The Gumbel
+  * key is likewise rounded before the decimal add.
+  */
+object Dsir {
+
+  /** Whitespace word split shared with the BM25/LM oracles. */
+  private def words(textCol: Column): Column =
+    split(lower(trim(textCol)), "\\s+")
+
+  /** Per-document hashed n-gram (uni+bi) bucket stream: one row per
+    * n-gram OCCURRENCE, carrying `extra` pass-through columns plus
+    * `__nng` = the document's total n-gram count (computed BEFORE the
+    * explode, so consumers needing normalized counts never re-join or
+    * re-aggregate for it). Pure narrow map — no shuffle. */
+  def ngramBuckets(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, extra: Seq[String] = Nil): DataFrame = {
+    val ws = words(col(textCol))
+    val bis = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val cols = col(idCol) +: extra.map(col)
+    docs.select((cols :+ concat(ws, bis).as("__ngs")): _*)
+      .select((cols :+ size(col("__ngs")).cast("long").as("__nng") :+
+        explode(col("__ngs")).as("__ng")): _*)
+      .select((cols :+ col("__nng") :+
+        (conv(substring(md5(col("__ng")), 1, 8), 16, 10).cast("long")
+          % buckets).as("__bkt")): _*)
+  }
+
+  /** Importance log-weights: (idCol, n_ngrams, __logw DECIMAL). `isTarget`
+    * marks the target-distribution slice (evaluated per document). */
+  def importanceWeights(docs: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, buckets: Int = 10000, alpha: Double = 1.0): DataFrame = {
+    val ng = ngramBuckets(docs.withColumn("__is_t", isTarget),
+      idCol, textCol, buckets, extra = Seq("__is_t"))
+    // Model pass: ONE exchange, ≤B rows out (raw + target counts share
+    // it). The two totals come from an unbounded window OVER the ≤B-row
+    // bucket table — one task over ≤10⁴ rows — NOT a second aggregate,
+    // which would re-derive perBkt and re-scan the corpus (caught in the
+    // first .explain: three scans instead of two).
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val perBkt = ng.groupBy("__bkt").agg(
+      count(lit(1)).as("__rc"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__tc"))
+    val lw = perBkt.select(col("__bkt"),
+      round(log((col("__tc") + alpha)
+            / (sum("__tc").over(wAll) + lit(alpha) * buckets))
+          - log((col("__rc") + alpha)
+            / (sum("__rc").over(wAll) + lit(alpha) * buckets)), 6)
+        .cast("decimal(24,6)").as("__lr"))
+    // Scoring pass: broadcast the ≤B-row model onto the stream; the
+    // groupBy is the pass's one exchange, map-side combined to a row/doc.
+    ng.join(broadcast(lw), Seq("__bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__lr")).as("__logw"))
+  }
+
+  /** Deterministic Gumbel(0,1) draw from a salted md5 of the id:
+    * u = (hash32 + 0.5) / 2^32 ∈ (0,1), g = −ln(−ln u). */
+  def gumbelKey(id: Column): Column = {
+    val u = (conv(substring(md5(concat(lit("dsir:"), id.cast("string"))),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    round(-log(-log(u)), 6).cast("decimal(24,6)")
+  }
+
+  /** Gumbel top-k resample over [[importanceWeights]] output:
+    * TakeOrdered(k) on (logw + gumbel) desc, id asc. */
+  def resample(weights: DataFrame, idCol: String, k: Int): DataFrame =
+    weights
+      .withColumn("gkey", col("__logw") + gumbelKey(col(idCol)))
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        round(col("__logw").cast("double"), 6).as("logw"),
+        round(col("gkey").cast("double"), 6).as("gkey"))
+
+  /** End-to-end: weights + resample. */
+  def select(docs: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, k: Int, buckets: Int = 10000,
+      alpha: Double = 1.0): DataFrame =
+    resample(importanceWeights(docs, isTarget, idCol, textCol, buckets, alpha),
+      idCol, k)
+}
