@@ -71,34 +71,94 @@ object Dsir {
           % buckets).as("__bkt")): _*)
   }
 
-  /** Importance log-weights: (idCol, n_ngrams, __logw DECIMAL). `isTarget`
-    * marks the target-distribution slice (evaluated per document). */
-  def importanceWeights(docs: DataFrame, isTarget: Column, idCol: String,
+  /** Fitted DSIR model: the ≤B-row per-bucket table
+    * (__bkt, __rc, __tc, __lr DECIMAL(24,6)) plus the parameters that
+    * reconstruct the smoothing default for buckets the model corpus
+    * never produced (rc = tc = 0 makes the log-ratio a CONSTANT of the
+    * totals — the principled score for an unseen n-gram, which only an
+    * INCREMENT being scored against a stored model can hit). */
+  final case class Model(weights: DataFrame, buckets: Int, alpha: Double,
+      rawN: Long, targetN: Long) {
+    def defaultLr: Column =
+      round(log(lit(alpha) / (lit(targetN) + lit(alpha) * buckets))
+          - log(lit(alpha) / (lit(rawN) + lit(alpha) * buckets)), 6)
+        .cast("decimal(24,6)")
+  }
+
+  /** The model-pass PLAN (unmaterialized): ONE exchange, ≤B rows out
+    * (raw + target counts share it). The two totals come from an
+    * unbounded window OVER the ≤B-row bucket table — one task over ≤10⁴
+    * rows — NOT a second aggregate, which would re-derive the bucket
+    * counts and re-scan the corpus (caught in the first .explain: three
+    * scans instead of two). */
+  def fitPlan(docs: DataFrame, isTarget: Column, idCol: String,
       textCol: String, buckets: Int = 10000, alpha: Double = 1.0): DataFrame = {
     val ng = ngramBuckets(docs.withColumn("__is_t", isTarget),
       idCol, textCol, buckets, extra = Seq("__is_t"))
-    // Model pass: ONE exchange, ≤B rows out (raw + target counts share
-    // it). The two totals come from an unbounded window OVER the ≤B-row
-    // bucket table — one task over ≤10⁴ rows — NOT a second aggregate,
-    // which would re-derive perBkt and re-scan the corpus (caught in the
-    // first .explain: three scans instead of two).
     val wAll = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
       .rowsBetween(Long.MinValue, Long.MaxValue)
-    val perBkt = ng.groupBy("__bkt").agg(
-      count(lit(1)).as("__rc"),
-      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__tc"))
-    val lw = perBkt.select(col("__bkt"),
-      round(log((col("__tc") + alpha)
-            / (sum("__tc").over(wAll) + lit(alpha) * buckets))
-          - log((col("__rc") + alpha)
-            / (sum("__rc").over(wAll) + lit(alpha) * buckets)), 6)
-        .cast("decimal(24,6)").as("__lr"))
-    // Scoring pass: broadcast the ≤B-row model onto the stream; the
-    // groupBy is the pass's one exchange, map-side combined to a row/doc.
+    ng.groupBy("__bkt").agg(
+        count(lit(1)).as("__rc"),
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("__tc"))
+      .select(col("__bkt"), col("__rc"), col("__tc"),
+        round(log((col("__tc") + alpha)
+              / (sum("__tc").over(wAll) + lit(alpha) * buckets))
+            - log((col("__rc") + alpha)
+              / (sum("__rc").over(wAll) + lit(alpha) * buckets)), 6)
+          .cast("decimal(24,6)").as("__lr"))
+  }
+
+  /** Materialized model — the build half of build-once/score-many
+    * (persist through [[IndexStore.writeDsir]]). One corpus pass. */
+  def fit(docs: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, buckets: Int = 10000, alpha: Double = 1.0): Model = {
+    val spark = docs.sparkSession
+    val plan = fitPlan(docs, isTarget, idCol, textCol, buckets, alpha)
+    val rows = plan.collect() // ≤B rows — the k-row-centroid class
+    val w = spark.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+    val (rn, tn) = rows.foldLeft((0L, 0L)) { case ((r, t), row) =>
+      (r + row.getLong(1), t + row.getLong(2))
+    }
+    Model(w, buckets, alpha, rn, tn)
+  }
+
+  /** Score documents under a model plan/table: (idCol, n_ngrams, __logw
+    * DECIMAL). Broadcast the ≤B-row model onto the n-gram stream; the
+    * groupBy is the pass's one exchange, map-side combined to a row per
+    * document. Buckets absent from the model take the smoothing default
+    * (left join + coalesce). */
+  def scoreWith(model: Model, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ng = ngramBuckets(docs, idCol, textCol, model.buckets)
+    ng.join(broadcast(model.weights.select(col("__bkt"), col("__lr"))),
+        Seq("__bkt"), "left")
+      .select(col(idCol), coalesce(col("__lr"), model.defaultLr).as("__lr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__lr")).as("__logw"))
+  }
+
+  /** Importance log-weights in one plan (model corpus = scored corpus,
+    * so every bucket is present and no smoothing default can fire):
+    * (idCol, n_ngrams, __logw DECIMAL). `isTarget` marks the
+    * target-distribution slice (evaluated per document). */
+  def importanceWeights(docs: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, buckets: Int = 10000, alpha: Double = 1.0): DataFrame = {
+    val lw = fitPlan(docs, isTarget, idCol, textCol, buckets, alpha)
+      .select(col("__bkt"), col("__lr"))
+    val ng = ngramBuckets(docs, idCol, textCol, buckets)
     ng.join(broadcast(lw), Seq("__bkt"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"), sum(col("__lr")).as("__logw"))
   }
+
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  /** Session-scoped fit-once memo (the [[MinHashIndex.cached]] lifecycle
+    * pattern): bench rep 1 pays fit+store+load, reps 2+ price the
+    * steady-state increment scoring. */
+  def cachedModel(key: String)(build: => Model): Model =
+    modelCache.computeIfAbsent(key, _ => build)
 
   /** Deterministic Gumbel(0,1) draw from a salted md5 of the id:
     * u = (hash32 + 0.5) / 2^32 ∈ (0,1), g = −ln(−ln u). */

@@ -194,4 +194,53 @@ object IndexStore {
       spark.read.parquet(s"$dir/codes"),
       m.get("m").asInt(), m.get("ksub").asInt())
   }
+
+  // ---- DSIR model ---------------------------------------------------
+
+  /** DSIR's fitted bucket table ([[Dsir.Model]]): ≤B rows of
+    * (__bkt, __rc, __tc, __lr) plus the totals/params the smoothing
+    * default for unseen buckets reconstructs from — the model an
+    * incremental crawl-scoring job broadcasts (the [[writeMinhash]]
+    * increment discipline applied to selection). */
+  def writeDsir(model: Dsir.Model, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "dsir", "buckets" -> model.buckets,
+      "alpha" -> model.alpha, "rawN" -> model.rawN,
+      "targetN" -> model.targetN)
+    model.weights.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/weights")
+  }
+
+  def loadDsir(spark: SparkSession, dir: String): Dsir.Model = {
+    val m = requireKind(dir, "dsir")
+    Dsir.Model(pinLocal(spark.read.parquet(s"$dir/weights")),
+      m.get("buckets").asInt(), m.get("alpha").asDouble(),
+      m.get("rawN").asLong(), m.get("targetN").asLong())
+  }
+
+  // ---- logistic quality classifier ----------------------------------
+
+  /** [[QualityClassifier.LogisticModel]]: the dense (B+ramps)-vector as
+    * a (b, w) parquet table, bias + ramp cutoffs in meta. */
+  def writeLogreg(model: QualityClassifier.LogisticModel, dir: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    writeMeta(dir, "kind" -> "logreg", "buckets" -> model.buckets,
+      "bias" -> model.bias,
+      "statRamps" -> model.statRamps.mkString(","))
+    model.weights.toSeq.zipWithIndex.map { case (w, b) => (b.toLong, w) }
+      .toDF("b", "w").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/weights")
+  }
+
+  def loadLogreg(spark: SparkSession, dir: String): QualityClassifier.LogisticModel = {
+    val m = requireKind(dir, "logreg")
+    val w = spark.read.parquet(s"$dir/weights").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val ramps = m.get("statRamps").asText() match {
+      case "" => Nil
+      case s  => s.split(",").toSeq.map(_.toDouble)
+    }
+    QualityClassifier.LogisticModel(m.get("buckets").asInt(), ramps,
+      m.get("bias").asDouble(), w)
+  }
 }

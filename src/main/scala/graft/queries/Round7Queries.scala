@@ -274,6 +274,62 @@ object Round7Queries {
       .limit(50)
   }, None)
 
+  /** Q194 (T17′, incremental DSIR scoring against a STORED model): the
+    * serving form of q192 — the crawl-selection steady state scores each
+    * new increment against a model fit ONCE on the existing corpus
+    * (doc_id < 400 here), persisted through [[graft.ext.IndexStore]]
+    * (kind=dsir) and reloaded across JVMs; only the increment
+    * (doc_id ≥ 400) is ever n-gram-hashed. Buckets the model corpus
+    * never produced take the closed-form smoothing default (rc = tc = 0
+    * log-ratio) — the oracle recomputes model, default, and scores from
+    * the same slices, so the hash-match covers the left-join + coalesce
+    * path too. Memoized per (session, dir): rep 1 pays fit+store+load,
+    * reps 2+ price steady-state scoring (the q190/q191 discipline). */
+  val q194 = GQuery("q194_dsir_stored", (s, d) => {
+    import graft.ext.{Dsir, IndexStore}
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val model = Dsir.cachedModel(s.sparkContext.applicationId + ":" + d) {
+      val m = Dsir.fit(docs.filter(col("doc_id") < 400),
+        col("lang") === "en", "doc_id", "text", buckets = 10000, alpha = 1.0)
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/dsir_${math.abs(d.hashCode)}"
+      IndexStore.writeDsir(m, dir)
+      IndexStore.loadDsir(s, dir)
+    }
+    Dsir.scoreWith(model, docs.filter(col("doc_id") >= 400), "doc_id", "text")
+      .select(col("doc_id"), col("n_ngrams"),
+        round(col("__logw").cast("double"), 6).as("logw"))
+      .orderBy("doc_id")
+  },
+    Some("""WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+           |                  string_split_regex(lower(trim(text)), '\s+') AS ws
+           |           FROM documents),
+           |ng AS (SELECT doc_id, is_t, tok AS ng FROM w, unnest(ws) AS u(tok)
+           |       UNION ALL
+           |       SELECT doc_id, is_t, ws[i] || ' ' || ws[i+1] AS ng
+           |       FROM w, unnest(range(1, len(ws))) AS r(i)),
+           |b AS (SELECT doc_id, is_t,
+           |             ('0x' || substring(md5(ng), 1, 8))::BIGINT % 10000 AS bkt
+           |      FROM ng),
+           |pb AS (SELECT bkt, count(*) AS rc,
+           |              sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+           |       FROM b WHERE doc_id < 400 GROUP BY bkt),
+           |tot AS (SELECT sum(rc) AS rn, sum(tc) AS tn FROM pb),
+           |lw AS (SELECT bkt,
+           |         round(ln((tc + 1.0) / (tn + 1.0 * 10000))
+           |             - ln((rc + 1.0) / (rn + 1.0 * 10000)), 6)::DECIMAL(24,6) AS lr
+           |       FROM pb CROSS JOIN tot),
+           |dflt AS (SELECT round(ln(1.0 / (tn + 1.0 * 10000))
+           |               - ln(1.0 / (rn + 1.0 * 10000)), 6)::DECIMAL(24,6) AS lr
+           |         FROM tot),
+           |inc AS (SELECT doc_id, bkt FROM b WHERE doc_id >= 400),
+           |sc AS (SELECT inc.doc_id, count(*) AS n_ngrams,
+           |              sum(coalesce(lw.lr, dflt.lr)) AS logw
+           |       FROM inc LEFT JOIN lw USING (bkt) CROSS JOIN dflt
+           |       GROUP BY inc.doc_id)
+           |SELECT doc_id, n_ngrams, round(logw::DOUBLE, 6) AS logw
+           |FROM sc ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190, q191, q192,
-    q193)
+    q193, q194)
 }

@@ -101,6 +101,48 @@ class DsirSpec extends SparkSpec {
     assert(all.toSet == corpus.map(_._1).toSet)
   }
 
+  test("stored model round-trips; unseen buckets take the smoothing default") {
+    val model = Dsir.fit(corpusDf, col("is_t"), "id", "text",
+      buckets = 512, alpha = 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("dsir-idx").toString
+    IndexStore.writeDsir(model, dir)
+    val loaded = IndexStore.loadDsir(spark, dir)
+    assert(loaded.buckets == model.buckets && loaded.alpha == model.alpha &&
+      loaded.rawN == model.rawN && loaded.targetN == model.targetN)
+    // increment: one known-vocab doc + one doc of NOVEL words (its
+    // buckets cannot all be in the model — novel n-grams hit the default)
+    val inc = Seq((500L, "spark shuffle plan"),
+      (501L, "xylophone quux zorp")).toDF("id", "text")
+    def scores(m: Dsir.Model) =
+      Dsir.scoreWith(m, inc, "id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+        .sortBy(_._1).toSeq
+    val got = scores(loaded)
+    assert(got == scores(model), "loaded model must score identically")
+    // single-node reference with the default for unseen buckets
+    val occ = corpus.flatMap { case (_, t, txt) => ngrams(txt).map(ng => (t, bkt(ng, 512))) }
+    val rc = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tc = occ.filter(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (rn, tn) = (occ.size.toLong, occ.count(_._1).toLong)
+    def lr(b: Long): BigDecimal = BigDecimal(
+      math.log((tc.getOrElse(b, 0L) + 1.0) / (tn + 512.0)) -
+        math.log((rc.getOrElse(b, 0L) + 1.0) / (rn + 512.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val dflt = BigDecimal(math.log(1.0 / (tn + 512.0)) -
+      math.log(1.0 / (rn + 512.0))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp = Seq((500L, "spark shuffle plan"), (501L, "xylophone quux zorp"))
+      .map { case (id, txt) =>
+        val ns = ngrams(txt).map(ng => bkt(ng, 512))
+        (id, ns.size.toLong,
+          ns.map(b => if (rc.contains(b)) lr(b) else dflt).sum)
+      }
+    assert(got.map(g => (g._1, g._2)) == exp.map(e => (e._1, e._2)))
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._3.compare(e._3) == 0, s"logw for doc ${g._1}")
+    }
+    assert(tc.keySet.subsetOf(rc.keySet))
+  }
+
   test("ngramBuckets: 2n-1 occurrences per doc, buckets in range, __nng total") {
     val ng = Dsir.ngramBuckets(Seq((1L, "A b  c")).toDF("id", "text"),
       "id", "text", buckets = 64)

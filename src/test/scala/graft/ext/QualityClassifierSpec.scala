@@ -157,6 +157,28 @@ class QualityClassifierSpec extends SparkSpec {
     assert(a.weights.sameElements(b.weights))
   }
 
+  test("stored model round-trips bit-for-bit (IndexStore kind=logreg)") {
+    val model = QualityClassifier.train(corpusDf, "y", "id", "text",
+      buckets = 64, iters = 4, lr = 0.5, statRamps = Seq(20.0, -90.0),
+      adagrad = true)
+    val dir = java.nio.file.Files.createTempDirectory("logreg-idx").toString
+    IndexStore.writeLogreg(model, dir)
+    val loaded = IndexStore.loadLogreg(spark, dir)
+    assert(loaded.buckets == model.buckets)
+    assert(loaded.bias == model.bias)
+    assert(loaded.statRamps == model.statRamps)
+    assert(loaded.weights.sameElements(model.weights))
+    val a = QualityClassifier.score(model, corpusDf, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val b = QualityClassifier.score(loaded, corpusDf, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadDsir(spark, dir)
+    }
+    assert(e.getMessage.contains("logreg") && e.getMessage.contains("dsir"))
+  }
+
   test("score: probabilities in (0,1), one row per doc, positive class higher") {
     val model = QualityClassifier.train(corpusDf, "y", "id", "text",
       buckets = 256, iters = 20, lr = 5.0)
