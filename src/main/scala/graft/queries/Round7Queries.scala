@@ -330,6 +330,150 @@ object Round7Queries {
            |SELECT doc_id, n_ngrams, round(logw::DOUBLE, 6) AS logw
            |FROM sc ORDER BY doc_id""".stripMargin))
 
+  /** Unrolled power-iteration twin of [[graft.ext.PageRank.run]]: DuckDB
+    * has no iterative aggregation, so each iteration is a generated CTE —
+    * identical exact micro-unit integer arithmetic (half-up integer
+    * splits, BIGINT sums, `(85·m + 50) // 100` damping; `//` is DuckDB's
+    * floor division ≡ Spark's `div` on the non-negative operands here). */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id,
+         |  150000 + (85 * coalesce(s.m, 0) + 50) // 100 AS ri
+         |FROM n LEFT JOIN (
+         |  SELECT e.dst AS id,
+         |         sum((2 * p.ri + d.outdeg) // (2 * d.outdeg)) AS m
+         |  FROM r${i - 1} p JOIN e ON e.src = p.id JOIN deg d ON d.id = p.id
+         |  GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM cp
+       |      UNION ALL SELECT dst AS src, src AS dst FROM cp),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS ri FROM n),
+       |$steps
+       |SELECT id AS node_id, CAST(ri AS DOUBLE) / 1000000.0 AS rank_score
+       |FROM r$iters
+       |ORDER BY rank_score DESC, node_id LIMIT 100""".stripMargin
+  }
+
+  /** Q195 (G2, PageRank): 10 power iterations over the bidirectional
+    * customer↔part purchase graph ([[graft.ext.PageRank]]) — two slim
+    * exchanges per iteration (N-row rank join + partial-aggregated
+    * contribution shuffle), per-iteration localCheckpoint, and EXACT
+    * integer micro-unit arithmetic end-to-end, so the result is
+    * bit-identical across engines and partitionings by construction. The
+    * symmetric gate graph has no sinks; dangling redistribution is
+    * spec-held (PageRankSpec vs an independent adjacency-map reference).
+    * Top-100 by (rank desc, id) — a TakeOrdered, never a global sort. */
+  val q195 = GQuery("q195_pagerank", (s, d) => {
+    import graft.ext.PageRank
+    val g = PageRank.purchaseGraph(t(s, d, "orders"), t(s, d, "lineitem"))
+    PageRank.run(g, "src", "dst", iters = 10)
+      .select(col("id").as("node_id"), col("r").as("rank_score"))
+      .orderBy(col("rank_score").desc, col("node_id")).limit(100)
+  }, Some(pagerankOracle(10)))
+
+  /** Q196 (ER1, blocked fuzzy entity match): Jaro–Winkler name matching
+    * over the distinct part names, blocked on the last name token — the
+    * equi-join-on-block-key shape that replaces the O(n²) all-pairs scan
+    * ([[graft.ext.EntityResolution]]); the JW score is a native codegen'd
+    * expression ([[org.apache.spark.sql.graft.JaroWinkler]]) evaluated
+    * inside the join's whole-stage span, semantics pinned to DuckDB's
+    * `jaro_winkler_similarity` (StringSimSpec probe vectors). */
+  val q196 = GQuery("q196_er_fuzzy_match", (s, d) => {
+    import graft.ext.{EntityResolution, TextPrep}
+    val names = t(s, d, "part").select(col("p_name")).distinct()
+      .select(col("p_name").as("pid"), col("p_name").as("pname"))
+    EntityResolution.fuzzyMatches(names, "pid", "pname",
+        element_at(TextPrep.tokens(col("pname")), -1), threshold = 0.5)
+      .select(col("name_a"), col("name_b"), col("jw_sim"))
+      .orderBy("name_a", "name_b")
+  },
+    Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+           |b AS (SELECT p_name,
+           |        list_extract(string_split_regex(lower(trim(p_name)), '\s+'), -1) AS blk
+           |      FROM n)
+           |SELECT a.p_name AS name_a, b2.p_name AS name_b,
+           |  round(jaro_winkler_similarity(a.p_name, b2.p_name), 6) AS jw_sim
+           |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+           |WHERE round(jaro_winkler_similarity(a.p_name, b2.p_name), 6) >= 0.5
+           |ORDER BY name_a, name_b""".stripMargin))
+
+  /** Q197 (R3, hybrid retrieval / RRF fusion): fuse the q55 sparse BM25
+    * top-20 with a dense cosine top-20 (probe = vec 0) by Reciprocal Rank
+    * Fusion ([[graft.ext.HybridRetrieval]], Cormack 2009) — the standard
+    * RAG serving composition over the engine's two retriever families.
+    * Fusion itself touches only the two 20-row lists; reciprocal ranks
+    * are rounded rationals DECIMAL-summed, so the fused ordering is
+    * engine-stable. */
+  val q197 = GQuery("q197_hybrid_rrf", (s, d) => {
+    import graft.ext.{HybridRetrieval, Relevance}
+    import graft.functions.VectorFunctions
+    val sparse = Relevance.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+      Seq("spark", "window", "hash"), topK = 20)
+    val e = t(s, d, "embeddings")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val dense = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("pv")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("doc_id")).limit(20)
+    HybridRetrieval.rrfFuse(Seq(
+      HybridRetrieval.ranked(sparse, "doc_id", "bm25"),
+      HybridRetrieval.ranked(dense, "doc_id", "cs")), "doc_id", topK = 10)
+  },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |           FROM documents),
+           |d AS (SELECT doc_id, len(w) AS dl FROM t),
+           |c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+           |p AS (SELECT doc_id, tok AS term, count(*) AS tf
+           |      FROM t, unnest(w) AS u(tok)
+           |      WHERE tok IN ('spark', 'window', 'hash') GROUP BY doc_id, tok),
+           |f AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+           |sc AS (SELECT p.doc_id,
+           |         ln((c.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+           |           * (p.tf * 2.2)
+           |           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)) AS s
+           |       FROM p JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN c),
+           |sp AS (SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc GROUP BY doc_id
+           |       ORDER BY bm25 DESC, doc_id LIMIT 20),
+           |spr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+           |        FROM sp),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |pr AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+           |dn AS (SELECT e.vec_id AS doc_id,
+           |         round(list_inner_product(e.v, pr.pv) /
+           |               (sqrt(list_inner_product(e.v, e.v))
+           |                * sqrt(list_inner_product(pr.pv, pr.pv))), 6) AS cs
+           |       FROM e CROSS JOIN pr ORDER BY cs DESC, doc_id LIMIT 20),
+           |dnr AS (SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS rnk
+           |        FROM dn),
+           |a AS (SELECT doc_id, rnk FROM spr UNION ALL SELECT doc_id, rnk FROM dnr)
+           |SELECT doc_id, CAST(sum(CAST(round(1.0 / (60 + rnk), 6) AS DECIMAL(18,6)))
+           |                    AS DOUBLE) AS rrf
+           |FROM a GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+
+  /** Q198 (A21, exact heavy hitters): every token with count·200 > total
+    * over the document corpus — per-partition Misra–Gries candidates (no
+    * exchange) + exact recount of the bounded candidate set
+    * ([[graft.ext.HeavyHitters]]): the distinct-token table never crosses
+    * a shuffle. Output is the EXACT frequent set (integer threshold
+    * arithmetic), so the oracle is a plain GROUP BY ... HAVING. */
+  val q198 = GQuery("q198_heavy_hitters", (s, d) => {
+    import graft.ext.{HeavyHitters, TextPrep}
+    val toks = t(s, d, "documents")
+      .select(explode(TextPrep.tokens(col("text"))).as("token"))
+    HeavyHitters.frequentItems(toks, "token", k = 200)
+  },
+    Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           |            FROM documents),
+           |tot AS (SELECT count(*) AS n FROM tok)
+           |SELECT token AS item, count(*) AS cnt
+           |FROM tok CROSS JOIN tot GROUP BY token, tot.n
+           |HAVING count(*) * 200 > tot.n
+           |ORDER BY cnt DESC, item""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194)
+    q193, q194, q195, q196, q197, q198)
 }
