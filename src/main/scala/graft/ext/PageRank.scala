@@ -117,6 +117,75 @@ object PageRank {
       (col("ri").cast("double") / lit(1000000.0)).as("r"))
   }
 
+  /** Personalized PageRank (PPR): teleport mass concentrated on a seed
+    * set instead of spread uniformly — THE seed-expansion primitive of
+    * graph-based data selection (rank pages/documents by random-walk
+    * proximity to a trusted seed corpus, the quality-propagation move of
+    * the crawl literature).
+    *
+    * Same exact micro-unit integer arithmetic as [[run]]; the per-node
+    * teleport base is `(150000·N) div |S|` for seeds and 0 otherwise
+    * (mass ≈ N as in the uniform case, so ranks stay O(1)-scaled), the
+    * initial distribution IS the teleport vector, and dangling mass
+    * returns to the SEEDS (the standard PPR convention — a walk that
+    * falls off the graph restarts at a seed). `seeds` is a driver-side
+    * list (bounded, broadcast into the plan); ids absent from the graph
+    * are ignored after a `require` that at least one seed is present. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iters: Int,
+      handleDangling: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(seeds.nonEmpty, "seed set must be non-empty")
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("is_seed", col("id").isin(seeds: _*))
+      .localCheckpoint()
+    val nNodes = nodes.count()
+    val nSeeds = nodes.where(col("is_seed")).count()
+    require(nSeeds > 0, "no seed id exists in the graph")
+    val seedBase = (150000L * nNodes) / nSeeds
+
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesW = e.join(outdeg, "src").localCheckpoint()
+    val danglingNodes = nodes.select("id").join(
+      outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = handleDangling && danglingNodes.limit(1).count() > 0
+
+    var ranks = nodes
+      .withColumn("ri", when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)))
+      .select("id", "ri").localCheckpoint()
+    for (_ <- 1 to iters) {
+      val danglingShare: Long =
+        if (!hasDangling) 0L
+        else {
+          val row = danglingNodes.join(ranks, "id")
+            .agg(coalesce(sum(col("ri")), lit(0L)).as("s")).collect()(0)
+          val s = row.getLong(0)
+          (2L * s + nSeeds) / (2L * nSeeds) // restart at a seed
+        }
+      val contribs = edgesW
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          expr("(2 * ri + outdeg) div (2 * outdeg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+        .withColumnRenamed("dst", "id")
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)) +
+            expr("(85 * (coalesce(m, 0) + " +
+              s"CASE WHEN is_seed THEN ${danglingShare}L ELSE 0L END) + 50)" +
+              " div 100"))
+            .as("ri"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("id"),
+      (col("ri").cast("double") / lit(1000000.0)).as("r"))
+  }
+
   /** The gate graph: the bidirectional customer↔part purchase graph from
     * `orders` ⋈ `lineitem` (distinct (custkey, partkey) pairs, both
     * directions, node ids disambiguated as 2·custkey / 2·partkey+1).

@@ -474,6 +474,76 @@ object Round7Queries {
            |HAVING count(*) * 200 > tot.n
            |ORDER BY cnt DESC, item""".stripMargin))
 
+  /** Unrolled twin of [[graft.ext.PageRank.personalized]]: the uniform
+    * oracle with the teleport base concentrated on the seed list —
+    * `sb = (150000·N) // |S∩graph|` on seeds, 0 elsewhere; r⁰ IS the
+    * teleport vector. Same exact integer arithmetic. */
+  private def pprOracle(iters: Int, seeds: Seq[Long]): String = {
+    val in = seeds.mkString("(", ", ", ")")
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id,
+         |  (CASE WHEN n.id IN $in THEN sb.sb ELSE 0 END)
+         |    + (85 * coalesce(s.m, 0) + 50) // 100 AS ri
+         |FROM n CROSS JOIN sb LEFT JOIN (
+         |  SELECT e.dst AS id,
+         |         sum((2 * p.ri + d.outdeg) // (2 * d.outdeg)) AS m
+         |  FROM r${i - 1} p JOIN e ON e.src = p.id JOIN deg d ON d.id = p.id
+         |  GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM cp
+       |      UNION ALL SELECT dst AS src, src AS dst FROM cp),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+       |sb AS (SELECT (150000 * (SELECT count(*) FROM n))
+       |              // (SELECT count(*) FROM n WHERE id IN $in) AS sb),
+       |r0 AS (SELECT id, CASE WHEN id IN $in THEN sb.sb ELSE 0 END AS ri
+       |       FROM n CROSS JOIN sb),
+       |$steps
+       |SELECT id AS node_id, CAST(ri AS DOUBLE) / 1000000.0 AS rank_score
+       |FROM r$iters
+       |ORDER BY rank_score DESC, node_id LIMIT 100""".stripMargin
+  }
+
+  /** Q199 (G3, personalized PageRank): teleport mass concentrated on 5
+    * seed customers ([[graft.ext.PageRank.personalized]]) — the
+    * seed-expansion primitive of graph-based data selection (rank by
+    * random-walk proximity to a trusted seed set). Same two-exchange
+    * iteration and exact integer micro-unit arithmetic as q195; the
+    * seed-restart dangling convention is spec-held (the symmetric gate
+    * graph has no sinks). */
+  val q199 = GQuery("q199_pagerank_personalized", (s, d) => {
+    import graft.ext.PageRank
+    val g = PageRank.purchaseGraph(t(s, d, "orders"), t(s, d, "lineitem"))
+    PageRank.personalized(g, "src", "dst",
+        seeds = Seq(2L, 4L, 6L, 8L, 10L), iters = 10)
+      .select(col("id").as("node_id"), col("r").as("rank_score"))
+      .orderBy(col("rank_score").desc, col("node_id")).limit(100)
+  }, Some(pprOracle(10, Seq(2L, 4L, 6L, 8L, 10L))))
+
+  /** Q200 (G4, item co-occurrence mining): top co-purchased part pairs
+    * by basket support over customer baskets, promiscuous baskets
+    * (> 60 distinct parts) dropped BEFORE the pair join — the explicit
+    * quadratic-fanout cap ([[graft.ext.CoOccurrence]]); pair counts are
+    * map-side-combined, top-k is a TakeOrdered with a total (support,
+    * item_a, item_b) order. */
+  val q200 = GQuery("q200_cooccurrence", (s, d) => {
+    import graft.ext.CoOccurrence
+    val m = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("basket"), col("l_partkey").as("item"))
+    CoOccurrence.topPairs(m, "basket", "item", maxBasketSize = 60, topK = 50)
+  },
+    Some("""WITH m AS (SELECT DISTINCT o_custkey AS b, l_partkey AS i
+           |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |ok AS (SELECT b FROM m GROUP BY b HAVING count(*) <= 60),
+           |c AS (SELECT m.b, m.i FROM m JOIN ok USING (b))
+           |SELECT a.i AS item_a, b2.i AS item_b, count(*) AS support
+           |FROM c a JOIN c b2 ON a.b = b2.b AND a.i < b2.i
+           |GROUP BY 1, 2
+           |ORDER BY support DESC, item_a, item_b LIMIT 50""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198)
+    q193, q194, q195, q196, q197, q198, q199, q200)
 }

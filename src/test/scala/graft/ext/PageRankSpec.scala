@@ -77,6 +77,67 @@ class PageRankSpec extends SparkSpec {
     assert(runSpark(hubGraph, 10, parts = 1) === runSpark(hubGraph, 10, parts = 7))
   }
 
+  /** Independent PPR reference: teleport base on seeds, r⁰ = teleport
+    * vector, dangling mass restarts at a seed. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val in = edges.groupBy(_._2)
+    val present = nodes.filter(seeds).toSet
+    val sb = (150000L * nodes.size) / present.size
+    def base(v: Long): Long = if (present(v)) sb else 0L
+    var r: Map[Long, Long] = nodes.map(v => v -> base(v)).toMap
+    for (_ <- 1 to iters) {
+      val dSum = nodes.filterNot(out.contains).map(r).sum
+      val dShare =
+        if (dSum == 0L) 0L else (2L * dSum + present.size) / (2L * present.size)
+      r = nodes.map { v =>
+        val m = in.getOrElse(v, Seq.empty).map { case (u, _) =>
+          val d = out(u)
+          (2L * r(u) + d) / (2L * d)
+        }.sum
+        val restart = if (present(v)) dShare else 0L
+        v -> (base(v) + (85L * (m + restart) + 50L) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int, parts: Int = 4): Map[Long, Long] =
+    PageRank.personalized(edges.toDF("src", "dst").repartition(parts),
+        "src", "dst", seeds, iters)
+      .select(col("id"),
+        round(col("r") * 1000000.0, 0).cast("long").as("ri"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+  test("personalized: exact equality with the reference; mass localizes at seeds") {
+    // two loosely-connected triangles; seed in the left one
+    val g = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L, 3L -> 2L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L, 5L -> 4L, 6L -> 5L, 4L -> 6L,
+      3L -> 4L, 4L -> 3L)
+    val got = runPpr(g, Seq(1L), iters = 10)
+    assert(got === refPpr(g, Set(1L), 10))
+    // walk-proximity: the seed's own triangle out-ranks the far one
+    assert(got(2L) > got(5L) && got(3L) > got(6L))
+  }
+
+  test("personalized: dangling mass restarts at seeds; absent seed ids ignored") {
+    val g = Seq(1L -> 2L, 2L -> 3L) // 3 is a sink
+    val got = runPpr(g, Seq(1L, 99L), iters = 6) // 99 not in graph
+    assert(got === refPpr(g, Set(1L), 6))
+    assertThrows[IllegalArgumentException] {
+      runPpr(g, Seq(98L, 99L), iters = 2) // NO seed present
+    }
+  }
+
+  test("personalized: partition invariance") {
+    val g = hubGraph
+    assert(runPpr(g, Seq(2L, 3L), 8, parts = 1) ===
+      runPpr(g, Seq(2L, 3L), 8, parts = 7))
+  }
+
   test("purchaseGraph is symmetric, parity-disambiguated, and self-loop-free") {
     val orders = Seq((10L, 100L), (11L, 101L)).toDF("o_orderkey", "o_custkey")
     val li = Seq((10L, 7L), (10L, 8L), (11L, 7L)).toDF("l_orderkey", "l_partkey")
