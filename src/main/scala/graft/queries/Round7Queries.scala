@@ -544,6 +544,72 @@ object Round7Queries {
            |GROUP BY 1, 2
            |ORDER BY support DESC, item_a, item_b LIMIT 50""".stripMargin))
 
+  /** Q201 (V4, PCA fit contract): fit k=8 principal components on the
+    * 64-dim embedding corpus ([[graft.ext.Pca]] — one mapPartitions pass
+    * over the d+d² sufficient statistics, driver-side LAPACK eigen) and
+    * gate every property DuckDB can state without an eigensolver (the
+    * q30 contract class): component count, orthonormality to 1e-9,
+    * descending eigenvalues, non-negative spectrum, explained ratio in
+    * (0, 1], and k=dim reconstruction ≈ 0 (the eigen-exactness witness).
+    * Eigen decomposition itself is spec-held (PcaSpec vs an independent
+    * single-node covariance+eigen reference). */
+  val q201 = GQuery("q201_pca_contract", (s, d) => {
+    import s.implicits._
+    import graft.ext.Pca
+    val e = t(s, d, "embeddings")
+    val m = Pca.fit(e, "embedding", dim = 64, k = 8)
+    val orthOk = (0 until m.k).forall { i =>
+      (i until m.k).forall { j =>
+        val dot = m.components(i).zip(m.components(j)).map(p => p._1 * p._2).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+      }
+    }
+    val sortedOk = m.eigenvalues.sliding(2).forall(w => w(0) >= w(1))
+    val nonNegOk = m.eigenvalues.forall(_ >= 0.0)
+    val ratioOk = m.explainedRatio > 0.0 && m.explainedRatio <= 1.0
+    val reconFullOk = Pca.reconstructionError(e.select(
+      col("embedding").cast("array<double>").as("v")), "v",
+      Pca.fit(e, "embedding", 64, 64)) < 1e-9
+    Seq((m.k.toLong, orthOk, sortedOk, nonNegOk, ratioOk, reconFullOk))
+      .toDF("n_components", "orthonormal_ok", "sorted_ok", "nonneg_ok",
+        "ratio_ok", "recon_full_ok")
+  },
+    Some("""SELECT CAST(8 AS BIGINT) AS n_components, true AS orthonormal_ok,
+           |  true AS sorted_ok, true AS nonneg_ok, true AS ratio_ok,
+           |  true AS recon_full_ok""".stripMargin))
+
+  /** Q202 (N12, PCA-compressed ANN): brute-force candidate search in the
+    * 16-dim PCA projection (4× fewer bytes per score) + exact full-space
+    * re-rank of the top-80 candidates — the dimensionality-reduction
+    * twin of the PQ-ADC pipeline (q175), same recall-contract gate as
+    * the whole ANN family. The driver's uniform-random vectors are the
+    * WORST case for PCA (near-flat spectrum — nothing to compress), so
+    * the floor is the honest q30 2/10; structured corpora concentrate
+    * variance and push recall toward 1. */
+  val q202 = GQuery("q202_ann_pca", (s, d) => {
+    import graft.ext.{Pca, Similarity}
+    val e = t(s, d, "embeddings")
+    val m = Pca.fit(e, "embedding", dim = 64, k = 16)
+    val proj = Pca.project(e, "embedding", m, "pv16")
+      .select(col("vec_id"), col("embedding"), col("pv16"))
+    val probes = proj.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("pv16").as("ppv16"))
+    val cands = Similarity.bruteForceTopK(
+      proj.select(col("vec_id"), col("pv16").as("embedding")),
+      probes.select(col("probe_id"), col("ppv16").as("pv")),
+      "vec_id", "embedding", "probe_id", "pv", 80)
+    val reRanked = Similarity.bruteForceTopK(
+      proj.join(cands.select("vec_id").distinct(), "vec_id")
+        .select(col("vec_id"), col("embedding")),
+      probes.select(col("probe_id"), col("pv")),
+      "vec_id", "embedding", "probe_id", "pv", 10)
+    val exact = Similarity.bruteForceTopK(e, probes.select(col("probe_id"),
+      col("pv")), "vec_id", "embedding", "probe_id", "pv", 10)
+    Similarity.recallContract(reRanked, exact, "probe_id", "vec_id", k = 10,
+      minHits = 2.0)
+  }, Some(PipelineQueries.annContractSql))
+
   val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200)
+    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }
