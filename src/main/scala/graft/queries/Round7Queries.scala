@@ -610,6 +610,42 @@ object Round7Queries {
       minHits = 2.0)
   }, Some(PipelineQueries.annContractSql))
 
+  /** Q203 (V5, ALS matrix factorization contract): factorize the
+    * customer×part purchase-count matrix (rank 8, 3 alternations,
+    * λ = 0.1 — [[graft.ext.Als]]) and gate what DuckDB can state: the
+    * exact user/item universe sizes (SQL-recomputable) and the fit
+    * contracts — finite factors, and ALS RMSE under 0.7× the global-mean
+    * baseline RMSE (itself the stddev of the rating column). The
+    * least-squares algebra is spec-held (AlsSpec: exact-recovery,
+    * same-init single-node reference, monotone improvement). */
+  val q203 = GQuery("q203_als_contract", (s, d) => {
+    import s.implicits._
+    import graft.ext.Als
+    val ratings = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(count(lit(1)).cast("double").as("r"))
+      .localCheckpoint()
+    val m = Als.train(ratings, "u", "i", "r", rank = 8, iters = 3, lambda = 0.1)
+    val alsRmse = Als.rmse(m, ratings, "u", "i", "r")
+    val stats = ratings.agg(
+      countDistinct(col("u")).as("nu"), countDistinct(col("i")).as("ni"),
+      stddev_pop(col("r")).as("base")).collect()(0)
+    val finiteOk = m.userFactors.unionAll(m.itemFactors)
+      .where(exists(col("f"), x => isnan(x) || x === Double.PositiveInfinity
+        || x === Double.NegativeInfinity))
+      .isEmpty
+    Seq((stats.getLong(0), stats.getLong(1),
+        alsRmse < stats.getDouble(2) * 0.7, finiteOk))
+      .toDF("n_users", "n_items", "beats_baseline_ok", "finite_ok")
+  },
+    Some("""WITH r AS (SELECT o_custkey AS u, l_partkey AS i, count(*) AS r
+           |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |           GROUP BY 1, 2)
+           |SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+           |  CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+           |  true AS beats_baseline_ok, true AS finite_ok FROM r""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
 }
