@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics beyond ranking ([[PageRank]]) and components
+  * ([[Clustering]]): exact triangle counting and BFS hop distances —
+  * the structure/reachability primitives of relationship-graph analysis
+  * (community density, influence radius, link-graph diagnostics for
+  * crawl corpora).
+  *
+  * == Triangle counting at scale ==
+  *
+  * The naive wedge join is Σ deg(v)² — a single hub explodes it. The
+  * classic fix (degree orientation): direct every undirected edge from
+  * its lower-(degree, id) endpoint to the higher one. The resulting DAG
+  * has out-degree O(√m) REGARDLESS of hub in-degree, each triangle
+  * survives as exactly one wedge u→v, u→w whose closing edge v→w exists
+  * in the SAME direction (both larger than u, and the closing edge's own
+  * orientation selects the ordered pair) — so the count is three
+  * equi-joins, no OR-condition join, no double counting, wedge volume
+  * O(m^1.5) worst-case instead of Σdeg².
+  *
+  * == BFS ==
+  *
+  * Frontier expansion: each level is one equi-join of the current
+  * frontier with the edge table + one anti-join against the visited set,
+  * localCheckpoint per level (the [[PageRank]] lineage rule). Level
+  * count bounds the work; the visited set carries (node, dist) only.
+  */
+object GraphAlgos {
+
+  /** Degree-ordered orientation of an undirected edge list (distinct
+    * pairs; self-loops dropped). Output: (src, dst) directed
+    * low-(deg, id) → high-(deg, id). */
+  def orient(edges: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val e = edges.select(col(xCol).as("x"), col(yCol).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+    val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("x")).otherwise(col("y")).as("src"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("y")).otherwise(col("x")).as("dst"))
+  }
+
+  /** Exact global triangle census of an undirected edge list. Output:
+    * one row (n_triangles, n_edges, n_nodes). */
+  def triangleCount(edges: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dir = orient(edges, xCol, yCol).localCheckpoint()
+    val w1 = dir.select(col("src").as("u"), col("dst").as("v"))
+    val w2 = dir.select(col("src").as("u"), col("dst").as("w"))
+    val wedges = w1.join(w2, Seq("u")).where(col("v") =!= col("w"))
+    val tris = wedges.join(dir,
+      dir("src") === col("v") && dir("dst") === col("w"))
+    val nE = dir.count()
+    val nN = dir.select(col("src").as("n")).unionAll(dir.select(col("dst").as("n")))
+      .distinct().count()
+    tris.agg(count(lit(1)).as("n_triangles"))
+      .select(col("n_triangles"), lit(nE).as("n_edges"), lit(nN).as("n_nodes"))
+  }
+
+  /** BFS hop distances from `source` over an undirected edge list,
+    * levels 0..maxDepth. Output: (node, dist) — exact integers, one row
+    * per reached node. */
+  def bfsDistances(edges: DataFrame, xCol: String, yCol: String,
+      source: Long, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val fwd = edges.select(col(xCol).as("src"), col(yCol).as("dst"))
+    val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+
+    var visited = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
+    var frontier = visited.select("node")
+    var d = 0
+    while (d < maxDepth && frontier.limit(1).count() > 0) {
+      d += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(next.withColumn("dist", lit(d)))
+        .localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+}

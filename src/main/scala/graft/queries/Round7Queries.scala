@@ -646,6 +646,69 @@ object Round7Queries {
            |  CAST(count(DISTINCT i) AS BIGINT) AS n_items,
            |  true AS beats_baseline_ok, true AS finite_ok FROM r""".stripMargin))
 
+  /** Q204 (G5, exact triangle census): triangles of the part
+    * co-occurrence graph (support ≥ 3 under the q200 basket cap) via
+    * degree-ordered orientation ([[graft.ext.GraphAlgos]]) — out-degree
+    * O(√m) regardless of hubs, each triangle one wedge + one equi-join
+    * closing-edge probe, no OR-joins, no double counting. Exact
+    * integers end-to-end → plain SQL oracle. */
+  val q204 = GQuery("q204_triangle_count", (s, d) => {
+    import graft.ext.{CoOccurrence, GraphAlgos}
+    val m = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("basket"), col("l_partkey").as("item"))
+    val edges = CoOccurrence.pairCounts(m, "basket", "item", maxBasketSize = 60)
+      .where(col("support") >= 3).select("item_a", "item_b")
+    GraphAlgos.triangleCount(edges, "item_a", "item_b")
+  },
+    Some("""WITH m AS (SELECT DISTINCT o_custkey AS b, l_partkey AS i
+           |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |ok AS (SELECT b FROM m GROUP BY b HAVING count(*) <= 60),
+           |c AS (SELECT m.b, m.i FROM m JOIN ok USING (b)),
+           |e0 AS (SELECT a.i AS x, b2.i AS y FROM c a
+           |       JOIN c b2 ON a.b = b2.b AND a.i < b2.i
+           |       GROUP BY 1, 2 HAVING count(*) >= 3),
+           |deg AS (SELECT n, count(*) AS dg FROM
+           |          (SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0)
+           |        GROUP BY n),
+           |dir AS (SELECT CASE WHEN (da.dg, e0.x) < (db.dg, e0.y)
+           |                    THEN e0.x ELSE e0.y END AS src,
+           |               CASE WHEN (da.dg, e0.x) < (db.dg, e0.y)
+           |                    THEN e0.y ELSE e0.x END AS dst
+           |        FROM e0 JOIN deg da ON da.n = e0.x
+           |                JOIN deg db ON db.n = e0.y),
+           |tri AS (SELECT w1.src FROM dir w1
+           |        JOIN dir w2 ON w1.src = w2.src AND w1.dst <> w2.dst
+           |        JOIN dir c3 ON c3.src = w1.dst AND c3.dst = w2.dst)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM
+           |     (SELECT x AS n FROM e0 UNION SELECT y FROM e0)) AS n_nodes""".stripMargin))
+
+  /** Q205 (G6, BFS hop distances): levels 0–4 from customer 1 (node 2)
+    * over the purchase graph — per-level frontier equi-join + visited
+    * anti-join, localCheckpoint per level ([[graft.ext.GraphAlgos
+    * .bfsDistances]]). Exact integer distances → recursive-CTE oracle
+    * (min hop per reached node). */
+  val q205 = GQuery("q205_bfs_distances", (s, d) => {
+    import graft.ext.{GraphAlgos, PageRank}
+    val g = PageRank.purchaseGraph(t(s, d, "orders"), t(s, d, "lineitem"))
+    GraphAlgos.bfsDistances(g, "src", "dst", source = 2L, maxDepth = 4)
+      .select(col("node").as("node_id"), col("dist"))
+      .orderBy("node_id")
+  },
+    Some("""WITH RECURSIVE cp AS (SELECT DISTINCT o_custkey * 2 AS src,
+           |                             l_partkey * 2 + 1 AS dst
+           |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
+           |r AS (SELECT CAST(2 AS BIGINT) AS node, 0 AS d
+           |      UNION
+           |      SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node
+           |      WHERE r.d < 4)
+           |SELECT node AS node_id, CAST(min(d) AS INT) AS dist
+           |FROM r GROUP BY node ORDER BY node_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
+    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
+    q205)
 }
