@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-7 continuation (second session): Kneser–Ney LM scoring, C4 line
+  * filters, positional phrase search, count–min sketch, leakage-safe
+  * grouped splits.
+  */
+object Round7bQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Q206 (T20, interpolated Kneser–Ney bigram perplexity): the KenLM
+    * smoother CCNet filters with — absolute discount + continuation-count
+    * backoff + hapax→`<unk>` vocabulary ([[graft.ext.KneserNey]]). The
+    * model fits on a 50-document slice with a deliberately high frequency
+    * threshold so the gate exercises every path: seen bigrams (the
+    * discounted term), unseen bigrams over seen contexts (the λ(a)·Pcont
+    * interpolation), and OOV tokens (the `<unk>` mapping — n_oov_bg is a
+    * transparency column). Full oracle: DuckDB recomputes vocabulary,
+    * all four count tables, the bit-identical ln P expression tree, the
+    * DECIMAL(24,6) sums, and the rounded perplexities end-to-end. */
+  val q206 = GQuery("q206_kneser_ney_ppl", (s, d) => {
+    import graft.ext.KneserNey
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val model = KneserNey.fit(docs.filter(col("doc_id") < 50),
+      "doc_id", "text", minCount = 30, discount = 0.75)
+    KneserNey.perplexity(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+  },
+    Some("""WITH tr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |            FROM documents WHERE doc_id < 50),
+           |uc AS (SELECT tok, count(*) AS c
+           |       FROM (SELECT unnest(w) AS tok FROM tr) GROUP BY tok),
+           |voc AS (SELECT tok FROM uc WHERE c >= 30),
+           |trbg AS (SELECT bg.ar AS ar, bg.br AS br FROM (
+           |  SELECT unnest([struct_pack(ar := w[i], br := w[i+1])
+           |                 for i in range(1, len(w))]) AS bg
+           |  FROM tr WHERE len(w) >= 2)),
+           |mbg AS (SELECT coalesce(va.tok, '<unk>') AS a,
+           |               coalesce(vb.tok, '<unk>') AS b
+           |        FROM trbg LEFT JOIN voc va ON trbg.ar = va.tok
+           |                  LEFT JOIN voc vb ON trbg.br = vb.tok),
+           |c AS (SELECT a, b, count(*) AS ab_cnt FROM mbg GROUP BY a, b),
+           |ca AS (SELECT a, sum(ab_cnt) AS a_cnt, count(*) AS n1p_a FROM c GROUP BY a),
+           |cb AS (SELECT b, count(*) AS n1p_b FROM c GROUP BY b),
+           |tt AS (SELECT (SELECT count(*) FROM c) AS n1p_tot,
+           |              (SELECT count(*) + 1 FROM voc) AS vp),
+           |sc AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           |       FROM documents),
+           |sbg AS (SELECT doc_id, bg.ar AS ar, bg.br AS br FROM (
+           |  SELECT doc_id, unnest([struct_pack(ar := w[i], br := w[i+1])
+           |                         for i in range(1, len(w))]) AS bg
+           |  FROM sc WHERE len(w) >= 2)),
+           |smap AS (SELECT doc_id, coalesce(va.tok, '<unk>') AS a,
+           |                coalesce(vb.tok, '<unk>') AS b
+           |         FROM sbg LEFT JOIN voc va ON sbg.ar = va.tok
+           |                  LEFT JOIN voc vb ON sbg.br = vb.tok),
+           |lp AS (SELECT doc_id, a, b,
+           |    CAST(round(ln(CASE WHEN ca.a_cnt IS NOT NULL
+           |      THEN (greatest(coalesce(c.ab_cnt, 0) - 0.75, 0.0)
+           |            + (0.75 * ca.n1p_a)
+           |              * ((coalesce(cb.n1p_b, 0) + 1.0) / (tt.n1p_tot + tt.vp)))
+           |           / ca.a_cnt
+           |      ELSE (coalesce(cb.n1p_b, 0) + 1.0) / (tt.n1p_tot + tt.vp)
+           |      END), 6) AS DECIMAL(24,6)) AS lp
+           |  FROM smap LEFT JOIN c USING (a, b) LEFT JOIN ca USING (a)
+           |       LEFT JOIN cb USING (b) CROSS JOIN tt)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(CASE WHEN a = '<unk>' OR b = '<unk>' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_oov_bg,
+           |  round(exp(-(sum(lp)::DOUBLE) / count(*)), 4) AS ppl
+           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Q207 (T21, C4 line-level filters): the C4 cleaning battery
+    * ([[graft.ext.C4Filters]], Raffel 2020 §2.2) — line-level terminal
+    * punctuation / word-count / javascript rules plus page-level
+    * lorem-ipsum / curly-brace / min-surviving-lines votes, emitting the
+    * EDITED text. The synthetic corpus is single-line and punctuation-free,
+    * so the gate derives a deterministic multi-line input in-plan on BOTH
+    * engines — 6-token chunks sealed with ".\n" (leaving an unterminated
+    * remainder line), a too-short punctuated line prepended on doc_id%83,
+    * "lorem ipsum" / "{" injected on doc_id%97 / %89 — so every rule path
+    * fires. Whole operator is one codegen'd projection (split → array
+    * filter → array_join, no explode, no shuffle; C4FiltersSpec asserts
+    * the exchange-free plan); oracle rebuilds the same input with RE2
+    * syntax and md5-hashes the same edited text. */
+  val q207 = GQuery("q207_c4_line_filters", (s, d) => {
+    import graft.ext.C4Filters
+    val docs = t(s, d, "documents")
+    val t0 = concat(col("text"),
+      when(col("doc_id") % 97 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+      when(col("doc_id") % 89 === 0, lit(" {")).otherwise(lit("")))
+    val chunked = regexp_replace(t0,
+      "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1.\n")
+    val input = concat(
+      when(col("doc_id") % 83 === 0, lit("short.\n")).otherwise(lit("")),
+      chunked)
+    C4Filters.c4Filter(docs.withColumn("c4_input", input),
+        "doc_id", "c4_input")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("keep"),
+        md5(col("filtered_text")).as("filtered_md5"))
+      .orderBy("doc_id")
+  },
+    Some("""WITH base AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 97 = 0 THEN ' lorem ipsum' ELSE '' END ||
+           |    CASE WHEN doc_id % 89 = 0 THEN ' {' ELSE '' END AS t0
+           |  FROM documents),
+           |inp AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 83 = 0 THEN 'short.' || chr(10) ELSE '' END ||
+           |    regexp_replace(t0, '(\S+ \S+ \S+ \S+ \S+ \S+) ',
+           |                   '\1.' || chr(10), 'g') AS t
+           |  FROM base),
+           |f AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+           |    [l for l in string_split(t, chr(10))
+           |     if regexp_matches(rtrim(l), '[.!?"]$')
+           |        AND len(string_split_regex(trim(l), '\s+')) >= 5
+           |        AND trim(l) <> ''
+           |        AND instr(lower(l), 'javascript') = 0] AS kept
+           |  FROM inp)
+           |SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+           |  CAST(len(kept) AS INT) AS n_kept,
+           |  (len(kept) >= 3 AND instr(lower(t), 'lorem ipsum') = 0
+           |   AND instr(t, '{') = 0) AS keep,
+           |  md5(coalesce(list_aggregate(kept, 'string_agg', chr(10)), ''))
+    AS filtered_md5
+           |FROM f ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q206, q207)
+}
