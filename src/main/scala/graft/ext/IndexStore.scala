@@ -179,6 +179,22 @@ object IndexStore {
       m.get("nDocs").asLong(), m.get("avgdl").asDouble())
   }
 
+  /** Positional postings ([[InvertedIndex.buildPositional]]): clustered+
+    * sorted by term like the tf postings, so a phrase query's
+    * `term IN (...)` row-group-skips to the phrase's terms. */
+  def writePositional(positional: DataFrame, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "positional")
+    positional
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+  }
+
+  def loadPositional(spark: SparkSession, dir: String): DataFrame = {
+    requireKind(dir, "positional")
+    spark.read.parquet(s"$dir/postings")
+  }
+
   // ---- PQ -----------------------------------------------------------
 
   def writePq(index: Pq.Index, dir: String): Unit = {

@@ -82,9 +82,60 @@ object InvertedIndex {
     index.postings.unpersist(); index.docFreq.unpersist(); ()
   }
 
+  // ---- positional postings + phrase search --------------------------
+
+  /** Positional postings — (term, doc_id, pos), one row per token
+    * OCCURRENCE (0-based position), vs [[build]]'s one row per distinct
+    * (doc, term). This is the classic phrase/proximity index layout:
+    * bigger than tf postings by the corpus token count, but the only
+    * structure that can answer adjacency. Stored through
+    * [[IndexStore.writePositional]] it clusters+sorts by term, so a
+    * phrase query's `term IN (...)` pushes to the reader and row-group
+    * skips to the queried terms (the q187/q191 move). */
+  def buildPositional(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("__toks", TextPrep.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos"))
+
+  /** Exact phrase occurrence counts: documents where `phrase`'s terms
+    * appear CONSECUTIVELY, with how often. Every per-term stream is
+    * re-keyed to the phrase's would-be START position (`pos − i`), so
+    * each of the n−1 joins is an equi-join on the SAME key pair
+    * (doc_id, pos) — Catalyst reuses one exchange partitioning across
+    * the whole fold instead of re-shuffling per term. Query cost is
+    * Σ occurrences of the phrase's terms (IN-pruned at the scan on a
+    * stored index), independent of corpus size for fixed terms.
+    * Duplicate terms in the phrase are handled naturally: the stream is
+    * filtered per position, so "a b a" self-joins the a-stream at two
+    * different alignments. */
+  def phraseCount(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val pruned = positional.where(col("term").isin(phrase.distinct: _*))
+    val first = pruned.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(
+          pruned.where(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+  }
+
   private val cache = new ConcurrentHashMap[String, Index]()
 
   /** Process-lifetime memo — the q78_search serving semantics. */
   def cached(key: String)(build: => Index): Index =
     cache.computeIfAbsent(key, _ => build)
+
+  private val posCache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Process-lifetime memo for positional postings (the [[cached]]
+    * semantics: rep 1 pays build+store, reps 2+ price steady-state). */
+  def cachedPositional(key: String)(build: => DataFrame): DataFrame =
+    posCache.computeIfAbsent(key, _ => build)
 }

@@ -58,4 +58,57 @@ class InvertedIndexSpec extends SparkSpec {
       assert(e.getMessage.contains("inverted") && e.getMessage.contains("minhash"))
     } finally InvertedIndex.drop(built)
   }
+
+  // ---- positional phrase search -------------------------------------
+
+  /** Brute-force phrase occurrence counter over raw token sequences. */
+  private def bruteCount(rows: Seq[(Long, String)],
+      phrase: Seq[String]): Map[Long, Long] =
+    rows.flatMap { case (id, text) =>
+      val ts = text.trim.toLowerCase.split("\\s+").toSeq
+      val n = ts.sliding(phrase.size).count(_ == phrase)
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+
+  private val phraseDocs = Seq(
+    1L -> "a b c a b c a b",   // "a b": 3, "a b c": 2
+    2L -> "a a a a",           // overlapping "a a": 3
+    3L -> "a b a b a",         // "a b a": 2 (overlapping, duplicate term)
+    4L -> "c c c b",           // no "a b"
+    5L -> "b a")               // reversed: no "a b"
+
+  private def phraseDf = {
+    val s = spark; import s.implicits._
+    phraseDocs.toDF("doc_id", "text")
+  }
+
+  test("phraseCount ≡ brute-force sliding window, incl overlaps and duplicate terms") {
+    val pos = InvertedIndex.buildPositional(phraseDf, "doc_id", "text")
+    for (p <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "a"),
+        Seq("a", "b", "a"), Seq("c"), Seq("z", "b"))) {
+      val got = InvertedIndex.phraseCount(pos, p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteCount(phraseDocs, p), s"phrase $p")
+    }
+  }
+
+  test("stored positional postings serve phrases through a term-pruned scan") {
+    val pos = InvertedIndex.buildPositional(phraseDf, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pos").toString
+    IndexStore.writePositional(pos, dir)
+    val loaded = IndexStore.loadPositional(spark, dir)
+    val q = InvertedIndex.phraseCount(loaded, Seq("a", "b", "c"))
+    assert(q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      bruteCount(phraseDocs, Seq("a", "b", "c")))
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = explained.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("In(term"), s"term predicate not pushed:\n$pushed")
+    // cross-kind refusal
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadInverted(spark, dir)
+    }
+    assert(e.getMessage.contains("positional"))
+  }
 }
