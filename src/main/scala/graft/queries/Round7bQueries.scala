@@ -181,5 +181,46 @@ object Round7bQueries {
            |  UNION ALL SELECT 'a row fast', doc_id, n_occ FROM m3)
            |ORDER BY phrase, doc_id""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q206, q207, q208)
+  /** Q209 (A23, count–min sketch): approximate frequencies for every
+    * key in d·w counters ([[graft.ext.CountMin]], Cormode &
+    * Muthukrishnan 2005) — the mergeable point-query twin of q198's
+    * exact Misra–Gries. Width 64 over the corpus vocabulary forces real
+    * collisions, so the gate shows genuine one-sided error: per token,
+    * the true count, the sketch estimate, and the never-undercounts
+    * boolean. The hash family is the portable md5 draw salted by row
+    * index, so DuckDB rebuilds the IDENTICAL sketch cells and the
+    * compare is exact sketch equality, not a loose contract. */
+  val q209 = GQuery("q209_count_min", (s, d) => {
+    import graft.ext.{CountMin, TextPrep}
+    val toks = t(s, d, "documents")
+      .select(explode(TextPrep.tokens(col("text"))).as("token"))
+    val sk = CountMin.sketch(toks, "token", depth = 4, width = 64)
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    CountMin.estimate(sk, truth, "token", depth = 4, width = 64)
+      .join(truth, Seq("token"))
+      .select(col("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("true_cnt")).as("no_undercount"))
+      .orderBy("token")
+  },
+    Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+           |              AS token FROM documents),
+           |rows_ AS (SELECT unnest(range(0, 4)) AS row_id),
+           |cells AS (SELECT r.row_id,
+           |    ('0x' || substring(md5(r.row_id::VARCHAR || '|' || t.token), 1, 8))
+           |      ::BIGINT % 64 AS bucket
+           |  FROM tok t CROSS JOIN rows_ r),
+           |sk AS (SELECT row_id, bucket, count(*) AS cnt
+           |       FROM cells GROUP BY row_id, bucket),
+           |truth AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY token),
+           |qc AS (SELECT t.token, r.row_id,
+           |    ('0x' || substring(md5(r.row_id::VARCHAR || '|' || t.token), 1, 8))
+           |      ::BIGINT % 64 AS bucket
+           |  FROM truth t CROSS JOIN rows_ r),
+           |est AS (SELECT qc.token, min(coalesce(sk.cnt, 0)) AS est_cnt
+           |  FROM qc LEFT JOIN sk USING (row_id, bucket) GROUP BY qc.token)
+           |SELECT token, true_cnt, est_cnt,
+           |  est_cnt >= true_cnt AS no_undercount
+           |FROM est JOIN truth USING (token) ORDER BY token""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q206, q207, q208, q209)
 }
