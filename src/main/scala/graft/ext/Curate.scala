@@ -55,4 +55,33 @@ object Curate {
       .filter(col("__before") < budget)
       .drop("__negq", "__before")
   }
+
+  /** Leakage-safe train/val/test split: the split draw keys on the
+    * near-duplicate CLUSTER representative, not the document — so two
+    * near-duplicates can never land on opposite sides of a train/test
+    * boundary (the eval-contamination failure mode document-keyed
+    * splitting like [[Splits.assign]] cannot prevent: near-dups of a
+    * test document in train leak the answer; Lee et al. 2022 §6 measure
+    * exactly this). Composition: LSH candidate pairs exact-verified at
+    * `threshold` ([[Dedup.minHashLshPairs]]) → connected components
+    * ([[Clustering.connectedComponents]] — min-id label) → every doc
+    * keyed by `coalesce(component, id)` → the PORTABLE md5 split draw
+    * on that representative ([[Splits.assign]]). Singleton docs draw on
+    * their own id, so the distribution matches weights in expectation;
+    * clusters move as indivisible units.
+    *
+    * Output: (idCol, rep, split). Scale: the pair/CC stages are the q64
+    * machinery (banded, never all-pairs; one equi-join shuffle per CC
+    * round over cluster-member rows only); the split itself is a
+    * map-only expression. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, weights: Seq[(String, Int)]): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(docs, idCol, textCol, threshold)
+    val comps = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", idCol)
+    val withRep = docs.select(col(idCol)).join(comps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("component"), col(idCol)))
+    Splits.assign(withRep, "rep", weights, portable = true)
+      .select(col(idCol), col("rep"), col("split"))
+  }
 }

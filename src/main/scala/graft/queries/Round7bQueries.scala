@@ -222,5 +222,37 @@ object Round7bQueries {
            |  est_cnt >= true_cnt AS no_undercount
            |FROM est JOIN truth USING (token) ORDER BY token""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q206, q207, q208, q209)
+  /** Q210 (P8, leakage-safe grouped split): train/val/test drawn on the
+    * near-dup CLUSTER representative ([[graft.ext.Curate
+    * .leakageSafeSplit]]) so near-duplicates never straddle an eval
+    * boundary — the contamination mode a per-document draw (q43) cannot
+    * prevent. Oracle: the q64 exact-Jaccard + recursive-CTE component
+    * machinery (LSH candidates are exact-verified, so emitted components
+    * coincide), then the q43 portable md5 thresholds on the
+    * representative. Hash-exact per document: (doc_id, rep, split). */
+  val q210 = GQuery("q210_leakage_safe_split", (s, d) =>
+    graft.ext.Curate.leakageSafeSplit(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, weights = Seq(("train", 8), ("val", 1), ("test", 1)))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${PipelineQueries.duckShingles3},
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+            |e AS (SELECT id_a AS src, id_b AS dst FROM p
+            |      UNION SELECT id_b, id_a FROM p),
+            |reach AS (
+            |  SELECT src AS node, src AS r FROM e
+            |  UNION
+            |  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node),
+            |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            |r2 AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+            |       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+            |SELECT doc_id, rep, CASE
+            |    WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+            |    WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+            |    ELSE 'test' END AS split
+            |FROM r2 ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210)
 }

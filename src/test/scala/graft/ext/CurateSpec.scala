@@ -41,4 +41,37 @@ class CurateSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("doc_id")).select("doc_id").as[Long].head()
     assert(kept === Set(best))
   }
+
+  test("leakage-safe split: clusters move as units, no near-dup pair straddles") {
+    import org.apache.spark.sql.functions.col
+    // a wider corpus: three near-dup clusters + many singletons so every
+    // split label actually occurs
+    val wide = (1 to 60).map { i =>
+      val base = (1 to 30).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong * 10, base)
+    } ++ Seq(
+      (601L, mk(40, "shared tail one")), (602L, mk(40, "shared tail one x")),
+      (603L, mk(40, "shared tail one y")),
+      (701L, mk(35, "other shared tail")), (702L, mk(35, "other shared tail q")))
+    val wdf = wide.toDF("doc_id", "text")
+    val got = Curate.leakageSafeSplit(wdf, "doc_id", "text",
+      threshold = 0.6, weights = Seq(("train", 8), ("val", 1), ("test", 1)))
+    val rows = got.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rows.size == wide.size, "every doc gets a split")
+    // cluster members share rep AND split
+    for (grp <- Seq(Seq(601L, 602L, 603L), Seq(701L, 702L))) {
+      assert(grp.map(rows(_)._1).distinct.size == 1, s"$grp reps differ")
+      assert(grp.map(rows(_)._2).distinct.size == 1, s"$grp splits differ")
+    }
+    // no emitted near-dup pair straddles a split boundary
+    val pairs = Dedup.minHashLshPairs(wdf, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs)
+      assert(rows(a)._2 == rows(b)._2, s"pair ($a,$b) straddles splits")
+    // singletons draw on their own id — the q43 distribution carries over
+    val singles = wide.map(_._1).filter(_ < 601L)
+    assert(singles.map(rows(_)._2).distinct.size == 3,
+      "all three split labels occur across 60 singletons")
+  }
 }
