@@ -254,5 +254,49 @@ object Round7bQueries {
             |    ELSE 'test' END AS split
             |FROM r2 ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210)
+  /** Q211 (R5, MMR diversified re-ranking): Maximal Marginal Relevance
+    * ([[graft.ext.Mmr]], Carbonell & Goldstein 1998) over the brute-force
+    * dense top-30 for one probe — the serving stack's diversity layer.
+    * The greedy is inherently sequential and runs driver-side over the
+    * retrieved (bounded) candidate list, so this is a CONTRACT gate (the
+    * q201 class): the plan recomputes (a) result size and distinctness,
+    * (b) the first selection = the relevance argmax (λ weighs nothing at
+    * step 1), and (c) λ=1 degrades EXACTLY to the plain (rel desc, id)
+    * top-k — all stated as constants by the oracle. The diversity
+    * semantics (duplicate exclusion, tie-breaks, reference equality)
+    * are MmrSpec-held. */
+  val q211 = GQuery("q211_mmr_rerank", (s, d) => {
+    import graft.ext.{Mmr, Similarity}
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "embeddings")
+    val probes = e.where(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val cands = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+        "probe_id", "pv", 30)
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val mmr = Mmr.rerank(s, cands, "vec_id", "cos_sim", "embedding",
+      k = 10, lambda = 0.7)
+    val mmr1 = Mmr.rerank(s, cands, "vec_id", "cos_sim", "embedding",
+      k = 10, lambda = 1.0)
+    val top = cands
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("vec_id").as("top_id"))
+    val lambda1Ok = mmr1.join(top,
+        mmr1("rank") === top("rank") && mmr1("vec_id") === top("top_id"))
+      .agg((count(lit(1)) === 10).as("ok"))
+    val firstOk = mmr.filter(col("rank") === 1)
+      .join(top.filter(col("rank") === 1),
+        mmr("vec_id") === top("top_id"))
+      .agg((count(lit(1)) === 1).as("ok"))
+    mmr.agg(count(lit(1)).as("n_results"),
+        (count_distinct(col("vec_id")) === 10).as("distinct_ok"))
+      .crossJoin(firstOk.select(col("ok").as("first_is_max_rel")))
+      .crossJoin(lambda1Ok.select(col("ok").as("lambda1_topk_ok")))
+  },
+    Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS distinct_ok,
+           |  true AS first_is_max_rel, true AS lambda1_topk_ok""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210, q211)
 }
