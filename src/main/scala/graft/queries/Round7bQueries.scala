@@ -298,5 +298,39 @@ object Round7bQueries {
     Some("""SELECT CAST(10 AS BIGINT) AS n_results, true AS distinct_ok,
            |  true AS first_is_max_rel, true AS lambda1_topk_ok""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210, q211)
+  /** Q212 (N13, contrastive pair mining): per-anchor positives (same
+    * label) and HARD negatives (different label, most similar) for
+    * contrastive embedding training ([[graft.ext.ContrastiveMining]]).
+    * Three anchors, kPos=4 / kNeg=8 (asymmetric on purpose — the knobs
+    * are real). Full oracle: the q24 cosine SQL + label roles + the
+    * per-(anchor, role) rank windows, hash-exact. */
+  val q212 = GQuery("q212_contrastive_pairs", (s, d) => {
+    import graft.ext.ContrastiveMining
+    val e = t(s, d, "embeddings")
+    val anchors = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("label").as("probe_label"))
+    ContrastiveMining.minePairs(e, anchors, "vec_id", "embedding", "label",
+        "probe_id", "pv", "probe_label", kPos = 4, kNeg = 8)
+      .orderBy("probe_id", "role", "rank")
+  },
+    Some("""WITH e AS (SELECT vec_id, label,
+           |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |a AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv
+           |      FROM e WHERE vec_id < 3),
+           |s AS (SELECT probe_id, vec_id,
+           |        CASE WHEN label = probe_label THEN 'positive'
+           |             ELSE 'hard_negative' END AS role,
+           |        round(list_inner_product(v, pv) /
+           |              (sqrt(list_inner_product(v, v))
+           |               * sqrt(list_inner_product(pv, pv))), 6) AS cos_sim
+           |      FROM e, a WHERE vec_id <> probe_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id, role
+           |        ORDER BY cos_sim DESC, vec_id) AS rank FROM s)
+           |SELECT probe_id, role, CAST(rank AS INT) AS rank, vec_id, cos_sim
+           |FROM r
+           |WHERE rank <= CASE WHEN role = 'positive' THEN 4 ELSE 8 END
+           |ORDER BY probe_id, role, rank""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210, q211, q212)
 }
