@@ -332,5 +332,78 @@ object Round7bQueries {
            |WHERE rank <= CASE WHEN role = 'positive' THEN 4 ELSE 8 END
            |ORDER BY probe_id, role, rank""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210, q211, q212)
+  /** Q213 (D15, winnowing fingerprints): the MOSS selection
+    * ([[graft.ext.Winnowing]], Schleimer 2003) — rightmost-minimal
+    * k-gram hash per window, k=3 / w=4, portable md5 hashes. The Spark
+    * side is the map-only array form (one codegen'd projection, nothing
+    * shuffles before the explode); the oracle recomputes the identical
+    * selection RELATIONALLY (band-join windows) — two independent
+    * formulations of the algorithm hash-matching is the strongest
+    * equivalence check in the suite. */
+  val q213 = GQuery("q213_winnowing_fingerprints", (s, d) =>
+    graft.ext.Winnowing.fingerprints(t(s, d, "documents"), "doc_id", "text",
+        k = 3, w = 4)
+      .orderBy("doc_id", "fp_pos", "fp_hash"),
+    Some("""WITH tok AS (SELECT doc_id,
+           |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+           |hs AS (SELECT doc_id, g.pos AS pos, g.h AS h, len(t) - 2 AS n FROM (
+           |  SELECT doc_id, t, unnest([struct_pack(pos := i,
+           |      h := ('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+           |                              1, 8))::BIGINT)
+           |    for i in range(1, len(t) - 1)]) AS g
+           |  FROM tok WHERE len(t) >= 3)),
+           |ws AS (SELECT doc_id, pos AS s FROM hs
+           |       WHERE pos <= CASE WHEN n >= 4 THEN n - 3 ELSE 1 END),
+           |win AS (SELECT w.doc_id, w.s, min(b.h) AS m
+           |        FROM ws w JOIN hs b ON b.doc_id = w.doc_id
+           |             AND b.pos BETWEEN w.s AND w.s + 3
+           |        GROUP BY w.doc_id, w.s),
+           |sel AS (SELECT w.doc_id, max(b.pos) AS fp_pos, w.m AS fp_hash
+           |        FROM win w JOIN hs b ON b.doc_id = w.doc_id
+           |             AND b.pos BETWEEN w.s AND w.s + 3 AND b.h = w.m
+           |        GROUP BY w.doc_id, w.s, w.m)
+           |SELECT DISTINCT doc_id, CAST(fp_pos AS INT) AS fp_pos, fp_hash
+           |FROM sel ORDER BY doc_id, fp_pos, fp_hash""".stripMargin))
+
+  /** Q214 (D15′, winnowing overlap pairs): documents ranked by shared
+    * fingerprints after the promiscuous-hash guard (maxDf=20 — the q200
+    * basket cap applied to fingerprint df), top-50 on a total order.
+    * The passage-provenance query a corpus audit actually asks. */
+  val q214 = GQuery("q214_winnowing_overlap", (s, d) => {
+    val fps = graft.ext.Winnowing.fingerprints(t(s, d, "documents"),
+      "doc_id", "text", k = 3, w = 4)
+    graft.ext.Winnowing.overlapPairs(fps, maxDf = 20, topN = 50)
+  },
+    Some("""WITH tok AS (SELECT doc_id,
+           |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+           |hs AS (SELECT doc_id, g.pos AS pos, g.h AS h, len(t) - 2 AS n FROM (
+           |  SELECT doc_id, t, unnest([struct_pack(pos := i,
+           |      h := ('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+           |                              1, 8))::BIGINT)
+           |    for i in range(1, len(t) - 1)]) AS g
+           |  FROM tok WHERE len(t) >= 3)),
+           |ws AS (SELECT doc_id, pos AS s FROM hs
+           |       WHERE pos <= CASE WHEN n >= 4 THEN n - 3 ELSE 1 END),
+           |win AS (SELECT w.doc_id, w.s, min(b.h) AS m
+           |        FROM ws w JOIN hs b ON b.doc_id = w.doc_id
+           |             AND b.pos BETWEEN w.s AND w.s + 3
+           |        GROUP BY w.doc_id, w.s),
+           |sel AS (SELECT w.doc_id, max(b.pos) AS fp_pos, w.m AS fp_hash
+           |        FROM win w JOIN hs b ON b.doc_id = w.doc_id
+           |             AND b.pos BETWEEN w.s AND w.s + 3 AND b.h = w.m
+           |        GROUP BY w.doc_id, w.s, w.m),
+           |fps AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+           |keep AS (SELECT fp_hash FROM fps GROUP BY fp_hash
+           |         HAVING count(*) <= 20),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         count(*) AS shared
+           |       FROM fps a JOIN keep k ON a.fp_hash = k.fp_hash
+           |            JOIN fps b ON b.fp_hash = a.fp_hash
+           |             AND a.doc_id < b.doc_id
+           |       GROUP BY a.doc_id, b.doc_id)
+           |SELECT id_a, id_b, shared FROM pr
+           |ORDER BY shared DESC, id_a, id_b LIMIT 50""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210, q211, q212,
+    q213, q214)
 }
