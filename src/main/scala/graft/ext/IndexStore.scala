@@ -233,6 +233,33 @@ object IndexStore {
       m.get("rawN").asLong(), m.get("targetN").asLong())
   }
 
+  // ---- Kneser–Ney LM ------------------------------------------------
+
+  /** [[KneserNey.Model]]: the four Zipf-bounded count tables + vocab,
+    * persisted so nightly increments score against a FROZEN LM (the
+    * writeDsir serving discipline) — only the increment is ever
+    * tokenized, and scores are comparable across increments because the
+    * model never drifts with them. */
+  def writeKnlm(model: KneserNey.Model, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "knlm", "discount" -> model.discount)
+    model.lm.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/lm")
+    model.ctx.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/ctx")
+    model.cont.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/cont")
+    model.tot.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/tot")
+    model.vocab.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/vocab")
+  }
+
+  def loadKnlm(spark: SparkSession, dir: String): KneserNey.Model = {
+    val m = requireKind(dir, "knlm")
+    KneserNey.Model(
+      spark.read.parquet(s"$dir/lm"),
+      spark.read.parquet(s"$dir/ctx"),
+      spark.read.parquet(s"$dir/cont"),
+      pinLocal(spark.read.parquet(s"$dir/tot")),
+      spark.read.parquet(s"$dir/vocab"),
+      m.get("discount").asDouble())
+  }
+
   // ---- logistic quality classifier ----------------------------------
 
   /** [[QualityClassifier.LogisticModel]]: the dense (B+ramps)-vector as

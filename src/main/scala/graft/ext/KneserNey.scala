@@ -63,6 +63,14 @@ object KneserNey {
   final case class Model(lm: DataFrame, ctx: DataFrame, cont: DataFrame,
       tot: DataFrame, vocab: DataFrame, discount: Double)
 
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  /** Process-lifetime memo — the q78_search serving semantics (rep 1
+    * pays fit+store+load, reps 2+ price the frozen-model steady state). */
+  def cached(key: String)(build: => Model): Model =
+    cache.computeIfAbsent(key, _ => build)
+
   /** Map a raw token column to the model vocabulary via a left join
     * against `vocab(tok)`; misses become `<unk>`. */
   private def mapTok(df: DataFrame, vocab: DataFrame, rawCol: String,

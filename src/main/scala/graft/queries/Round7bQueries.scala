@@ -13,25 +13,10 @@ object Round7bQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  /** Q206 (T20, interpolated Kneser–Ney bigram perplexity): the KenLM
-    * smoother CCNet filters with — absolute discount + continuation-count
-    * backoff + hapax→`<unk>` vocabulary ([[graft.ext.KneserNey]]). The
-    * model fits on a 50-document slice with a deliberately high frequency
-    * threshold so the gate exercises every path: seen bigrams (the
-    * discounted term), unseen bigrams over seen contexts (the λ(a)·Pcont
-    * interpolation), and OOV tokens (the `<unk>` mapping — n_oov_bg is a
-    * transparency column). Full oracle: DuckDB recomputes vocabulary,
-    * all four count tables, the bit-identical ln P expression tree, the
-    * DECIMAL(24,6) sums, and the rounded perplexities end-to-end. */
-  val q206 = GQuery("q206_kneser_ney_ppl", (s, d) => {
-    import graft.ext.KneserNey
-    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    val model = KneserNey.fit(docs.filter(col("doc_id") < 50),
-      "doc_id", "text", minCount = 30, discount = 0.75)
-    KneserNey.perplexity(docs, "doc_id", "text", model)
-      .orderBy("doc_id")
-  },
-    Some("""WITH tr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  /** The q206/q215 oracle: Kneser–Ney fit on doc_id < 50 at threshold
+    * 30, scored over `scoreWhere`'s slice of the corpus. */
+  private def knOracleSql(scoreWhere: String): String =
+    s"""WITH tr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
            |            FROM documents WHERE doc_id < 50),
            |uc AS (SELECT tok, count(*) AS c
            |       FROM (SELECT unnest(w) AS tok FROM tr) GROUP BY tok),
@@ -49,8 +34,8 @@ object Round7bQueries {
            |cb AS (SELECT b, count(*) AS n1p_b FROM c GROUP BY b),
            |tt AS (SELECT (SELECT count(*) FROM c) AS n1p_tot,
            |              (SELECT count(*) + 1 FROM voc) AS vp),
-           |sc AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-           |       FROM documents),
+           |sc AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           |       FROM documents$scoreWhere),
            |sbg AS (SELECT doc_id, bg.ar AS ar, bg.br AS br FROM (
            |  SELECT doc_id, unnest([struct_pack(ar := w[i], br := w[i+1])
            |                         for i in range(1, len(w))]) AS bg
@@ -73,7 +58,26 @@ object Round7bQueries {
            |  CAST(sum(CASE WHEN a = '<unk>' OR b = '<unk>' THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_oov_bg,
            |  round(exp(-(sum(lp)::DOUBLE) / count(*)), 4) AS ppl
-           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Q206 (T20, interpolated Kneser–Ney bigram perplexity): the KenLM
+    * smoother CCNet filters with — absolute discount + continuation-count
+    * backoff + hapax→`<unk>` vocabulary ([[graft.ext.KneserNey]]). The
+    * model fits on a 50-document slice with a deliberately high frequency
+    * threshold so the gate exercises every path: seen bigrams (the
+    * discounted term), unseen bigrams over seen contexts (the λ(a)·Pcont
+    * interpolation), and OOV tokens (the `<unk>` mapping — n_oov_bg is a
+    * transparency column). Full oracle: DuckDB recomputes vocabulary,
+    * all four count tables, the bit-identical ln P expression tree, the
+    * DECIMAL(24,6) sums, and the rounded perplexities end-to-end. */
+  val q206 = GQuery("q206_kneser_ney_ppl", (s, d) => {
+    import graft.ext.KneserNey
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val model = KneserNey.fit(docs.filter(col("doc_id") < 50),
+      "doc_id", "text", minCount = 30, discount = 0.75)
+    KneserNey.perplexity(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+  }, Some(knOracleSql("")))
 
   /** Q207 (T21, C4 line-level filters): the C4 cleaning battery
     * ([[graft.ext.C4Filters]], Raffel 2020 §2.2) — line-level terminal
@@ -404,6 +408,30 @@ object Round7bQueries {
            |SELECT id_a, id_b, shared FROM pr
            |ORDER BY shared DESC, id_a, id_b LIMIT 50""".stripMargin))
 
+  /** Q215 (T20′, increment scoring against a STORED Kneser–Ney LM): the
+    * serving form of q206 (the q194/q190 lifecycle discipline) — the LM
+    * persists through `IndexStore` kind=knlm and reloads across JVMs;
+    * only the increment (the last 50 docs, standing in for tonight's
+    * crawl) is ever tokenized, and scores are comparable across
+    * increments because the model is frozen. Memoized per (session,
+    * dir): rep 1 pays fit+store+load, reps 2+ price the steady state.
+    * Full oracle: the q206 SQL with the scoring stream sliced to the
+    * increment. */
+  val q215 = GQuery("q215_kneser_ney_stored", (s, d) => {
+    import graft.ext.{IndexStore, KneserNey}
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val model = KneserNey.cached(s.sparkContext.applicationId + ":knlm:" + d) {
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/knlm_${math.abs(d.hashCode)}"
+      IndexStore.writeKnlm(KneserNey.fit(docs.filter(col("doc_id") < 50),
+        "doc_id", "text", minCount = 30, discount = 0.75), dir)
+      IndexStore.loadKnlm(s, dir)
+    }
+    KneserNey.perplexity(docs.filter(col("doc_id") >= 450), "doc_id", "text",
+        model)
+      .orderBy("doc_id")
+  }, Some(knOracleSql(" WHERE doc_id >= 450")))
+
   val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210, q211, q212,
-    q213, q214)
+    q213, q214, q215)
 }

@@ -138,4 +138,23 @@ class KneserNeySpec extends SparkSpec {
     // doc 1 is a training document; doc 9 chains an unseen bigram
     assert(got(1L)._3 < got(9L)._3)
   }
+
+  test("stored model round-trips and scores identically; kind refused") {
+    val model = KneserNey.fit(df(trainDocs), "doc_id", "text",
+      minCount = 2, discount = 0.75)
+    val dir = java.nio.file.Files.createTempDirectory("graft-knlm").toString
+    IndexStore.writeKnlm(model, dir)
+    val loaded = IndexStore.loadKnlm(spark, dir)
+    assert(loaded.discount == model.discount)
+    def score(m: KneserNey.Model) =
+      KneserNey.perplexity(df(scoreDocs), "doc_id", "text", m)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    assert(score(loaded) == score(model))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadDsir(spark, dir)
+    }
+    assert(e.getMessage.contains("knlm"))
+  }
 }
