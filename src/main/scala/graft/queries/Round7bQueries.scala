@@ -432,6 +432,27 @@ object Round7bQueries {
       .orderBy("doc_id")
   }, Some(knOracleSql(" WHERE doc_id >= 450")))
 
+  /** Q216 (T22, Aho–Corasick multi-pattern scan): the blocklist
+    * primitive ([[graft.ext.MultiPattern]]) — P patterns in one pass,
+    * O(n + matches), vs P stacked contains. The pattern set mixes
+    * single tokens, multi-word phrases, an intra-word substring ("tab"
+    * inside "table" — substring semantics, same as instr), and an
+    * absent entry. Full oracle: documents × pattern VALUES where
+    * `instr(lower(text), p) > 0` — semantics exactly equal by
+    * construction, so the automaton is fully auditable in SQL. */
+  val q216 = GQuery("q216_multi_pattern", (s, d) => {
+    import graft.ext.MultiPattern
+    MultiPattern.matches(t(s, d, "documents"), "doc_id", "text",
+        Seq("lorem ipsum", "slow hash", "scan", "tab", "value table",
+          "zzz-absent"))
+      .orderBy("doc_id", "pattern")
+  },
+    Some("""WITH pats AS (SELECT * FROM (VALUES ('lorem ipsum'), ('slow hash'),
+           |    ('scan'), ('tab'), ('value table'), ('zzz-absent')) t(pattern))
+           |SELECT doc_id, pattern FROM documents, pats
+           |WHERE instr(lower(text), pattern) > 0
+           |ORDER BY doc_id, pattern""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210, q211, q212,
-    q213, q214, q215)
+    q213, q214, q215, q216)
 }
