@@ -453,6 +453,49 @@ object Round7bQueries {
            |WHERE instr(lower(text), pattern) > 0
            |ORDER BY doc_id, pattern""".stripMargin))
 
+  /** Q217 (A24, mergeable sampled quantiles): per-event-type p50/p95
+    * from a bottom-k portable-draw row sample
+    * ([[graft.ext.SampleQuantiles]] over the custom
+    * [[org.apache.spark.sql.graft.BottomKSampleAgg]]
+    * TypedImperativeAggregate — state capped at k pairs inside the
+    * aggregation buffer). The sample is a pure function of the input
+    * set, so DuckDB recomputes the IDENTICAL sample and quantiles —
+    * hash-exact, not a tolerance contract. The gate also proves the
+    * sketch property in-plan: odd/even-shard sketches merged through
+    * [[graft.ext.SampleQuantiles.mergeStates]] equal the whole-stream
+    * sketch (`merge_ok`, stated true by the oracle). */
+  val q217 = GQuery("q217_sample_quantiles", (s, d) => {
+    import graft.ext.SampleQuantiles._
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val whole = ev.groupBy("event_type")
+      .agg(bottomK(draw(col("event_id")), col("value"), 100).as("state"))
+    val sharded = ev.withColumn("__sh", col("event_id") % 2)
+      .groupBy("event_type", "__sh")
+      .agg(bottomK(draw(col("event_id")), col("value"), 100).as("st"))
+      .groupBy("event_type").agg(collect_list(col("st")).as("sts"))
+      .select(col("event_type"), mergeStates(col("sts"), 100).as("mstate"))
+    whole.join(sharded, Seq("event_type"))
+      .select(col("event_type"), size(col("state")).as("n_sample"),
+        round(quantile(col("state"), 0.5), 6).as("p50_s"),
+        round(quantile(col("state"), 0.95), 6).as("p95_s"),
+        (col("state") === col("mstate")).as("merge_ok"))
+      .orderBy("event_type")
+  },
+    Some("""WITH dr AS (SELECT event_type,
+           |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS d,
+           |    value FROM events),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           |         ORDER BY d, value) AS rn FROM dr),
+           |sm AS (SELECT event_type, list(value ORDER BY value) AS vs,
+           |         count(*) AS n
+           |       FROM rk WHERE rn <= 100 GROUP BY event_type)
+           |SELECT event_type, CAST(n AS INT) AS n_sample,
+           |  round(vs[greatest(1, CAST(ceil(0.5 * n) AS INT))], 6) AS p50_s,
+           |  round(vs[greatest(1, CAST(ceil(0.95 * n) AS INT))], 6) AS p95_s,
+           |  true AS merge_ok
+           |FROM sm ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q206, q207, q208, q209, q210, q211, q212,
-    q213, q214, q215, q216)
+    q213, q214, q215, q216, q217)
 }
