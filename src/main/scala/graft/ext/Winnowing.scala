@@ -19,19 +19,23 @@ import org.apache.spark.sql.functions._
   * oracle recomputes identical fingerprints (relationally — band-join
   * windows; the Spark side is the array form below).
   *
-  * Scale shape: [[fingerprints]] is ONE codegen'd projection — token
-  * array → positional k-grams → hash array → per-window struct select →
-  * array_distinct → explode. O(n·w) comparisons happen inside the
-  * projection; only the ~2n/(w+1) selected rows leave the scan, and
-  * nothing shuffles. [[overlapPairs]] joins on fp_hash with a
+  * Scale shape: [[fingerprints]] is ONE codegen'd projection — tokenize,
+  * then a single native expression
+  * ([[org.apache.spark.sql.graft.WinnowFingerprints]]) that hashes the
+  * k-grams and selects per-window rightmost-minima with a monotonic deque,
+  * O(n·k) per document. The round-7 higher-order-function form was
+  * re-quadratized by `InferFiltersFromGenerate` + filter pushdown inlining
+  * the staged hash pipeline into a per-window filter condition (210 s for
+  * 50 docs); a single expression node cannot be partially inlined, and
+  * `explode_outer` + post-filter (the q68 pattern) keeps the optimizer
+  * from inferring any filter over it at all. Only the ~2n/(w+1) selected
+  * rows leave the scan, and nothing shuffles.
+  * [[overlapPairs]] joins on fp_hash with a
   * promiscuous-hash guard (the q200 basket cap): a fingerprint shared
   * by > maxDf documents is boilerplate, carries no pair signal, and
   * would mint O(maxDf²) join rows — it is dropped BEFORE the self-join.
   */
 object Winnowing {
-
-  private def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** (doc_id, fp_pos, fp_hash): 1-based k-gram position + hash of each
     * selected fingerprint. Documents with fewer than k tokens have no
@@ -40,31 +44,13 @@ object Winnowing {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    val staged = docs
-      .withColumn("__toks", TextPrep.tokens(col(textCol)))
-      .withColumn("__hs",
-        transform(
-          when(size(col("__toks")) >= k,
-            sequence(lit(1), size(col("__toks")) - (k - 1)))
-            .otherwise(array().cast("array<int>")),
-          i => md5Long(concat_ws(" ", slice(col("__toks"), i, lit(k))))))
-      .select(col(idCol).as("doc_id"), col("__hs"),
-        size(col("__hs")).as("__n"))
-    // window starts: 1..n−w+1 (n ≥ w) | just 1 (0 < n < w) | none (n = 0)
-    val starts = when(col("__n") >= w, sequence(lit(1), col("__n") - (w - 1)))
-      .when(col("__n") >= 1, array(lit(1)))
-      .otherwise(array().cast("array<int>"))
-    val sel = staged
-      .withColumn("__sel", array_distinct(transform(starts, { i =>
-        val win = slice(col("__hs"), i, lit(w)) // short at the tail when n < w
-        val m = array_min(win)
-        // rightmost minimal: position from the END via reverse
-        val j = i + size(win) - array_position(reverse(win), m).cast("int")
-        struct(j.as("fp_pos"), m.as("fp_hash"))
-      })))
-      .select(col("doc_id"), explode(col("__sel")).as("fp"))
-    sel.select(col("doc_id"), col("fp.fp_pos").as("fp_pos"),
-      col("fp.fp_hash").as("fp_hash"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(org.apache.spark.sql.graft.WinnowExprs.winnowFingerprints(
+          TextPrep.tokens(col(textCol)), k, w)).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), col("fp.fp_pos").as("fp_pos"),
+        col("fp.fp_hash").as("fp_hash"))
   }
 
   /** Candidate passage-sharing pairs: documents ranked by how many
