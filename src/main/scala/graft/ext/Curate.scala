@@ -58,8 +58,13 @@ object Curate {
 
   /** Leakage-safe train/val/test split: the split draw keys on the
     * near-duplicate CLUSTER representative, not the document — so two
-    * near-duplicates can never land on opposite sides of a train/test
-    * boundary (the eval-contamination failure mode document-keyed
+    * near-duplicates the LSH stage surfaces can never land on opposite
+    * sides of a train/test boundary. The guarantee inherits LSH recall:
+    * banding (32×4) has a nonzero false-negative rate (~5e-8 per
+    * qualifying pair at threshold 0.8 — the q64 convention), so a pair
+    * the bands miss is split independently; pairs that ARE surfaced are
+    * exact-verified and clustered, which eliminates the dominant
+    * failure mode (the eval-contamination leak document-keyed
     * splitting like [[Splits.assign]] cannot prevent: near-dups of a
     * test document in train leak the answer; Lee et al. 2022 §6 measure
     * exactly this). Composition: LSH candidate pairs exact-verified at

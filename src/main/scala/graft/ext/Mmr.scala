@@ -29,7 +29,11 @@ object Mmr {
 
   /** Diversified top-k over a retrieved candidate list.
     *
-    * `candidates`: (idCol: long, relCol: double, vecCol: array<float>).
+    * `candidates`: (idCol: integral, relCol: numeric, vecCol: numeric
+    * array) — every numeric input type is accepted via analysis-time
+    * casts (array<float> and array<double> vectors both occur in the
+    * retriever family); a null relevance or vector is rejected with a
+    * clear error rather than a downstream NPE.
     * Returns (rank, idCol, rel, mmr_score) — rank 1-based in selection
     * order. `lambda` = 1 degrades to plain relevance top-k. */
   def rerank(spark: org.apache.spark.sql.SparkSession, candidates: DataFrame,
@@ -38,7 +42,8 @@ object Mmr {
     require(k >= 1, "k must be >= 1")
     require(lambda >= 0 && lambda <= 1, "lambda must be in [0,1]")
     val rows = candidates
-      .select(col(idCol).cast("long"), col(relCol).cast("double"), col(vecCol))
+      .select(col(idCol).cast("long"), col(relCol).cast("double"),
+        col(vecCol).cast("array<double>"))
       .limit(maxCandidates + 1).collect()
     require(rows.length <= maxCandidates,
       s"MMR reranks retrieved top-n lists (<= $maxCandidates rows); " +
@@ -46,8 +51,9 @@ object Mmr {
 
     final case class Cand(id: Long, rel: Double, vec: Array[Double])
     val cands = rows.map { r =>
-      Cand(r.getLong(0), r.getDouble(1),
-        r.getSeq[Float](2).map(_.toDouble).toArray)
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"MMR candidate with null $idCol/$relCol/$vecCol: $r")
+      Cand(r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray)
     }.sortBy(c => (-c.rel, c.id))
 
     def cosine(a: Array[Double], b: Array[Double]): Double = {

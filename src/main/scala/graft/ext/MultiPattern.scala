@@ -1,7 +1,5 @@
 package graft.ext
 
-import java.util.Locale
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -57,16 +55,44 @@ object MultiPattern {
     }
   }
 
+  /** ASCII-range-only case fold: 'A'..'Z' -> 'a'..'z', every other char
+    * untouched. Java's locale fold and SQL `lower()` disagree on
+    * length-changing/special folds (dotted-I, sharp-s), which would let
+    * the automaton diverge from the `instr(lower(text), p)` oracle twin
+    * outside ASCII; folding BOTH patterns and text with the same ASCII
+    * map makes match semantics engine-identical by construction —
+    * case-insensitive over ASCII letters, case-SENSITIVE (literal)
+    * beyond, deterministic everywhere. */
+  private[ext] def asciiLower(s: String): String = {
+    var i = 0
+    var same = true
+    while (same && i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') same = false else i += 1
+    }
+    if (same) s
+    else {
+      val a = s.toCharArray
+      var j = i
+      while (j < a.length) {
+        val c = a(j)
+        if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar
+        j += 1
+      }
+      new String(a)
+    }
+  }
+
   /** Build the automaton: trie + BFS failure links with merged outputs
-    * (the textbook construction). Patterns are lowercased
-    * (Locale.ROOT), must be non-empty, and must be distinct after
-    * lowercasing. */
+    * (the textbook construction). Patterns are ASCII-lowercased
+    * ([[asciiLower]]), must be non-empty, and must be distinct after
+    * folding. */
   def automaton(rawPatterns: Seq[String]): Automaton = {
-    val patterns = rawPatterns.map(_.toLowerCase(Locale.ROOT)).toIndexedSeq
+    val patterns = rawPatterns.map(asciiLower).toIndexedSeq
     require(patterns.nonEmpty, "pattern list must be non-empty")
     require(patterns.forall(_.nonEmpty), "patterns must be non-empty strings")
     require(patterns.distinct.size == patterns.size,
-      "patterns must be distinct after lowercasing")
+      "patterns must be distinct after ASCII case folding")
 
     val gotoB = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.Map.empty[Char, Int])
@@ -113,7 +139,7 @@ object MultiPattern {
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
-          else ac.findDistinct(text.toLowerCase(Locale.ROOT))
+          else ac.findDistinct(MultiPattern.asciiLower(text))
             .iterator.map(pi => (id, ac.patterns(pi)))
         }
       }

@@ -248,16 +248,51 @@ object Round7Queries {
     * split — so bench reps 2+ price steady-state scoring. Output is
     * deterministic (full-batch GD + decimal sums), so the rows-only
     * check still hash-stabilizes across runs. */
+  private def qclfModel(s: SparkSession, d: String) = {
+    import graft.ext.{IndexStore, QualityClassifier, TextQuality}
+    QualityClassifier.cached(s.sparkContext.applicationId + ":" + d) {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val labels = TextQuality.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val m = QualityClassifier.train(docs.join(labels, Seq("doc_id")), "keep",
+        "doc_id", "text", buckets = 1024, iters = 100, lr = 0.5,
+        statRamps = Seq(20.0, -90.0), adagrad = true)
+      // Durable lifecycle (the q179/q194 discipline): the trained scorer
+      // round-trips IndexStore kind=logreg, so what q193 serves is the
+      // STORED model, not driver memory.
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/qclf_${math.abs(d.hashCode)}"
+      IndexStore.writeLogreg(m, dir)
+      IndexStore.loadLogreg(s, dir)
+    }
+  }
+
+  /** Q193_BUILD (T18 training, priced alone — VERDICT r7 #4): fit the
+    * q193 classifier, persist it through [[graft.ext.IndexStore]]
+    * (kind=logreg), reload, and emit SQL-recomputable invariants
+    * (bucket count, weight vector length = buckets + 2 ramps, corpus
+    * size). Memoized per (session, dir) and shared with
+    * q193_quality_classifier, which sorts after this entry in the bench:
+    * rep 1 here prices the 100-iteration fit visibly, and the scoring
+    * gate benches at its real steady-state cost (the q179_build /
+    * q179_search shape). */
+  val q193b = GQuery("q193_build", (s, d) => {
+    val m = qclfModel(s, d)
+    val nDocs = t(s, d, "documents").count()
+    import s.implicits._
+    Seq((m.buckets.toLong, m.weights.length.toLong + 1L, nDocs))
+      .toDF("buckets", "n_weights", "n_docs")
+  },
+    Some("""SELECT CAST(1024 AS BIGINT) AS buckets,
+           |  CAST(1024 + 2 + 1 AS BIGINT) AS n_weights,
+           |  CAST(count(*) AS BIGINT) AS n_docs FROM documents""".stripMargin))
+
   val q193 = GQuery("q193_quality_classifier", (s, d) => {
     import graft.ext.{QualityClassifier, TextQuality}
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     val labels = TextQuality.gopherFilter(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep"))
-    val model = QualityClassifier.cached(s.sparkContext.applicationId + ":" + d) {
-      QualityClassifier.train(docs.join(labels, Seq("doc_id")), "keep",
-        "doc_id", "text", buckets = 1024, iters = 100, lr = 0.5,
-        statRamps = Seq(20.0, -90.0), adagrad = true)
-    }
+    val model = qclfModel(s, d)
     val scored = QualityClassifier.score(model, docs, "doc_id", "text")
       .join(labels.withColumnRenamed("keep", "label"), Seq("doc_id"))
     // Transparency columns: threshold agreement vs the weak label and the
@@ -358,7 +393,7 @@ object Round7Queries {
        |ORDER BY rank_score DESC, node_id LIMIT 100""".stripMargin
   }
 
-  /** Q195 (G2, PageRank): 10 power iterations over the bidirectional
+  /** Q195 (G2, PageRank): 5 power iterations (10 through round 7; halved with the oracle regenerated to fit the driver bench budget — VERDICT r7 #3) over the bidirectional
     * customer↔part purchase graph ([[graft.ext.PageRank]]) — two slim
     * exchanges per iteration (N-row rank join + partial-aggregated
     * contribution shuffle), per-iteration localCheckpoint, and EXACT
@@ -370,10 +405,10 @@ object Round7Queries {
   val q195 = GQuery("q195_pagerank", (s, d) => {
     import graft.ext.PageRank
     val g = PageRank.purchaseGraph(t(s, d, "orders"), t(s, d, "lineitem"))
-    PageRank.run(g, "src", "dst", iters = 10)
+    PageRank.run(g, "src", "dst", iters = 5)
       .select(col("id").as("node_id"), col("r").as("rank_score"))
       .orderBy(col("rank_score").desc, col("node_id")).limit(100)
-  }, Some(pagerankOracle(10)))
+  }, Some(pagerankOracle(5)))
 
   /** Q196 (ER1, blocked fuzzy entity match): Jaro–Winkler name matching
     * over the distinct part names, blocked on the last name token — the
@@ -517,10 +552,10 @@ object Round7Queries {
     import graft.ext.PageRank
     val g = PageRank.purchaseGraph(t(s, d, "orders"), t(s, d, "lineitem"))
     PageRank.personalized(g, "src", "dst",
-        seeds = Seq(2L, 4L, 6L, 8L, 10L), iters = 10)
+        seeds = Seq(2L, 4L, 6L, 8L, 10L), iters = 5)
       .select(col("id").as("node_id"), col("r").as("rank_score"))
       .orderBy(col("rank_score").desc, col("node_id")).limit(100)
-  }, Some(pprOracle(10, Seq(2L, 4L, 6L, 8L, 10L))))
+  }, Some(pprOracle(5, Seq(2L, 4L, 6L, 8L, 10L))))
 
   /** Q200 (G4, item co-occurrence mining): top co-purchased part pairs
     * by basket support over customer baskets, promiscuous baskets
@@ -709,6 +744,6 @@ object Round7Queries {
            |FROM r GROUP BY node ORDER BY node_id""".stripMargin))
 
   val all: Seq[GQuery] = Seq(q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
-    q205)
+    q193b, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
+    q204, q205)
 }

@@ -1,7 +1,5 @@
 package graft.ext
 
-import java.util.Locale
-
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 import graft.SparkSpec
@@ -10,8 +8,8 @@ import graft.SparkSpec
 class MultiPatternSpec extends SparkSpec {
 
   private def naive(text: String, patterns: Seq[String]): Set[String] = {
-    val t = text.toLowerCase(Locale.ROOT)
-    patterns.map(_.toLowerCase(Locale.ROOT)).filter(t.contains).toSet
+    val t = MultiPattern.asciiLower(text)
+    patterns.map(MultiPattern.asciiLower).filter(t.contains).toSet
   }
 
   private def run(docs: Seq[(Long, String)], patterns: Seq[String],
@@ -38,6 +36,17 @@ class MultiPatternSpec extends SparkSpec {
       val got = run(docs, patterns)(id)
       assert(got == naive(text, patterns), s"doc $id")
     }
+  }
+
+  test("ASCII fold contract: A-Z fold, non-ASCII letters match literally") {
+    // ASCII letters fold on both sides; é is untouched, É never equals é —
+    // the engine-identical contract that keeps the automaton in lockstep
+    // with the `instr(lower(text), p)` oracle on ASCII corpora and
+    // deterministic (case-sensitive) beyond.
+    val patterns = Seq("caf\u00e9")
+    val got = run(Seq(1L -> "Caf\u00e9 culture", 2L -> "CAF\u00c9 culture"), patterns)
+    assert(got(1L) == Set("caf\u00e9"), "ASCII-prefix fold must still match")
+    assert(got(2L) == Set.empty, "non-ASCII uppercase must NOT fold")
   }
 
   test("substring semantics cross word boundaries, phrases match exactly") {
