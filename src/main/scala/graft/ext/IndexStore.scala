@@ -87,6 +87,22 @@ object IndexStore {
       m.get("tables").asInt(), m.get("bits").asInt(), m.get("dim").asInt())
   }
 
+  /** The data-table side of the LSH serving layout (BASELINE §q187's
+    * "one level down" rule): vectors range-partitioned AND sorted on the
+    * id key, so a candidate-id predicate pushed into the scan skips
+    * row-groups by min/max stats — the fetch join reads O(candidates),
+    * not O(corpus). At 100 TB this is the partition-pruned layout of
+    * the data table itself (the q147 bucket-lookup move). */
+  def writeLshVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit =
+    corpus.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+
+  def loadLshVectors(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vectors")
+
   // ---- IVF ----------------------------------------------------------
 
   def writeIvf(index: IvfIndex.Index, dir: String): Unit = {

@@ -114,6 +114,76 @@ object LshIndex {
       .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
   }
 
+  /** [[searchPruned]] with the CANDIDATE-VECTOR FETCH also pruned — the
+    * last linear term of the stored-index serving path. BASELINE §q187's
+    * sf10 reading: once the signature scan is row-group-skipped, what
+    * remains is the exact re-rank's equi-join pulling each candidate's
+    * vector out of the corpus-sized embeddings table — a full corpus
+    * scan per search. Fix, one level down the same discipline: the
+    * vectors live in a STORED table range-partitioned and sorted on the
+    * id key ([[IndexStore.writeLshVectors]]), the bounded candidate set
+    * (probes × tables × occupancy-constant bucket size — the same
+    * contract that bounds the probe-bucket collect) becomes an
+    * `id IN (...)` predicate pushed into that scan, and row-group
+    * min/max stats on the sorted id column skip everything but the
+    * row-groups holding candidates. The fetch reads O(candidates), not
+    * O(N); at 100 TB the same layout serves partition-level pruning.
+    *
+    * Results are identical to [[search]]/[[searchPruned]]: the id
+    * predicate selects exactly the candidate rows the join would keep,
+    * and both candidate list and probe table are broadcast, so the only
+    * exchange left is the per-probe top-k window. */
+  def searchStored(index: Index, vectors: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val pb = Similarity.lshBuckets(
+      probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")),
+      "pid", "pv", index.tables, index.bits, index.dim)
+    val probed = pb.select(col("table_id"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val prune = probed.toSeq.sortBy(_._1).map { case (t, bs) =>
+      col("table_id") === t && col("bucket").isin(bs: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    // bounded by contract (see scaladoc); materialized driver-side so the
+    // candidate ids can prune the vector scan AND the list can broadcast
+    // without recomputing the bucket join.
+    val candidates = index.buckets.where(prune)
+      .join(broadcast(pb), Seq("table_id", "bucket"))
+      .select(col("pid"), col(idCol)).distinct()
+    val candSchema = candidates.schema
+    val candRows = candidates.collect()
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows.toIndexedSeq: _*), candSchema)
+    val ids = candRows.map(_.get(1)).distinct.toSeq
+    val fetch =
+      if (ids.isEmpty) vectors.where(lit(false))
+      else vectors.where(col(idCol).isin(ids: _*))
+    val rescored = fetch
+      .join(broadcast(candDf), Seq(idCol))
+      .join(broadcast(probes.select(col(probeIdCol).as("pid"),
+        col(probeVecCol).as("pv"))), Seq("pid"))
+      .where(col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("pv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col(idCol))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
+  }
+
+  /** A fully durable serving bundle: signature index + id-sorted vector
+    * table, both parquet-backed ([[IndexStore.writeLsh]] /
+    * [[IndexStore.writeLshVectors]]). */
+  final case class Stored(index: Index, vectors: DataFrame)
+
+  private val storedCache = new ConcurrentHashMap[String, Stored]()
+
+  /** Process-lifetime memo for the [[Stored]] bundle (the [[cached]]
+    * semantics, one level wider). */
+  def cachedStored(key: String)(build: => Stored): Stored =
+    storedCache.computeIfAbsent(key, _ => build)
+
   /** Release the index's cluster-side state. */
   def drop(index: Index): Unit = { index.buckets.unpersist(); () }
 

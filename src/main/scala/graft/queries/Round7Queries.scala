@@ -63,24 +63,31 @@ object Round7Queries {
     * PUSHED INTO the parquet scan ([[graft.ext.LshIndex.searchPruned]]):
     * the stored table is clustered+sorted by (table_id, bucket), so
     * row-group stats skip everything outside the probed buckets and the
-    * scan reads O(selected buckets), not O(N) — the remaining linear
-    * term of the steady-state searches in BASELINE §sf10. Memoized per
-    * (session, dir): rep 1 pays build+write+load, reps 2+ price the
-    * pruned steady state. Same recall contract as the q30 family. */
+    * scan reads O(selected buckets), not O(N). Round 8 closes the LAST
+    * linear term BASELINE §q187 identified: the candidate-vector fetch
+    * now reads an id-sorted stored vectors table with the bounded
+    * candidate-id set pushed as a scan predicate
+    * ([[graft.ext.LshIndex.searchStored]]) — O(candidates), not
+    * O(corpus), per search. Memoized per (session, dir): rep 1 pays
+    * build+write+load, reps 2+ price the pruned steady state. Same
+    * recall contract as the q30 family. */
   val q187 = GQuery("q187_ann_lsh_pruned", (s, d) => {
     import graft.ext.{IndexStore, LshIndex, Similarity}
     val e = t(s, d, "embeddings")
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val idx = LshIndex.cached(s.sparkContext.applicationId + ":pruned:" + d) {
+    val stored = LshIndex.cachedStored(
+        s.sparkContext.applicationId + ":pruned:" + d) {
       val built = LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
       val dir = sys.props("java.io.tmpdir") +
         s"/graft_idx/lsh_${math.abs(d.hashCode)}"
       IndexStore.writeLsh(built, dir)
+      IndexStore.writeLshVectors(e, "vec_id", "embedding", dir)
       LshIndex.drop(built)
-      IndexStore.loadLsh(s, dir)
+      LshIndex.Stored(IndexStore.loadLsh(s, dir),
+        IndexStore.loadLshVectors(s, dir))
     }
-    val ann = LshIndex.searchPruned(idx, e, probes,
+    val ann = LshIndex.searchStored(stored.index, stored.vectors, probes,
       "vec_id", "embedding", "probe_id", "pv", k = 10)
     val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
       "probe_id", "pv", 10)

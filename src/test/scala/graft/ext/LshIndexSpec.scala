@@ -54,6 +54,33 @@ class LshIndexSpec extends SparkSpec {
     } finally LshIndex.drop(built)
   }
 
+  test("stored search (pruned fetch): identical results, id predicate pushed to the vectors scan") {
+    val built = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-stored").toString
+    try {
+      IndexStore.writeLsh(built, dir)
+      IndexStore.writeLshVectors(embeddings, "vec_id", "embedding", dir)
+      val loaded = IndexStore.loadLsh(spark, dir)
+      val vectors = IndexStore.loadLshVectors(spark, dir)
+      val stored = LshIndex.searchStored(loaded, vectors, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      val plain = LshIndex.search(built, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      assert(stored.exceptAll(plain).isEmpty && plain.exceptAll(stored).isEmpty,
+        "pruned fetch must not change results — the id predicate selects " +
+          "exactly the candidate rows the join keeps")
+      // the candidate ids must reach the vectors parquet reader as a
+      // pushed filter (row-group skipping on the id-sorted layout)
+      val explained = stored.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val scanBlock = explained.linesIterator
+        .filter(l => l.contains("PushedFilters")).mkString("\n")
+      assert(scanBlock.contains("In(vec_id") || scanBlock.contains("EqualTo(vec_id"),
+        s"candidate-id predicate not pushed:\n$explained")
+    } finally LshIndex.drop(built)
+  }
+
   test("auto-bits sizing matches the in-query path and needs no corpus job") {
     val idx = LshIndex.build(embeddings, "vec_id", "embedding",
       tables = 4, dim = 64)
