@@ -35,9 +35,20 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
-    val Array(src, dst, factorS) = args
-    val factor = factorS.toInt
+    require(args.length == 3 || (args.length == 4 && args(3) == "--graph"),
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [--graph]")
+    val src = args(0); val dst = args(1); val factor = args(2).toInt
+    // --graph: ALSO replicate customer/part/supplier with per-copy key
+    // offsets (fact FKs remapped to match). The derived purchase graph
+    // becomes `factor` DISJOINT copies of the base graph — nodes ∝ SF,
+    // edges ∝ SF, degree distribution preserved exactly — so the graph
+    // tier's exponents measure N·E growth of the iteration core, not
+    // just the fact-side derivation (BASELINE notes the default mode's
+    // node set is dimension-bound). Disjoint copies are the honest
+    // shape: genuinely new users/products arrive as new communities, and
+    // nothing in the plans exploits the disjointness (every exchange,
+    // rank table, and wedge join carries the full scaled graph).
+    val graphMode = args.length == 4
     require(factor >= 1, "factor must be >= 1")
     val spark = graft.GraftSession.local("graft-scaleup")
     spark.sparkContext.setLogLevel("WARN")
@@ -47,23 +58,51 @@ object ScaleUp {
     def write(df: DataFrame, t: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
 
-    // dimensions: fixed (facts-per-dim-row grows, the realistic scale-up)
-    Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(t => write(read(t), t))
-
     val copies = spark.range(factor).select(col("id").as("__copy"))
     def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
-    // orders + lineitem share the order-key offset so joins stay intact
+    // region/nation: always fixed (c_nationkey/s_nationkey stay valid —
+    // replicated entities reuse the base geography)
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    val (custSpan, partSpan, suppSpan) =
+      if (!graphMode) {
+        // default: dimensions fixed (facts-per-dim-row grows — "more
+        // days of the same workload")
+        Seq("customer", "supplier", "part").foreach(t => write(read(t), t))
+        (0L, 0L, 0L)
+      } else {
+        val (cust, part, supp) = (read("customer"), read("part"), read("supplier"))
+        val (cs, ps, ss) =
+          (span(cust, "c_custkey"), span(part, "p_partkey"), span(supp, "s_suppkey"))
+        write(replicate(cust)
+          .withColumn("c_custkey", col("c_custkey") + col("__copy") * cs)
+          .drop("__copy"), "customer")
+        write(replicate(part)
+          .withColumn("p_partkey", col("p_partkey") + col("__copy") * ps)
+          .drop("__copy"), "part")
+        write(replicate(supp)
+          .withColumn("s_suppkey", col("s_suppkey") + col("__copy") * ss)
+          .drop("__copy"), "supplier")
+        (cs, ps, ss)
+      }
+
+    // orders + lineitem share the order-key offset so joins stay intact;
+    // in graph mode the dim FKs shift by the same per-copy offsets, so
+    // each copy's facts reference that copy's entities — joins intact,
+    // graph disjoint by construction.
     val orders = read("orders")
     val orderSpan = span(orders, "o_orderkey")
     write(replicate(orders)
       .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * orderSpan)
+      .withColumn("o_custkey", col("o_custkey") + col("__copy") * custSpan)
       .drop("__copy"), "orders")
     write(replicate(read("lineitem"))
       .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * orderSpan)
+      .withColumn("l_partkey", col("l_partkey") + col("__copy") * partSpan)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__copy") * suppSpan)
       .drop("__copy"), "lineitem")
 
     val events = read("events")
