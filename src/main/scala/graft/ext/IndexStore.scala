@@ -121,6 +121,29 @@ object IndexStore {
       spark.read.parquet(s"$dir/assignment"))
   }
 
+  // ---- HNSW ---------------------------------------------------------
+
+  /** Shard-parallel HNSW graph ([[Hnsw.build]] rows): clustered by
+    * shard_id and sorted by (shard_id, id), so each serving task reads
+    * exactly its shards' row-groups and the per-shard slot order (= id
+    * order) is reproduced on load — the entry-point derivation and
+    * therefore every search is identical across JVMs. */
+  def writeHnsw(graph: DataFrame, params: Hnsw.Params, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "hnsw", "m" -> params.m,
+      "efConstruction" -> params.efConstruction, "efSearch" -> params.efSearch)
+    graph
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("shard_id", "id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/graph")
+  }
+
+  def loadHnsw(spark: SparkSession, dir: String): (DataFrame, Hnsw.Params) = {
+    val m = requireKind(dir, "hnsw")
+    (spark.read.parquet(s"$dir/graph"),
+      Hnsw.Params(m.get("m").asInt(), m.get("efConstruction").asInt(),
+        m.get("efSearch").asInt()))
+  }
+
   // ---- k-means clustering (SemDeDup) --------------------------------
 
   /** SemDeDup's k-means state ([[SemDedup.Clustering]]): centroids +

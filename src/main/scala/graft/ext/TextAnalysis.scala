@@ -144,6 +144,24 @@ object TextAnalysis {
       size(regexp_extract_all(scrubbed, lit(pat), lit(0)))
     }.reduce(_ + _)
 
+  /** LZ78 incremental-parse phrase count — the compressibility quality
+    * signal ([[org.apache.spark.sql.graft.Lz78Phrases]]): boilerplate/
+    * template spam parses into few long phrases (low count), natural
+    * prose sits in a mid band, random byte soup approaches one phrase
+    * per character. Unlike gzip-ratio filters, the LZ78 parse is a pure
+    * function of the string — one canonical answer on any engine. */
+  def lz78Phrases(text: Column): Column =
+    org.apache.spark.sql.graft.CompressExprs.lz78Phrases(text)
+
+  /** Normalized compressibility in (0, 1]: phrases / chars, rounded to
+    * 6 places; 0.0 for the empty string. The band-filter form of the
+    * signal (both tails are suspect: ≲0.2 is machine repetition, ≳0.95
+    * is noise at document length). */
+  def lz78Ratio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(round(lz78Phrases(text).cast("double") /
+        greatest(length(text), lit(1)).cast("double"), 6))
+
   /** Gopher-style repetition signal: fraction of word 2..k-grams that are
     * duplicates of an earlier occurrence in the same document
     * (1 − distinct/total). High values flag boilerplate / looping
