@@ -91,6 +91,43 @@ object MinHashIndex {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Streaming form of [[probe]] (ST14 — see
+    * [[graft.streaming.StreamNearDup]] for the serving contract): the
+    * stream side is map-only (per-row shingles → signature → band keys,
+    * all `SketchExprs` native loops, the explode carrying the shingle
+    * set along), candidates come from a stream-static equi-join on the
+    * persisted band table, and the exact verify joins the persisted
+    * shingle table — no streaming state in this stage at all, so it
+    * runs in append mode under any watermark the caller sets upstream.
+    * A pair matching in b bands is emitted b times (exactly-once needs
+    * keyed state — the caller's `dropDuplicatesWithinWatermark` layer).
+    * Output: (id_a = corpus doc, id_b = stream doc, ts, jaccard). */
+  def probeStream(index: Index, stream: DataFrame, idCol: String,
+      textCol: String, tsCol: String, threshold: Double): DataFrame = {
+    val sh = TextPrep.stagedShingles(
+        stream.select(col(idCol).as("__sid"), col(tsCol).as("ts"),
+            col(textCol).as("__text"))
+          .filter(size(TextPrep.tokens(col("__text"))) >= index.shingleK),
+        "__text", index.shingleK, "sh")
+      .select(col("__sid"), col("ts"), col("sh"))
+    val withBands = sh
+      .withColumn("hs", TextPrep.baseHashes(col("sh")))
+      .select(col("__sid"), col("ts"), col("sh"),
+        posexplode(SketchExprs.lshBands(
+          SketchExprs.minHashSig(col("hs"), index.numHashes),
+          index.numBands, index.numHashes / index.numBands))
+          .as(Seq("band_id", "band_key")))
+    withBands
+      .join(index.bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("id_a")), Seq("band_id", "band_key"))
+      .where(col("id_a") =!= col("__sid"))
+      .join(index.shingles.select(col("doc_id").as("id_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .select(col("id_a"), col("__sid").as("id_b"), col("ts"),
+        round(TextPrep.jaccard(col("sh_a"), col("sh")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Release the index's cluster-side state. */
   def drop(index: Index): Unit = {
     index.bands.unpersist(); index.shingles.unpersist(); ()

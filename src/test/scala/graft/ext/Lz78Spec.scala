@@ -85,6 +85,18 @@ class Lz78Spec extends SparkSpec {
     assert(out(0) < 0.2 && out(1) > 0.45, s"tails not separated: ${out.toSeq}")
   }
 
+  test("the feature pass is map-only: no exchange in the plan") {
+    val s = spark; import s.implicits._
+    val plan = Seq((1L, "some text")).toDF("id", "text")
+      .select(col("id"), TextAnalysis.lz78Phrases(col("text")).as("p"),
+        TextAnalysis.lz78Ratio(col("text")).as("r"))
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "compressibility features must not shuffle")
+  }
+
   test("nulls propagate; empty string is 0 phrases, ratio 0") {
     val s = spark; import s.implicits._
     val out = Seq((1L, null: String), (2L, ""))
