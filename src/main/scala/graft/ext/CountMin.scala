@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   * as int64 mod w — so the DuckDB oracle recomputes the identical cells
   * and the gate compares EXACT sketch contents, not just the contract.
   *
-  * Scale shape: [[sketch]] explodes each item into its d rows and
-  * collapses them immediately in the same stage through ONE
-  * map-side-combined exchange of ≤ d·w rows — constant-factor map work,
-  * no shuffle amplification (the d-fold rows never cross the wire
-  * unaggregated). Sketch state is d·w rows at ANY stream size.
-  * [[estimate]] hashes only the query keys and broadcasts the d·w-row
-  * sketch onto them.
+  * Scale shape: [[sketch]] first collapses the stream to (distinct key,
+  * count) through a map-side-combined exchange — on a Zipf token stream
+  * the duplication factor is the win: the d salted-md5 hashes are paid
+  * per DISTINCT key (vocabulary-bound, sublinear in corpus size), not
+  * per occurrence (round 7 shipped the per-occurrence form; its honest
+  * e₁ ≈ 1.0 at sf1 was exactly this term). The d-fold explode then
+  * carries the count as a weight and collapses through one ≤ d·w-row
+  * exchange; cell values are identical to the per-occurrence parse
+  * (Σ counts per cell — the oracle recomputes the same cells verbatim).
+  * Sketch state is d·w rows at ANY stream size. [[estimate]] hashes
+  * only the query keys and broadcasts the d·w-row sketch onto them.
   */
 object CountMin {
 
@@ -37,10 +41,13 @@ object CountMin {
       width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 1, "depth and width must be positive")
     items
-      .select(col(keyCol).cast("string").as("__k"),
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__k"), col("__c"),
         explode(sequence(lit(0), lit(depth - 1))).as("row_id"))
-      .select(col("row_id"), bucket(col("row_id"), col("__k"), width).as("bucket"))
-      .groupBy("row_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("row_id"),
+        bucket(col("row_id"), col("__k"), width).as("bucket"), col("__c"))
+      .groupBy("row_id", "bucket").agg(sum(col("__c")).as("cnt"))
   }
 
   /** Point estimates for `queries(keyCol)`: min over the key's d cells,
