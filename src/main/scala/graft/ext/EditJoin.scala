@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DeletionNeighborhood
+
+/** Exact edit-distance similarity join over short attribute strings.
+  *
+  * Finds ALL pairs of records whose strings are within Levenshtein
+  * distance `d` — the entity-resolution join (merged `customer` /
+  * `supplier` / `part` feeds keyed on typo-prone names and codes) and
+  * the canonical string-similarity-join benchmark operator. Unlike the
+  * q196 blocked JW match (a recall-tuned heuristic whose block key can
+  * split a true pair), this join is EXACT: candidate generation by
+  * deletion neighborhood ([[org.apache.spark.sql.graft.DeletionNeighborhood]]
+  * — Mor & Fraenkel 1982 / FastSS, the SymSpell index family) provably
+  * surfaces every pair within distance d, and each candidate is verified
+  * with the built-in codegen'd `levenshtein` before it is emitted.
+  *
+  * == 100 TB design ==
+  *
+  * The cross product never materializes. Each record is expanded map-side
+  * to Σ_{i≤d} C(len, i) 8-byte variant hashes (the native expression
+  * hashes before anything leaves the scan — key width is independent of
+  * attribute length), candidates form on one hash-equi-join shuffle, are
+  * deduplicated on (id_a, id_b) — a pair sharing many variants costs one
+  * verify — and the O(len²) Levenshtein DP runs only on deduped
+  * candidates. The documented domain is short attribute strings (names,
+  * titles, codes: len ≲ 50, d ≤ 2), where the expansion is a few hundred
+  * keys per record; this is an ER primitive, not a document operator —
+  * document-scale near-dup belongs to the D-family (MinHash/SimHash).
+  * Skew note: a variant hash shared by c records mints c² join rows, and
+  * exactness forbids dropping hot keys (every shared variant can witness
+  * a true pair); the expansion is Zipf-shaped like the strings themselves,
+  * so a hot ATTRIBUTE VALUE (many exact duplicates) is the one real skew
+  * source — pre-aggregating exact-duplicate strings to a single
+  * representative (then multiplying pairs back out) is the standard
+  * mitigation and composes with [[Dedup.exact]] when needed.
+  */
+object EditJoin {
+
+  /** All pairs (id_a < id_b) with lev(s_a, s_b) <= maxDist, plus the
+    * distance. Null strings drop out (they can match nothing). One
+    * equi-join shuffle on the variant hash + one dedup shuffle on the
+    * pair; the verify is map-side on deduped candidates. */
+  def join(records: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3, "maxDist must be in [1, 3]")
+    val base = records
+      .where(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // explode_outer + post-filter: keeps InferFiltersFromGenerate from
+    // cloning the neighborhood expression into a pre-filter (the q68 /
+    // winnowing discipline; the array is never empty, so no rows are lost)
+    val keys = base
+      .select(col("__id"), col("__s"),
+        explode_outer(DeletionNeighborhood(col("__s"), maxDist)).as("__vkey"))
+      .filter(col("__vkey").isNotNull)
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.__vkey") === col("b.__vkey") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("a.__s").as("__sa"),
+        col("b.__id").as("id_b"), col("b.__s").as("__sb"))
+      .distinct() // (id_a, id_b) determine the strings: safe pair dedup
+    cand
+      .withColumn("__lev", levenshtein(col("__sa"), col("__sb")))
+      .where(col("__lev") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("__lev").cast("long").as("lev"))
+  }
+}

@@ -68,5 +68,67 @@ object Round8Queries {
       minHits = 7.0)
   }, Some(PipelineQueries.annContractSql))
 
-  val all: Seq[GQuery] = Seq(q218, q219)
+  /** Q220 (ER2, exact edit-distance similarity join): every customer-name
+    * pair within Levenshtein distance 1 via deletion-neighborhood
+    * candidate generation + exact verify ([[graft.ext.EditJoin]] —
+    * FastSS/SymSpell index family). The cross product never forms: the
+    * oracle proves the SCALABLE path (hash-join on 8-byte variant keys)
+    * emits the bit-identical pair set the quadratic definition describes
+    * — candidate generation is provably lossless, so this gate is
+    * hash-exact, not a recall contract. 19,500 pairs at sf0.01. */
+  val q220 = GQuery("q220_edit_distance_join", (s, d) => {
+    import graft.ext.EditJoin
+    EditJoin.join(t(s, d, "customer"), "c_custkey", "c_name", maxDist = 1)
+      .orderBy("id_a", "id_b")
+  },
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+           |FROM customer a JOIN customer b
+           |  ON a.c_custkey < b.c_custkey
+           |WHERE levenshtein(a.c_name, b.c_name) <= 1
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  /** DuckDB twin of [[graft.ext.LabelProp.run]]: one CTE block per
+    * synchronous round — neighbor-label counts, argmax by (count DESC,
+    * label ASC) via a nested row_number, no-in-neighbor nodes keep their
+    * label (the q195 unrolled-iteration oracle discipline). */
+  private def labelPropOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT e.dst, p.lab, count(*) AS c
+         |  FROM l${i - 1} p JOIN e ON e.src = p.id GROUP BY e.dst, p.lab),
+         |w$i AS (SELECT dst, lab,
+         |    row_number() OVER (PARTITION BY dst ORDER BY c DESC, lab) AS rn
+         |  FROM c$i),
+         |l$i AS (SELECT p.id, coalesce(w.lab, p.lab) AS lab
+         |  FROM l${i - 1} p LEFT JOIN (SELECT dst, lab FROM w$i WHERE rn = 1) w
+         |    ON w.dst = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM cp
+       |      UNION ALL SELECT dst AS src, src AS dst FROM cp),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |l0 AS (SELECT id, id AS lab FROM n),
+       |$steps
+       |SELECT id AS node_id, lab AS community FROM l$rounds
+       |ORDER BY node_id""".stripMargin
+  }
+
+  /** Q221 (G7, label-propagation communities): 4 synchronous LPA rounds
+    * over the bidirectional purchase graph ([[graft.ext.LabelProp]]) —
+    * deterministic min-label tie order, exact label arithmetic, so the
+    * FULL per-node assignment is hash-exact against the unrolled-CTE
+    * DuckDB twin (a stronger gate than any summary: every node's
+    * community must match). Per round: one label join + one map-side-
+    * combined (dst, label) count + a `max_by` argmax — aggregates only,
+    * no window shuffle, lazy localCheckpoint lineage truncation. */
+  val q221 = GQuery("q221_label_propagation", (s, d) => {
+    import graft.ext.{LabelProp, PageRank}
+    val g = PageRank.purchaseGraph(t(s, d, "orders"), t(s, d, "lineitem"))
+    LabelProp.run(g, "src", "dst", rounds = 4)
+      .select(col("id").as("node_id"), col("community"))
+      .orderBy("node_id")
+  }, Some(labelPropOracle(4)))
+
+  val all: Seq[GQuery] = Seq(q218, q219, q220, q221)
 }

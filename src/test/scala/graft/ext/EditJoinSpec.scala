@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contracts for [[EditJoin]] — exact deletion-neighborhood edit-distance
+  * join — and its [[org.apache.spark.sql.graft.DeletionNeighborhood]]
+  * candidate expression. The load-bearing claim is EXACTNESS: the join
+  * over hashed variant keys must emit precisely the pairs an all-pairs
+  * levenshtein filter would.
+  */
+class EditJoinSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "name")
+  }
+
+  private def pairs(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] =
+    EditJoin.join(df(rows), "id", "name", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Reference: quadratic all-pairs with a plain DP levenshtein. */
+  private def bruteForce(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      l = lev(sa, sb)
+      if l <= d
+    } yield (ia, ib, l.toLong)).toSet
+  }
+
+  test("matches brute force on a crafted typo family (d = 1 and d = 2)") {
+    val rows = Seq(
+      1L -> "johnson", 2L -> "jonson",    // deletion, d = 1
+      3L -> "johnsen",                    // substitution vs 1, d = 1
+      4L -> "johnsson",                   // insertion vs 1, d = 1
+      5L -> "johnstone",                  // d = 2 from 1 ("t"+"e"? verify by DP)
+      6L -> "smith", 7L -> "smyth", 8L -> "smithe",
+      9L -> "completely-different")
+    for (d <- Seq(1, 2))
+      assert(pairs(rows, d) == bruteForce(rows, d), s"d=$d")
+  }
+
+  test("matches brute force on a randomized corpus (d = 1, 2)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd" // small alphabet to force many near pairs
+    val rows = (1L to 120L).map { i =>
+      i -> Array.fill(3 + rnd.nextInt(6))(alphabet(rnd.nextInt(4))).mkString
+    }
+    for (d <- Seq(1, 2))
+      assert(pairs(rows, d) == bruteForce(rows, d), s"d=$d")
+  }
+
+  test("exact duplicates pair at distance 0; empty and null drop cleanly") {
+    val s = spark; import s.implicits._
+    val rows = Seq((1L, "abc"), (2L, "abc"), (3L, null: String), (4L, ""))
+    val got = EditJoin.join(rows.toDF("id", "name"), "id", "name", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // "" is within distance 1 of nothing here except... lev("", "abc") = 3;
+    // null matches nothing; (1, 2) at distance 0 survives
+    assert(got == Set((1L, 2L, 0L)))
+  }
+
+  test("short strings below the deletion budget still join exactly") {
+    // len <= d edge: "a" has variants {"a", ""} at d = 1; "" pairs via
+    // the empty variant with "b"'s — lev("a","b") = 1 must be found
+    val rows = Seq(1L -> "a", 2L -> "b", 3L -> "", 4L -> "ab")
+    for (d <- Seq(1, 2))
+      assert(pairs(rows, d) == bruteForce(rows, d), s"d=$d")
+  }
+
+  test("supplementary-plane characters delete as single code points") {
+    // U+1F600 is two UTF-16 chars; a code-point-correct neighborhood pairs
+    // these at d = 1 (one substitution), byte/char-level would not
+    val rows = Seq(1L -> "a😀b", 2L -> "a😁b")
+    assert(pairs(rows, 1).map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
+  test("neighborhood size is the closed form on distinct-character strings") {
+    import org.apache.spark.sql.graft.DeletionNeighborhood
+    val s = spark; import s.implicits._
+    val out = Seq("abcdefgh").toDF("s")
+      .select(size(DeletionNeighborhood(col("s"), 2)).as("n"))
+      .head().getInt(0)
+    // all-distinct chars, L = 8: 1 + C(8,1) + C(8,2) = 1 + 8 + 28
+    assert(out == 37)
+  }
+}
