@@ -93,4 +93,46 @@ object GraphAlgos {
     }
     visited
   }
+
+  /** k-core peeling (Seidman 1983): iteratively delete every node whose
+    * degree in the SURVIVING subgraph is < k; what remains after
+    * convergence is the k-core — the maximal subgraph of minimum degree
+    * ≥ k, the density filter of link-graph curation (link farms and
+    * template rings live in dense cores; leaf/tendril pages peel away).
+    * Synchronous fixed-round variant (the [[LabelProp]] determinism
+    * discipline): `rounds` peel sweeps, each removing ALL current
+    * sub-k-degree nodes at once — a pure function of the edge set,
+    * declared semantics = "the subgraph after R sweeps" (identical to
+    * the true k-core once a sweep removes nothing; KCoreSpec pins the
+    * fixpoint against an independent reference, the gate picks R past
+    * the gate graph's convergence point).
+    *
+    * Scale shape: per sweep one map-side-combined degree count + one
+    * slim semi-join back on each endpoint (the surviving-edge working
+    * set never widens), lazy localCheckpoint lineage truncation.
+    * Output: (id, degree) of surviving nodes with their final in-core
+    * degree. */
+  def kCore(edges: DataFrame, xCol: String, yCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val fwd = edges.select(col(xCol).as("x"), col(yCol).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+    // symmetric working set: degree = out-degree over both directions
+    var e = fwd.unionAll(fwd.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("x").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select("id")
+      e = e.join(keep.withColumnRenamed("id", "x"), Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("id", "y"), Seq("y"), "left_semi")
+        .select("x", "y")
+        .localCheckpoint(eager = false)
+    }
+    e.groupBy(col("x").as("id")).agg(count(lit(1)).as("degree"))
+  }
 }

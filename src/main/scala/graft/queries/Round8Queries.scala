@@ -130,5 +130,43 @@ object Round8Queries {
       .orderBy("node_id")
   }, Some(labelPropOracle(4)))
 
-  val all: Seq[GQuery] = Seq(q218, q219, q220, q221)
+  /** DuckDB twin of [[graft.ext.GraphAlgos.kCore]]: one CTE block per
+    * synchronous peel sweep — degree over the surviving symmetric edge
+    * set, keep ≥ k, restrict edges to kept×kept. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT x AS id FROM e${i - 1} GROUP BY x HAVING count(*) >= $k),
+         |e$i AS (SELECT e.x, e.y FROM e${i - 1} e
+         |  JOIN k$i a ON a.id = e.x JOIN k$i b ON b.id = e.y)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT src AS x, dst AS y FROM cp
+       |       UNION ALL SELECT dst AS x, src AS y FROM cp),
+       |$steps
+       |SELECT x AS node_id, count(*) AS degree FROM e$rounds
+       |GROUP BY x ORDER BY node_id""".stripMargin
+  }
+
+  /** Q222 (G8, k-core peeling): 6 synchronous peel sweeps at k = 22 over
+    * the purchase graph ([[graft.ext.GraphAlgos.kCore]]) — at the gate SF
+    * the cascade genuinely runs (5 sweeps remove 353 nodes, sweep 6
+    * removes nothing, so the declared fixed-round output IS the k-core
+    * fixpoint there) and the full surviving (node, in-core degree) table
+    * is hash-exact against the unrolled-CTE twin. Per sweep: one
+    * map-side-combined degree count + two slim semi-joins; the edge
+    * working set only shrinks. */
+  val q222 = GQuery("q222_kcore", (s, d) => {
+    import graft.ext.GraphAlgos
+    val g = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    GraphAlgos.kCore(g, "src", "dst", k = 22, rounds = 6)
+      .select(col("id").as("node_id"), col("degree"))
+      .orderBy("node_id")
+  }, Some(kCoreOracle(22, 6)))
+
+  val all: Seq[GQuery] = Seq(q218, q219, q220, q221, q222)
 }

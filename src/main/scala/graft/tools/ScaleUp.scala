@@ -77,14 +77,26 @@ object ScaleUp {
         val (cust, part, supp) = (read("customer"), read("part"), read("supplier"))
         val (cs, ps, ss) =
           (span(cust, "c_custkey"), span(part, "p_partkey"), span(supp, "s_suppkey"))
+        // Names follow their keys (TPC-H dbgen derives them from the key;
+        // part names get a per-copy word suffix, the `documents` move):
+        // verbatim name replication would make every copy an exact dup of
+        // every other — string-similarity outputs would grow ∝ factor²,
+        // the degenerate-replication failure this tool exists to avoid.
         write(replicate(cust)
           .withColumn("c_custkey", col("c_custkey") + col("__copy") * cs)
+          .withColumn("c_name",
+            format_string("Customer#%09d", col("c_custkey")))
           .drop("__copy"), "customer")
         write(replicate(part)
           .withColumn("p_partkey", col("p_partkey") + col("__copy") * ps)
+          .withColumn("p_name",
+            when(col("__copy") === 0, col("p_name"))
+              .otherwise(concat(col("p_name"), lit(" c"), col("__copy"))))
           .drop("__copy"), "part")
         write(replicate(supp)
           .withColumn("s_suppkey", col("s_suppkey") + col("__copy") * ss)
+          .withColumn("s_name",
+            format_string("Supplier#%09d", col("s_suppkey")))
           .drop("__copy"), "supplier")
         (cs, ps, ss)
       }
