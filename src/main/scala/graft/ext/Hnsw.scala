@@ -231,6 +231,103 @@ object Hnsw {
     spark.createDataFrame(rows, graphSchema)
   }
 
+  /** Incremental insert into a stored graph — the serving lifecycle's
+    * append path (the D14/q190 move applied to HNSW: never rebuild the
+    * corpus index to admit an increment). Each new vector routes to its
+    * shard (`pmod(id, S)` — S must equal the build-time shard count),
+    * the shard's stored graph is rebuilt in one task exactly as
+    * [[search]] rebuilds it (slots in id order, entry = first max-level
+    * slot), and the increment inserts through the SAME deterministic
+    * [[ShardGraph.insert]] the builder uses, old rows first, new rows in
+    * ascending id order. Because every traversal decision is a function
+    * of the adjacency SETS with id tie-breaks (never of in-memory
+    * neighbor order), an APPEND-STYLE increment (all new ids greater
+    * than every stored id — the natural ingest case) yields the
+    * bit-identical graph a from-scratch [[build]] of the union would —
+    * HnswInsertSpec pins that row-for-row. Non-monotonic ids insert
+    * after the stored set (a different, still-valid HNSW; the recall
+    * contract is the gate either way).
+    *
+    * Cost: one pass over stored-graph rows + increment — per-task memory
+    * one shard, no corpus re-scan, no driver state. Output: the full
+    * updated graph in [[build]]'s row layout, ready for
+    * `IndexStore.writeHnsw`. */
+  def insert(graph: DataFrame, increment: DataFrame, idCol: String,
+      vecCol: String, shards: Int, params: Params = Params()): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val spark = graph.sparkSession
+    val emptyLevels = expr("CAST(array() AS array<array<bigint>>)")
+    val oldRows = graph
+      .select(col("shard_id").cast("int").as("shard_id"),
+        col("id").cast("long").as("id"), col("vec"), col("levels"),
+        lit(false).as("is_new"))
+    val newRows = increment
+      .select(pmod(col(idCol), lit(shards.toLong)).cast("int").as("shard_id"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .withColumn("levels", emptyLevels)
+      .withColumn("is_new", lit(true))
+    val all = oldRows.unionByName(newRows)
+      .repartition(math.min(shards, 200), col("shard_id"))
+      .sortWithinPartitions("shard_id", "is_new", "id")
+    val rows = all.queryExecution.toRdd.mapPartitions { iter =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var curShard = Int.MinValue
+      var stored = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Float], Array[Array[Long]])]
+      var fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      def flush(): Unit = {
+        if (stored.nonEmpty || fresh.nonEmpty) {
+          val slotOf = stored.iterator.map(_._1).zipWithIndex.toMap
+          val g = new ShardGraph(params)
+          stored.foreach { case (id, v, _) =>
+            g.ids += id; g.vecs += v; g.levels += Array.empty
+          }
+          var s = 0
+          while (s < stored.length) {
+            g.levels(s) = stored(s)._3.map(ns =>
+              scala.collection.mutable.ArrayBuffer(ns.map(slotOf): _*))
+            s += 1
+          }
+          if (stored.nonEmpty) {
+            var best = 0
+            s = 1
+            while (s < stored.length) {
+              if (g.levels(s).length > g.levels(best).length) best = s
+              s += 1
+            }
+            g.entry = best
+            g.entryLevel = g.levels(best).length - 1
+          }
+          fresh.foreach { case (id, v) => g.insert(id, v, params) }
+          s = 0
+          while (s < g.ids.length) {
+            out += Row(curShard, g.ids(s), g.vecs(s).toIndexedSeq,
+              g.levels(s).map(_.map(n => g.ids(n)).toIndexedSeq.sorted).toIndexedSeq)
+            s += 1
+          }
+          stored = scala.collection.mutable.ArrayBuffer.empty
+          fresh = scala.collection.mutable.ArrayBuffer.empty
+        }
+      }
+      iter.foreach { ir =>
+        val shard = ir.getInt(0)
+        if (shard != curShard) { flush(); curShard = shard }
+        if (ir.getBoolean(4)) {
+          fresh += ((ir.getLong(1), ir.getArray(2).toFloatArray()))
+        } else {
+          val lv = ir.getArray(3)
+          val levelArr = (0 until lv.numElements()).map(i =>
+            lv.getArray(i).toLongArray()).toArray
+          stored += ((ir.getLong(1), ir.getArray(2).toFloatArray(), levelArr))
+        }
+      }
+      flush()
+      out.iterator
+    }
+    spark.createDataFrame(rows, graphSchema)
+  }
+
   /** Scatter-gather search: probes are a bounded retrieved/query set by
     * contract (the Mmr/probe-side class), collected and shipped in the
     * task binary; every shard beam-searches its local graph and emits

@@ -168,5 +168,41 @@ object Round8Queries {
       .orderBy("node_id")
   }, Some(kCoreOracle(22, 6)))
 
-  val all: Seq[GQuery] = Seq(q218, q219, q220, q221, q222)
+  /** Q223 (N14′, incremental HNSW append): the q219 lifecycle grown by an
+    * increment instead of rebuilt — base graph (all but the top-50 ids)
+    * built + persisted through `IndexStore` kind=hnsw, reloaded, the
+    * increment inserted per shard via [[graft.ext.Hnsw.insert]] (no
+    * corpus re-scan), then the same q30-family recall contract over the
+    * UNION corpus. Append increments reproduce the from-scratch build
+    * bit-for-bit (HnswInsertSpec), so the gate recall floor matches
+    * q219's. Memoized per (session, dir): rep 1 prices build+store+
+    * insert, reps 2+ steady-state serving. */
+  val q223 = GQuery("q223_ann_hnsw_insert", (s, d) => {
+    import graft.ext.{Hnsw, IndexStore, Similarity}
+    val e = t(s, d, "embeddings")
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val params = Hnsw.Params(m = 8, efConstruction = 64, efSearch = 48)
+    val graph = Hnsw.cached(s.sparkContext.applicationId + ":hnswinc:" + d) {
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId - 49
+      val n = e.count()
+      val shards = math.max(1L, n / 512L).toInt
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/hnswinc_${math.abs(d.hashCode)}"
+      IndexStore.writeHnsw(
+        Hnsw.build(e.where(col("vec_id") < cut), "vec_id", "embedding",
+          shards, params), params, dir)
+      val (loaded, _) = IndexStore.loadHnsw(s, dir)
+      Hnsw.insert(loaded, e.where(col("vec_id") >= cut),
+        "vec_id", "embedding", shards, params)
+    }
+    val ann = Hnsw.search(graph, probes, "probe_id", "pv", k = 10, params)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,
+      minHits = 7.0)
+  }, Some(PipelineQueries.annContractSql))
+
+  val all: Seq[GQuery] = Seq(q218, q219, q220, q221, q222, q223)
 }
