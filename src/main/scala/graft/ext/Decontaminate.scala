@@ -125,19 +125,20 @@ object Decontaminate {
     * [[graft.engine.TableStats.rowCountNoJob]] × `shinglesPerDocHint` —
     * no count() job for a parameter.
     *
-    * Output: (doc_id, n_shingles, n_hits, flagged) per corpus doc —
-    * flagged = n_hits ≥ minHits.
-    */
-  def bloomContaminationFlags(
-      corpus: DataFrame,
+    * Output ([[bloomContaminationFlags]]): (doc_id, n_shingles, n_hits,
+    * flagged) per corpus doc — flagged = n_hits ≥ minHits.
+    *
+    * [[buildShingleBloom]] is the sketch side alone, exposed so serving
+    * paths (the streaming scan, [[graft.streaming.StreamDecontaminate]])
+    * can build once and probe many. */
+  def buildShingleBloom(
       test: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int = 5,
-      minHits: Int = 1,
       fpp: Double = 1e-4,
       expectedShingles: Long = -1L,
-      shinglesPerDocHint: Int = 128): DataFrame = {
+      shinglesPerDocHint: Int = 128): Array[Byte] = {
     import org.apache.spark.sql.graft.SketchExprs
 
     val nItems = math.max(1024L,
@@ -147,7 +148,7 @@ object Decontaminate {
     val numBits = math.min(1L << 27, math.max(64L, (nItems * bitsPerItem).ceil.toLong))
     // Lift BloomFilterAggregate's silent conf clamps (see docstring) up
     // to the sizes this call actually requests.
-    val spark = corpus.sparkSession
+    val spark = test.sparkSession
     val prevBits = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
     val prevItems = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
@@ -162,16 +163,30 @@ object Decontaminate {
     // Bounded driver read: ONE binary cell, ≤ numBits/8 bytes by
     // construction — sketch state, not data (the catalog-listing class
     // of collect).
-    val bf =
-      try testHashes
-        .agg(SketchExprs.bloomAgg(col("__h"), nItems, numBits).as("__bf"))
-        .head().getAs[Array[Byte]]("__bf")
-      finally {
-        def restore(k: String, prev: Option[String]): Unit =
-          prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-        restore("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", prevBits)
-        restore("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", prevItems)
-      }
+    try testHashes
+      .agg(SketchExprs.bloomAgg(col("__h"), nItems, numBits).as("__bf"))
+      .head().getAs[Array[Byte]]("__bf")
+    finally {
+      def restore(k: String, prev: Option[String]): Unit =
+        prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", prevBits)
+      restore("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", prevItems)
+    }
+  }
+
+  def bloomContaminationFlags(
+      corpus: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      minHits: Int = 1,
+      fpp: Double = 1e-4,
+      expectedShingles: Long = -1L,
+      shinglesPerDocHint: Int = 128): DataFrame = {
+    import org.apache.spark.sql.graft.SketchExprs
+    val bf = buildShingleBloom(test, idCol, textCol, shingleK, fpp,
+      expectedShingles, shinglesPerDocHint)
 
     Dedup.shingleSets(corpus, idCol, textCol, shingleK)
       .select(col("doc_id").as(idCol), explode_outer(col("sh")).as("__sh"))

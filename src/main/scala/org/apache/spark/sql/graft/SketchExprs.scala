@@ -158,6 +158,51 @@ case class LshBands(child: Expression, bands: Int, rowsPerBand: Int) extends Una
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of elements of an ARRAY<BIGINT> that might be in a driver-held
+  * bloom filter — the per-ROW form of a probe-then-count: one tight
+  * native loop per row instead of explode → `might_contain` → re-group.
+  * What makes it load-bearing: the per-row shape needs NO aggregation,
+  * so a STREAMING decontamination scan stays map-only/append-mode with
+  * zero state ([[graft.streaming.StreamDecontaminate]]); in batch it
+  * deletes the plan's only exchange. The filter deserializes once per
+  * task (referenced object), never per row. */
+case class BloomHitCount(bf: Array[Byte], child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_hit_count"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(bf)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0; var c = 0L
+    val n = arr.numElements()
+    while (i < n) {
+      if (filter.mightContainLong(arr.getLong(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("bloomFilter", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = 0L;
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($f.mightContainLong($arr.getLong($i))) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchExprs {
   private def e(c: Column) = ExpressionUtils.expression(c)
   def minHashSig(hashes: Column, k: Int): Column =
@@ -186,4 +231,8 @@ object SketchExprs {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(bf, BinaryType),
         e(key)))
+
+  /** Per-row bloom hit count over an ARRAY<BIGINT> of key hashes. */
+  def bloomHitCount(bf: Array[Byte], hashes: Column): Column =
+    ExpressionUtils.column(BloomHitCount(bf, e(hashes)))
 }
