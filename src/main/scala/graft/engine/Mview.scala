@@ -89,8 +89,14 @@ object Mview {
     val delta = Layout.readBetween(spark, source,
       s"${tagPrefix(view)}$last", nextTag)
     if (delta.isEmpty) return
-    val deltaSummary = summarize(delta, keys, measures)
-    // re-aggregate two summaries: count/sum partials add, sketches union
+    mergeInto(spark, view, summarize(delta, keys, measures), keys, measures)
+  }
+
+  /** Re-aggregate the stored view with a delta summary: count/sum
+    * partials add, sketches union — both inputs summary-sized. */
+  private def mergeInto(spark: SparkSession, view: String,
+      deltaSummary: DataFrame, keys: Seq[String],
+      measures: Seq[Measure]): Unit = {
     val merged = spark.table(view).unionByName(deltaSummary)
       .groupBy(keys.map(col): _*)
       .agg(mergeCol(measures.head), measures.tail.map(mergeCol): _*)
@@ -101,6 +107,62 @@ object Mview {
     // and Layout.overwrite materializes to a fresh commit dir before the
     // catalog entry moves
     Layout.overwrite(spark, view, aligned, operation = "mv-refresh")
+  }
+
+  /** Create view `view` = `srcA ⋈ srcB` (inner equi-join USING
+    * `joinKeys`) grouped by `keys` with additive `measures` — the
+    * JOIN-view extension of [[create]] (the revenue-by-dimension summary
+    * every BI stack maintains over fact ⋈ dimension). Both sources get
+    * epoch-0 tags; each keeps its own independent tag chain under the
+    * view's prefix. */
+  def createJoin(spark: SparkSession, view: String, srcA: String,
+      srcB: String, joinKeys: Seq[String], keys: Seq[String],
+      measures: Seq[Measure]): Unit = {
+    summarize(spark.table(srcA).join(spark.table(srcB), joinKeys),
+        keys, measures)
+      .write.mode("overwrite").saveAsTable(view)
+    Layout.snapshot(spark, srcA, s"${tagPrefix(view)}0")
+    Layout.snapshot(spark, srcB, s"${tagPrefix(view)}0")
+  }
+
+  /** Fold appends on EITHER side of the join into the view without ever
+    * re-joining old against old — the classical delta rule
+    * (Blakeley/Larson/Tompa 1986, "Efficiently updating materialized
+    * views"):
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+    *
+    * (ΔA ⋈ B_new absorbs both ΔA⋈B_old and ΔA⋈ΔB, so the union is
+    * disjoint-by-construction and exact for append-only sources — the
+    * [[refresh]] contract, per side.) Refresh cost: two delta-sized
+    * joins + one re-aggregate of two summaries. A_old is the tagged
+    * snapshot read ([[Layout.readAt]]) — historical bytes are LISTED,
+    * never re-joined against B's history; at 100 TB the nightly cost is
+    * (night's A) ⋈ B + A ⋈ (night's B), not A ⋈ B. */
+  def refreshJoin(spark: SparkSession, view: String, srcA: String,
+      srcB: String, joinKeys: Seq[String], keys: Seq[String],
+      measures: Seq[Measure]): Unit = {
+    val lastA = lastTagIndex(spark, srcA, view)
+    val lastB = lastTagIndex(spark, srcB, view)
+    require(lastA >= 0 && lastB >= 0,
+      s"view $view was never created over ($srcA, $srcB)")
+    val tagA = s"${tagPrefix(view)}${lastA + 1}"
+    val tagB = s"${tagPrefix(view)}${lastB + 1}"
+    Layout.snapshot(spark, srcA, tagA)
+    Layout.snapshot(spark, srcB, tagB)
+    val dA = Layout.readBetween(spark, srcA, s"${tagPrefix(view)}$lastA", tagA)
+    val dB = Layout.readBetween(spark, srcB, s"${tagPrefix(view)}$lastB", tagB)
+    val aEmpty = dA.isEmpty
+    val bEmpty = dB.isEmpty
+    if (aEmpty && bEmpty) return
+    val aOld = Layout.readAt(spark, srcA, s"${tagPrefix(view)}$lastA")
+    val bNew = Layout.readAt(spark, srcB, tagB)
+    val deltaJoin =
+      if (bEmpty) dA.join(bNew, joinKeys)
+      else if (aEmpty) aOld.join(dB, joinKeys)
+      else dA.join(bNew, joinKeys).unionByName(aOld.join(dB, joinKeys))
+    mergeInto(spark, view, summarize(deltaJoin, keys, measures),
+      keys, measures)
   }
 
   /** Read surface: additive measures come back as stored; sketch measures

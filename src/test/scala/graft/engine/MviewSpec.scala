@@ -88,4 +88,53 @@ class MviewSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("non-additive"))
   }
+
+  test("join view: appends on either or both sides equal a full re-join") {
+    val (fact, dim, view) = ("mvj_fact", "mvj_dim", "mvj_view")
+    Seq(fact, dim, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("id", "v")
+      .write.saveAsTable(fact)
+    Seq((1L, "east"), (2L, "west")).toDF("id", "region")
+      .write.saveAsTable(dim)
+    val ms = Seq(
+      Mview.Measure("count", None, "n"),
+      Mview.Measure("sum", Some("v"), "total"))
+    def fullJoin = spark.table(fact).join(spark.table(dim), Seq("id"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    def stored = spark.table(view).as[(String, Long, Double)].collect().toSet
+
+    Mview.createJoin(spark, view, fact, dim, Seq("id"), Seq("region"), ms)
+    assert(stored === fullJoin)
+
+    // epoch 1: fact-side append only (old dim rows must join the delta)
+    Seq((1L, 7.0), (2L, 1.0)).toDF("id", "v")
+      .write.mode("append").saveAsTable(fact)
+    Mview.refreshJoin(spark, view, fact, dim, Seq("id"), Seq("region"), ms)
+    assert(stored === fullJoin)
+
+    // epoch 2: dim-side append only — NEW dim row joins historical fact
+    // rows it previously dropped (id 3 appears in fact first)
+    Seq((3L, 2.0)).toDF("id", "v").write.mode("append").saveAsTable(fact)
+    Mview.refreshJoin(spark, view, fact, dim, Seq("id"), Seq("region"), ms)
+    Seq((3L, "north")).toDF("id", "region")
+      .write.mode("append").saveAsTable(dim)
+    Mview.refreshJoin(spark, view, fact, dim, Seq("id"), Seq("region"), ms)
+    assert(stored === fullJoin)
+    assert(spark.table(view).filter($"region" === "north")
+      .select("n", "total").as[(Long, Double)].head() === ((1L, 2.0)))
+
+    // epoch 3: both sides append in the same epoch (the ΔA⋈ΔB corner —
+    // a brand-new id appears on both sides at once and must count ONCE)
+    Seq((4L, 9.0)).toDF("id", "v").write.mode("append").saveAsTable(fact)
+    Seq((4L, "south")).toDF("id", "region")
+      .write.mode("append").saveAsTable(dim)
+    Mview.refreshJoin(spark, view, fact, dim, Seq("id"), Seq("region"), ms)
+    assert(stored === fullJoin)
+
+    // epoch 4: empty deltas are a no-op and stay correct
+    Mview.refreshJoin(spark, view, fact, dim, Seq("id"), Seq("region"), ms)
+    assert(stored === fullJoin)
+  }
 }
