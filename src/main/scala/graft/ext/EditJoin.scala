@@ -56,12 +56,25 @@ object EditJoin {
       .select(col("__id"), col("__s"),
         explode_outer(DeletionNeighborhood(col("__s"), maxDist)).as("__vkey"))
       .filter(col("__vkey").isNotNull)
+    // shuffle_hash hint: the exploded side's size ESTIMATE is the scan
+    // size, so the planner broadcast the ~20×-larger expansion and ran
+    // the join inside the scan's 1–2 input splits — one core chewing
+    // hundreds of millions of candidates (caught live at the 100× scale
+    // point). The hint forces a vkey shuffle: full parallelism, and the
+    // two identical exchanges dedupe via ReusedExchange.
     val cand = keys.as("a")
-      .join(keys.as("b"),
+      .join(keys.as("b").hint("shuffle_hash"),
         col("a.__vkey") === col("b.__vkey") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("a.__s").as("__sa"),
-        col("b.__id").as("id_b"), col("b.__s").as("__sb"))
-      .distinct() // (id_a, id_b) determine the strings: safe pair dedup
+      // pair dedup as an aggregate with the strings carried via first()
+      // (id determines the string, so first is deterministic): grouping
+      // keys stay the slim 16-byte pair, the map side absorbs duplicate
+      // candidates, and — decisive — the lev filter below CANNOT be
+      // pushed through the aggregate (its inputs are aggregate results,
+      // not grouping columns; a groupBy on all four columns let the
+      // optimizer push `lev <= d` under the dedup and run the O(len²)
+      // DP once per candidate OCCURRENCE instead of once per pair)
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(first(col("a.__s")).as("__sa"), first(col("b.__s")).as("__sb"))
     cand
       .withColumn("__lev", levenshtein(col("__sa"), col("__sb")))
       .where(col("__lev") <= maxDist)
