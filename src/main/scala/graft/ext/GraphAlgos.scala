@@ -107,32 +107,46 @@ object GraphAlgos {
     * fixpoint against an independent reference, the gate picks R past
     * the gate graph's convergence point).
     *
-    * Scale shape: per sweep one map-side-combined degree count + one
-    * slim semi-join back on each endpoint (the surviving-edge working
-    * set never widens), lazy localCheckpoint lineage truncation.
-    * Output: (id, degree) of surviving nodes with their final in-core
-    * degree. */
+    * Scale shape — iterate the NODE set, never a shrinking edge copy:
+    * the surviving subgraph is always e₀ ∩ (alive × alive), so the only
+    * per-sweep state is the slim alive-id set; the symmetric edge table
+    * checkpoints ONCE and each sweep filters it with two endpoint
+    * semi-joins + one map-side-combined degree count. (A first draft
+    * checkpointed the restricted edge table per sweep — six cached
+    * ~edge-sized generations thrashed the 100×-scale run into memory-
+    * manager contention; node-set iteration holds per-sweep state at
+    * O(N).) When the alive set is bounded (`broadcastNodeLimit`,
+    * default 2·10⁷ ids ≈ 160 MB) the semi-joins broadcast — map-only,
+    * so the edge table is never shuffled at all, only the slim
+    * partial-aggregated (node, count) stream; beyond the limit they
+    * degrade to shuffle semi-joins. Output: (id, degree) of surviving
+    * nodes with their final in-core degree. */
   def kCore(edges: DataFrame, xCol: String, yCol: String, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, broadcastNodeLimit: Long = 20000000L): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     val fwd = edges.select(col(xCol).as("x"), col(yCol).as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("x"),
         greatest(col("x"), col("y")).as("y"))
       .distinct()
-    // symmetric working set: degree = out-degree over both directions
-    var e = fwd.unionAll(fwd.select(col("y").as("x"), col("x").as("y")))
+    // symmetric edge table: degree = out-degree over both directions;
+    // checkpointed once, filtered per sweep, never re-cached
+    val e = fwd.unionAll(fwd.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
+    var alive = e.select(col("x").as("id")).distinct().localCheckpoint()
+    val bcast = alive.count() <= broadcastNodeLimit
+    def side(name: String) = {
+      val a = alive.withColumnRenamed("id", name)
+      if (bcast) broadcast(a) else a
+    }
+    def survivingDegrees = e
+      .join(side("x"), Seq("x"), "left_semi")
+      .join(side("y"), Seq("y"), "left_semi")
+      .groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("x").as("id"))
-        .agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k)
-        .select("id")
-      e = e.join(keep.withColumnRenamed("id", "x"), Seq("x"), "left_semi")
-        .join(keep.withColumnRenamed("id", "y"), Seq("y"), "left_semi")
-        .select("x", "y")
+      alive = survivingDegrees.where(col("deg") >= k).select("id")
         .localCheckpoint(eager = false)
     }
-    e.groupBy(col("x").as("id")).agg(count(lit(1)).as("degree"))
+    survivingDegrees.withColumnRenamed("deg", "degree")
   }
 }
