@@ -63,4 +63,50 @@ object EntityResolution {
       block: Column, threshold: Double): DataFrame =
     scorePairs(candidatePairs(entities, idCol, nameCol, block),
       threshold = threshold)
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995 — the
+    * merge/purge method): sort all records by a fuzzy key, compare each
+    * record only with its `windowSize − 1` successors in that order.
+    * The THIRD blocking family beside equality blocks ([[candidatePairs]]
+    * — which split a true pair whose block keys differ) and deletion
+    * neighborhoods ([[EditJoin]] — exact but edit-distance-specific):
+    * sorted neighborhood catches prefix-preserving typos and ordering-
+    * adjacent variants under ANY similarity verifier, with candidate
+    * volume exactly n·(w−1) — no block-size skew at all.
+    *
+    * Scale shape: the global order comes from the two-level sharded rank
+    * ([[PrefixSum.exclusive]] with `shards` — no single-task sort of the
+    * corpus); each record then fans out to its w−1 successor ranks
+    * map-side and ONE equi-join on rank binds the pairs, so the whole
+    * operator is one ranked repartition + one slim join, independent of
+    * key distribution. Ties in the sort key order by id — total order,
+    * deterministic candidates, engine-reproducible.
+    *
+    * Output: (id_a, name_a, id_b, name_b) with id_a the rank-lower
+    * record; compose with [[scorePairs]] for the verified match set. */
+  def sortedNeighborhoodPairs(entities: DataFrame, idCol: String,
+      nameCol: String, sortKey: Column, windowSize: Int,
+      shards: Int = 0): DataFrame = {
+    require(windowSize >= 2, "windowSize must be >= 2")
+    val e = entities
+      .where(col(nameCol).isNotNull && length(col(nameCol)) > 0)
+      .select(col(idCol).as("__id"), col(nameCol).as("__name"),
+        sortKey.as("__sk"))
+      .where(col("__sk").isNotNull)
+      .withColumn("__g", lit(0))
+      .withColumn("__one", lit(1L))
+    val ranked = PrefixSum.exclusive(e, "__g", Seq("__sk", "__id"),
+        "__one", "__rank", shards)
+      .select(col("__rank"), col("__id"), col("__name"))
+    val succ = ranked
+      .withColumn("__i",
+        explode(array((1 until windowSize).map(lit): _*)))
+      .select((col("__rank") + col("__i")).as("__rank"),
+        col("__id").as("id_a"), col("__name").as("name_a"))
+    succ.join(ranked
+        .select(col("__rank"), col("__id").as("id_b"),
+          col("__name").as("name_b")),
+      Seq("__rank"))
+      .select("id_a", "name_a", "id_b", "name_b")
+  }
 }

@@ -204,5 +204,36 @@ object Round8Queries {
       minHits = 7.0)
   }, Some(PipelineQueries.annContractSql))
 
-  val all: Seq[GQuery] = Seq(q218, q219, q220, q221, q222, q223)
+  /** Q224 (ER3, sorted-neighborhood fuzzy match): the merge/purge
+    * blocking family ([[graft.ext.EntityResolution.sortedNeighborhoodPairs]],
+    * Hernández & Stolfo 1995) over the distinct part names — sort by the
+    * canonical key, compare each name with its 4 successors, verify with
+    * the native Jaro–Winkler at 0.8. Candidate volume is exactly
+    * n·(w−1), skew-free by construction; the global order comes from the
+    * two-level sharded rank, never a single-task sort. Hash-exact gate:
+    * the DuckDB twin re-derives ranks with `row_number` and scores with
+    * its own `jaro_winkler_similarity` (semantics pinned bit-for-bit by
+    * q196/StringSimSpec). 150 pairs at sf0.01. */
+  val q224 = GQuery("q224_er_sorted_neighborhood", (s, d) => {
+    import graft.ext.EntityResolution
+    val names = t(s, d, "part").select(col("p_name")).distinct()
+      .select(col("p_name").as("pid"), col("p_name").as("pname"))
+    EntityResolution.scorePairs(
+        EntityResolution.sortedNeighborhoodPairs(names, "pid", "pname",
+          lower(trim(col("pname"))), windowSize = 5, shards = 8),
+        threshold = 0.8)
+      .select(col("name_a"), col("name_b"), col("jw_sim"))
+      .orderBy("name_a", "name_b")
+  },
+    Some("""WITH nm AS (SELECT DISTINCT p_name FROM part),
+           |r AS (SELECT p_name,
+           |        row_number() OVER (ORDER BY lower(trim(p_name)), p_name) - 1 AS rk
+           |      FROM nm)
+           |SELECT a.p_name AS name_a, b.p_name AS name_b,
+           |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+           |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
+           |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
+           |ORDER BY name_a, name_b""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q218, q219, q220, q221, q222, q223, q224)
 }

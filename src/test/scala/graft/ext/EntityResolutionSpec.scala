@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contracts for [[EntityResolution.sortedNeighborhoodPairs]] — the
+  * merge/purge blocking family: exact candidate semantics vs a
+  * single-node sort reference, shard invariance of the two-level rank,
+  * and deterministic tie order. */
+class EntityResolutionSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "name")
+  }
+
+  private def pairs(rows: Seq[(Long, String)], w: Int,
+      shards: Int): Set[(Long, Long)] =
+    EntityResolution.sortedNeighborhoodPairs(df(rows), "id", "name",
+        lower(trim(col("name"))), w, shards)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Reference: sort by (key, id), emit each record with its w−1
+    * successors. */
+  private def reference(rows: Seq[(Long, String)], w: Int): Set[(Long, Long)] = {
+    val sorted = rows.filter(r => r._2 != null && r._2.nonEmpty)
+      .sortBy { case (id, n) => (n.trim.toLowerCase, id) }
+    (for {
+      i <- sorted.indices
+      j <- (i + 1) until math.min(i + w, sorted.length)
+    } yield (sorted(i)._1, sorted(j)._1)).toSet
+  }
+
+  private val names = Seq(
+    1L -> "acme corp", 2L -> "acme corporation", 3L -> "acme inc",
+    4L -> "zebra ltd", 5L -> "  Acme Corp  ", 6L -> "beta llc",
+    7L -> "beta  llc", 8L -> "gamma gmbh", 9L -> "delta sa",
+    10L -> "epsilon bv")
+
+  test("candidates are exactly each record with its w-1 successors") {
+    for (w <- Seq(2, 3, 5); shards <- Seq(0, 4))
+      assert(pairs(names, w, shards) == reference(names, w),
+        s"w=$w shards=$shards")
+  }
+
+  test("sharded rank is invariant: shards=0 == shards=3 on a larger corpus") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 300L).map(i =>
+      i -> s"name ${('a' + rnd.nextInt(26)).toChar}${rnd.nextInt(100)}")
+    assert(pairs(rows, 4, 0) == pairs(rows, 4, 3))
+    assert(pairs(rows, 4, 0) == reference(rows, 4))
+  }
+
+  test("equal sort keys order by id - pairs are deterministic") {
+    val rows = Seq(5L -> "same", 1L -> "same", 9L -> "same", 3L -> "same")
+    // sorted by (key, id): 1, 3, 5, 9 -> w=2 pairs chain in id order
+    assert(pairs(rows, 2, 0) == Set((1L, 3L), (3L, 5L), (5L, 9L)))
+  }
+
+  test("null and empty names drop out") {
+    val rows = Seq(1L -> "alpha", 2L -> (null: String), 3L -> "", 4L -> "beta")
+    assert(pairs(rows, 3, 0) == Set((1L, 4L)))
+  }
+}
