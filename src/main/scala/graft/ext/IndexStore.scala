@@ -103,6 +103,35 @@ object IndexStore {
   def loadLshVectors(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/vectors")
 
+  /** Append an increment to a stored LSH serving bundle — the D14/N14′
+    * incremental move for the hash family, and the easiest of the three:
+    * LSH signatures are DATA-INDEPENDENT (fixed-seed hyperplanes frozen
+    * in the bundle's meta), so hashing only the increment and appending
+    * its (id, table_id, bucket) rows yields BIT-IDENTICAL index content
+    * to a from-scratch rebuild over the union — no graph to grow, no
+    * statistics to refresh, one map-only pass over the new vectors.
+    * The vectors side appends id-range-sorted files, so per-file min/max
+    * stats keep the candidate-fetch row-group skipping of
+    * [[writeLshVectors]] (increments are typically contiguous high ids —
+    * their files prune perfectly). `bits` stays frozen at build time:
+    * bucket occupancy therefore drifts upward as the corpus grows, which
+    * degrades candidate-set size, never recall — re-bucketing cadence is
+    * the operator's knob, exactly as in production vector stores.
+    * The increment must carry the same id/vector column names the bundle
+    * was built with. */
+  def appendLsh(increment: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val m = requireKind(dir, "lsh")
+    Similarity.lshBuckets(increment.select(col(idCol), col(vecCol)),
+        idCol, vecCol, m.get("tables").asInt(), m.get("bits").asInt(),
+        m.get("dim").asInt())
+      .write.mode(SaveMode.Append).parquet(s"$dir/buckets")
+    increment.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Append).parquet(s"$dir/vectors")
+  }
+
   // ---- IVF ----------------------------------------------------------
 
   def writeIvf(index: IvfIndex.Index, dir: String): Unit = {

@@ -235,5 +235,46 @@ object Round8Queries {
            |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
            |ORDER BY name_a, name_b""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q218, q219, q220, q221, q222, q223, q224)
+  /** Q225 (N11″, incremental LSH append): the q187 serving bundle grown
+    * by an increment instead of rebuilt — base index (all but the top-50
+    * ids) built + persisted, the increment hashed map-only and APPENDED
+    * to the stored bucket and vector tables
+    * ([[graft.ext.IndexStore.appendLsh]] — LSH hashing is
+    * data-independent, so the appended rows are bit-identical to a
+    * rebuild's), then the q30-family recall contract over the union
+    * corpus through the pruned stored-search path. Completes the
+    * incremental-serving matrix: text MinHash (q190), graph HNSW
+    * (q223), hash LSH (here). */
+  val q225 = GQuery("q225_ann_lsh_append", (s, d) => {
+    import graft.ext.{IndexStore, LshIndex, Similarity}
+    val e = t(s, d, "embeddings")
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val stored = LshIndex.cachedStored(
+        s.sparkContext.applicationId + ":lshapp:" + d) {
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId - 49
+      val base = e.where(col("vec_id") < cut)
+      val built = LshIndex.build(base, "vec_id", "embedding",
+        tables = 8, dim = 64)
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/lshapp_${math.abs(d.hashCode)}"
+      IndexStore.writeLsh(built, dir)
+      IndexStore.writeLshVectors(base, "vec_id", "embedding", dir)
+      LshIndex.drop(built)
+      IndexStore.appendLsh(e.where(col("vec_id") >= cut),
+        "vec_id", "embedding", dir)
+      LshIndex.Stored(IndexStore.loadLsh(s, dir),
+        IndexStore.loadLshVectors(s, dir))
+    }
+    val ann = LshIndex.searchStored(stored.index, stored.vectors, probes,
+      "vec_id", "embedding", "probe_id", "pv", k = 10)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,
+      minHits = 2.0)
+  }, Some(PipelineQueries.annContractSql))
+
+  val all: Seq[GQuery] =
+    Seq(q218, q219, q220, q221, q222, q223, q224, q225)
 }

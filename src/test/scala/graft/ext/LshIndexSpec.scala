@@ -107,4 +107,45 @@ class LshIndexSpec extends SparkSpec {
         contract.mkString(", "))
     } finally LshIndex.drop(idx)
   }
+
+  test("appendLsh == rebuild: identical bucket rows AND identical search") {
+    val base = embeddings.where(col("vec_id") < 400)
+    val inc = embeddings.where(col("vec_id") >= 400)
+    val dirApp = java.nio.file.Files.createTempDirectory("lsh-app").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("lsh-full").toString
+
+    val builtBase = LshIndex.build(base, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    IndexStore.writeLsh(builtBase, dirApp)
+    IndexStore.writeLshVectors(base, "vec_id", "embedding", dirApp)
+    LshIndex.drop(builtBase)
+    IndexStore.appendLsh(inc, "vec_id", "embedding", dirApp)
+
+    // rebuild over the union AT THE SAME bits (append freezes build-time
+    // bits by contract; the from-scratch twin must hash identically)
+    val bits = IndexStore.loadLsh(spark, dirApp).bits
+    val builtFull = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, bits = bits, dim = 64)
+    IndexStore.writeLsh(builtFull, dirFull)
+    IndexStore.writeLshVectors(embeddings, "vec_id", "embedding", dirFull)
+    LshIndex.drop(builtFull)
+
+    val appended = IndexStore.loadLsh(spark, dirApp)
+    val rebuilt = IndexStore.loadLsh(spark, dirFull)
+    assert(appended.buckets.exceptAll(rebuilt.buckets).isEmpty &&
+      rebuilt.buckets.exceptAll(appended.buckets).isEmpty,
+      "appended bucket rows must be exactly the rebuild's")
+
+    val sApp = LshIndex.searchStored(appended,
+      IndexStore.loadLshVectors(spark, dirApp), probes,
+      "vec_id", "embedding", "probe_id", "pv", k = 10)
+    val sFull = LshIndex.searchStored(rebuilt,
+      IndexStore.loadLshVectors(spark, dirFull), probes,
+      "vec_id", "embedding", "probe_id", "pv", k = 10)
+    assert(sApp.exceptAll(sFull).isEmpty && sFull.exceptAll(sApp).isEmpty,
+      "search over the appended bundle must equal the rebuilt bundle's")
+    // the increment is actually searchable: its ids can appear in results
+    val vecCount = IndexStore.loadLshVectors(spark, dirApp).count()
+    assert(vecCount === embeddings.count())
+  }
 }
