@@ -94,21 +94,29 @@ object Similarity {
       .orderBy(probeIdCol)
   }
 
-  /** Per-vector LSH bucket ids, one row per (id, table, bucket). */
-  def lshBuckets(
-      vecs: DataFrame, idCol: String, vecCol: String,
-      tables: Int, bits: Int, dim: Int, seed: Long = 42L): DataFrame = {
+  /** The per-row ARRAY<STRUCT<table_id, bucket>> of LSH assignments — a
+    * plain column expression, so stream-side callers (ST16) can explode
+    * it while keeping their own columns (watermarked timestamps survive
+    * only as top-level attributes). */
+  def lshBucketArray(vec: Column, tables: Int, bits: Int, dim: Int,
+      seed: Long = 42L): Column = {
     val planes = hyperplanes(tables, bits, dim, seed)
-    val v = col(vecCol).cast("array<double>")
-    val bucketCols = planes.zipWithIndex.map { case (tablePlanes, t) =>
+    val v = vec.cast("array<double>")
+    array(planes.zipWithIndex.map { case (tablePlanes, t) =>
       val bucket = tablePlanes.zipWithIndex.map { case (plane, b) =>
         when(VectorFunctions.dot(v, typedLit(plane)) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("table_id"), bucket.as("bucket"))
-    }
-    vecs.select(col(idCol), explode(array(bucketCols: _*)).as("tb"))
-      .select(col(idCol), col("tb.table_id"), col("tb.bucket"))
+    }: _*)
   }
+
+  /** Per-vector LSH bucket ids, one row per (id, table, bucket). */
+  def lshBuckets(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, dim: Int, seed: Long = 42L): DataFrame =
+    vecs.select(col(idCol),
+        explode(lshBucketArray(col(vecCol), tables, bits, dim, seed)).as("tb"))
+      .select(col(idCol), col("tb.table_id"), col("tb.bucket"))
 
   /** LSH-bucketed approximate top-k with exact cosine re-rank.
     *
