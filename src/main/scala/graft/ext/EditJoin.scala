@@ -19,41 +19,70 @@ import org.apache.spark.sql.graft.DeletionNeighborhood
   *
   * == 100 TB design ==
   *
-  * The cross product never materializes. Each record is expanded map-side
-  * to Σ_{i≤d} C(len, i) 8-byte variant hashes (the native expression
-  * hashes before anything leaves the scan — key width is independent of
-  * attribute length), candidates form on one hash-equi-join shuffle, are
-  * deduplicated on (id_a, id_b) — a pair sharing many variants costs one
+  * The cross product never materializes. The join runs over DISTINCT
+  * strings only: identical strings are collapsed to one representative
+  * before variant expansion (one hash-aggregate on the string), so a hot
+  * ATTRIBUTE VALUE — thousands of records sharing the literal same name,
+  * the NORMAL shape for customer/author/site fields — costs ONE variant
+  * expansion, ONE set of join rows, and ONE Levenshtein verify instead
+  * of c of each (and c² candidate join rows; a variant hash shared by c
+  * duplicate records would otherwise mint c² rows, and exactness forbids
+  * dropping hot keys since every shared variant can witness a true pair).
+  * Each distinct string is then expanded map-side to Σ_{i≤d} C(len, i)
+  * 8-byte variant hashes (the native expression hashes before anything
+  * leaves the scan — key width is independent of attribute length),
+  * candidates form on one hash-equi-join shuffle, are deduplicated on
+  * the representative pair — a pair sharing many variants costs one
   * verify — and the O(len²) Levenshtein DP runs only on deduped
-  * candidates. The documented domain is short attribute strings (names,
-  * titles, codes: len ≲ 50, d ≤ 2), where the expansion is a few hundred
-  * keys per record; this is an ER primitive, not a document operator —
-  * document-scale near-dup belongs to the D-family (MinHash/SimHash).
-  * Skew note: a variant hash shared by c records mints c² join rows, and
-  * exactness forbids dropping hot keys (every shared variant can witness
-  * a true pair); the expansion is Zipf-shaped like the strings themselves,
-  * so a hot ATTRIBUTE VALUE (many exact duplicates) is the one real skew
-  * source — pre-aggregating exact-duplicate strings to a single
-  * representative (then multiplying pairs back out) is the standard
-  * mitigation and composes with [[Dedup.exact]] when needed.
+  * candidate pairs of distinct strings. Verified pairs are finally
+  * expanded back over both groups' id lists (map-side generate, no
+  * shuffle), and within-group pairs are emitted directly at distance 0.
+  * Output cardinality for a value shared by c records is C(c,2) — that
+  * quadratic is the operator's OUTPUT, inherent to exact semantics, not
+  * a join blow-up; it is produced by generate, never shuffled. The one
+  * remaining driver-side bound is the per-group id array (8 bytes per
+  * duplicate of one value in one row — 10⁶ duplicates ≈ 8 MB, fine;
+  * beyond that the within-group output itself is the problem, not the
+  * array). The documented domain is short attribute strings (names,
+  * titles, codes: len ≲ 50, d ≤ 2), where the expansion is a few
+  * hundred keys per string; this is an ER primitive, not a document
+  * operator — document-scale near-dup belongs to the D-family
+  * (MinHash/SimHash).
   */
 object EditJoin {
 
   /** All pairs (id_a < id_b) with lev(s_a, s_b) <= maxDist, plus the
     * distance. Null strings drop out (they can match nothing). One
-    * equi-join shuffle on the variant hash + one dedup shuffle on the
-    * pair; the verify is map-side on deduped candidates. */
+    * string-collapse shuffle + one equi-join shuffle on the variant hash
+    * + one dedup shuffle on the representative pair; the verify is
+    * map-side on deduped distinct-string candidates, and the fan-out
+    * back to record ids is generate-only. */
   def join(records: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, "maxDist must be in [1, 3]")
     val base = records
       .where(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // exact-duplicate collapse: one row per DISTINCT string, carrying the
+    // sorted id list; the min id is the group's representative key
+    val groups = base
+      .groupBy(col("__s"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .withColumn("__rid", element_at(col("__ids"), 1))
+    // within-group pairs: identical strings are at distance 0 by
+    // definition — emitted map-side (double generate + triangle filter),
+    // no join and no verify
+    val eqPairs = groups
+      .where(size(col("__ids")) >= 2)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("lev"))
     // explode_outer + post-filter: keeps InferFiltersFromGenerate from
     // cloning the neighborhood expression into a pre-filter (the q68 /
     // winnowing discipline; the array is never empty, so no rows are lost)
-    val keys = base
-      .select(col("__id"), col("__s"),
+    val keys = groups
+      .select(col("__rid"), col("__s"),
         explode_outer(DeletionNeighborhood(col("__s"), maxDist)).as("__vkey"))
       .filter(col("__vkey").isNotNull)
     // shuffle_hash hint: the exploded side's size ESTIMATE is the scan
@@ -64,20 +93,32 @@ object EditJoin {
     // two identical exchanges dedupe via ReusedExchange.
     val cand = keys.as("a")
       .join(keys.as("b").hint("shuffle_hash"),
-        col("a.__vkey") === col("b.__vkey") && col("a.__id") < col("b.__id"))
+        col("a.__vkey") === col("b.__vkey") && col("a.__rid") < col("b.__rid"))
       // pair dedup as an aggregate with the strings carried via first()
-      // (id determines the string, so first is deterministic): grouping
-      // keys stay the slim 16-byte pair, the map side absorbs duplicate
-      // candidates, and — decisive — the lev filter below CANNOT be
-      // pushed through the aggregate (its inputs are aggregate results,
-      // not grouping columns; a groupBy on all four columns let the
-      // optimizer push `lev <= d` under the dedup and run the O(len²)
-      // DP once per candidate OCCURRENCE instead of once per pair)
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      // (the representative id determines the string, so first is
+      // deterministic): grouping keys stay the slim 16-byte pair, the map
+      // side absorbs duplicate candidates, and — decisive — the lev
+      // filter below CANNOT be pushed through the aggregate (its inputs
+      // are aggregate results, not grouping columns; a groupBy on all
+      // four columns let the optimizer push `lev <= d` under the dedup
+      // and run the O(len²) DP once per candidate OCCURRENCE instead of
+      // once per pair)
+      .groupBy(col("a.__rid").as("__ra"), col("b.__rid").as("__rb"))
       .agg(first(col("a.__s")).as("__sa"), first(col("b.__s")).as("__sb"))
-    cand
+    val repPairs = cand
       .withColumn("__lev", levenshtein(col("__sa"), col("__sb")))
       .where(col("__lev") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("__lev").cast("long").as("lev"))
+    // fan verified distinct-string pairs back out over both id lists;
+    // ids from different groups never collide, so least/greatest yields
+    // each record pair exactly once
+    val crossPairs = repPairs
+      .join(groups.select(col("__rid").as("__ra"), col("__ids").as("__ia")), "__ra")
+      .join(groups.select(col("__rid").as("__rb"), col("__ids").as("__ib")), "__rb")
+      .select(col("__lev"), explode(col("__ia")).as("__xa"), col("__ib"))
+      .select(col("__lev"), col("__xa"), explode(col("__ib")).as("__xb"))
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"),
+        col("__lev").cast("long").as("lev"))
+    crossPairs.unionByName(eqPairs)
   }
 }

@@ -135,7 +135,7 @@ object LshIndex {
     * exchange left is the per-probe top-k window. */
   def searchStored(index: Index, vectors: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, probeIdCol: String, probeVecCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxCandidates: Int = 1 << 20): DataFrame = {
     val spark = vectors.sparkSession
     val pb = Similarity.lshBuckets(
       probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")),
@@ -153,7 +153,17 @@ object LshIndex {
       .join(broadcast(pb), Seq("table_id", "bucket"))
       .select(col("pid"), col(idCol)).distinct()
     val candSchema = candidates.schema
-    val candRows = candidates.collect()
+    // loud guard on the bounded-by-contract collect: a hot/promiscuous
+    // bucket (occupancy far beyond the design constant — bits sized too
+    // low for the corpus, or a degenerate all-equal vector region) would
+    // otherwise become an unbounded driver collect and a giant literal
+    // In(...) filter; fail with the knob named instead of OOMing the
+    // driver (round-8 advisor item)
+    val candRows = candidates.limit(maxCandidates + 1).collect()
+    require(candRows.length <= maxCandidates,
+      s"LSH candidate set exceeds maxCandidates=$maxCandidates " +
+        s"(hot bucket / under-sized bits?); raise maxCandidates, add bits, " +
+        s"or reduce the probe batch")
     val candDf = spark.createDataFrame(
       java.util.Arrays.asList(candRows.toIndexedSeq: _*), candSchema)
     val ids = candRows.map(_.get(1)).distinct.toSeq

@@ -73,6 +73,50 @@ class EditJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0L)))
   }
 
+  test("a hot value shared by 1000+ records collapses: exact output, one verify per distinct pair") {
+    // The ER skew bomb: thousands of records share the literal same
+    // attribute value (the NORMAL customer/author/site shape). The
+    // collapse must (a) keep the output exact — C(c,2) zero-distance
+    // pairs within the hot group plus every cross-group pair fanned out
+    // over the full id list — while (b) the variant join sees each
+    // distinct string once.
+    val hot = (1L to 1200L).map(i => i -> "acme corporation")
+    val near = Seq(2001L -> "acme corporatio",   // deletion, d = 1
+      2002L -> "acme corporation!",              // insertion, d = 1
+      2003L -> "acme corpor",                    // d = 5, out
+      2004L -> "acme corporation")               // 1201st duplicate
+    val rows = hot ++ near
+    val got = pairs(rows, 1)
+    // within-group: C(1201, 2) zero-distance pairs
+    val dupIds = (1L to 1200L) :+ 2004L
+    val within = (for {
+      a <- dupIds; b <- dupIds; if a < b
+    } yield (a, b, 0L)).toSet
+    // cross-group: each of the two d=1 neighbors pairs with ALL 1201 dups
+    // (2001 vs 2002 is lev 2 — correctly absent at d = 1)
+    val cross = (for {
+      a <- dupIds; b <- Seq(2001L, 2002L)
+    } yield (math.min(a, b), math.max(a, b), 1L)).toSet
+    assert(got == within ++ cross)
+    assert(got.size == 1201 * 1200 / 2 + 2 * 1201)
+  }
+
+  test("distinct-string candidate generation sees each value once (plan-level collapse)") {
+    // The variant join's input row count must track DISTINCT strings,
+    // not records: measure via the neighborhood expression directly.
+    import org.apache.spark.sql.graft.DeletionNeighborhood
+    val s = spark; import s.implicits._
+    val recs = ((1L to 500L).map(i => i -> "duplicated value") :+ (501L -> "unique value"))
+      .toDF("id", "name")
+    // re-derive the collapse the operator performs and count expanded keys
+    val grouped = recs.groupBy(col("name")).agg(min(col("id")).as("rid"))
+    val nKeys = grouped
+      .select(explode(DeletionNeighborhood(col("name"), 1)).as("k"))
+      .count()
+    // 2 distinct strings, len 16/12 → 1 + 16 and 1 + 12 variants
+    assert(nKeys == (1 + 16) + (1 + 12))
+  }
+
   test("short strings below the deletion budget still join exactly") {
     // len <= d edge: "a" has variants {"a", ""} at d = 1; "" pairs via
     // the empty variant with "b"'s — lev("a","b") = 1 must be found

@@ -60,6 +60,15 @@ class EntityResolutionSpec extends SparkSpec {
     assert(pairs(rows, 2, 0) == Set((1L, 3L), (3L, 5L), (5L, 9L)))
   }
 
+  test("duplicate ids (non-total order) fail loudly instead of skipping ranks") {
+    // round-8 advisor item: duplicate (sortKey, id) rows silently produced
+    // duplicate + skipped ranks (RANGE-frame ties) -> missed and duplicated
+    // candidate pairs; the precondition is now enforced
+    val rows = Seq(1L -> "same", 1L -> "same", 2L -> "other")
+    val e = intercept[IllegalArgumentException](pairs(rows, 2, 0))
+    assert(e.getMessage.contains("unique (sortKey, id)"))
+  }
+
   test("null and empty names drop out") {
     val rows = Seq(1L -> "alpha", 2L -> (null: String), 3L -> "", 4L -> "beta")
     assert(pairs(rows, 3, 0) == Set((1L, 4L)))

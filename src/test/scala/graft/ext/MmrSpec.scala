@@ -29,6 +29,19 @@ class MmrSpec extends SparkSpec {
     assert(rerank(rows, 3, 1.0) == Seq((1, 3L), (2, 1L), (3, 2L)))
   }
 
+  test("array<double> vectors and integer relevance are accepted via analysis-time casts") {
+    // round-8 advisor item: hard-coded getSeq[Float]/getDouble turned an
+    // array<double> input into a runtime ClassCastException; the fix casts
+    // in the initial select, so any numeric rel / float-or-double vec works
+    val s = spark; import s.implicits._
+    val d = Seq((1L, 9, Seq(1.0, 0.0)), (2L, 8, Seq(1.0, 0.0)), (3L, 8, Seq(0.0, 1.0)))
+      .toDF("id", "rel", "vec") // rel: int, vec: array<double>
+    val got = Mmr.rerank(spark, d, "id", "rel", "vec", 2, 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // after picking 1, its duplicate 2 is max-penalized; 3 (orthogonal) wins
+    assert(got == Seq((1, 1L), (2, 3L)))
+  }
+
   test("duplicates of a selected item are maximally penalized") {
     // id 2 is an exact duplicate of id 1 (sim = 1) with nearly equal
     // relevance; with lambda < 1 the orthogonal id 3 must be picked
