@@ -108,16 +108,31 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(v => math.abs(v._2)).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"sf":"$sfDir"}"""
-    println(line)
-    // The driver captures only the TAIL of stdout, which has truncated the
-    // leading `"value":` total in past rounds — persist the full line so
-    // the artifact survives capture truncation (VERDICT r6 "What's wrong #3").
+    // The driver captures only the TAIL of stdout; at 230 entries the full
+    // per-query line is ~10 KB and the tail has truncated it mid-map two
+    // rounds running (BENCH_r08/r09 `parsed: null`). Persist the full line
+    // to a file, archive it to a stamped path (so the next run stops
+    // destroying this run's record), and print a COMPACT summary — total,
+    // headline times, error count — as the LAST stdout line so the tail
+    // capture always contains one complete, parseable JSON object.
     try {
       val out = java.nio.file.Paths.get("target", "bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hist = java.nio.file.Paths.get("target", "bench_history",
+        s"bench_${System.currentTimeMillis()}.json")
+      java.nio.file.Files.createDirectories(hist.getParent)
+      java.nio.file.Files.write(hist,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    println(line)
+    val headlines = Seq("q08_join_agg", "q09_star_join_revenue", "q15_topk",
+      "q24_cosine_topk")
+    val hq = results.filter(r => headlines.contains(r._1))
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"sf":"$sfDir","full":"target/bench_latest.json"}"""
+    println(summary)
     spark.stop()
   }
 }

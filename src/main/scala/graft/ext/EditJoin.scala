@@ -40,10 +40,16 @@ import org.apache.spark.sql.graft.DeletionNeighborhood
   * Output cardinality for a value shared by c records is C(c,2) — that
   * quadratic is the operator's OUTPUT, inherent to exact semantics, not
   * a join blow-up; it is produced by generate, never shuffled. The one
-  * remaining driver-side bound is the per-group id array (8 bytes per
-  * duplicate of one value in one row — 10⁶ duplicates ≈ 8 MB, fine;
-  * beyond that the within-group output itself is the problem, not the
-  * array). The documented domain is short attribute strings (names,
+  * remaining per-group EXECUTOR-side bound is the id array, built in a
+  * single aggregation-buffer row (8 bytes per duplicate of one value —
+  * 10⁶ duplicates ≈ 8 MB, fine; beyond that the within-group output
+  * itself is the problem, not the array) — nothing about it touches the
+  * driver, so it is executor memory, not driver memory, that sizes hot
+  * values. Ids need NOT be unique: the group representative is the
+  * (min id, string) struct, distinct per group by construction, so a
+  * dirty id shared by two different strings cannot collide two groups'
+  * representatives (and duplicate (id, string) rows collapse in the
+  * collect_set). The documented domain is short attribute strings (names,
   * titles, codes: len ≲ 50, d ≤ 2), where the expansion is a few
   * hundred keys per string; this is an ER primitive, not a document
   * operator — document-scale near-dup belongs to the D-family
@@ -64,11 +70,21 @@ object EditJoin {
       .where(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
     // exact-duplicate collapse: one row per DISTINCT string, carrying the
-    // sorted id list; the min id is the group's representative key
+    // sorted id list (collect_set: a duplicate (id, string) ROW costs
+    // nothing and cannot double-emit pairs). The representative is the
+    // (min id, string) STRUCT, not the bare min id: ER inputs are dirty
+    // by nature and the same id can appear with two different strings, in
+    // which case two groups would share a bare min-id representative and
+    // the `a.__rid < b.__rid` triangle condition would silently drop ALL
+    // cross pairs between them (round-9 advisor item). The string
+    // component makes representatives distinct per group BY CONSTRUCTION
+    // (groups are keyed on the string), and struct comparison is
+    // lexicographic, so `<` stays a strict total order over groups.
     val groups = base
       .groupBy(col("__s"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .withColumn("__rid", element_at(col("__ids"), 1))
+      .agg(sort_array(collect_set(col("__id"))).as("__ids"))
+      .withColumn("__rid",
+        struct(element_at(col("__ids"), 1).as("id"), col("__s").as("s")))
     // within-group pairs: identical strings are at distance 0 by
     // definition — emitted map-side (double generate + triangle filter),
     // no join and no verify
@@ -82,7 +98,7 @@ object EditJoin {
     // cloning the neighborhood expression into a pre-filter (the q68 /
     // winnowing discipline; the array is never empty, so no rows are lost)
     val keys = groups
-      .select(col("__rid"), col("__s"),
+      .select(col("__rid"),
         explode_outer(DeletionNeighborhood(col("__s"), maxDist)).as("__vkey"))
       .filter(col("__vkey").isNotNull)
     // shuffle_hash hint: the exploded side's size ESTIMATE is the scan
@@ -95,27 +111,31 @@ object EditJoin {
       .join(keys.as("b").hint("shuffle_hash"),
         col("a.__vkey") === col("b.__vkey") && col("a.__rid") < col("b.__rid"))
       // pair dedup as an aggregate with the strings carried via first()
-      // (the representative id determines the string, so first is
-      // deterministic): grouping keys stay the slim 16-byte pair, the map
-      // side absorbs duplicate candidates, and — decisive — the lev
-      // filter below CANNOT be pushed through the aggregate (its inputs
-      // are aggregate results, not grouping columns; a groupBy on all
-      // four columns let the optimizer push `lev <= d` under the dedup
-      // and run the O(len²) DP once per candidate OCCURRENCE instead of
-      // once per pair)
+      // (the representative struct determines the string, so first is
+      // deterministic): grouping keys are the slim (id, short-string)
+      // struct pair, the map side absorbs duplicate candidates, and —
+      // decisive — the lev filter below CANNOT be pushed through the
+      // aggregate (its inputs are aggregate results, not grouping
+      // columns; filtering on the structs' own `s` fields would let the
+      // optimizer push `lev <= d` under the dedup and run the O(len²) DP
+      // once per candidate OCCURRENCE instead of once per pair)
       .groupBy(col("a.__rid").as("__ra"), col("b.__rid").as("__rb"))
-      .agg(first(col("a.__s")).as("__sa"), first(col("b.__s")).as("__sb"))
+      .agg(first(col("a.__rid").getField("s")).as("__sa"),
+        first(col("b.__rid").getField("s")).as("__sb"))
     val repPairs = cand
       .withColumn("__lev", levenshtein(col("__sa"), col("__sb")))
       .where(col("__lev") <= maxDist)
     // fan verified distinct-string pairs back out over both id lists;
-    // ids from different groups never collide, so least/greatest yields
-    // each record pair exactly once
+    // a dirty id appearing in BOTH groups would fan out to a degenerate
+    // (x, x) self-pair — dropped, mirroring the per-record join's
+    // `id_a < id_b`; least/greatest then yields each record pair once
+    // per verified group pair
     val crossPairs = repPairs
       .join(groups.select(col("__rid").as("__ra"), col("__ids").as("__ia")), "__ra")
       .join(groups.select(col("__rid").as("__rb"), col("__ids").as("__ib")), "__rb")
       .select(col("__lev"), explode(col("__ia")).as("__xa"), col("__ib"))
       .select(col("__lev"), col("__xa"), explode(col("__ib")).as("__xb"))
+      .where(col("__xa") =!= col("__xb"))
       .select(least(col("__xa"), col("__xb")).as("id_a"),
         greatest(col("__xa"), col("__xb")).as("id_b"),
         col("__lev").cast("long").as("lev"))

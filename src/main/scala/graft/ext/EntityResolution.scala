@@ -95,21 +95,18 @@ object EntityResolution {
       .where(col("__sk").isNotNull)
       .withColumn("__g", lit(0))
       .withColumn("__one", lit(1L))
-    val ranked = PrefixSum.exclusive(e, "__g", Seq("__sk", "__id"),
-        "__one", "__rank", shards)
-      .select(col("__rank"), col("__id"), col("__name"))
     // total-order guard (round-8 advisor item): duplicate (sortKey, id)
     // rows — i.e., non-unique ids — make the RANGE-frame rank assign the
     // same rank to the tied rows and skip the next, silently missing and
-    // duplicating candidate pairs. The documented precondition is now
-    // ENFORCED: one slim aggregate over the rank column fails loudly when
-    // the order is not total (ranks must be exactly 0..n−1).
-    val chk = ranked.agg(count(lit(1)).as("n"),
-      countDistinct(col("__rank")).as("d")).head()
-    require(chk.getLong(0) == chk.getLong(1),
-      s"sortedNeighborhoodPairs requires unique (sortKey, id) per record: " +
-        s"${chk.getLong(0)} rows but only ${chk.getLong(1)} distinct ranks " +
-        "(duplicate ids?)")
+    // duplicating candidate pairs. The precondition is ENFORCED inside the
+    // returned plan (assertUniqueOrder folds a ROWS-vs-RANGE assert_true
+    // into the rank's own window pass — see [[PrefixSum.exclusive]]), so
+    // the pipeline runs ONCE at action time and this builder stays lazy;
+    // the round-9 .head() guard executed the whole rank pipeline twice and
+    // eagerly launched a job at construction.
+    val ranked = PrefixSum.exclusive(e, "__g", Seq("__sk", "__id"),
+        "__one", "__rank", shards, assertUniqueOrder = true)
+      .select(col("__rank"), col("__id"), col("__name"))
     val succ = ranked
       .withColumn("__i",
         explode(array((1 until windowSize).map(lit): _*)))

@@ -31,14 +31,36 @@ object PrefixSum {
 
   /** Adds `out` = exclusive running total of `sizeCol` (sum of strictly
     * preceding rows) within each `groupCol` group, ordered by `orderCols`
-    * (must be a unique order per group). `shards = 0` = plain window. */
+    * (must be a unique order per group). `shards = 0` = plain window.
+    *
+    * `assertUniqueOrder = true` ENFORCES the unique-order precondition
+    * inside the returned plan: the same window pass additionally computes
+    * the ROWS-frame running total, which diverges from the default
+    * RANGE-frame total exactly on order ties, and an `assert_true` filter
+    * fails the job loudly on the first tied row. Zero extra shuffles —
+    * both frames evaluate in the one WindowExec (same partition/order
+    * spec) — and the plan stays lazy: no job runs at construction time. */
   def exclusive(df: DataFrame, groupCol: String, orderCols: Seq[String],
-      sizeCol: String, out: String, shards: Int = 0): DataFrame = {
+      sizeCol: String, out: String, shards: Int = 0,
+      assertUniqueOrder: Boolean = false): DataFrame = {
     val order: Seq[Column] = orderCols.map(col)
     val size = col(sizeCol).cast("long")
+    val tieMsg = lit("PrefixSum.exclusive requires a unique (" +
+      orderCols.mkString(", ") + ") order per group: tied rows detected " +
+      "(duplicate ids?)")
+    // RANGE vs ROWS running totals agree on every row iff the order is
+    // total; the assert filter references window outputs so it cannot be
+    // pushed below the WindowExec, and assert_true's null result keeps
+    // every row when the precondition holds.
+    def guarded(d: DataFrame, rowsTotal: Column): DataFrame =
+      if (!assertUniqueOrder) d
+      else d.withColumn("__rowchk", rowsTotal - size)
+        .where(assert_true(col(out) === col("__rowchk"), tieMsg).isNull)
+        .drop("__rowchk")
     if (shards <= 0) {
       val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
-      df.withColumn(out, sum(size).over(w) - size)
+      guarded(df.withColumn(out, sum(size).over(w) - size),
+        sum(size).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     } else {
       // localCheckpoint is load-bearing, not an optimization: `keyed`
       // feeds BOTH the offsets aggregate and the final join, and
@@ -64,8 +86,12 @@ object PrefixSum {
         .withColumn("__off", sum(col("__ssum")).over(wOff) - col("__ssum"))
         .select(col(groupCol), col("__shard"), col("__off"))
       val wIn = Window.partitionBy(col(groupCol), col("__shard")).orderBy(order: _*)
-      keyed.join(broadcast(offsets), Seq(groupCol, "__shard"))
-        .withColumn(out, col("__off") + sum(size).over(wIn) - size)
+      // ties always co-shard (range partitioning assigns equal keys to one
+      // partition), so the per-shard ROWS/RANGE comparison sees every tie
+      guarded(keyed.join(broadcast(offsets), Seq(groupCol, "__shard"))
+          .withColumn(out, col("__off") + sum(size).over(wIn) - size),
+        col("__off") + sum(size).over(
+          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .drop("__shard", "__off")
     }
   }

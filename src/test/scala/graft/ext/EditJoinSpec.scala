@@ -117,6 +117,27 @@ class EditJoinSpec extends SparkSpec {
     assert(nKeys == (1 + 16) + (1 + 12))
   }
 
+  test("duplicate ids across different strings keep every cross-group pair") {
+    // round-9 advisor item: with a bare min-id representative, id 1
+    // appearing with both "abc" and "abd" gave BOTH groups rep 1 and the
+    // `a.__rid < b.__rid` triangle condition dropped every cross pair
+    // between the two groups. The (min id, string) struct representative
+    // keeps them; only the degenerate (x, x) self-pair is dropped (the
+    // per-record join's `id_a < id_b` behavior).
+    val rows = Seq(1L -> "abc", 1L -> "abd", 2L -> "abc", 3L -> "xbd")
+    val got = pairs(rows, 1)
+    assert(got == Set((1L, 2L, 0L),  // within "abc"
+      (1L, 2L, 1L),                  // "abc"(id 2) x "abd"(id 1)
+      (1L, 3L, 1L)))                 // "abd" x "xbd"
+  }
+
+  test("duplicate (id, string) rows collapse: no double-emitted pairs") {
+    val rows = Seq(1L -> "abc", 1L -> "abc", 2L -> "abd")
+    val out = EditJoin.join(df(rows), "id", "name", 1).collect()
+    assert(out.length == 1 &&
+      (out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) == (1L, 2L, 1L))
+  }
+
   test("short strings below the deletion budget still join exactly") {
     // len <= d edge: "a" has variants {"a", ""} at d = 1; "" pairs via
     // the empty variant with "b"'s — lev("a","b") = 1 must be found

@@ -63,10 +63,28 @@ class EntityResolutionSpec extends SparkSpec {
   test("duplicate ids (non-total order) fail loudly instead of skipping ranks") {
     // round-8 advisor item: duplicate (sortKey, id) rows silently produced
     // duplicate + skipped ranks (RANGE-frame ties) -> missed and duplicated
-    // candidate pairs; the precondition is now enforced
-    val rows = Seq(1L -> "same", 1L -> "same", 2L -> "other")
-    val e = intercept[IllegalArgumentException](pairs(rows, 2, 0))
-    assert(e.getMessage.contains("unique (sortKey, id)"))
+    // candidate pairs. The precondition is enforced INSIDE the plan
+    // (PrefixSum assertUniqueOrder, round-9 advisor item: no eager job, no
+    // double execution), so the failure surfaces at action time as a task
+    // failure whose cause chain carries the assert message.
+    for (shards <- Seq(0, 2)) {
+      val rows = Seq(1L -> "same", 1L -> "same", 2L -> "other")
+      val e = intercept[Throwable](pairs(rows, 2, shards))
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(msgs.contains("unique"), s"shards=$shards: $msgs")
+    }
+  }
+
+  test("the guard does not launch a job at construction time") {
+    // the round-9 guard ran the rank pipeline eagerly (and twice); the
+    // plan-folded assert keeps the builder lazy
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    EntityResolution.sortedNeighborhoodPairs(df(names), "id", "name",
+      lower(trim(col("name"))), 3, 0)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "construction must not run Spark jobs")
   }
 
   test("null and empty names drop out") {
