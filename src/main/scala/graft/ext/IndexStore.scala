@@ -150,6 +150,35 @@ object IndexStore {
       spark.read.parquet(s"$dir/assignment"))
   }
 
+  /** Append an increment to a stored IVF bundle — the [[appendLsh]]
+    * frozen-parameter move for the coarse-quantizer family: the stored
+    * CENTROIDS are frozen (they are the index's trained parameters, the
+    * analogue of LSH's fixed-seed hyperplanes), the increment is assigned
+    * to its nearest frozen centroid in one broadcast-join map pass, and
+    * the new (id, centroid_id) rows append to the clustered assignment
+    * table — each appended file is itself clustered/sorted by centroid_id,
+    * so probe-list row-group skipping keeps working over base + increment.
+    * Append ≡ assign-on-rebuild EXACTLY: a rebuild that reuses the same
+    * centroids assigns every base row identically (assignment is a pure
+    * per-row argmin), so the unioned table is bit-identical to rebuilding
+    * the lists over base+increment with frozen centroids. What an append
+    * does NOT do is retrain: as the corpus drifts from the build-time
+    * distribution, list occupancy skews — which degrades candidate-list
+    * balance, never correctness (the final re-rank is exact) — and
+    * re-clustering cadence is the operator's knob, exactly the
+    * [[appendLsh]] re-bucketing story. The increment must carry the same
+    * id/vector column names the bundle was built with. */
+  def appendIvf(increment: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    requireKind(dir, "ivf")
+    val spark = increment.sparkSession
+    val centroids = pinLocal(spark.read.parquet(s"$dir/centroids"))
+    Similarity.ivfAssign(increment, idCol, vecCol, centroids)
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+      .write.mode(SaveMode.Append).parquet(s"$dir/assignment")
+  }
+
   // ---- HNSW ---------------------------------------------------------
 
   /** Shard-parallel HNSW graph ([[Hnsw.build]] rows): clustered by
@@ -277,6 +306,30 @@ object IndexStore {
     Pq.Index(pinLocal(spark.read.parquet(s"$dir/codebooks")),
       spark.read.parquet(s"$dir/codes"),
       m.get("m").asInt(), m.get("ksub").asInt())
+  }
+
+  /** Append an increment to a stored PQ bundle — frozen-parameter append
+    * for the compressed-domain family: the stored CODEBOOKS are the
+    * trained parameters and stay frozen, the increment is PQ-encoded
+    * against them (one broadcast-join pass — [[Pq.encode]]), and the new
+    * (id, codes) rows append to the code table. Append ≡
+    * encode-on-rebuild EXACTLY: encoding is a pure per-row per-subspace
+    * argmin against the codebooks, so a rebuild that reuses the same
+    * codebooks emits bit-identical codes for every base row. Drift story
+    * as [[appendIvf]]: quantization error grows as the corpus leaves the
+    * training distribution — which widens ADC ranking noise (recall is
+    * bought back by the exact float re-rank tail), never corrupts the
+    * index; re-training cadence is the knob. The increment must carry
+    * the same id/vector column names the bundle was built with. */
+  def appendPq(increment: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val m = requireKind(dir, "pq")
+    val spark = increment.sparkSession
+    val codebooks = pinLocal(spark.read.parquet(s"$dir/codebooks"))
+    val mSub = m.get("m").asInt()
+    val dim = mSub * codebooks.select(size(col("cv"))).head().getInt(0)
+    Pq.encode(increment, idCol, vecCol, codebooks, mSub, dim)
+      .write.mode(SaveMode.Append).parquet(s"$dir/codes")
   }
 
   // ---- DSIR model ---------------------------------------------------

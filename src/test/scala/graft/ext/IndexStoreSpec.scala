@@ -95,6 +95,64 @@ class IndexStoreSpec extends SparkSpec {
     } finally SemDedup.drop(built)
   }
 
+  test("appendIvf == assign-on-rebuild: frozen centroids, identical lists") {
+    // the N6′ contract: assignment is a pure per-row argmin against the
+    // stored centroids, so appending the increment's assignments must
+    // yield exactly the table a rebuild-with-frozen-centroids would
+    val cut = 450L
+    val base = embeddings.where(col("vec_id") < cut)
+    val inc = embeddings.where(col("vec_id") >= cut)
+    val built = IvfIndex.buildTrained(base, "vec_id", "embedding",
+      nCentroids = 8, lloydIters = 2)
+    val dir = tmp()
+    try {
+      IndexStore.writeIvf(built, dir)
+      IndexStore.appendIvf(inc, "vec_id", "embedding", dir)
+      val loaded = IndexStore.loadIvf(spark, dir)
+      assertSame(loaded.assignment,
+        Similarity.ivfAssign(embeddings, "vec_id", "embedding",
+          loaded.centroids),
+        "appended assignment must equal assigning the union against the " +
+          "frozen stored centroids")
+      // increment fully searchable through the appended bundle: search over
+      // the union corpus ≡ search through an index whose lists were
+      // re-assigned from scratch with the same centroids
+      val rebuilt = IvfIndex.Index(loaded.centroids,
+        Similarity.ivfAssign(embeddings, "vec_id", "embedding",
+          loaded.centroids))
+      assertSame(
+        IvfIndex.search(loaded, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10, nprobe = 2),
+        IvfIndex.search(rebuilt, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10, nprobe = 2),
+        "search through the appended bundle must equal the frozen-centroid rebuild")
+    } finally IvfIndex.drop(built)
+  }
+
+  test("appendPq == encode-on-rebuild: frozen codebooks, identical codes") {
+    // the N8′ contract: encoding is a pure per-row per-subspace argmin
+    // against the stored codebooks, so appended codes must be
+    // code-for-code what a rebuild-with-frozen-codebooks would emit
+    val cut = 450L
+    val base = embeddings.where(col("vec_id") < cut)
+    val inc = embeddings.where(col("vec_id") >= cut)
+    val built = Pq.build(base, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, dim = 64)
+    val dir = tmp()
+    try {
+      IndexStore.writePq(built, dir)
+      IndexStore.appendPq(inc, "vec_id", "embedding", dir)
+      val loaded = IndexStore.loadPq(spark, dir)
+      assertSame(loaded.codes,
+        Pq.encode(embeddings, "vec_id", "embedding", loaded.codebooks,
+          loaded.m, 64),
+        "appended codes must equal encoding the union against the frozen " +
+          "stored codebooks")
+      assert(loaded.codes.count() === embeddings.count(),
+        "every union vector must carry exactly one code row")
+    } finally Pq.drop(built)
+  }
+
   test("kind mismatch is refused, not misparsed") {
     val built = LshIndex.build(embeddings, "vec_id", "embedding",
       tables = 4, dim = 64)
