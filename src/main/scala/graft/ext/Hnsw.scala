@@ -75,7 +75,13 @@ object Hnsw {
 
   /** One shard's graph under construction / being searched. Node arrays
     * are indexed by insertion slot; `levels(slot)(l)` = neighbor slots at
-    * level l. */
+    * level l, kept in CANONICAL id-ascending order at every mutation —
+    * beam exploration admits/rejects against an evolving result heap, so
+    * neighbor ITERATION order is observable under distance ties
+    * (duplicate vectors, the normal dedup-corpus shape); id-sorted lists
+    * everywhere make every traversal a pure function of the adjacency
+    * sets, which is what lets an append into a stored (id-sorted) graph
+    * reproduce a from-scratch build bit-for-bit even with ties. */
   private final class ShardGraph(params: Params) {
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
@@ -86,6 +92,15 @@ object Hnsw {
 
     private def dist(slot: Int, q: Array[Float]): Double =
       1.0 - cosSim(vecs(slot), q)
+
+    /** Insert `slot` into `buf` keeping id-ascending order (lists are
+      * ≤ 2M long — linear shift is nothing). */
+    private def insSorted(
+        buf: scala.collection.mutable.ArrayBuffer[Int], slot: Int): Unit = {
+      var i = buf.length
+      while (i > 0 && ids(buf(i - 1)) > ids(slot)) i -= 1
+      buf.insert(i, slot)
+    }
 
     /** Beam search at one level; returns (dist, slot) ascending, ≤ ef. */
     def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, level: Int):
@@ -145,15 +160,17 @@ object Hnsw {
         val mMax = if (lc == 0) 2 * params.m else params.m
         val selected = w.take(params.m).map(_._2)
         selected.foreach { n =>
-          levels(slot)(lc) += n
-          levels(n)(lc) += slot
+          insSorted(levels(slot)(lc), n)
+          insSorted(levels(n)(lc), slot)
           if (levels(n)(lc).length > mMax) {
-            // shrink to the mMax closest (simple heuristic, paper §4 alg 3)
+            // shrink to the mMax closest (simple heuristic, paper §4 alg 3),
+            // then back to canonical id order
             val kept = levels(n)(lc)
               .map(s => (dist(s, vecs(n)), s))
               .sorted(Ordering.by[(Double, Int), (Double, Long)] {
                 case (d, s) => (d, ids(s)) })
               .take(mMax).map(_._2)
+              .sorted(Ordering.by[Int, Long](ids(_)))
             levels(n)(lc).clear()
             levels(n)(lc) ++= kept
           }
@@ -186,10 +203,57 @@ object Hnsw {
     StructField("levels", ArrayType(ArrayType(LongType, containsNull = false),
       containsNull = false), nullable = false)))
 
+  /** Stored-row payload: (id, vec, per-level neighbor ids). */
+  private type StoredNode = (Long, Array[Float], Array[Array[Long]])
+
+  /** Emit one shard's graph as [[graphSchema]] rows — LAZILY: the caller
+    * chains these per-shard iterators, so task memory holds one shard's
+    * graph while its rows stream out, never the partition's whole
+    * output (the round-9 advisor item: the previous ArrayBuffer
+    * accumulation made per-task memory O(partition), not O(shard)). */
+  private def emitRows(shard: Int, g: ShardGraph): Iterator[Row] =
+    Iterator.range(0, g.ids.length).map { s =>
+      Row(shard, g.ids(s), g.vecs(s).toIndexedSeq,
+        g.levels(s).map(_.map(n => g.ids(n)).toIndexedSeq.sorted).toIndexedSeq)
+    }
+
+  /** Rebuild one shard's in-memory graph EXACTLY as stored: slots in row
+    * order (id order for stored rows), neighbor ids remapped to slots,
+    * entry = first max-level slot — derived, not stored. */
+  private def rebuildShard(batch: collection.IndexedSeq[StoredNode],
+      params: Params): ShardGraph = {
+    val slotOf = batch.iterator.map(_._1).zipWithIndex.toMap
+    val g = new ShardGraph(params)
+    batch.foreach { case (id, v, _) =>
+      g.ids += id; g.vecs += v; g.levels += Array.empty
+    }
+    var s = 0
+    while (s < batch.length) {
+      g.levels(s) = batch(s)._3.map(ns =>
+        scala.collection.mutable.ArrayBuffer(ns.map(slotOf): _*))
+      s += 1
+    }
+    if (batch.nonEmpty) {
+      var best = 0
+      s = 1
+      while (s < batch.length) {
+        if (g.levels(s).length > g.levels(best).length) best = s
+        s += 1
+      }
+      g.entry = best
+      g.entryLevel = g.levels(best).length - 1
+    }
+    g
+  }
+
   /** Build the per-shard graphs: one corpus pass, shard = pmod(id, S),
-    * each shard constructed independently inside its partition. Output
-    * rows (shard_id, id, vec, levels) — `levels(l)` = neighbor IDS at
-    * level l — are the durable index ([[IndexStore.writeHnsw]]). */
+    * each shard constructed independently inside its partition (shards
+    * hash across exactly `shards` tasks — no cap; a task that receives
+    * several shards still holds ONE at a time, because each shard's rows
+    * stream out through [[emitRows]] before the next shard's input is
+    * read). Output rows (shard_id, id, vec, levels) — `levels(l)` =
+    * neighbor IDS at level l — are the durable index
+    * ([[IndexStore.writeHnsw]]). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       shards: Int, params: Params = Params()): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
@@ -198,35 +262,22 @@ object Hnsw {
       .select(pmod(col(idCol), lit(shards.toLong)).cast("int").as("shard_id"),
         col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"))
-      .repartition(math.min(shards, 200), col("shard_id"))
+      .repartition(shards, col("shard_id"))
       .sortWithinPartitions("shard_id", "id")
     val rows = prepped.queryExecution.toRdd.mapPartitions { iter =>
-      // rows arrive grouped by shard (sorted); build each shard's graph
-      // as its group completes — memory = one shard at a time
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var curShard = Int.MinValue
-      var batch = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-      def flush(): Unit = {
-        if (batch.nonEmpty) {
+      val it = iter.buffered
+      new Iterator[Iterator[Row]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Iterator[Row] = {
+          val shard = it.head.getInt(0)
           val g = new ShardGraph(params)
-          batch.foreach { case (id, v) => g.insert(id, v, params) }
-          var s = 0
-          while (s < g.ids.length) {
-            out += Row(curShard, g.ids(s), g.vecs(s).toIndexedSeq,
-              g.levels(s).map(_.map(n => g.ids(n)).toIndexedSeq.sorted).toIndexedSeq)
-            s += 1
+          while (it.hasNext && it.head.getInt(0) == shard) {
+            val ir = it.next()
+            g.insert(ir.getLong(1), ir.getArray(2).toFloatArray(), params)
           }
-          batch = scala.collection.mutable.ArrayBuffer.empty
+          emitRows(shard, g)
         }
-      }
-      iter.foreach { ir =>
-        val shard = ir.getInt(0)
-        if (shard != curShard) { flush(); curShard = shard }
-        val vecData = ir.getArray(2)
-        batch += ((ir.getLong(1), vecData.toFloatArray()))
-      }
-      flush()
-      out.iterator
+      }.flatten
     }
     spark.createDataFrame(rows, graphSchema)
   }
@@ -268,74 +319,84 @@ object Hnsw {
       .withColumn("levels", emptyLevels)
       .withColumn("is_new", lit(true))
     val all = oldRows.unionByName(newRows)
-      .repartition(math.min(shards, 200), col("shard_id"))
+      .repartition(shards, col("shard_id"))
       .sortWithinPartitions("shard_id", "is_new", "id")
     val rows = all.queryExecution.toRdd.mapPartitions { iter =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var curShard = Int.MinValue
-      var stored = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Array[Float], Array[Array[Long]])]
-      var fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-      def flush(): Unit = {
-        if (stored.nonEmpty || fresh.nonEmpty) {
-          val slotOf = stored.iterator.map(_._1).zipWithIndex.toMap
-          val g = new ShardGraph(params)
-          stored.foreach { case (id, v, _) =>
-            g.ids += id; g.vecs += v; g.levels += Array.empty
-          }
-          var s = 0
-          while (s < stored.length) {
-            g.levels(s) = stored(s)._3.map(ns =>
-              scala.collection.mutable.ArrayBuffer(ns.map(slotOf): _*))
-            s += 1
-          }
-          if (stored.nonEmpty) {
-            var best = 0
-            s = 1
-            while (s < stored.length) {
-              if (g.levels(s).length > g.levels(best).length) best = s
-              s += 1
+      val it = iter.buffered
+      new Iterator[Iterator[Row]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Iterator[Row] = {
+          val shard = it.head.getInt(0)
+          val stored = scala.collection.mutable.ArrayBuffer.empty[StoredNode]
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+          while (it.hasNext && it.head.getInt(0) == shard) {
+            val ir = it.next()
+            if (ir.getBoolean(4)) {
+              fresh += ((ir.getLong(1), ir.getArray(2).toFloatArray()))
+            } else {
+              val lv = ir.getArray(3)
+              val levelArr = (0 until lv.numElements()).map(i =>
+                lv.getArray(i).toLongArray()).toArray
+              stored += ((ir.getLong(1), ir.getArray(2).toFloatArray(), levelArr))
             }
-            g.entry = best
-            g.entryLevel = g.levels(best).length - 1
           }
+          val g = rebuildShard(stored, params)
           fresh.foreach { case (id, v) => g.insert(id, v, params) }
-          s = 0
-          while (s < g.ids.length) {
-            out += Row(curShard, g.ids(s), g.vecs(s).toIndexedSeq,
-              g.levels(s).map(_.map(n => g.ids(n)).toIndexedSeq.sorted).toIndexedSeq)
-            s += 1
-          }
-          stored = scala.collection.mutable.ArrayBuffer.empty
-          fresh = scala.collection.mutable.ArrayBuffer.empty
+          emitRows(shard, g)
         }
-      }
-      iter.foreach { ir =>
-        val shard = ir.getInt(0)
-        if (shard != curShard) { flush(); curShard = shard }
-        if (ir.getBoolean(4)) {
-          fresh += ((ir.getLong(1), ir.getArray(2).toFloatArray()))
-        } else {
-          val lv = ir.getArray(3)
-          val levelArr = (0 until lv.numElements()).map(i =>
-            lv.getArray(i).toLongArray()).toArray
-          stored += ((ir.getLong(1), ir.getArray(2).toFloatArray(), levelArr))
-        }
-      }
-      flush()
-      out.iterator
+      }.flatten
     }
     spark.createDataFrame(rows, graphSchema)
   }
+
+  /** JVM-lifetime resident shard graphs, keyed by (serving key, shard).
+    * An executor that has served a shard once keeps its decoded graph in
+    * heap and skips per-query parquet-row decoding + adjacency rebuild —
+    * the RAM-resident serving shape every production vector store runs.
+    * On a cluster each executor accumulates only the shards its tasks
+    * see; a task landing on a cold executor falls back to the decode
+    * path and warms it. The caller owns key hygiene: key must change
+    * when the index content changes ([[clearResident]] to release). */
+  private val resident = new ConcurrentHashMap[(String, Int), ShardGraph]()
+
+  /** Release every resident shard graph registered under `key`. */
+  def clearResident(key: String): Unit = {
+    val it = resident.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == key) it.remove()
+  }
+
+  /** Cluster a loaded graph for serving: every shard's rows contiguous
+    * and id-sorted in one partition. Persist + materialize the RESULT
+    * once per serving session and pass it to [[search]] with
+    * `prepared = true` — steady-state queries then read cached blocks
+    * with no per-query shuffle (the shuffle this method performs is the
+    * one-time serving setup, not a per-query cost). */
+  def prepareServing(graph: DataFrame): DataFrame =
+    graph
+      .select(col("shard_id"), col("id"), col("vec"), col("levels"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("shard_id", "id")
 
   /** Scatter-gather search: probes are a bounded retrieved/query set by
     * contract (the Mmr/probe-side class), collected and shipped in the
     * task binary; every shard beam-searches its local graph and emits
     * ≤ k rows per probe; one global per-probe top-k window finishes.
-    * Output: (probeIdCol, idCol, cos_sim round 6) — the q30 shape. */
+    * Output: (probeIdCol, idCol, cos_sim round 6) — the q30 shape.
+    *
+    * `prepared = true` asserts the input is already shard-clustered
+    * ([[prepareServing]], typically persisted) and skips the internal
+    * repartition — the per-query shuffle of the whole graph table, the
+    * dominant steady-state cost. `residentKey` additionally pins each
+    * decoded shard graph in executor heap, so warm queries skip row
+    * decoding + adjacency rebuild entirely (rows are drained by reading
+    * only the shard_id column). Task memory: one shard's graph at a
+    * time on the cold path, plus whatever this key has pinned — sized
+    * by the shards this executor serves, which is the deliberate
+    * residency contract, not an accident. */
   def search(graph: DataFrame, probes: DataFrame, probeIdCol: String,
       probeVecCol: String, k: Int, params: Params = Params(),
-      outIdCol: String = "vec_id"): DataFrame = {
+      outIdCol: String = "vec_id", residentKey: Option[String] = None,
+      prepared: Boolean = false): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
     val probeList = probes
@@ -343,59 +404,40 @@ object Hnsw {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val perShard = graph
-      .select(col("shard_id"), col("id"), col("vec"), col("levels"))
-      .repartition(col("shard_id"))
-      .sortWithinPartitions("shard_id", "id")
-      .queryExecution.toRdd.mapPartitions { iter =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var batch = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Array[Float], Array[Array[Long]])]
-        def flush(): Unit = {
-          if (batch.nonEmpty) {
-            // rebuild the shard graph EXACTLY as stored: slots in id
-            // order, neighbor ids remapped to slots
-            val slotOf = batch.iterator.map(_._1).zipWithIndex.toMap
-            val g = new ShardGraph(params)
-            batch.foreach { case (id, v, _) =>
-              g.ids += id; g.vecs += v
-              g.levels += Array.empty
+    val served =
+      if (prepared) graph.select(col("shard_id"), col("id"), col("vec"), col("levels"))
+      else prepareServing(graph)
+    val key = residentKey
+    val perShard = served.queryExecution.toRdd.mapPartitions { iter =>
+      val it = iter.buffered
+      new Iterator[Iterator[(Long, Long, Double)]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Iterator[(Long, Long, Double)] = {
+          val shard = it.head.getInt(0)
+          val warm = key.flatMap(kk => Option(resident.get((kk, shard))))
+          val g = warm.getOrElse {
+            val batch = scala.collection.mutable.ArrayBuffer.empty[StoredNode]
+            while (it.hasNext && it.head.getInt(0) == shard) {
+              val ir = it.next()
+              val lv = ir.getArray(3)
+              batch += ((ir.getLong(1), ir.getArray(2).toFloatArray(),
+                (0 until lv.numElements()).map(i =>
+                  lv.getArray(i).toLongArray()).toArray))
             }
-            var s = 0
-            while (s < batch.length) {
-              g.levels(s) = batch(s)._3.map(ns =>
-                scala.collection.mutable.ArrayBuffer(ns.map(slotOf): _*))
-              s += 1
-            }
-            // entry = max level, min id — derived, not stored
-            var best = 0
-            s = 1
-            while (s < batch.length) {
-              if (g.levels(s).length > g.levels(best).length) best = s
-              s += 1
-            }
-            g.entry = best
-            g.entryLevel = g.levels(best).length - 1
-            probeList.foreach { case (pid, pv) =>
-              g.topK(pv, k, pid).foreach { case (id, sim) =>
-                out += ((pid, id, sim))
-              }
-            }
-            batch = scala.collection.mutable.ArrayBuffer.empty
+            val built = rebuildShard(batch, params)
+            key.foreach(kk => resident.put((kk, shard), built))
+            built
+          }
+          if (warm.isDefined) {
+            // drain this shard's rows touching ONLY the shard_id column
+            while (it.hasNext && it.head.getInt(0) == shard) it.next()
+          }
+          probeList.iterator.flatMap { case (pid, pv) =>
+            g.topK(pv, k, pid).iterator.map { case (id, sim) => (pid, id, sim) }
           }
         }
-        var curShard = Int.MinValue
-        iter.foreach { ir =>
-          val shard = ir.getInt(0)
-          if (shard != curShard) { flush(); curShard = shard }
-          val lv = ir.getArray(3)
-          val levelArr = (0 until lv.numElements()).map(i =>
-            lv.getArray(i).toLongArray()).toArray
-          batch += ((ir.getLong(1), ir.getArray(2).toFloatArray(), levelArr))
-        }
-        flush()
-        out.iterator
-      }
+      }.flatten
+    }
     val local = perShard.toDF(probeIdCol, outIdCol, "__sim")
       .select(col(probeIdCol), col(outIdCol),
         round(col("__sim"), 6).as("cos_sim"))

@@ -52,16 +52,26 @@ object Round8Queries {
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val params = Hnsw.Params(m = 8, efConstruction = 64, efSearch = 48)
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_idx/hnsw_${math.abs(d.hashCode)}"
+    // rep 1: build + store + one serving shuffle, persisted; reps 2+
+    // price RESIDENT steady-state serving — cached shard-clustered
+    // blocks (no per-query shuffle) + executor-pinned decoded graphs
+    // (no per-query rebuild). The round-9 memo cached the LAZY loaded
+    // DataFrame, so every action re-ran the per-shard rebuild.
     val graph = Hnsw.cached(s.sparkContext.applicationId + ":hnsw:" + d) {
       val n = e.count()
       val shards = math.max(1L, n / 512L).toInt // ≥2 shards past 1k vectors
       val built = Hnsw.build(e, "vec_id", "embedding", shards, params)
-      val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/hnsw_${math.abs(d.hashCode)}"
       IndexStore.writeHnsw(built, params, dir)
-      IndexStore.loadHnsw(s, dir)._1
+      val prepared = Hnsw.prepareServing(IndexStore.loadHnsw(s, dir)._1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prepared.count()
+      prepared
     }
-    val ann = Hnsw.search(graph, probes, "probe_id", "pv", k = 10, params)
+    val ann = Hnsw.search(graph, probes, "probe_id", "pv", k = 10, params,
+      residentKey = Some(s.sparkContext.applicationId + ":" + dir),
+      prepared = true)
     val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
       "probe_id", "pv", 10)
     Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,
@@ -183,6 +193,13 @@ object Round8Queries {
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val params = Hnsw.Params(m = 8, efConstruction = 64, efSearch = 48)
+    val dirPlus = sys.props("java.io.tmpdir") +
+      s"/graft_idx/hnswinc_${math.abs(d.hashCode)}_plus"
+    // rep 1: base build + store + insert + write-through of the GROWN
+    // graph (an increment's output is itself a publishable index — the
+    // round-9 memo cached the lazy insert plan, so every action re-ran
+    // load + per-shard insert); reps 2+ price resident steady serving
+    // exactly as q219.
     val graph = Hnsw.cached(s.sparkContext.applicationId + ":hnswinc:" + d) {
       val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
       val cut = maxId - 49
@@ -194,10 +211,17 @@ object Round8Queries {
         Hnsw.build(e.where(col("vec_id") < cut), "vec_id", "embedding",
           shards, params), params, dir)
       val (loaded, _) = IndexStore.loadHnsw(s, dir)
-      Hnsw.insert(loaded, e.where(col("vec_id") >= cut),
+      val grown = Hnsw.insert(loaded, e.where(col("vec_id") >= cut),
         "vec_id", "embedding", shards, params)
+      IndexStore.writeHnsw(grown, params, dirPlus)
+      val prepared = Hnsw.prepareServing(IndexStore.loadHnsw(s, dirPlus)._1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prepared.count()
+      prepared
     }
-    val ann = Hnsw.search(graph, probes, "probe_id", "pv", k = 10, params)
+    val ann = Hnsw.search(graph, probes, "probe_id", "pv", k = 10, params,
+      residentKey = Some(s.sparkContext.applicationId + ":" + dirPlus),
+      prepared = true)
     val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
       "probe_id", "pv", 10)
     Similarity.recallContract(ann, exact, "probe_id", "vec_id", k = 10,

@@ -57,6 +57,30 @@ class HnswInsertSpec extends SparkSpec {
     assert(canon(grown) == canon(built))
   }
 
+  test("duplicate vectors (distance ties) still append ≡ rebuild") {
+    // The dedup-corpus shape: many IDENTICAL vectors force exact distance
+    // ties, where beam exploration is sensitive to neighbor ITERATION
+    // order. Canonical id-sorted adjacency (round-9 advisor item) makes
+    // in-build order ≡ stored order, so the bit-identity claim holds on
+    // tied inputs too — the round-9 spec deliberately used tie-free
+    // random vectors and left this unproven.
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(53)
+    val distinct = Array.fill(8)(Array.fill(6)(rnd.nextFloat() * 2f - 1f))
+    // 96 vectors over only 8 distinct values -> 12-way exact ties each
+    val all = (0 until 96).map(i =>
+      (i.toLong, distinct(i % 8).toSeq)).toDF("vec_id", "embedding")
+    for (shards <- Seq(1, 2)) {
+      val base = all.where(col("vec_id") < 80)
+      val inc = all.where(col("vec_id") >= 80)
+      val built = Hnsw.build(all, "vec_id", "embedding", shards, params)
+      val grown = Hnsw.insert(
+        Hnsw.build(base, "vec_id", "embedding", shards, params),
+        inc, "vec_id", "embedding", shards, params)
+      assert(canon(grown) == canon(built), s"shards=$shards")
+    }
+  }
+
   test("empty increment is the identity") {
     val all = corpus(80)
     val g = Hnsw.build(all, "vec_id", "embedding", 2, params)

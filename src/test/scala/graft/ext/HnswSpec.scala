@@ -95,6 +95,33 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("resident serving: warm searches equal cold, clearResident releases") {
+    // the serving path: prepared (shard-clustered, persisted) input +
+    // executor-pinned decoded graphs — results must be identical to the
+    // plain path on every rep, warm or cold
+    val g = Hnsw.build(embeddings, "vec_id", "embedding", shards = 4, params)
+    val prepared = Hnsw.prepareServing(g)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val key = "hnsw-spec-resident-" + System.nanoTime()
+      val plain = Hnsw.search(g, probes, "probe_id", "pv", k = 10, params)
+      val cold = Hnsw.search(prepared, probes, "probe_id", "pv", k = 10,
+        params, residentKey = Some(key), prepared = true)
+      assert(plain.exceptAll(cold).isEmpty && cold.exceptAll(plain).isEmpty,
+        "cold resident search must equal the plain path")
+      // second run hits the resident graphs (rows drained, no decode)
+      val warm = Hnsw.search(prepared, probes, "probe_id", "pv", k = 10,
+        params, residentKey = Some(key), prepared = true)
+      assert(plain.exceptAll(warm).isEmpty && warm.exceptAll(plain).isEmpty,
+        "warm resident search must equal the plain path")
+      Hnsw.clearResident(key)
+      val after = Hnsw.search(prepared, probes, "probe_id", "pv", k = 10,
+        params, residentKey = Some(key), prepared = true)
+      assert(plain.exceptAll(after).isEmpty && after.exceptAll(plain).isEmpty,
+        "post-clear search must rebuild and still match")
+    } finally { prepared.unpersist(); () }
+  }
+
   test("partitioning invariance: input layout does not change the graph") {
     val a = Hnsw.build(embeddings, "vec_id", "embedding", shards = 3, params)
     val b = Hnsw.build(embeddings.repartition(13), "vec_id", "embedding",
