@@ -396,6 +396,35 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/weights")
   }
 
+  // ---- softmax language-ID model ------------------------------------
+
+  /** [[LangId.Model]]: the L·(B+1) weight matrix as a (l, b, w) parquet
+    * table (b = −1 is the bias row, the logreg convention), label list +
+    * bucket count in meta — the broadcastable model an incremental
+    * crawl-labeling job loads (the [[writeLogreg]] serving discipline,
+    * multiclass). */
+  def writeLangid(model: LangId.Model, dir: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    writeMeta(dir, "kind" -> "langid", "buckets" -> model.buckets,
+      "labels" -> model.labels.mkString(","))
+    model.weights.toSeq.zipWithIndex.flatMap { case (wv, l) =>
+      wv.toSeq.zipWithIndex.map { case (w, i) => (l, i.toLong - 1L, w) }
+    }.toDF("l", "b", "w").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/weights")
+  }
+
+  def loadLangid(spark: SparkSession, dir: String): LangId.Model = {
+    val m = requireKind(dir, "langid")
+    val labels = m.get("labels").asText().split(",").toSeq
+    val buckets = m.get("buckets").asInt()
+    val rows = spark.read.parquet(s"$dir/weights").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val w = Array.fill(labels.size)(Array.fill(buckets + 1)(0.0))
+    rows.foreach { case (l, b, wv) => w(l)((b + 1L).toInt) = wv }
+    LangId.Model(labels, buckets, w)
+  }
+
   def loadLogreg(spark: SparkSession, dir: String): QualityClassifier.LogisticModel = {
     val m = requireKind(dir, "logreg")
     val w = spark.read.parquet(s"$dir/weights").collect()

@@ -1,0 +1,160 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained language identification — the fastText langid architecture
+  * (Joulin et al. 2016, arXiv:1607.01759: a linear model over hashed
+  * bag-of-n-gram features with a softmax output layer, which IS what
+  * fasttext's published lid.176 model runs) replacing the T1 marker-word
+  * toy: instead of five hand-picked stopword lists, the classifier is
+  * TRAINED one softmax over the corpus's own `lang` labels, so any
+  * language the corpus labels becomes identifiable without curating
+  * marker lists, and confidence comes from a calibrated probability
+  * rather than marker-hit counts.
+  *
+  * Model: multinomial (softmax) logistic regression over
+  * [[QualityClassifier.features]]'s hashed, count-normalized
+  * unigram+bigram buckets — the one-vs-rest machinery T18 built, upgraded
+  * to a shared-feature multiclass trainer: the feature table is built and
+  * checkpointed ONCE and every label's weights train against it jointly,
+  * instead of L independent binary runs re-shuffling the corpus L times.
+  *
+  * Scale shape (100 TB): one corpus exchange total (the feature build,
+  * hash-partitioned by document, localCheckpoint'd). Per iteration:
+  * broadcast the (L·(B+1))-row weight table onto the features (map-side;
+  * L = #languages, a few dozen at most), margin sums and the softmax
+  * normalization all group/join on the partitioning key (no exchange),
+  * and one map-side-combined exchange reduces to the L·(B+1)-row
+  * gradient. Driver state: L·(B+1) doubles.
+  *
+  * Float discipline (the [[QualityClassifier]] contract, multiclass):
+  * margins are DECIMAL sums of 9-dp-rounded terms, the softmax
+  * normalizer is a decimal sum of 9-dp-rounded exp terms with a
+  * max-margin shift (log-sum-exp — overflow-free), errors and gradient
+  * terms are 9-dp-rounded before exact decimal summation, weights
+  * re-round to 9 dp after each driver update. The run is a pure function
+  * of the corpus — any partitioning, any cluster — and LangIdSpec pins it
+  * weight-for-weight against an independent single-node reference.
+  */
+object LangId {
+
+  /** Trained model: `labels` sorted ascending; `weights(l)` is the
+    * (B+1)-vector for label l with index 0 = bias (bucket −1). */
+  final case class Model(labels: Seq[String], buckets: Int,
+      weights: Array[Array[Double]])
+
+  private def r9(c: Column): Column = round(c, 9).cast("decimal(24,9)")
+
+  private def round9(v: Double): Double =
+    BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Weight table (lbl, bucket, w) for broadcast — bias rides at
+    * bucket −1, the intercept-feature convention. */
+  private def weightDf(model: Model): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    model.weights.toSeq.zipWithIndex.flatMap { case (wv, l) =>
+      wv.toSeq.zipWithIndex.map { case (w, i) => (l, i.toLong - 1L, w) }
+    }.toDF("__l", "__bkt", "__w")
+  }
+
+  /** Train the softmax classifier on `labelCol` (any string labels; the
+    * label universe is the distinct set, sorted — bounded by the number
+    * of languages, a driver-side scalar list). */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 512, iters: Int = 10,
+      lr: Double = 4.0): Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(iters > 0 && buckets > 0, "iters and buckets must be positive")
+    val labels = docs.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(labels.nonEmpty, "no labels")
+    val nL = labels.size
+    val labelArr = array(labels.map(lit): _*)
+    // one corpus shuffle: features + intercept rows, partitioned by doc
+    val feat = QualityClassifier.features(
+        docs.select(col(idCol), col(textCol),
+          col(labelCol).cast("string").as("__lang")),
+        idCol, textCol, buckets, extra = Seq("__lang"), intercept = true)
+      .repartition(col(idCol))
+      .localCheckpoint(eager = true)
+    val n = feat.filter(col("__bkt") === -1L).count()
+    require(n > 0, "training corpus is empty")
+    val dim = buckets + 1
+    var w = Array.fill(nL)(Array.fill(dim)(0.0))
+    for (_ <- 0 until iters) {
+      val wDf = weightDf(Model(labels, buckets, w))
+      // margins per (doc, label): the feature join fans each feature row
+      // out L ways — the fastText output layer. The L margins then fold
+      // into ONE bounded array per doc (L = #languages), so max-shift,
+      // softmax normalizer, and errors are higher-order functions over
+      // that array in the same projection — the margins subtree runs
+      // once per iteration, not once per softmax stage, and everything
+      // up to the gradient reduce stays on the doc partitioning key
+      // with no exchange.
+      val err = feat.join(broadcast(wDf), Seq("__bkt"))
+        .groupBy(col(idCol), col("__lang"), col("__l"))
+        .agg(sum(r9(col("__x").cast("double") * col("__w"))).as("__m"))
+        .groupBy(col(idCol), col("__lang"))
+        .agg(array_sort(collect_list(struct(col("__l"), col("__m"))))
+          .as("__lm"))
+        .withColumn("__mx",
+          array_max(transform(col("__lm"), x => x.getField("__m"))))
+        .withColumn("__em", transform(col("__lm"),
+          x => exp((x.getField("__m") - col("__mx")).cast("double"))))
+        // decimal-exact normalizer: order-independent by exactness (the
+        // fold runs in label order anyway — array_sort pinned it)
+        .withColumn("__z", aggregate(col("__em"),
+          lit(0).cast("decimal(34,9)"),
+          (a, e) => (a + r9(e)).cast("decimal(34,9)")))
+        .select(col(idCol), col("__lang"), col("__z"),
+          posexplode(col("__em")).as(Seq("__l", "__emv")))
+        .select(col(idCol), col("__l"),
+          r9(col("__emv") / col("__z").cast("double") -
+            when(col("__lang") === element_at(labelArr, col("__l") + 1), 1.0)
+              .otherwise(0.0)).as("__e"))
+      val grad = feat.join(err, Seq(idCol))
+        .groupBy(col("__bkt"), col("__l"))
+        .agg(sum(r9(col("__e").cast("double") * col("__x").cast("double")))
+          .as("__g"))
+        .collect()
+        .map(r => (r.getInt(1), r.getLong(0)) -> r.getDecimal(2).doubleValue())
+        .toMap
+      w = Array.tabulate(nL) { l =>
+        Array.tabulate(dim) { i =>
+          val g = grad.getOrElse((l, i.toLong - 1L), 0.0) / n
+          round9(w(l)(i) - lr * g)
+        }
+      }
+    }
+    Model(labels, buckets, w)
+  }
+
+  /** Predict the argmax label per document: (idCol, pred) — margins are
+    * 9-dp decimal sums (cross-engine stable), ties break to the
+    * lexicographically smallest label. One feature exchange; the weight
+    * table broadcasts. */
+  def predict(model: Model, docs: DataFrame, idCol: String,
+      textCol: String, out: String = "pred_lang"): DataFrame = {
+    val labelArr = array(model.labels.map(lit): _*)
+    QualityClassifier.features(docs, idCol, textCol, model.buckets,
+        intercept = true)
+      .join(broadcast(weightDf(model)), Seq("__bkt"))
+      .groupBy(col(idCol), col("__l"))
+      .agg(sum(r9(col("__x").cast("double") * col("__w"))).as("__m"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__m")).as("__nm"), col("__l"))).as("__best"))
+      .select(col(idCol),
+        element_at(labelArr, col("__best.__l") + 1).as(out))
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  /** Session-scoped train-once memo (the [[QualityClassifier.cached]]
+    * lifecycle): rep 1 pays training, reps 2+ price scoring. */
+  def cached(key: String)(build: => Model): Model =
+    cache.computeIfAbsent(key, _ => build)
+}

@@ -89,5 +89,73 @@ object Round10Queries {
       minHits = 2.0)
   }, Some(PipelineQueries.annContractSql))
 
-  val all: Seq[GQuery] = Seq(q226, q227)
+  /** Shared train-once memo for the q228 pair: softmax langid fitted on
+    * the corpus's own lang labels, stored and reloaded through
+    * [[graft.ext.IndexStore]] kind=langid so the serving entry scores
+    * with the DURABLE model (the q193_build/q193 lifecycle). */
+  private def langidModel(s: SparkSession, d: String): graft.ext.LangId.Model =
+    graft.ext.LangId.cached(s.sparkContext.applicationId + ":langid:" + d) {
+      // bounded labeled slice (deterministic): langid models train on a
+      // labeled subset, never the whole corpus — the T17/T18 ≤10⁴-row
+      // model convention; serving scores every document
+      val docs = t(s, d, "documents").where(col("doc_id") < 500)
+      val m = graft.ext.LangId.train(docs, "doc_id", "text", "lang",
+        buckets = 512, iters = 10, lr = 4.0)
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/langid_${math.abs(d.hashCode)}"
+      graft.ext.IndexStore.writeLangid(m, dir)
+      graft.ext.IndexStore.loadLangid(s, dir)
+    }
+
+  /** Q228_BUILD (T1′ fit, priced and gated alone): the softmax language
+    * classifier trained in-engine ([[graft.ext.LangId.train]] — the
+    * fastText langid architecture over T18's hashed-n-gram features),
+    * stored/reloaded kind=langid, summarized by invariants the oracle
+    * recomputes from the corpus alone: label universe size, weight-matrix
+    * row count (L·(B+1) at B=512), corpus size. */
+  val q228b = GQuery("q228_build", (s, d) => {
+    val m = langidModel(s, d)
+    val nDocs = t(s, d, "documents").count()
+    import s.implicits._
+    Seq((m.labels.size.toLong, m.labels.size * (m.buckets + 1).toLong, nDocs))
+      .toDF("n_labels", "weight_rows", "n_docs")
+  },
+    Some("""SELECT
+           |  (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+           |   FROM documents WHERE doc_id < 500) AS n_labels,
+           |  (SELECT CAST(count(DISTINCT lang) * 513 AS BIGINT)
+           |   FROM documents WHERE doc_id < 500) AS weight_rows,
+           |  CAST(count(*) AS BIGINT) AS n_docs FROM documents""".stripMargin))
+
+  /** Q228 (T1′, trained language-ID serving): the marker-word heuristic
+    * (q32, kept as the cheap map-only tier) upgraded to the TRAINED
+    * classifier — per-document argmax softmax prediction from the stored
+    * model, reported as a confusion matrix against the corpus label with
+    * an in-artifact agreement count vs the q32 heuristic. Iterative
+    * training is not SQL-expressible → DECLARED rows-only (the
+    * q193/q185/q168 class); LangIdSpec pins the trainer weight-for-weight
+    * against an independent single-node softmax reference, and
+    * determinism (decimal sums + 9-dp rounding) hash-stabilizes the
+    * rows-only check. Accuracy caveat, stated where the artifact reader
+    * will look: the driver corpus's `lang` label is INDEPENDENT of its
+    * text (every language draws from one shared vocabulary — the q32
+    * caveat), so the Bayes optimum here is the majority class and the
+    * confusion matrix shows exactly that; the spec's disjoint-vocab
+    * corpus is where learning is provable (perfect separation). */
+  val q228 = GQuery("q228_langid_trained", (s, d) => {
+    import graft.ext.{LangId, TextAnalysis}
+    val docs = t(s, d, "documents")
+    val preds = LangId.predict(langidModel(s, d),
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("__heur"))
+      .join(preds, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pred_lang") === col("__heur"), 1L).otherwise(0L))
+          .as("heur_agree"))
+      .orderBy("lang", "pred_lang")
+  }, None)
+
+  val all: Seq[GQuery] = Seq(q226, q227, q228b, q228)
 }

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** LangId contracts — the q193/q185 class (iterative training is not
+  * SQL-expressible, so correctness is pinned here): (1) weight-for-weight
+  * equality against an INDEPENDENT single-node softmax reference (plain
+  * Scala + MessageDigest md5 + BigDecimal sums — no Spark), (2) it
+  * actually separates languages, (3) partition invariance (the
+  * decimal-sum discipline), (4) kind=langid store round-trip. */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- independent single-node reference ----------------------------
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bkt(ng: String, b: Int): Long =
+    java.lang.Long.parseLong(md5hex(ng).take(8), 16) % b
+
+  private def ngrams(text: String): Seq[String] = {
+    val ws = text.trim.toLowerCase.split("\\s+").toSeq
+    ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  private def round9(v: Double): Double =
+    BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Reference trainer: the same softmax recipe, no Spark. Weight maps
+    * keyed (label idx, bucket) with bucket −1 = bias; every sum is a
+    * BigDecimal sum of 9-dp-rounded terms — the exact arithmetic the
+    * engine's DECIMAL(24,9) sums perform. */
+  private def refTrain(docs: Seq[(Long, String, String)], labels: Seq[String],
+      b: Int, iters: Int, lr: Double): Array[Array[Double]] = {
+    val feats = docs.map { case (_, lang, txt) =>
+      val ngs = ngrams(txt)
+      val n = ngs.size
+      val m = ngs.groupBy(ng => bkt(ng, b)).map { case (k, g) =>
+        k -> round9(g.size.toDouble / n)
+      } + (-1L -> 1.0)
+      (lang, m)
+    }
+    val n = docs.size
+    val nL = labels.size
+    var w = Array.fill(nL)(Array.fill(b + 1)(0.0))
+    def wAt(l: Int, k: Long): Double = w(l)((k + 1L).toInt)
+    for (_ <- 0 until iters) {
+      val errs = feats.map { case (lang, m) =>
+        val margins = (0 until nL).map { l =>
+          m.toSeq.map { case (k, x) =>
+            BigDecimal(round9(x * wAt(l, k))).setScale(9)
+          }.sum
+        }
+        val mx = margins.max
+        val ems = margins.map(mm => math.exp((mm - mx).toDouble))
+        val z = ems.map(e => BigDecimal(round9(e)).setScale(9)).sum.toDouble
+        val es = (0 until nL).map { l =>
+          round9(ems(l) / z - (if (labels(l) == lang) 1.0 else 0.0))
+        }
+        (es, m)
+      }
+      val grad = errs.flatMap { case (es, m) =>
+        for (l <- 0 until nL; (k, x) <- m.toSeq)
+          yield (l, k) -> BigDecimal(round9(es(l) * x)).setScale(9)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+      w = Array.tabulate(nL) { l =>
+        Array.tabulate(b + 1) { i =>
+          val g = grad.getOrElse((l, i.toLong - 1L), 0.0) / n
+          round9(wAt(l, i.toLong - 1L) - lr * g)
+        }
+      }
+    }
+    w
+  }
+
+  private val vocab = Map(
+    "aa" -> Vector("spark", "shuffle", "plan", "codegen", "broadcast", "join"),
+    "bb" -> Vector("llama", "gazebo", "umbrella", "walrus", "trombone", "yoga"),
+    "cc" -> Vector("fjord", "glacier", "tundra", "aurora", "moraine", "skerry"))
+
+  private def doc(lang: String, seed: Int, n: Int): String =
+    (0 until n).map(i => vocab(lang)((i * 7 + seed * 13) % 6)).mkString(" ")
+
+  private val corpus: Seq[(Long, String, String)] =
+    (0 until 45).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      (i.toLong, lang, doc(lang, i, 14))
+    }
+
+  private def corpusDf = corpus.toDF("id", "lang", "text")
+
+  test("train matches the single-node softmax reference weight-for-weight") {
+    val got = LangId.train(corpusDf, "id", "text", "lang",
+      buckets = 64, iters = 4, lr = 3.0)
+    assert(got.labels == Seq("aa", "bb", "cc"))
+    val ref = refTrain(corpus, got.labels, 64, 4, 3.0)
+    for (l <- got.labels.indices) {
+      val diffs = got.weights(l).zip(ref(l)).zipWithIndex
+        .filter { case ((a, e), _) => a != e }
+      assert(diffs.isEmpty,
+        s"label ${got.labels(l)}: ${diffs.size} mismatches, first ${diffs.headOption}")
+    }
+  }
+
+  test("separable languages classify perfectly") {
+    val model = LangId.train(corpusDf, "id", "text", "lang",
+      buckets = 128, iters = 12, lr = 5.0)
+    val preds = LangId.predict(model, corpusDf, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val correct = corpus.count { case (id, lang, _) => preds(id) == lang }
+    assert(correct == corpus.size,
+      s"accuracy ${correct.toDouble / corpus.size}")
+  }
+
+  test("training is partition-invariant (decimal sums)") {
+    def run(parts: Int) = LangId.train(corpusDf.repartition(parts),
+      "id", "text", "lang", buckets = 64, iters = 3, lr = 3.0)
+    val (a, b) = (run(1), run(7))
+    assert(a.labels == b.labels)
+    for (l <- a.labels.indices)
+      assert(a.weights(l).sameElements(b.weights(l)), a.labels(l))
+  }
+
+  test("stored model round-trips bit-for-bit (IndexStore kind=langid)") {
+    val model = LangId.train(corpusDf, "id", "text", "lang",
+      buckets = 64, iters = 3, lr = 3.0)
+    val dir = java.nio.file.Files.createTempDirectory("langid-idx").toString
+    IndexStore.writeLangid(model, dir)
+    val loaded = IndexStore.loadLangid(spark, dir)
+    assert(loaded.labels == model.labels && loaded.buckets == model.buckets)
+    for (l <- model.labels.indices)
+      assert(loaded.weights(l).sameElements(model.weights(l)))
+    val a = LangId.predict(model, corpusDf, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val b = LangId.predict(loaded, corpusDf, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadLogreg(spark, dir)
+    }
+    assert(e.getMessage.contains("langid") && e.getMessage.contains("logreg"))
+  }
+}
