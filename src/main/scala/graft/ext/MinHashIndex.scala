@@ -91,28 +91,27 @@ object MinHashIndex {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Streaming form of [[probe]] (ST14 — see
-    * [[graft.streaming.StreamNearDup]] for the serving contract): the
-    * stream side is map-only (per-row shingles → signature → band keys,
-    * all `SketchExprs` native loops, the explode carrying the shingle
-    * set along), candidates come from a stream-static equi-join on the
-    * persisted band table, and the exact verify joins the persisted
-    * shingle table — no streaming state in this stage at all, so it
-    * runs in append mode under any watermark the caller sets upstream.
-    * A pair matching in b bands is emitted b times (exactly-once needs
-    * keyed state — the caller's `dropDuplicatesWithinWatermark` layer).
-    * Output: (id_a = corpus doc, id_b = stream doc, ts, jaccard). */
-  def probeStream(index: Index, stream: DataFrame, idCol: String,
-      textCol: String, tsCol: String, threshold: Double): DataFrame = {
-    val sh = TextPrep.stagedShingles(
-        stream.select(col(idCol).as("__sid"), col(tsCol).as("ts"),
-            col(textCol).as("__text"))
-          .filter(size(TextPrep.tokens(col("__text"))) >= index.shingleK),
-        "__text", index.shingleK, "sh")
-      .select(col("__sid"), col("ts"), col("sh"))
-    val withBands = sh
-      .withColumn("hs", TextPrep.baseHashes(col("sh")))
-      .select(col("__sid"), col("ts"), col("sh"),
+  /** Candidate (corpus, stream) pairs for the streaming probe (ST14):
+    * the stream side is map-only (per-row shingles → signature → band
+    * keys, all `SketchExprs` native loops), candidates come from a
+    * stream-static equi-join on the persisted band table — no streaming
+    * state, append-legal under any upstream watermark. A pair colliding
+    * in b bands surfaces b times. Rows carry the stream doc's TEXT, not
+    * its shingle set — text is ~k× smaller than the k-shingle array it
+    * expands to, and this projection is duplicated through the ×bands
+    * explode and shuffled by any downstream dedup, so the verify stage
+    * re-derives shingles (a cheap per-row native expression) AFTER the
+    * fan-out instead. Output: (id_a, __sid, ts, __text). */
+  private[graft] def candidateStream(index: Index, stream: DataFrame,
+      idCol: String, textCol: String, tsCol: String): DataFrame = {
+    val base = stream
+      .select(col(idCol).as("__sid"), col(tsCol).as("ts"),
+        col(textCol).as("__text"))
+      .filter(size(TextPrep.tokens(col("__text"))) >= index.shingleK)
+    val withBands = TextPrep
+      .stagedShingles(base, "__text", index.shingleK, "__sh0")
+      .withColumn("hs", TextPrep.baseHashes(col("__sh0")))
+      .select(col("__sid"), col("ts"), col("__text"),
         posexplode(SketchExprs.lshBands(
           SketchExprs.minHashSig(col("hs"), index.numHashes),
           index.numBands, index.numHashes / index.numBands))
@@ -121,12 +120,32 @@ object MinHashIndex {
       .join(index.bands.select(col("band_id"), col("band_key"),
         col("doc_id").as("id_a")), Seq("band_id", "band_key"))
       .where(col("id_a") =!= col("__sid"))
+      .select(col("id_a"), col("__sid"), col("ts"), col("__text"))
+  }
+
+  /** Exact-Jaccard verification of [[candidateStream]] rows against the
+    * persisted shingle table — a stream-static clustered lookup, zero
+    * streaming state. Output: (id_a, id_b, ts, jaccard ≥ threshold). */
+  private[graft] def verifyStream(index: Index, cand: DataFrame,
+      threshold: Double): DataFrame =
+    TextPrep.stagedShingles(cand, "__text", index.shingleK, "__sh")
       .join(index.shingles.select(col("doc_id").as("id_a"),
         col("sh").as("sh_a")), Seq("id_a"))
       .select(col("id_a"), col("__sid").as("id_b"), col("ts"),
-        round(TextPrep.jaccard(col("sh_a"), col("sh")), 6).as("jaccard"))
+        round(TextPrep.jaccard(col("sh_a"), col("__sh")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
+
+  /** Streaming form of [[probe]] (ST14 — see
+    * [[graft.streaming.StreamNearDup]] for the serving contract):
+    * [[candidateStream]] verified by [[verifyStream]] with nothing in
+    * between — at-least-once per colliding band (exactly-once needs
+    * keyed state; [[graft.streaming.StreamNearDup.dedupedPairs]] puts
+    * that dedup BETWEEN the two stages so each pair verifies once).
+    * Output: (id_a = corpus doc, id_b = stream doc, ts, jaccard). */
+  def probeStream(index: Index, stream: DataFrame, idCol: String,
+      textCol: String, tsCol: String, threshold: Double): DataFrame =
+    verifyStream(index,
+      candidateStream(index, stream, idCol, textCol, tsCol), threshold)
 
   /** Release the index's cluster-side state. */
   def drop(index: Index): Unit = {

@@ -22,9 +22,14 @@ import graft.ext.MinHashIndex
   *     carry ZERO streaming state, and the corpus is never rescanned
   *     per micro-batch beyond those index lookups;
   *   - [[pairs]] is at-least-once (a pair colliding in b bands surfaces
-  *     b times); [[dedupedPairs]] layers
-  *     `dropDuplicatesWithinWatermark(id_a, id_b)` on top — the only
-  *     stateful stage, keyed per pair, state evicted by the watermark
+  *     b times); [[dedupedPairs]] puts
+  *     `dropDuplicatesWithinWatermark(id_a, id_b)` BETWEEN the candidate
+  *     join and the exact-Jaccard verify (the ST16 discipline: dedup
+  *     sits before the expensive stage, so each candidate pair fetches
+  *     corpus shingles and verifies ONCE, not once per colliding band)
+  *     — the only stateful stage, keyed per CANDIDATE pair (a superset
+  *     of emitted pairs: below-threshold candidates hold a key too),
+  *     state evicted by the watermark
   *     (the `EventsStream.dedupWithinWatermark` contract).
   *
   * Output: (id_a = corpus doc, id_b = stream doc, ts, jaccard ≥
@@ -39,11 +44,15 @@ object StreamNearDup {
       textCol: String, tsCol: String, threshold: Double): DataFrame =
     MinHashIndex.probeStream(index, stream, idCol, textCol, tsCol, threshold)
 
-  /** [[pairs]] with exactly-once pair emission within the watermark. */
+  /** [[pairs]] with exactly-once pair emission within the watermark —
+    * the dedup keyed on the candidate pair BEFORE the verify, so band
+    * multiplicity never multiplies the shingle fetch + Jaccard work. */
   def dedupedPairs(index: MinHashIndex.Index, stream: DataFrame,
       idCol: String, textCol: String, tsCol: String, threshold: Double,
       watermark: String): DataFrame =
-    pairs(index, stream.withWatermark(tsCol, watermark),
-      idCol, textCol, tsCol, threshold)
-      .dropDuplicatesWithinWatermark("id_a", "id_b")
+    MinHashIndex.verifyStream(index,
+      MinHashIndex.candidateStream(index,
+          stream.withWatermark(tsCol, watermark), idCol, textCol, tsCol)
+        .dropDuplicatesWithinWatermark("id_a", "__sid"),
+      threshold)
 }

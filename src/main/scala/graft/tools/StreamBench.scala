@@ -1,0 +1,123 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.Tables
+import graft.ext.{Decontaminate, LshIndex, MinHashIndex}
+import graft.streaming.{StreamAnn, StreamDecontaminate, StreamNearDup}
+
+/** Streaming-serving throughput bench (ST14/ST15/ST16) — the BASELINE
+  * measurement harness, not a gate: replay the sf corpus through a
+  * micro-batched in-memory source against the PREBUILT static side
+  * (stored MinHash bands / shingle bloom / LSH buckets+vectors), drive
+  * each micro-batch to completion, report sustained rows/s and the
+  * stream-state row count (the state-size bound each operator's scaladoc
+  * declares: per-CANDIDATE-pair dedup keys for ST14/ST16 — both dedup
+  * before their expensive stage — ZERO for ST15's map-only bloom probe).
+  *
+  * Protocol: B micro-batches of the full corpus each, ids uniquified per
+  * (batch, row) and event time advancing one minute per batch inside a
+  * 10-minute watermark (state grows to its in-window bound — the honest
+  * shape). Steady rows/s excludes batch 1 (stream init + codegen).
+  * Usage: `StreamBench [sfDir] [batches]`.
+  */
+object StreamBench {
+
+  private def drive(tag: String, spark: org.apache.spark.sql.SparkSession,
+      feed: (Int, Timestamp) => Unit, out: DataFrame, batches: Int,
+      rowsPerBatch: Long): Unit = {
+    val q: StreamingQuery = out.writeStream.format("noop")
+      .outputMode("append").start()
+    try {
+      var steadyNanos = 0L
+      val t0 = System.nanoTime()
+      for (b <- 0 until batches) {
+        val tb = System.nanoTime()
+        feed(b, new Timestamp(1767225600000L + b * 60000L))
+        q.processAllAvailable()
+        if (b > 0) steadyNanos += System.nanoTime() - tb
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val steady = steadyNanos / 1e9
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      val total = batches * rowsPerBatch
+      println(f"[streambench] $tag rows=$total wall=$wall%.1fs " +
+        f"rows_s=${total / wall}%.0f " +
+        f"steady_rows_s=${(total - rowsPerBatch) / math.max(steady, 1e-9)}%.0f " +
+        s"state_rows=$stateRows")
+    } finally q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batches = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.GraftSession.local("graft-streambench")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).cache()
+    val docRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+    val embRows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    // ---- ST14: near-dup vs stored MinHash bands ----------------------
+    locally {
+      val index = MinHashIndex.build(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 128, numBands = 32)
+      try {
+        val mem = MemoryStream[(Long, Timestamp, String)]
+        val outDf = StreamNearDup.dedupedPairs(index,
+          mem.toDF().toDF("doc_id", "ts", "text"),
+          "doc_id", "text", "ts", threshold = 0.8, watermark = "10 minutes")
+        drive("st14_neardup", spark, (b, ts) =>
+          mem.addData(docRows.toSeq.zipWithIndex.map { case ((_, txt), i) =>
+            (1000000L + b.toLong * docRows.length + i, ts, txt)
+          }): Unit,
+          outDf, batches, docRows.length.toLong)
+      } finally MinHashIndex.drop(index)
+    }
+
+    // ---- ST15: bloom decontamination (zero state) --------------------
+    locally {
+      val test = docs.where(col("doc_id") < 100)
+      val bf = Decontaminate.buildShingleBloom(test, "doc_id", "text")
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val outDf = StreamDecontaminate.flags(bf,
+        mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+      drive("st15_decontaminate", spark, (b, ts) =>
+        mem.addData(docRows.toSeq.zipWithIndex.map { case ((_, txt), i) =>
+          (1000000L + b.toLong * docRows.length + i, ts, txt)
+        }): Unit,
+        outDf, batches, docRows.length.toLong)
+    }
+
+    // ---- ST16: ANN radius search vs stored LSH -----------------------
+    locally {
+      val index = LshIndex.build(emb, "vec_id", "embedding",
+        tables = 8, dim = 64)
+      try {
+        val mem = MemoryStream[(Long, Timestamp, Seq[Float])]
+        val outDf = StreamAnn.radius(index, emb,
+          mem.toDF().toDF("probe_id", "ts", "pv"),
+          "probe_id", "pv", "ts", "vec_id", "embedding",
+          minSim = 0.4, watermark = "10 minutes")
+        drive("st16_ann_radius", spark, (b, ts) =>
+          mem.addData(embRows.toSeq.zipWithIndex.map { case ((_, v), i) =>
+            (1000000L + b.toLong * embRows.length + i, ts, v)
+          }): Unit,
+          outDf, batches, embRows.length.toLong)
+      } finally LshIndex.drop(index)
+    }
+
+    spark.stop()
+  }
+}

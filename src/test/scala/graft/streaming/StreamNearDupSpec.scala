@@ -100,4 +100,29 @@ class StreamNearDupSpec extends SparkSpec {
       assert((rows.head.getLong(0), rows.head.getLong(1)) == ((2L, 100L)))
     } finally MinHashIndex.drop(index)
   }
+
+  test("plan shape: pair dedup sits below the shingle-fetch verify join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.catalyst.plans.logical.{DeduplicateWithinWatermark, Join}
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val index = MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 128, numBands = 32)
+    try {
+      val df = StreamNearDup.dedupedPairs(index,
+        MemoryStream[(Long, Timestamp, String)].toDF()
+          .toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", threshold = 0.5, watermark = "10 minutes")
+      val plan = df.queryExecution.analyzed
+      val dedups = plan.collect { case d: DeduplicateWithinWatermark => d }
+      assert(dedups.size == 1, s"expected one dedup stage, got ${dedups.size}")
+      val joinsBelowDedup = dedups.head.collect { case j: Join => j }.size
+      val joinsTotal = plan.collect { case j: Join => j }.size
+      // band join below the dedup, shingle-fetch verify join above it:
+      // a pair colliding in b bands must verify once, not b times
+      assert(joinsBelowDedup == 1 && joinsTotal == 2,
+        s"dedup must sit between the band join and the verify join " +
+          s"(below=$joinsBelowDedup total=$joinsTotal)")
+    } finally MinHashIndex.drop(index)
+  }
 }
