@@ -349,18 +349,30 @@ object Hnsw {
     spark.createDataFrame(rows, graphSchema)
   }
 
-  /** JVM-lifetime resident shard graphs, keyed by (serving key, shard).
-    * An executor that has served a shard once keeps its decoded graph in
-    * heap and skips per-query parquet-row decoding + adjacency rebuild —
-    * the RAM-resident serving shape every production vector store runs.
-    * On a cluster each executor accumulates only the shards its tasks
-    * see; a task landing on a cold executor falls back to the decode
-    * path and warms it. The caller owns key hygiene: key must change
-    * when the index content changes ([[clearResident]] to release). */
-  private val resident = new ConcurrentHashMap[(String, Int), ShardGraph]()
+  /** Resident shard graphs, keyed by (serving key, shard), PER JVM —
+    * on a cluster every executor holds its own map with only the shards
+    * its tasks have served; a task landing on a cold executor falls back
+    * to the decode path and warms it. Bounded LRU (`graft.hnsw
+    * .residentMax` system property, default 64 shard graphs): entries
+    * under retired keys — key MUST change whenever the index content
+    * changes — age out under access pressure instead of accumulating
+    * heap for the JVM lifetime, which is what makes per-content keying
+    * safe without a cluster-wide release primitive. */
+  private val residentMax: Int =
+    sys.props.get("graft.hnsw.residentMax").map(_.toInt).getOrElse(64)
+  private val resident =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Int), ShardGraph](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int), ShardGraph]): Boolean =
+          size() > residentMax
+      })
 
-  /** Release every resident shard graph registered under `key`. */
-  def clearResident(key: String): Unit = {
+  /** Release every resident shard graph registered under `key` in THIS
+    * JVM — a local-mode/test helper (and driver-side no-op on a
+    * cluster, where executor maps release via the LRU bound; stale keys
+    * are never READ again because content keys never repeat). */
+  def clearResident(key: String): Unit = resident.synchronized {
     val it = resident.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == key) it.remove()
   }
@@ -387,12 +399,13 @@ object Hnsw {
     * ([[prepareServing]], typically persisted) and skips the internal
     * repartition — the per-query shuffle of the whole graph table, the
     * dominant steady-state cost. `residentKey` additionally pins each
-    * decoded shard graph in executor heap, so warm queries skip row
-    * decoding + adjacency rebuild entirely (rows are drained by reading
-    * only the shard_id column). Task memory: one shard's graph at a
-    * time on the cold path, plus whatever this key has pinned — sized
-    * by the shards this executor serves, which is the deliberate
-    * residency contract, not an accident. */
+    * decoded shard graph in executor heap (bounded LRU — see
+    * [[clearResident]]), so warm queries skip per-row array decoding +
+    * adjacency rebuild; the cached-block scan itself remains, as the
+    * fault-tolerance floor (any task can rebuild its shard from the
+    * rows it scans). Task memory: one shard's graph at a time on the
+    * cold path, plus what the LRU has pinned — sized by the shards this
+    * executor serves, capped at `residentMax`. */
   def search(graph: DataFrame, probes: DataFrame, probeIdCol: String,
       probeVecCol: String, k: Int, params: Params = Params(),
       outIdCol: String = "vec_id", residentKey: Option[String] = None,
@@ -429,7 +442,11 @@ object Hnsw {
             built
           }
           if (warm.isDefined) {
-            // drain this shard's rows touching ONLY the shard_id column
+            // drain this shard's remaining rows: skips the per-row array
+            // decode + adjacency rebuild (the dominant cold cost), NOT
+            // the scan itself — the persisted serving table's cached
+            // blocks are still read, which is the fault-tolerance price
+            // (any task can rebuild a shard from the rows it scans)
             while (it.hasNext && it.head.getInt(0) == shard) it.next()
           }
           probeList.iterator.flatMap { case (pid, pv) =>

@@ -45,6 +45,8 @@ object IndexStore {
       case (k, v: Long)   => n.put(k, v)
       case (k, v: Double) => n.put(k, v)
       case (k, v: String) => n.put(k, v)
+      case (k, v: Seq[_]) =>
+        val arr = n.putArray(k); v.foreach(x => arr.add(String.valueOf(x))); ()
       case (k, v)         => n.put(k, String.valueOf(v))
     }
     Files.createDirectories(Paths.get(dir))
@@ -327,7 +329,7 @@ object IndexStore {
     val spark = increment.sparkSession
     val codebooks = pinLocal(spark.read.parquet(s"$dir/codebooks"))
     val mSub = m.get("m").asInt()
-    val dim = mSub * codebooks.select(size(col("cv"))).head().getInt(0)
+    val dim = Pq.dimOf(codebooks, mSub)
     Pq.encode(increment, idCol, vecCol, codebooks, mSub, dim)
       .write.mode(SaveMode.Append).parquet(s"$dir/codes")
   }
@@ -407,16 +409,17 @@ object IndexStore {
     val spark = SparkSession.active
     import spark.implicits._
     writeMeta(dir, "kind" -> "langid", "buckets" -> model.buckets,
-      "labels" -> model.labels.mkString(","))
-    model.weights.toSeq.zipWithIndex.flatMap { case (wv, l) =>
-      wv.toSeq.zipWithIndex.map { case (w, i) => (l, i.toLong - 1L, w) }
-    }.toDF("l", "b", "w").coalesce(1)
+      "labels" -> model.labels) // JSON array: labels may contain any char
+    LangId.weightRows(model).toDF("l", "b", "w").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/weights")
   }
 
   def loadLangid(spark: SparkSession, dir: String): LangId.Model = {
     val m = requireKind(dir, "langid")
-    val labels = m.get("labels").asText().split(",").toSeq
+    val ln = m.get("labels")
+    val labels =
+      if (ln.isArray) (0 until ln.size).map(i => ln.get(i).asText()).toSeq
+      else ln.asText().split(",").toSeq // legacy comma-joined meta
     val buckets = m.get("buckets").asInt()
     val rows = spark.read.parquet(s"$dir/weights").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

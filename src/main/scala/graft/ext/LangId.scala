@@ -49,14 +49,20 @@ object LangId {
   private def round9(v: Double): Double =
     BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Weight table (lbl, bucket, w) for broadcast — bias rides at
-    * bucket −1, the intercept-feature convention. */
+  /** The model's weight matrix flattened to (label idx, bucket, weight)
+    * rows — bias rides at bucket −1, the intercept-feature convention.
+    * The ONE source of the stored/broadcast layout ([[IndexStore
+    * .writeLangid]] persists exactly these rows). */
+  private[ext] def weightRows(model: Model): Seq[(Int, Long, Double)] =
+    model.weights.toSeq.zipWithIndex.flatMap { case (wv, l) =>
+      wv.toSeq.zipWithIndex.map { case (w, i) => (l, i.toLong - 1L, w) }
+    }
+
+  /** [[weightRows]] as a broadcastable DataFrame. */
   private def weightDf(model: Model): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    model.weights.toSeq.zipWithIndex.flatMap { case (wv, l) =>
-      wv.toSeq.zipWithIndex.map { case (w, i) => (l, i.toLong - 1L, w) }
-    }.toDF("__l", "__bkt", "__w")
+    weightRows(model).toDF("__l", "__bkt", "__w")
   }
 
   /** Train the softmax classifier on `labelCol` (any string labels; the
@@ -68,8 +74,11 @@ object LangId {
     val spark = docs.sparkSession
     import spark.implicits._
     require(iters > 0 && buckets > 0, "iters and buckets must be positive")
-    val labels = docs.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val rawLabels = docs.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(!rawLabels.contains(null),
+      s"$labelCol contains NULL labels — filter or impute before training")
+    val labels = rawLabels.sorted.toSeq
     require(labels.nonEmpty, "no labels")
     val nL = labels.size
     val labelArr = array(labels.map(lit): _*)

@@ -146,7 +146,7 @@ object Pq {
 
   /** Subspace width from the codebook itself (k-row metadata read, no
     * corpus job): dim = m · |cv|. */
-  private def dimOf(codebooks: DataFrame, m: Int): Int =
+  private[ext] def dimOf(codebooks: DataFrame, m: Int): Int =
     m * codebooks.select(size(col("cv"))).head().getInt(0)
 
   /** Per-probe ADC lookup table: lut[j·ksub + cid] = ⟨q_j, c_{j,cid}⟩,

@@ -35,11 +35,13 @@ object PrefixSum {
     *
     * `assertUniqueOrder = true` ENFORCES the unique-order precondition
     * inside the returned plan: the same window pass additionally computes
-    * the ROWS-frame running total, which diverges from the default
-    * RANGE-frame total exactly on order ties, and an `assert_true` filter
-    * fails the job loudly on the first tied row. Zero extra shuffles —
-    * both frames evaluate in the one WindowExec (same partition/order
-    * spec) — and the plan stays lazy: no job runs at construction time. */
+    * `rank()` and `row_number()`, which diverge exactly on order ties —
+    * independent of the size values (a ROWS-vs-RANGE running-total
+    * comparison misses ties among zero-size rows and spuriously fails on
+    * NULL sizes) — and an `assert_true` filter fails the job loudly on
+    * the first tied row. Zero extra shuffles — every window expression
+    * evaluates in the one WindowExec (same partition/order spec) — and
+    * the plan stays lazy: no job runs at construction time. */
   def exclusive(df: DataFrame, groupCol: String, orderCols: Seq[String],
       sizeCol: String, out: String, shards: Int = 0,
       assertUniqueOrder: Boolean = false): DataFrame = {
@@ -48,19 +50,19 @@ object PrefixSum {
     val tieMsg = lit("PrefixSum.exclusive requires a unique (" +
       orderCols.mkString(", ") + ") order per group: tied rows detected " +
       "(duplicate ids?)")
-    // RANGE vs ROWS running totals agree on every row iff the order is
-    // total; the assert filter references window outputs so it cannot be
-    // pushed below the WindowExec, and assert_true's null result keeps
-    // every row when the precondition holds.
-    def guarded(d: DataFrame, rowsTotal: Column): DataFrame =
+    // the assert filter references window outputs so it cannot be pushed
+    // below the WindowExec, and assert_true's null result keeps every row
+    // when the precondition holds
+    def guarded(d: DataFrame,
+        w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
       if (!assertUniqueOrder) d
-      else d.withColumn("__rowchk", rowsTotal - size)
-        .where(assert_true(col(out) === col("__rowchk"), tieMsg).isNull)
-        .drop("__rowchk")
+      else d.withColumn("__rkchk", rank().over(w))
+        .withColumn("__rnchk", row_number().over(w))
+        .where(assert_true(col("__rkchk") === col("__rnchk"), tieMsg).isNull)
+        .drop("__rkchk", "__rnchk")
     if (shards <= 0) {
       val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
-      guarded(df.withColumn(out, sum(size).over(w) - size),
-        sum(size).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      guarded(df.withColumn(out, sum(size).over(w) - size), w)
     } else {
       // localCheckpoint is load-bearing, not an optimization: `keyed`
       // feeds BOTH the offsets aggregate and the final join, and
@@ -87,11 +89,9 @@ object PrefixSum {
         .select(col(groupCol), col("__shard"), col("__off"))
       val wIn = Window.partitionBy(col(groupCol), col("__shard")).orderBy(order: _*)
       // ties always co-shard (range partitioning assigns equal keys to one
-      // partition), so the per-shard ROWS/RANGE comparison sees every tie
+      // partition), so the per-shard rank/row_number comparison sees every tie
       guarded(keyed.join(broadcast(offsets), Seq(groupCol, "__shard"))
-          .withColumn(out, col("__off") + sum(size).over(wIn) - size),
-        col("__off") + sum(size).over(
-          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn(out, col("__off") + sum(size).over(wIn) - size), wIn)
         .drop("__shard", "__off")
     }
   }

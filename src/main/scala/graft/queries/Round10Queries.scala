@@ -147,9 +147,12 @@ object Round10Queries {
     val docs = t(s, d, "documents")
     val preds = LangId.predict(langidModel(s, d),
       docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    // LEFT join: a doc with no feature rows (empty/NULL text) gets no
+    // prediction — it must surface as a (lang, NULL) confusion row, not
+    // silently vanish from the matrix
     docs.select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("__heur"))
-      .join(preds, Seq("doc_id"))
+      .join(preds, Seq("doc_id"), "left")
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("pred_lang") === col("__heur"), 1L).otherwise(0L))

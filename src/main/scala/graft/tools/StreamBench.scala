@@ -23,7 +23,9 @@ import graft.streaming.{StreamAnn, StreamDecontaminate, StreamNearDup}
   * (batch, row) and event time advancing one minute per batch inside a
   * 10-minute watermark (state grows to its in-window bound — the honest
   * shape). Steady rows/s excludes batch 1 (stream init + codegen).
-  * Usage: `StreamBench [sfDir] [batches]`.
+  * Usage: `StreamBench [sfDir] [batches] [st14,st15,st16]` — the third
+  * arg selects operators for scaled runs (st16's candidate population
+  * grows with corpus × probes; pick batches accordingly).
   */
 object StreamBench {
 
@@ -56,6 +58,8 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batches = args.lift(1).map(_.toInt).getOrElse(10)
+    val which = args.lift(2).map(_.split(",").toSet)
+      .getOrElse(Set("st14", "st15", "st16"))
     val spark = graft.GraftSession.local("graft-streambench")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -65,12 +69,17 @@ object StreamBench {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).cache()
     val docRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    // stream ids start past the corpus id space: a synthetic id equal to
+    // a real corpus id would trip the self-pair guard and silently drop
+    // genuine candidate pairs from the measurement
+    val docBase = docRows.map(_._1).max + 1L
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).cache()
     val embRows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val embBase = embRows.map(_._1).max + 1L
 
     // ---- ST14: near-dup vs stored MinHash bands ----------------------
-    locally {
+    if (which("st14")) {
       val index = MinHashIndex.build(docs, "doc_id", "text",
         shingleK = 5, numHashes = 128, numBands = 32)
       try {
@@ -80,14 +89,14 @@ object StreamBench {
           "doc_id", "text", "ts", threshold = 0.8, watermark = "10 minutes")
         drive("st14_neardup", spark, (b, ts) =>
           mem.addData(docRows.toSeq.zipWithIndex.map { case ((_, txt), i) =>
-            (1000000L + b.toLong * docRows.length + i, ts, txt)
+            (docBase + b.toLong * docRows.length + i, ts, txt)
           }): Unit,
           outDf, batches, docRows.length.toLong)
       } finally MinHashIndex.drop(index)
     }
 
     // ---- ST15: bloom decontamination (zero state) --------------------
-    locally {
+    if (which("st15")) {
       val test = docs.where(col("doc_id") < 100)
       val bf = Decontaminate.buildShingleBloom(test, "doc_id", "text")
       val mem = MemoryStream[(Long, Timestamp, String)]
@@ -95,13 +104,13 @@ object StreamBench {
         mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
       drive("st15_decontaminate", spark, (b, ts) =>
         mem.addData(docRows.toSeq.zipWithIndex.map { case ((_, txt), i) =>
-          (1000000L + b.toLong * docRows.length + i, ts, txt)
+          (docBase + b.toLong * docRows.length + i, ts, txt)
         }): Unit,
         outDf, batches, docRows.length.toLong)
     }
 
     // ---- ST16: ANN radius search vs stored LSH -----------------------
-    locally {
+    if (which("st16")) {
       val index = LshIndex.build(emb, "vec_id", "embedding",
         tables = 8, dim = 64)
       try {
@@ -112,7 +121,7 @@ object StreamBench {
           minSim = 0.4, watermark = "10 minutes")
         drive("st16_ann_radius", spark, (b, ts) =>
           mem.addData(embRows.toSeq.zipWithIndex.map { case ((_, v), i) =>
-            (1000000L + b.toLong * embRows.length + i, ts, v)
+            (embBase + b.toLong * embRows.length + i, ts, v)
           }): Unit,
           outDf, batches, embRows.length.toLong)
       } finally LshIndex.drop(index)

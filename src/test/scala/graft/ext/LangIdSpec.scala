@@ -143,4 +143,31 @@ class LangIdSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("langid") && e.getMessage.contains("logreg"))
   }
+
+  test("labels containing commas survive the store round-trip") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en,US"),
+      (2L, "uno dos tres cuatro", "es,MX"),
+      (3L, "alpha gamma beta delta", "en,US"))
+      .toDF("id", "text", "lang")
+    val model = LangId.train(docs, "id", "text", "lang",
+      buckets = 32, iters = 2, lr = 2.0)
+    assert(model.labels == Seq("en,US", "es,MX"))
+    val dir = java.nio.file.Files.createTempDirectory("langid-comma").toString
+    IndexStore.writeLangid(model, dir)
+    val loaded = IndexStore.loadLangid(spark, dir)
+    assert(loaded.labels == model.labels,
+      s"comma labels corrupted: ${loaded.labels}")
+    for (l <- model.labels.indices)
+      assert(loaded.weights(l).sameElements(model.weights(l)))
+  }
+
+  test("NULL labels are refused loudly, not NPE'd") {
+    val docs = Seq((1L, "alpha beta", Some("en")), (2L, "uno dos", None))
+      .toDF("id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      LangId.train(docs, "id", "text", "lang", buckets = 32, iters = 1)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
 }
