@@ -77,4 +77,77 @@ object Clustering {
       .groupBy(col("component").as("rep_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("rep_id")
+
+  /** Incremental connected components — maintain a stored labeling under
+    * an edge increment WITHOUT re-running CC over the full corpus graph.
+    * The production shape for every consumer of [[connectedComponents]]:
+    * a near-dup cluster table (D6/P8's representative key) kept current
+    * as new documents arrive, where each batch brings new↔new and
+    * new↔old pairs but the billion-row history of pairs is never
+    * re-walked.
+    *
+    * Exactness argument: stored components are min-reachable-id labels,
+    * so CONTRACTING each stored component to its label preserves
+    * reachability of the union graph; running CC over the contracted
+    * increment graph (labels as nodes) yields, per merged set, the min
+    * over member labels = the min node id of the merged component —
+    * exactly what a full recompute over old ∪ new edges labels it.
+    * Spec-pinned: `appendEdges ≡ connectedComponents(union)` across
+    * random graphs, splits, and chained appends.
+    *
+    * Plan shape (the scale claim): the corpus-sized `stored` table
+    * crosses exactly ONE equi-join — against the merge mapping, which is
+    * bounded by the components the increment touches, broadcast-sized in
+    * any realistic batch. All iterative work (the CC rounds) runs on the
+    * CONTRACTED graph: nodes = touched components + unseen ids, edges ≤
+    * increment edges. Cost per batch ∝ increment, not corpus.
+    *
+    * @param stored (node, component) labeling, components = min ids —
+    *               the output shape of [[connectedComponents]]
+    * @param edges  the edge increment (endpoints may be stored, new, or
+    *               a mix)
+    * @return the full updated (node, component) labeling of the union
+    *         graph (stored nodes ∪ increment endpoints) */
+  def appendEdges(stored: DataFrame, edges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val inc = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val endpoints = inc.select(col("src").as("node"))
+      .unionAll(inc.select(col("dst").as("node"))).distinct()
+    // an unseen endpoint enters the contraction labeled with its own id —
+    // the same init as a fresh CC run
+    val endpointLabels = endpoints
+      .join(stored.select(col("node"), col("component")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("lbl"))
+      .localCheckpoint(true)
+    // contract: an increment edge becomes an edge between current labels;
+    // intra-component edges (same label both ends) are no-ops and drop out
+    val contracted = inc
+      .join(endpointLabels.withColumnRenamed("node", "src"), Seq("src"))
+      .withColumnRenamed("lbl", "la")
+      .join(endpointLabels.withColumnRenamed("node", "dst"), Seq("dst"))
+      .withColumnRenamed("lbl", "lb")
+      .where(col("la") =!= col("lb"))
+      .select(col("la"), col("lb"))
+    // CC over the contracted graph: (old label → merged root). Labels
+    // untouched by any cross-component edge keep themselves (absent rows).
+    val mapping = connectedComponents(contracted, "la", "lb", maxIter)
+      .select(col("node").as("__lbl"), col("component").as("__root"))
+    // ONE pass over the corpus-sized labeling: relabel where mapped. New
+    // nodes ride the same join keyed on their own-id label.
+    val newNodes = endpointLabels
+      .join(stored.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("lbl").as("component"))
+    stored.select(col("node"), col("component")).unionAll(newNodes)
+      .join(mapping, col("component") === col("__lbl"), "left")
+      .select(col("node"),
+        coalesce(col("__root"), col("component")).as("component"))
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Process-lifetime memo for a maintained labeling (the q78/q177
+    * serving semantics: build/append priced once, reps serve). */
+  def cached(key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(key, _ => build)
 }

@@ -428,6 +428,118 @@ object IndexStore {
     LangId.Model(labels, buckets, w)
   }
 
+  // ---- connected-component labeling (dedup clusters) ----------------
+
+  /** A stored [[Clustering.connectedComponents]] labeling — the dedup
+    * cluster table D6/P8 key on, maintained incrementally as MERGE-ON-READ:
+    * the corpus-sized `labels/` table is written once (range-clustered on
+    * node, so endpoint lookups prune row-groups) and NEVER rewritten by an
+    * append. Each [[appendCcEdges]] batch appends only (a) labels for
+    * genuinely new nodes and (b) slim (old label → merged root) FORWARDING
+    * rows for the components the batch merged; [[loadCc]] resolves
+    * forwarding chains (pointer-doubled over the forwarding table alone —
+    * bounded by appends since the last compaction, never corpus-sized)
+    * and applies them in ONE join. [[compactCc]] materializes — the same
+    * base + delta + compact lifecycle as the MOR delete path
+    * ([[graft.engine.Layout]]), applied to a graph labeling. */
+  def writeCc(labels: DataFrame, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "cc")
+    labels.select(col("node"), col("component"))
+      .repartitionByRange(col("node"))
+      .sortWithinPartitions("node")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/labels")
+  }
+
+  /** The resolved current labeling: base labels with forwarding chains
+    * collapsed. Resolution cost rides on the FORWARDING table (one row
+    * per component merged since compaction): pointer-doubling runs there,
+    * and the corpus-sized base crosses exactly one left join. */
+  def loadCc(spark: SparkSession, dir: String): DataFrame = {
+    requireKind(dir, "cc")
+    val labels = spark.read.parquet(s"$dir/labels")
+    if (!Files.exists(Paths.get(dir, "forward"))) labels
+    else {
+      var fwd = spark.read.parquet(s"$dir/forward")
+        .groupBy(col("lbl")).agg(min(col("root")).as("root"))
+        .localCheckpoint(true)
+      // collapse chains a→b, b→c (across appends) to a→c, b→c. Roots
+      // strictly decrease along a chain (min-id merging), so no cycles;
+      // doubling halves chain length per round.
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 25) {
+        val next = fwd.alias("f")
+          .join(fwd.select(col("lbl").as("__l2"), col("root").as("__r2")),
+            col("f.root") === col("__l2"), "left")
+          .select(col("f.lbl").as("lbl"),
+            coalesce(col("__r2"), col("f.root")).as("root"),
+            col("__r2").isNotNull.as("__hop"))
+          .localCheckpoint(true)
+        converged = next.where(col("__hop")).isEmpty
+        fwd = next.select(col("lbl"), col("root"))
+        iter += 1
+      }
+      require(converged, "cc forwarding chains not resolved after 25 rounds")
+      labels.join(fwd, labels("component") === fwd("lbl"), "left")
+        .select(col("node"),
+          coalesce(col("root"), col("component")).as("component"))
+    }
+  }
+
+  /** Fold an edge increment into the stored labeling — O(increment +
+    * touched components), base never rewritten. The endpoint-label lookup
+    * reads the node-clustered base with an id-set predicate (row-group
+    * pruned); the contracted CC and all writes are increment-sized.
+    * Append ≡ rebuild exactly ([[Clustering.appendEdges]]'s contraction
+    * argument), spec-pinned through this store lifecycle. */
+  def appendCcEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      dir: String): Unit = {
+    requireKind(dir, "cc")
+    val spark = edges.sparkSession
+    val current = loadCc(spark, dir)
+    val inc = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val endpoints = inc.select(col("src").as("node"))
+      .unionAll(inc.select(col("dst").as("node"))).distinct()
+    val endpointLabels = endpoints
+      .join(current, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("lbl"))
+      .localCheckpoint(true)
+    val contracted = inc
+      .join(endpointLabels.withColumnRenamed("node", "src"), Seq("src"))
+      .withColumnRenamed("lbl", "la")
+      .join(endpointLabels.withColumnRenamed("node", "dst"), Seq("dst"))
+      .withColumnRenamed("lbl", "lb")
+      .where(col("la") =!= col("lb"))
+      .select(col("la"), col("lb"))
+    val mapping = Clustering.connectedComponents(contracted, "la", "lb")
+      .where(col("node") =!= col("component"))
+      .select(col("node").as("lbl"), col("component").as("root"))
+      .localCheckpoint(true)
+    // new nodes enter the base at their RESOLVED root (less forwarding
+    // work at read); merged old labels become forwarding rows
+    val newNodes = endpointLabels
+      .join(current.select(col("node")), Seq("node"), "left_anti")
+      .join(mapping, endpointLabels("lbl") === mapping("lbl"), "left")
+      .select(col("node"),
+        coalesce(col("root"), endpointLabels("lbl")).as("component"))
+    newNodes.repartitionByRange(col("node")).sortWithinPartitions("node")
+      .write.mode(SaveMode.Append).parquet(s"$dir/labels")
+    mapping.write.mode(SaveMode.Append).parquet(s"$dir/forward")
+  }
+
+  /** Materialize the resolved labeling and drop the forwarding pile —
+    * the compaction half of the MOR lifecycle. */
+  def compactCc(spark: SparkSession, dir: String): Unit = {
+    val resolved = loadCc(spark, dir).localCheckpoint(true)
+    writeCc(resolved, dir)
+    val fp = Paths.get(dir, "forward")
+    if (Files.exists(fp)) {
+      Files.walk(fp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.delete(p); () })
+    }
+  }
+
   def loadLogreg(spark: SparkSession, dir: String): QualityClassifier.LogisticModel = {
     val m = requireKind(dir, "logreg")
     val w = spark.read.parquet(s"$dir/weights").collect()

@@ -160,5 +160,57 @@ object Round10Queries {
       .orderBy("lang", "pred_lang")
   }, None)
 
-  val all: Seq[GQuery] = Seq(q226, q227, q228b, q228)
+  /** Q229 (G9, incremental connected components): the build-once/append
+    * matrix extended to the GRAPH tier — the near-dup cluster table (q56)
+    * maintained under an edge increment without re-walking the full pair
+    * history. Lifecycle: the q26 MinHash pair set split at doc_id cut
+    * (base = both ends below, increment = any end at-or-above — "the
+    * newest fifth of the corpus arrived"), base CC stored through
+    * [[graft.ext.IndexStore.writeCc]] (kind=cc, node-range-clustered),
+    * the increment folded in by [[graft.ext.IndexStore.appendCcEdges]]
+    * (slim forwarding deltas + new-node labels appended; base never
+    * rewritten — merge-on-read for a graph labeling), then the resolved
+    * labeling read back and summarized. Append ≡ rebuild exactly (the
+    * contraction argument in [[graft.ext.Clustering.appendEdges]]), so
+    * the oracle is q56's: the recursive-CTE closure over the ENTIRE pair
+    * set, hash-exact per cluster. */
+  val q229 = GQuery("q229_cc_append", (s, d) => {
+    import graft.ext.{Clustering, Dedup, IndexStore}
+    val labels = Clustering.cached(
+        s.sparkContext.applicationId + ":ccapp:" + d) {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        threshold = 0.8, shingleK = 3, numHashes = 128, bands = 32)
+        .localCheckpoint(true)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = maxId - maxId / 5
+      val base = pairs.where(col("id_a") < cut && col("id_b") < cut)
+      val inc = pairs.where(col("id_a") >= cut || col("id_b") >= cut)
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/ccapp_${math.abs(d.hashCode)}"
+      IndexStore.writeCc(
+        Clustering.connectedComponents(base, "id_a", "id_b"), dir)
+      IndexStore.appendCcEdges(inc, "id_a", "id_b", dir)
+      IndexStore.loadCc(s, dir).localCheckpoint(true)
+    }
+    labels.groupBy(col("component").as("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("rep_id")
+  },
+    Some(s"""WITH RECURSIVE ${PipelineQueries.duckShingles3},
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+            |e AS (SELECT id_a AS src, id_b AS dst FROM p
+            |      UNION SELECT id_b, id_a FROM p),
+            |reach AS (
+            |  SELECT src AS node, src AS r FROM e
+            |  UNION
+            |  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node),
+            |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+            |SELECT component AS rep_id, count(*) AS cluster_size
+            |FROM comp GROUP BY component ORDER BY rep_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q226, q227, q228b, q228, q229)
 }
