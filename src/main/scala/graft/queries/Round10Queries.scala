@@ -212,5 +212,54 @@ object Round10Queries {
             |SELECT component AS rep_id, count(*) AS cluster_size
             |FROM comp GROUP BY component ORDER BY rep_id""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q226, q227, q228b, q228, q229)
+  /** Q230 (AN8, deterministic Holt forecast): the chart "Forecast"
+    * advanced-analytics surface — monthly revenue per order priority
+    * (cents, the q90 DECIMAL discipline) fitted by
+    * [[graft.ext.TimeSeries.holtForecast]]'s integer-exact double
+    * exponential smoothing and extrapolated 3 periods ahead. The
+    * recurrence is pure 64-bit floor-div arithmetic (α = 1/2, β = 1/4),
+    * so the DuckDB twin — the same recurrence as a recursive CTE with
+    * the identical portable floor-div — must match level, trend, and
+    * every ŷ BIT-EXACTLY. Forecasting runs over the already-grouped
+    * PERIODS × SERIES result (the q83/q146 rule), never raw facts. */
+  val q230 = GQuery("q230_holt_forecast", (s, d) => {
+    val monthly = t(s, d, "orders")
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    graft.ext.TimeSeries.holtForecast(monthly, Seq("o_orderpriority"),
+        "mon", "cents", horizon = 3)
+      .select(col("o_orderpriority"), col("level").as("level_cents"),
+        col("trend").as("trend_cents"), col("h"),
+        col("yhat").as("yhat_cents"))
+      .orderBy("o_orderpriority", "h")
+  },
+    Some("""WITH RECURSIVE m AS (
+           |  SELECT o_orderpriority AS pri,
+           |         date_trunc('month', o_orderdate) AS mon,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1, 2),
+           |s AS (SELECT pri, y,
+           |        row_number() OVER (PARTITION BY pri ORDER BY mon) AS rn FROM m),
+           |n AS (SELECT pri, max(rn) AS tt FROM s GROUP BY pri),
+           |rec AS (
+           |  SELECT s2.pri, 2 AS rn, s2.y AS level, s2.y - s1.y AS trend
+           |  FROM s s1 JOIN s s2 ON s1.pri = s2.pri AND s1.rn = 1 AND s2.rn = 2
+           |  UNION ALL
+           |  SELECT r.pri, r.rn + 1,
+           |         (s.y + r.level + r.trend
+           |            - ((((s.y + r.level + r.trend) % 2) + 2) % 2)) // 2 AS lv,
+           |         (lv - r.level + 3 * r.trend
+           |            - ((((lv - r.level + 3 * r.trend) % 4) + 4) % 4)) // 4
+           |  FROM rec r JOIN s ON s.pri = r.pri AND s.rn = r.rn + 1),
+           |f AS (SELECT r.pri, r.level, r.trend
+           |      FROM rec r JOIN n ON n.pri = r.pri AND r.rn = n.tt)
+           |SELECT pri AS o_orderpriority, level AS level_cents,
+           |       trend AS trend_cents, CAST(h AS BIGINT) AS h,
+           |       level + h * trend AS yhat_cents
+           |FROM f CROSS JOIN (VALUES (1), (2), (3)) AS hh(h)
+           |ORDER BY o_orderpriority, h""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q226, q227, q228b, q228, q229, q230)
 }
