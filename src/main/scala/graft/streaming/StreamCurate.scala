@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SketchExprs
+
+import graft.ext.{MinHashIndex, TextAnalysis, TextPrep, TextQuality}
+
+/** ST17: the composed streaming ingest-curation pipeline — the production
+  * end-cap over the streaming-serving family: a crawl stream is quality-
+  * gated, language-filtered, decontaminated, and near-dup-checked against
+  * the EXISTING corpus as it arrives, emitting only documents a training
+  * run should keep. Every stage is a gated operator reused verbatim, in
+  * the order the scale discipline dictates — the cheap map-only drops run
+  * FIRST so the expensive index probe sees only survivors:
+  *
+  *   1. Gopher rule battery ([[TextQuality.gopherRules]], T13) — per-row
+  *      staged projection, map-only;
+  *   2. language filter ([[TextAnalysis.langId]], T1 — the map-only tier
+  *      IS the streaming tier; the trained T1′ softmax serves batch,
+  *      where its per-label aggregation is free);
+  *   3. train/test decontamination (ST15's per-row [[SketchExprs
+  *      .bloomHitCount]] loop over a broadcast test-set bloom — zero
+  *      state, no false negatives);
+  *   4. near-dup verdict against the stored MinHash band index (ST14's
+  *      stream-static band join + post-fan-out re-shingle + exact
+  *      Jaccard), LEFT variants so candidate-less documents survive,
+  *      folded to one per-document flag by THE pipeline's single
+  *      stateful stage: a watermarked tumbling-window aggregate (state =
+  *      one row per in-window document, emitted on window close).
+  *
+  * Output (append mode, on window close): one row per CURATED document —
+  * (idCol, win_start, lang, n_tokens, textCol). Documents failing any
+  * gate, or τ-similar to any corpus document, never reach the sink.
+  *
+  * [[batch]] is the same composition over a static frame (the gates plus
+  * [[MinHashIndex.probe]]'s verdict as an anti-join); StreamCurateSpec
+  * pins stream ≡ batch over multi-batch delivery, per-gate drop cases,
+  * and the candidate-less-document path.
+  */
+object StreamCurate {
+
+  /** The map-only gate conjunction shared by both forms: Gopher keep ∧
+    * allowed language ∧ not contaminated. One staged projection. */
+  private def gated(df: DataFrame, textCol: String, langs: Set[String],
+      bf: Array[Byte], shingleK: Int, minHits: Int,
+      minWords: Int, maxWords: Int): DataFrame = {
+    val staged = df
+      .withColumn("__gtoks", TextPrep.tokens(col(textCol)))
+      .withColumn("__lines", split(col(textCol), "\n"))
+    val keep = TextQuality.gopherKeep(TextQuality.gopherRules(
+      col(textCol), col("__gtoks"), col("__lines"), minWords, maxWords))
+    val lang = TextAnalysis.langId(col(textCol))
+    TextPrep.stagedShingles(
+        staged.withColumn("__keep", keep).withColumn("lang", lang)
+          .withColumn("n_tokens", size(col("__gtoks")).cast("long"))
+          .drop("__gtoks", "__lines"),
+        textCol, shingleK, "__sh")
+      .withColumn("__hits",
+        SketchExprs.bloomHitCount(bf, TextPrep.baseHashes(col("__sh"))))
+      .where(col("__keep") && col("lang").isInCollection(langs) &&
+        col("__hits") < minHits)
+      .drop("__keep", "__hits", "__sh")
+  }
+
+  /** Streaming form. `stream` must carry (idCol, tsCol, textCol). */
+  def pipeline(index: MinHashIndex.Index, bf: Array[Byte], stream: DataFrame,
+      idCol: String, textCol: String, tsCol: String, langs: Set[String],
+      threshold: Double, watermark: String, windowDur: String,
+      shingleK: Int = 5, minHits: Int = 1,
+      minWords: Int = 20, maxWords: Int = 90): DataFrame = {
+    // the Gopher word floor is what guarantees every survivor has a
+    // non-empty index-k shingle set to sign
+    require(minWords >= index.shingleK,
+      s"minWords ($minWords) must be >= the index shingle length " +
+        s"(${index.shingleK}) so survivors always sign")
+    val survivors = gated(
+        stream.select(col(idCol), col(tsCol), col(textCol)),
+        textCol, langs, bf, shingleK, minHits, minWords, maxWords)
+      .withWatermark(tsCol, watermark)
+    // band fan-out (map-side; rows carry TEXT, re-shingled after the
+    // fan-out — the ST14 payload rule). Signatures use the INDEX's
+    // shingle length (the bloom gate's k is independent). LEFT join: a
+    // document with no band collision must survive to the aggregate
+    // with verified=false.
+    val banded = TextPrep
+      .stagedShingles(survivors.select(col(idCol), col(tsCol), col(textCol),
+        col("lang"), col("n_tokens")), textCol, index.shingleK, "__ish")
+      .select(col(idCol), col(tsCol), col(textCol), col("lang"),
+        col("n_tokens"),
+        posexplode(SketchExprs.lshBands(
+          SketchExprs.minHashSig(
+            TextPrep.baseHashes(col("__ish")), index.numHashes),
+          index.numBands, index.numHashes / index.numBands))
+          .as(Seq("band_id", "band_key")))
+    // candidate dedup BEFORE the verify (the ST14 discipline): a pair
+    // colliding in b bands must fetch corpus shingles and Jaccard once,
+    // not b times — and the 32 no-collision rows of a candidate-less
+    // document collapse to one (null __cid) row for the aggregate
+    val cand = banded
+      .join(index.bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("__cid")), Seq("band_id", "band_key"), "left")
+      .where(col("__cid").isNull || col("__cid") =!= col(idCol))
+      .drop("band_id", "band_key")
+      .dropDuplicatesWithinWatermark(idCol, "__cid")
+    val verified = TextPrep
+      .stagedShingles(cand, textCol, index.shingleK, "__vsh")
+      .join(index.shingles.select(col("doc_id").as("__cid"),
+        col("sh").as("__csh")), Seq("__cid"), "left")
+      .withColumn("__dup", col("__csh").isNotNull &&
+        round(TextPrep.jaccard(col("__csh"), col("__vsh")), 6) >= threshold)
+    verified
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(first(col(textCol)).as(textCol), first(col("lang")).as("lang"),
+        first(col("n_tokens")).as("n_tokens"),
+        max(col("__dup")).as("__anydup"))
+      .where(!col("__anydup"))
+      .select(col(idCol), col("window.start").as("win_start"), col("lang"),
+        col("n_tokens"), col(textCol))
+  }
+
+  /** Batch twin: identical gates over a static frame, near-dup verdict
+    * via [[MinHashIndex.probe]] + anti-join. The spec's ground truth. */
+  def batch(index: MinHashIndex.Index, bf: Array[Byte], docs: DataFrame,
+      idCol: String, textCol: String, langs: Set[String], threshold: Double,
+      shingleK: Int = 5, minHits: Int = 1,
+      minWords: Int = 20, maxWords: Int = 90): DataFrame = {
+    val survivors = gated(docs.select(col(idCol), col(textCol)),
+      textCol, langs, bf, shingleK, minHits, minWords, maxWords)
+    val dupIds = MinHashIndex.probe(index, survivors, idCol, textCol,
+        threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    survivors.join(dupIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col("lang"), col("n_tokens"), col(textCol))
+  }
+}

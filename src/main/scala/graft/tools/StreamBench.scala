@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.Tables
 import graft.ext.{Decontaminate, LshIndex, MinHashIndex}
-import graft.streaming.{StreamAnn, StreamDecontaminate, StreamNearDup}
+import graft.streaming.{StreamAnn, StreamCurate, StreamDecontaminate, StreamNearDup}
 
 /** Streaming-serving throughput bench (ST14/ST15/ST16) — the BASELINE
   * measurement harness, not a gate: replay the sf corpus through a
@@ -59,7 +59,7 @@ object StreamBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batches = args.lift(1).map(_.toInt).getOrElse(10)
     val which = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("st14", "st15", "st16"))
+      .getOrElse(Set("st14", "st15", "st16", "st17"))
     val spark = graft.GraftSession.local("graft-streambench")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -125,6 +125,31 @@ object StreamBench {
           }): Unit,
           outDf, batches, embRows.length.toLong)
       } finally LshIndex.drop(index)
+    }
+
+    // ---- ST17: composed curation pipeline ----------------------------
+    // langs covers the synthetic corpus's whole label space (incl. 'und':
+    // the shared-vocabulary texts rarely vote a marker majority) and the
+    // Gopher band is wide open — throughput here prices the PLUMBING
+    // (staged gates + band join + windowed verdict), not the drop rate.
+    if (which("st17")) {
+      val index = MinHashIndex.build(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 128, numBands = 32)
+      try {
+        val test = docs.where(col("doc_id") < 100)
+        val bf = Decontaminate.buildShingleBloom(test, "doc_id", "text")
+        val mem = MemoryStream[(Long, Timestamp, String)]
+        val outDf = StreamCurate.pipeline(index, bf,
+          mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+          langs = Set("en", "de", "es", "fr", "zh", "und"), threshold = 0.8,
+          watermark = "10 minutes", windowDur = "5 minutes",
+          shingleK = 5, minWords = 5, maxWords = 1000000)
+        drive("st17_curate", spark, (b, ts) =>
+          mem.addData(docRows.toSeq.zipWithIndex.map { case ((_, txt), i) =>
+            (docBase + b.toLong * docRows.length + i, ts, txt)
+          }): Unit,
+          outDf, batches, docRows.length.toLong)
+      } finally MinHashIndex.drop(index)
     }
 
     spark.stop()
