@@ -628,6 +628,68 @@ object Layout {
     else readManifest(spark, to.copy(files = added))
   }
 
+  /** CDC-style deltas between two tags under MERGE-ON-READ commits — the
+    * pair a retraction-aware MV refresh consumes:
+    *
+    *   inserts     = rows of data files ADDED in the window, as visible
+    *                 at `toTag` (deletes landing later in the same window
+    *                 already subtracted — an upsert's second batch erases
+    *                 the first's rows here, not downstream);
+    *   retractions = rows VISIBLE at `fromTag` that the window's NEW
+    *                 delete artifacts (positional or equality) erase.
+    *
+    * Cost model: inserts read only the added files. Retractions read
+    * fromTag's visible rows once and semi-join the new delete keys
+    * (broadcast, manifest-sized) — the same pruned-scan price the MOR
+    * read itself pays, never a shuffle of history. Sequence scoping for
+    * OLD rows is vacuous (every fromTag file predates every new delete),
+    * and rows already dead at fromTag cannot re-retract (the fromTag read
+    * subtracts them first). A row hit by both a positional and an
+    * equality delete counts once (row identity = (file, pos)). */
+  def morDeltas(spark: SparkSession, table: String, fromTag: String,
+      toTag: String): (DataFrame, DataFrame) = {
+    val from = tagSnapshot(spark, table, fromTag)
+    val to = tagSnapshot(spark, table, toTag)
+    val fromPaths = from.files.map(_.path).toSet
+    val added = to.files.filterNot(f => fromPaths.contains(f.path))
+    val inserts =
+      if (added.isEmpty) emptyDf(spark, to.schemaJson)
+      else readManifest(spark, to.copy(files = added))
+    val newPos = to.deleteEntries
+      .filterNot(e => from.deleteEntries.map(_.path).toSet.contains(e.path))
+    val newEq = to.eqDeleteEntries
+      .filterNot(e => from.eqDeleteEntries.map(_.path).toSet.contains(e.path))
+    val retracted =
+      if (from.files.isEmpty || (newPos.isEmpty && newEq.isEmpty))
+        emptyDf(spark, from.schemaJson)
+      else {
+        val oldVisible = readManifestWithPos(spark, from)
+        val byPos =
+          if (newPos.isEmpty) None
+          else Some(oldVisible.join(
+            broadcast(spark.read.parquet(newPos.map(_.path): _*)
+              .select(col("file_path").as("__dfp"), col("pos").as("__dpos"))),
+            oldVisible("__fp") === col("__dfp") &&
+              oldVisible("__pos") === col("__dpos"),
+            "left_semi"))
+        val byEq =
+          if (newEq.isEmpty) Nil
+          else newEq.groupBy(e =>
+              spark.read.parquet(e.path).schema.fields.head.name)
+            .toSeq.sortBy(_._1).map { case (keyCol, entries) =>
+              val keys = entries.map(e => spark.read.parquet(e.path)
+                  .select(col(keyCol).as("__eq_key")))
+                .reduce(_ unionByName _)
+              oldVisible.join(broadcast(keys),
+                oldVisible(keyCol) === keys("__eq_key"), "left_semi")
+            }
+        (byPos.toSeq ++ byEq).reduce(_ unionByName _)
+          .dropDuplicates("__fp", "__pos")
+          .drop("__fp", "__pos")
+      }
+    (inserts, retracted)
+  }
+
   // ------------------------------------------------------------- branches
   // Nessie-style BRANCHES on top of the tag machinery (the reference's
   // catalog ref model: iceberg.nessie-catalog.ref=main is a branch;

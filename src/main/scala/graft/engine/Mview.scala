@@ -93,20 +93,65 @@ object Mview {
   }
 
   /** Re-aggregate the stored view with a delta summary: count/sum
-    * partials add, sketches union — both inputs summary-sized. */
+    * partials add, sketches union — both inputs summary-sized.
+    * `dropWhere` removes groups AFTER the merge (the retraction path's
+    * zero-support cleanup). */
   private def mergeInto(spark: SparkSession, view: String,
       deltaSummary: DataFrame, keys: Seq[String],
-      measures: Seq[Measure]): Unit = {
+      measures: Seq[Measure],
+      dropWhere: Option[org.apache.spark.sql.Column] = None): Unit = {
     val merged = spark.table(view).unionByName(deltaSummary)
       .groupBy(keys.map(col): _*)
       .agg(mergeCol(measures.head), measures.tail.map(mergeCol): _*)
     // align types: sum(count) widens; cast back to the stored schema
     val stored = spark.table(view).schema
     val aligned = merged.select(stored.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val cleaned = dropWhere.fold(aligned)(c => aligned.where(!c))
     // commit through the format: the view rewrite reads the view itself,
     // and Layout.overwrite materializes to a fresh commit dir before the
     // catalog entry moves
-    Layout.overwrite(spark, view, aligned, operation = "mv-refresh")
+    Layout.overwrite(spark, view, cleaned, operation = "mv-refresh")
+  }
+
+  /** Fold a MERGE-ON-READ window into the view — [[refresh]] for sources
+    * that advance by CDC upserts/deletes ([[Layout.upsertMor]] /
+    * [[Layout.deleteWhereMor]] / the ST13 sink), where the append-only
+    * contract does NOT hold: the window carries inserts AND retractions.
+    * The classical counting algorithm (Gupta/Mumick/Subrahmanian 1993,
+    * "Maintaining views incrementally"): additive measures fold the
+    * inserts positively and the retracted rows NEGATIVELY, and a count
+    * measure doubles as the group's support — a group whose support
+    * reaches zero is DELETED from the view, exactly as a recompute would
+    * drop it. Refresh cost: [[Layout.morDeltas]]'s (inserts = added
+    * files; retractions = fromTag's visible rows ⋉ broadcast new delete
+    * keys) + one re-aggregate of summary-sized inputs.
+    *
+    * Preconditions, both loud: at least one plain `count` measure (the
+    * support column — without it group deletion is undecidable from
+    * partials), and no sketch measures (HLL cannot retract; an
+    * approx_distinct view under deletes refreshes by recompute). */
+  def refreshMor(spark: SparkSession, view: String, source: String,
+      keys: Seq[String], measures: Seq[Measure]): Unit = {
+    require(measures.forall(_.fn.toLowerCase != "approx_distinct"),
+      "sketch measures cannot retract — an approx_distinct view under " +
+        "MOR deletes must recompute (or keep the append-only refresh)")
+    val support = measures.find(m =>
+      m.fn.toLowerCase == "count" && m.column.isEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        "refreshMor needs a count(*) measure as group support — " +
+          "zero-support groups must leave the view"))
+    val last = lastTagIndex(spark, source, view)
+    require(last >= 0, s"view $view was never created over $source")
+    val nextTag = s"${tagPrefix(view)}${last + 1}"
+    Layout.snapshot(spark, source, nextTag)
+    val (ins, ret) = Layout.morDeltas(spark, source,
+      s"${tagPrefix(view)}$last", nextTag)
+    if (ins.isEmpty && ret.isEmpty) return
+    val negated = summarize(ret, keys, measures).select(
+      (keys.map(col) ++ measures.map(m => (-col(m.alias)).as(m.alias))): _*)
+    mergeInto(spark, view,
+      summarize(ins, keys, measures).unionByName(negated), keys, measures,
+      dropWhere = Some(col(support.alias) === 0L))
   }
 
   /** Create view `view` = `srcA ⋈ srcB` (inner equi-join USING

@@ -261,5 +261,60 @@ object Round10Queries {
            |FROM f CROSS JOIN (VALUES (1), (2), (3)) AS hh(h)
            |ORDER BY o_orderpriority, h""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q226, q227, q228b, q228, q229, q230)
+  /** Q231 (MV4, MV maintenance under merge-on-read): the incremental
+    * materialized view kept correct through a CDC window where the
+    * append-only contract breaks — one [[graft.engine.Layout.upsertMor]]
+    * commit rewrites every doc_id<50 (and a planted 3-row 'tiny' group)
+    * into a new group with doubled n_chars and inserts 20 new keys.
+    * [[graft.engine.Mview.refreshMor]] folds the window by the counting
+    * algorithm (Gupta 1993): [[graft.engine.Layout.morDeltas]] yields
+    * (inserts = added files as visible now, retractions = fromTag's rows
+    * ⋉ broadcast new delete keys), retractions enter NEGATED, and the
+    * count(*) support column deletes the emptied 'tiny' group exactly as
+    * a recompute would. DuckDB recomputes the post-upsert grouped state
+    * from the raw table — a scoping or retraction error double-counts or
+    * strands the dead group. */
+  val q231 = GQuery("q231_mv_mor_refresh", (s, d) => {
+    import graft.engine.{Layout, Mview}
+    import s.implicits._
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"mvmor_$run"
+    val view = s"mvmorv_$run"
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      col("n_chars"))
+    val syn = Seq((9000001L, "tiny", 11L), (9000002L, "tiny", 12L),
+      (9000003L, "tiny", 13L)).toDF("doc_id", "lang", "n_chars")
+    docs.unionByName(syn).repartition(4).write.saveAsTable(table)
+    val ms = Seq(Mview.Measure("count", None, "n_docs"),
+      Mview.Measure("sum", Some("n_chars"), "sum_chars"))
+    Mview.create(s, view, table, Seq("lang"), ms)
+    val keyed = s.table(table)
+      .where(col("doc_id") < 50 || col("doc_id") >= 9000000L)
+      .select(col("doc_id"), lit("upserted").as("lang"),
+        (col("n_chars") * 2).as("n_chars"))
+    val inserts = s.range(1, 21).select((col("id") + 9100000L).as("doc_id"),
+      lit("upserted").as("lang"), (col("id") + 777L).as("n_chars"))
+    Layout.upsertMor(s, table, keyed.unionByName(inserts), "doc_id")
+    Mview.refreshMor(s, view, table, Seq("lang"), ms)
+    Mview.read(s, view, Seq("lang"), ms).orderBy("lang")
+  },
+    Some("""WITH syn AS (SELECT * FROM (VALUES (9000001, 'tiny', 11),
+           |    (9000002, 'tiny', 12), (9000003, 'tiny', 13))
+           |    t(doc_id, lang, n_chars)),
+           |base AS (SELECT doc_id, lang, n_chars FROM documents
+           |         UNION ALL SELECT doc_id, lang, n_chars FROM syn),
+           |ins AS (SELECT 9100000 + i AS doc_id, 'upserted' AS lang,
+           |               777 + i AS n_chars FROM range(1, 21) r(i)),
+           |fin AS (
+           |  SELECT doc_id, 'upserted' AS lang, n_chars * 2 AS n_chars
+           |  FROM base WHERE doc_id < 50 OR doc_id >= 9000000
+           |  UNION ALL
+           |  SELECT doc_id, lang, n_chars FROM base
+           |  WHERE doc_id >= 50 AND doc_id < 9000000
+           |  UNION ALL SELECT doc_id, lang, n_chars FROM ins)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q226, q227, q228b, q228, q229, q230, q231)
 }

@@ -418,4 +418,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.map(_.relation.location.inputFiles.length).sum === kept,
       s"scan must see exactly the $kept kept files of $total:\n$plan")
   }
+
+  test("q230 forecast never windows: the fit is an in-row fold over grouped series") {
+    // the Holt recurrence must run as an aggregate HOF over the collected
+    // series array — a window formulation would sort PERIODS × SERIES rows
+    // per step and break the q83/q146 already-grouped discipline
+    val plan = executed(run("q230_holt_forecast"))
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"no WindowExec in the forecast plan:\n$plan")
+    // orders is scanned once, reading only the three needed columns
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 1, s"one orders scan expected:\n$plan")
+    assert(scans.head.requiredSchema.fieldNames.toSet ===
+      Set("o_orderpriority", "o_orderdate", "o_totalprice"))
+  }
 }

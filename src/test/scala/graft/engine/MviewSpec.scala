@@ -137,4 +137,64 @@ class MviewSpec extends SparkSpec {
     Mview.refreshJoin(spark, view, fact, dim, Seq("id"), Seq("region"), ms)
     assert(stored === fullJoin)
   }
+
+  test("refreshMor: upsert retractions, positional deletes, group deletion") {
+    val (src, view) = ("mvmor_src", "mvmor_view")
+    Seq(src, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "tiny", 4.0))
+      .toDF("id", "k", "v").write.saveAsTable(src)
+    def current = Layout.readCurrent(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    def stored = spark.table(view).as[(String, Long, Double)].collect().toSet
+
+    Mview.create(spark, view, src, Seq("k"), measures)
+    assert(stored === current)
+
+    // epoch 1: one upsert batch — id 2 changes VALUE within 'a'
+    // (retract 2.0, insert 20.0), id 4 MOVES OUT of 'tiny' (the group
+    // empties and must leave the view), ids 5–6 are brand new
+    Layout.upsertMor(spark, src,
+      Seq((2L, "a", 20.0), (4L, "a", 40.0), (5L, "d", 5.0), (6L, "d", 6.0))
+        .toDF("id", "k", "v"), "id")
+    Mview.refreshMor(spark, view, src, Seq("k"), measures)
+    assert(stored === current)
+    assert(!stored.exists(_._1 == "tiny"), "emptied group must leave the view")
+    assert(spark.table(view).filter($"k" === "a")
+      .select("n", "total").as[(Long, Double)].head() === ((3L, 61.0)))
+
+    // epoch 2: positional MOR delete empties 'b' — the other delete shape
+    Layout.deleteWhereMor(spark, src, col("k") === "b")
+    Mview.refreshMor(spark, view, src, Seq("k"), measures)
+    assert(stored === current)
+    assert(!stored.exists(_._1 == "b"))
+
+    // epoch 3: nothing changed — no-op refresh stays correct
+    Mview.refreshMor(spark, view, src, Seq("k"), measures)
+    assert(stored === current)
+
+    // epoch 4: upsert + delete in the SAME window: id 5 moves d→e, then
+    // everything in 'e' dies — the insert must not resurrect at merge
+    Layout.upsertMor(spark, src,
+      Seq((5L, "e", 50.0)).toDF("id", "k", "v"), "id")
+    Layout.deleteWhereMor(spark, src, col("k") === "e")
+    Mview.refreshMor(spark, view, src, Seq("k"), measures)
+    assert(stored === current)
+    assert(!stored.exists(_._1 == "e"))
+  }
+
+  test("refreshMor refuses sketch measures and missing count(*) support") {
+    val (src, view) = ("mvmor_ref_src", "mvmor_ref_view")
+    Seq(src, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "a", 1.0)).toDF("id", "k", "v").write.saveAsTable(src)
+    Mview.create(spark, view, src, Seq("k"), measures)
+    val sketch = measures :+ Mview.Measure("approx_distinct", Some("id"), "du")
+    assert(intercept[IllegalArgumentException] {
+      Mview.refreshMor(spark, view, src, Seq("k"), sketch)
+    }.getMessage.contains("sketch"))
+    val noSupport = Seq(Mview.Measure("sum", Some("v"), "total"))
+    assert(intercept[IllegalArgumentException] {
+      Mview.refreshMor(spark, view, src, Seq("k"), noSupport)
+    }.getMessage.contains("support"))
+  }
 }

@@ -113,6 +113,22 @@ class ClusteringSpec extends SparkSpec {
     assert(got2 === want2)
   }
 
+  test("loadCc plan: the corpus-sized labels table crosses exactly one join") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cc_plan").toString
+    IndexStore.writeCc(
+      Clustering.connectedComponents(
+        Seq((1L, 2L), (10L, 11L)).toDF("a", "b"), "a", "b"), dir)
+    IndexStore.appendCcEdges(Seq((2L, 10L)).toDF("a", "b"), "a", "b", dir)
+    // forwarding resolution runs eagerly on the (append-bounded) forward
+    // table; the RETURNED plan must be labels ⋈ resolved-forward and
+    // nothing else — the scale claim of the MOR design
+    val plan = IndexStore.loadCc(spark, dir).queryExecution.analyzed
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size === 1, s"labels must cross exactly one join:\n$plan")
+  }
+
   test("appendCcEdges with a pure no-op increment appends nothing visible") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_cc_noop").toString
