@@ -16,6 +16,15 @@ Test / unmanagedJars += Attributed.blank(
   file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as bare JSON.
+// Forked run output defaults to LoggedOutput ("[info] " prefix) and sbt
+// appends "[success] Total time: ..." after the main returns — both
+// defeat that parse. Route forked stdout through unprefixed and drop
+// the success/timing epilogue so graft.Bench's final println IS the
+// final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

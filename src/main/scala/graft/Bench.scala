@@ -126,13 +126,16 @@ object Bench {
       java.nio.file.Files.write(hist,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
-    println(line)
     val headlines = Seq("q08_join_agg", "q09_star_join_revenue", "q15_topk",
       "q24_cosine_topk")
     val hq = results.filter(r => headlines.contains(r._1))
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"sf":"$sfDir","full":"target/bench_latest.json"}"""
-    println(summary)
+    // Stop Spark BEFORE the final prints: the driver parses the LAST stdout
+    // line as JSON, and shutdown must not be able to interleave output
+    // after it (build.sbt already strips sbt's own [info]/[success] noise).
     spark.stop()
+    println(line)
+    println(summary)
   }
 }
