@@ -655,10 +655,10 @@ object Layout {
     val inserts =
       if (added.isEmpty) emptyDf(spark, to.schemaJson)
       else readManifest(spark, to.copy(files = added))
-    val newPos = to.deleteEntries
-      .filterNot(e => from.deleteEntries.map(_.path).toSet.contains(e.path))
-    val newEq = to.eqDeleteEntries
-      .filterNot(e => from.eqDeleteEntries.map(_.path).toSet.contains(e.path))
+    val fromDelPaths = from.deleteEntries.map(_.path).toSet
+    val fromEqPaths = from.eqDeleteEntries.map(_.path).toSet
+    val newPos = to.deleteEntries.filterNot(e => fromDelPaths.contains(e.path))
+    val newEq = to.eqDeleteEntries.filterNot(e => fromEqPaths.contains(e.path))
     val retracted =
       if (from.files.isEmpty || (newPos.isEmpty && newEq.isEmpty))
         emptyDf(spark, from.schemaJson)

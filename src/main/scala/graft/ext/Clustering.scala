@@ -143,11 +143,42 @@ object Clustering {
         coalesce(col("__root"), col("component")).as("component"))
   }
 
+  private val cacheMax: Int =
+    sys.props.get("graft.clustering.cachedMax").map(_.toInt).getOrElse(8)
+  // access-order LRU bounded at `cacheMax` labelings (the Hnsw.resident
+  // discipline): the memo pins localCheckpoint'd corpus-sized label
+  // frames, so an unbounded map is a process-lifetime leak. Eviction
+  // drops the strong reference (unpersist is a safe no-op for the
+  // checkpoint-backed case; ContextCleaner reclaims the blocks once the
+  // plan is unreachable). All access goes through the map's own monitor.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > cacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** Process-lifetime memo for a maintained labeling (the q78/q177
-    * serving semantics: build/append priced once, reps serve). */
+    * serving semantics: build/append priced once, reps serve). Bounded
+    * LRU — see `cacheMax`. */
   def cached(key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(key, _ => build)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else { val v = build; cache.put(key, v); v }
+    }
+
+  /** Release one memoized labeling (or all of them): removes the map
+    * reference and unpersists so the checkpointed blocks can be
+    * reclaimed. */
+  def dropCached(key: String): Unit = cache.synchronized {
+    Option(cache.remove(key)).foreach(_.unpersist(false))
+  }
+  def clearCached(): Unit = cache.synchronized {
+    cache.values().forEach(df => { df.unpersist(false); () })
+    cache.clear()
+  }
 }

@@ -42,13 +42,17 @@ object TimeSeries {
           .as(valueCol))
   }
 
-  /** floor(x / d) in exact integer terms for either sign of x:
-    * x − pmod(x, d) is exactly divisible by d, so the division carries no
-    * fraction to round (the result magnitude stays far under 2^52, where
-    * the double intermediate is exact). The portable floor-div both
-    * engines agree on — truncating `div` disagrees on negatives. */
-  private def fdiv(x: Column, d: Long): Column =
-    ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+  /** floor(x / 2^k) as an arithmetic right shift — exact pure-Int64 floor
+    * division for either sign of x across the FULL long range (the earlier
+    * (x − pmod(x,d))/d form went through a double and was only exact below
+    * 2^52). The portable floor-div both engines agree on — truncating
+    * `div` disagrees on negatives; >> floors by construction. The Holt
+    * divisors are 2 and 4, so the power-of-two restriction costs nothing. */
+  private def fdiv(x: Column, d: Long): Column = {
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"fdiv divisor must be a power of two, got $d")
+    shiftright(x.cast("long"), java.lang.Long.numberOfTrailingZeros(d))
+  }
 
   /** Deterministic Holt linear-trend forecast — the chart "Forecast"
     * advanced-analytics surface (Superset ships one behind its trend

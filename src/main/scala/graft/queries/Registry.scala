@@ -18,6 +18,18 @@ final case class GQuery(
     description: String = "")
 
 object Registry {
+  /** Collision-resistant key for deriving per-dataset index dirs and
+    * resident-serving keys from a dataset path. `math.abs(s.hashCode)`
+    * (the round-10 form) is 31 bits and content-independent — a collision
+    * between two dataset paths in one application would silently share an
+    * index dir AND executor-pinned resident graphs across datasets, and
+    * `math.abs(Int.MinValue)` is negative. md5 over the path has neither
+    * defect. */
+  def pathKey(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
   lazy val all: Seq[GQuery] =
     CoreQueries.all ++ ExtQueries.all ++ PipelineQueries.all ++
       AdvancedQueries.all ++ AnalyticsQueries.all ++ Round4Queries.all ++

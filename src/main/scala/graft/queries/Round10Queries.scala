@@ -39,7 +39,7 @@ object Round10Queries {
       val built = IvfIndex.buildTrained(base, "vec_id", "embedding",
         nCentroids = 8, lloydIters = 2)
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/ivfapp_${math.abs(d.hashCode)}"
+        s"/graft_idx/ivfapp_${Registry.pathKey(d)}"
       IndexStore.writeIvf(built, dir)
       IvfIndex.drop(built)
       IndexStore.appendIvf(e.where(col("vec_id") >= cut),
@@ -74,7 +74,7 @@ object Round10Queries {
       val built = Pq.build(base, "vec_id", "embedding",
         m = 8, ksub = 16, iters = 2, dim = 64)
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/pqapp_${math.abs(d.hashCode)}"
+        s"/graft_idx/pqapp_${Registry.pathKey(d)}"
       IndexStore.writePq(built, dir)
       Pq.drop(built)
       IndexStore.appendPq(e.where(col("vec_id") >= cut),
@@ -102,7 +102,7 @@ object Round10Queries {
       val m = graft.ext.LangId.train(docs, "doc_id", "text", "lang",
         buckets = 512, iters = 10, lr = 4.0)
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/langid_${math.abs(d.hashCode)}"
+        s"/graft_idx/langid_${Registry.pathKey(d)}"
       graft.ext.IndexStore.writeLangid(m, dir)
       graft.ext.IndexStore.loadLangid(s, dir)
     }
@@ -187,7 +187,7 @@ object Round10Queries {
       val base = pairs.where(col("id_a") < cut && col("id_b") < cut)
       val inc = pairs.where(col("id_a") >= cut || col("id_b") >= cut)
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/ccapp_${math.abs(d.hashCode)}"
+        s"/graft_idx/ccapp_${Registry.pathKey(d)}"
       IndexStore.writeCc(
         Clustering.connectedComponents(base, "id_a", "id_b"), dir)
       IndexStore.appendCcEdges(inc, "id_a", "id_b", dir)

@@ -303,7 +303,7 @@ object Round6Queries {
     val k = semdedupK(e)
     val c = SemDedup.cluster(e, "vec_id", "embedding", k = k, lloydIters = 2)
     val dir = sys.props("java.io.tmpdir") +
-      s"/graft_idx/kmeans_${math.abs(d.hashCode)}"
+      s"/graft_idx/kmeans_${Registry.pathKey(d)}"
     IndexStore.writeKmeans(c, dir)
     SemDedup.drop(c)
     val loaded = IndexStore.loadKmeans(s, dir)

@@ -80,7 +80,7 @@ object Round7Queries {
         s.sparkContext.applicationId + ":pruned:" + d) {
       val built = LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/lsh_${math.abs(d.hashCode)}"
+        s"/graft_idx/lsh_${Registry.pathKey(d)}"
       IndexStore.writeLsh(built, dir)
       IndexStore.writeLshVectors(e, "vec_id", "embedding", dir)
       LshIndex.drop(built)
@@ -268,7 +268,7 @@ object Round7Queries {
       // round-trips IndexStore kind=logreg, so what q193 serves is the
       // STORED model, not driver memory.
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/qclf_${math.abs(d.hashCode)}"
+        s"/graft_idx/qclf_${Registry.pathKey(d)}"
       IndexStore.writeLogreg(m, dir)
       IndexStore.loadLogreg(s, dir)
     }
@@ -334,7 +334,7 @@ object Round7Queries {
       val m = Dsir.fit(docs.filter(col("doc_id") < 400),
         col("lang") === "en", "doc_id", "text", buckets = 10000, alpha = 1.0)
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/dsir_${math.abs(d.hashCode)}"
+        s"/graft_idx/dsir_${Registry.pathKey(d)}"
       IndexStore.writeDsir(m, dir)
       IndexStore.loadDsir(s, dir)
     }

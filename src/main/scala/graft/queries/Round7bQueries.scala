@@ -151,7 +151,7 @@ object Round7bQueries {
     val pos = InvertedIndex.cachedPositional(
         s.sparkContext.applicationId + ":pos:" + d) {
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/pos_${math.abs(d.hashCode)}"
+        s"/graft_idx/pos_${Registry.pathKey(d)}"
       IndexStore.writePositional(
         InvertedIndex.buildPositional(docs, "doc_id", "text"), dir)
       IndexStore.loadPositional(s, dir)
@@ -422,7 +422,7 @@ object Round7bQueries {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     val model = KneserNey.cached(s.sparkContext.applicationId + ":knlm:" + d) {
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/knlm_${math.abs(d.hashCode)}"
+        s"/graft_idx/knlm_${Registry.pathKey(d)}"
       IndexStore.writeKnlm(KneserNey.fit(docs.filter(col("doc_id") < 50),
         "doc_id", "text", minCount = 30, discount = 0.75), dir)
       IndexStore.loadKnlm(s, dir)

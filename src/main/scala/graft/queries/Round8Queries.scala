@@ -53,7 +53,7 @@ object Round8Queries {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val params = Hnsw.Params(m = 8, efConstruction = 64, efSearch = 48)
     val dir = sys.props("java.io.tmpdir") +
-      s"/graft_idx/hnsw_${math.abs(d.hashCode)}"
+      s"/graft_idx/hnsw_${Registry.pathKey(d)}"
     // rep 1: build + store + one serving shuffle, persisted; reps 2+
     // price RESIDENT steady-state serving — cached shard-clustered
     // blocks (no per-query shuffle) + executor-pinned decoded graphs
@@ -194,7 +194,7 @@ object Round8Queries {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val params = Hnsw.Params(m = 8, efConstruction = 64, efSearch = 48)
     val dirPlus = sys.props("java.io.tmpdir") +
-      s"/graft_idx/hnswinc_${math.abs(d.hashCode)}_plus"
+      s"/graft_idx/hnswinc_${Registry.pathKey(d)}_plus"
     // rep 1: base build + store + insert + write-through of the GROWN
     // graph (an increment's output is itself a publishable index — the
     // round-9 memo cached the lazy insert plan, so every action re-ran
@@ -206,7 +206,7 @@ object Round8Queries {
       val n = e.count()
       val shards = math.max(1L, n / 512L).toInt
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/hnswinc_${math.abs(d.hashCode)}"
+        s"/graft_idx/hnswinc_${Registry.pathKey(d)}"
       IndexStore.writeHnsw(
         Hnsw.build(e.where(col("vec_id") < cut), "vec_id", "embedding",
           shards, params), params, dir)
@@ -282,7 +282,7 @@ object Round8Queries {
       val built = LshIndex.build(base, "vec_id", "embedding",
         tables = 8, dim = 64)
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/lshapp_${math.abs(d.hashCode)}"
+        s"/graft_idx/lshapp_${Registry.pathKey(d)}"
       IndexStore.writeLsh(built, dir)
       IndexStore.writeLshVectors(base, "vec_id", "embedding", dir)
       LshIndex.drop(built)

@@ -97,10 +97,18 @@ object StreamCurate {
     // colliding in b bands must fetch corpus shingles and Jaccard once,
     // not b times — and the 32 no-collision rows of a candidate-less
     // document collapse to one (null __cid) row for the aggregate
+    // self-candidates are NULLED OUT, not filtered: a stream document
+    // whose id exists in the corpus and whose every band collides only
+    // with itself would otherwise lose all its rows here and silently
+    // vanish, while batch() keeps it (probe drops self pairs, so no
+    // dupIds row anti-joins it away). A null __cid row survives to the
+    // windowed verdict as a non-dup — the same row shape a no-collision
+    // document produces — and the dedup collapses the nulls to one.
     val cand = banded
       .join(index.bands.select(col("band_id"), col("band_key"),
         col("doc_id").as("__cid")), Seq("band_id", "band_key"), "left")
-      .where(col("__cid").isNull || col("__cid") =!= col(idCol))
+      .withColumn("__cid", when(col("__cid") === col(idCol), lit(null))
+        .otherwise(col("__cid")))
       .drop("band_id", "band_key")
       .dropDuplicatesWithinWatermark(idCol, "__cid")
     val verified = TextPrep
