@@ -159,6 +159,74 @@ object LangId {
         element_at(labelArr, col("__best.__l") + 1).as(out))
   }
 
+  /** Map-only scoring: the whole per-document softmax argmax as ONE
+    * in-row Column — hash n-grams to buckets with array HOFs, dot the
+    * per-bucket counts against the weight matrix embedded as a literal
+    * (L·(B+1) doubles — a few thousand at fastText's B = 512), argmax.
+    * Zero exchanges and zero per-row state, so it is append-mode-safe in
+    * Structured Streaming, where [[predict]]'s per-document aggregation
+    * over feature rows is a stateful stage ([[graft.streaming
+    * .StreamCurate]] serves the trained tier through this).
+    *
+    * Bit-equality with [[predict]] (LangIdSpec pins it hash-for-hash):
+    * the n-gram stream, bucket hash, x = round₉(count/n) normalization,
+    * round₉(x·w) terms, exact decimal margin sums, and the
+    * smallest-label tie-break are all replicated term-for-term — the
+    * per-distinct-bucket grouping becomes a sorted-run fold over the
+    * sorted bucket array. Documents with NULL text score NULL (predict
+    * emits no row for them — the same "no prediction" outcome). */
+  def scoreExpr(model: Model, text: Column): Column = {
+    val nL = model.labels.size
+    val b = model.buckets
+    // element j (1-based) = bucket j−2 (j = 1 is the bias, bucket −1);
+    // each element carries that bucket's L per-label weights
+    val wlit = typedLit(
+      (0 until b + 1).map(j => (0 until nL).map(l => model.weights(l)(j))))
+    val labelLit = array(model.labels.map(lit): _*)
+    // the Dsir.ngramBuckets stream, in-row: lowercase whitespace words,
+    // adjacent bigrams, md5-prefix bucket hash
+    val ws = split(lower(trim(text)), "\\s+")
+    val bis = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, bb) => concat(a, lit(" "), bb)))
+      .otherwise(array().cast("array<string>"))
+    val ngs = concat(ws, bis)
+    val nng = size(ngs)
+    val bkts = array_sort(transform(ngs,
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") % b))
+    // margins start at the intercept terms (feature x = round₉(1.0),
+    // bucket −1) — literal arithmetic, constant-folded
+    val biasMs = array(model.weights.toSeq.map(wv =>
+      r9(lit(1.0).cast("double") * lit(wv(0))).cast("decimal(34,9)")): _*)
+    // close a run of `run` occurrences of bucket `prev`: per label,
+    // margin += round₉(round₉(run/n)·w) — exactly predict's per-(doc,
+    // bucket) term with cnt = run
+    def flush(prev: Column, run: Column, ms: Column): Column =
+      when(run === 0L, ms).otherwise(
+        zip_with(ms, element_at(wlit, (prev + 2L).cast("int")),
+          (m, w) => (m +
+            r9(r9(run.cast("double") / nng).cast("double") * w))
+            .cast("decimal(34,9)")))
+    val folded = aggregate(
+      bkts,
+      struct(lit(-2L).as("prev"), lit(0L).as("run"), biasMs.as("ms")),
+      (acc, bk) => when(bk === acc.getField("prev"),
+          struct(acc.getField("prev").as("prev"),
+            (acc.getField("run") + 1L).as("run"),
+            acc.getField("ms").as("ms")))
+        .otherwise(struct(bk.as("prev"), lit(1L).as("run"),
+          flush(acc.getField("prev"), acc.getField("run"),
+            acc.getField("ms")).as("ms"))),
+      acc => flush(acc.getField("prev"), acc.getField("run"),
+        acc.getField("ms")))
+    // argmax, ties to the smallest label index (predict's
+    // min(struct(−m, l)) order) — array_position finds the FIRST max
+    val pos = array_position(folded, array_max(folded))
+    when(nng.isNull, lit(null).cast("string"))
+      .otherwise(element_at(labelLit, pos.cast("int")))
+  }
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Model]()
 

@@ -93,7 +93,7 @@ object Round10Queries {
     * the corpus's own lang labels, stored and reloaded through
     * [[graft.ext.IndexStore]] kind=langid so the serving entry scores
     * with the DURABLE model (the q193_build/q193 lifecycle). */
-  private def langidModel(s: SparkSession, d: String): graft.ext.LangId.Model =
+  private[queries] def langidModel(s: SparkSession, d: String): graft.ext.LangId.Model =
     graft.ext.LangId.cached(s.sparkContext.applicationId + ":langid:" + d) {
       // bounded labeled slice (deterministic): langid models train on a
       // labeled subset, never the whole corpus — the T17/T18 ≤10⁴-row

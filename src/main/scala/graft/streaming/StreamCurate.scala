@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SketchExprs
 
-import graft.ext.{MinHashIndex, TextAnalysis, TextPrep, TextQuality}
+import graft.ext.{LangId, MinHashIndex, TextAnalysis, TextPrep, TextQuality}
 
 /** ST17: the composed streaming ingest-curation pipeline — the production
   * end-cap over the streaming-serving family: a crawl stream is quality-
@@ -16,9 +16,11 @@ import graft.ext.{MinHashIndex, TextAnalysis, TextPrep, TextQuality}
   *
   *   1. Gopher rule battery ([[TextQuality.gopherRules]], T13) — per-row
   *      staged projection, map-only;
-  *   2. language filter ([[TextAnalysis.langId]], T1 — the map-only tier
-  *      IS the streaming tier; the trained T1′ softmax serves batch,
-  *      where its per-label aggregation is free);
+  *   2. language filter — the T1 marker heuristic by default, or the
+  *      TRAINED T1′ softmax when a [[LangId.Model]] is passed: [[LangId
+  *      .scoreExpr]] folds the whole argmax into one in-row expression
+  *      (weights as a literal), so the trained tier is map-only and
+  *      append-mode-safe too;
   *   3. train/test decontamination (ST15's per-row [[SketchExprs
   *      .bloomHitCount]] loop over a broadcast test-set bloom — zero
   *      state, no false negatives);
@@ -41,16 +43,22 @@ import graft.ext.{MinHashIndex, TextAnalysis, TextPrep, TextQuality}
 object StreamCurate {
 
   /** The map-only gate conjunction shared by both forms: Gopher keep ∧
-    * allowed language ∧ not contaminated. One staged projection. */
+    * allowed language ∧ not contaminated. One staged projection. The
+    * language tier is the T1 marker heuristic by default; pass a TRAINED
+    * [[LangId.Model]] to serve T1′ instead — [[LangId.scoreExpr]] is one
+    * in-row expression (weights ride as a broadcast-equivalent literal),
+    * so the trained tier is just as append-mode-safe as the heuristic. */
   private def gated(df: DataFrame, textCol: String, langs: Set[String],
       bf: Array[Byte], shingleK: Int, minHits: Int,
-      minWords: Int, maxWords: Int): DataFrame = {
+      minWords: Int, maxWords: Int,
+      langModel: Option[LangId.Model]): DataFrame = {
     val staged = df
       .withColumn("__gtoks", TextPrep.tokens(col(textCol)))
       .withColumn("__lines", split(col(textCol), "\n"))
     val keep = TextQuality.gopherKeep(TextQuality.gopherRules(
       col(textCol), col("__gtoks"), col("__lines"), minWords, maxWords))
-    val lang = TextAnalysis.langId(col(textCol))
+    val lang = langModel.map(m => LangId.scoreExpr(m, col(textCol)))
+      .getOrElse(TextAnalysis.langId(col(textCol)))
     TextPrep.stagedShingles(
         staged.withColumn("__keep", keep).withColumn("lang", lang)
           .withColumn("n_tokens", size(col("__gtoks")).cast("long"))
@@ -68,7 +76,8 @@ object StreamCurate {
       idCol: String, textCol: String, tsCol: String, langs: Set[String],
       threshold: Double, watermark: String, windowDur: String,
       shingleK: Int = 5, minHits: Int = 1,
-      minWords: Int = 20, maxWords: Int = 90): DataFrame = {
+      minWords: Int = 20, maxWords: Int = 90,
+      langModel: Option[LangId.Model] = None): DataFrame = {
     // the Gopher word floor is what guarantees every survivor has a
     // non-empty index-k shingle set to sign
     require(minWords >= index.shingleK,
@@ -76,7 +85,7 @@ object StreamCurate {
         s"(${index.shingleK}) so survivors always sign")
     val survivors = gated(
         stream.select(col(idCol), col(tsCol), col(textCol)),
-        textCol, langs, bf, shingleK, minHits, minWords, maxWords)
+        textCol, langs, bf, shingleK, minHits, minWords, maxWords, langModel)
       .withWatermark(tsCol, watermark)
     // band fan-out (map-side; rows carry TEXT, re-shingled after the
     // fan-out — the ST14 payload rule). Signatures use the INDEX's
@@ -132,9 +141,10 @@ object StreamCurate {
   def batch(index: MinHashIndex.Index, bf: Array[Byte], docs: DataFrame,
       idCol: String, textCol: String, langs: Set[String], threshold: Double,
       shingleK: Int = 5, minHits: Int = 1,
-      minWords: Int = 20, maxWords: Int = 90): DataFrame = {
+      minWords: Int = 20, maxWords: Int = 90,
+      langModel: Option[LangId.Model] = None): DataFrame = {
     val survivors = gated(docs.select(col(idCol), col(textCol)),
-      textCol, langs, bf, shingleK, minHits, minWords, maxWords)
+      textCol, langs, bf, shingleK, minHits, minWords, maxWords, langModel)
     val dupIds = MinHashIndex.probe(index, survivors, idCol, textCol,
         threshold)
       .select(col("id_b").as(idCol)).distinct()

@@ -162,6 +162,43 @@ class LangIdSpec extends SparkSpec {
       assert(loaded.weights(l).sameElements(model.weights(l)))
   }
 
+  test("scoreExpr (map-only) matches predict prediction-for-prediction") {
+    import org.apache.spark.sql.functions._
+    val model = LangId.train(corpusDf, "id", "text", "lang",
+      buckets = 64, iters = 6, lr = 4.0)
+    // edge cases ride along: empty text, whitespace-only, single word,
+    // repeated-word runs (exercises the sorted-run count fold)
+    val docs = corpusDf.unionByName(Seq(
+      (900L, "zz", ""), (901L, "zz", "   "), (902L, "zz", "walrus"),
+      (903L, "zz", "walrus walrus walrus fjord fjord spark"))
+      .toDF("id", "lang", "text"))
+    val viaAgg = LangId.predict(model, docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaMap = docs.select(col("id"),
+        LangId.scoreExpr(model, col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(viaMap.size == docs.count())
+    viaMap.foreach { case (id, p) =>
+      assert(p == viaAgg.get(id),
+        s"doc $id: map-only $p vs aggregate ${viaAgg.get(id)}")
+    }
+  }
+
+  test("scoreExpr scores NULL text as NULL (predict emits no row)") {
+    import org.apache.spark.sql.functions._
+    val model = LangId.train(corpusDf, "id", "text", "lang",
+      buckets = 32, iters = 2, lr = 2.0)
+    val docs = Seq((1L, Some("walrus fjord")), (2L, None))
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+        LangId.scoreExpr(model, col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).isDefined && got(2L).isEmpty)
+    val aggIds = LangId.predict(model, docs, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(aggIds == Set(1L))
+  }
+
   test("NULL labels are refused loudly, not NPE'd") {
     val docs = Seq((1L, "alpha beta", Some("en")), (2L, "uno dos", None))
       .toDF("id", "text", "lang")

@@ -108,6 +108,62 @@ class StreamCurateSpec extends SparkSpec {
     } finally MinHashIndex.drop(index)
   }
 
+  test("trained T1' language tier: stream == batch, gate fires on model verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // disjoint-vocab training corpus (the LangIdSpec separable case):
+    // "en" draws from the stream docs' own words so clean docs score en,
+    // "xx" from the German doc's markers so 104 scores xx and is dropped
+    // by the TRAINED verdict, not the marker heuristic
+    val trainDocs = Seq(
+      (1L, "en", "the sun rises over a calm valley and the birds sing"),
+      (2L, "en", "a gentle river flows past the old mill to the sea"),
+      (3L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (4L, "xx", "der hund und die katze ist wunderbar"),
+      (5L, "xx", "der katze und der hund ist hier"))
+      .toDF("id", "lang", "text")
+    val model = graft.ext.LangId.train(trainDocs, "id", "text", "lang",
+      buckets = 64, iters = 8, lr = 4.0)
+    val index = MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 128, numBands = 32)
+    val bf = Decontaminate.buildShingleBloom(testSet, "doc_id", "text",
+      shingleK = 5)
+    try {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val curated = StreamCurate.pipeline(index, bf,
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", langs = Set("en"), threshold = 0.8,
+        watermark = "1 minute", windowDur = "5 minutes",
+        shingleK = 5, minWords = 8, maxWords = 200,
+        langModel = Some(model))
+      val q = curated.writeStream.format("memory").queryName("curated_t1p")
+        .outputMode("append").start()
+      try {
+        mem.addData(incoming)
+        q.processAllAvailable()
+        mem.addData(flusher)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("curated_t1p")
+        .select("doc_id", "lang", "n_tokens", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+      val batch = StreamCurate.batch(index, bf,
+          incoming.toDF("doc_id", "ts", "text"), "doc_id", "text",
+          langs = Set("en"), threshold = 0.8,
+          shingleK = 5, minWords = 8, maxWords = 200,
+          langModel = Some(model))
+        .select("doc_id", "lang", "n_tokens", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got === batch, "trained-tier stream must equal the batch twin")
+      assert(got.map(_._1) === Set(101L, 102L),
+        s"clean docs survive the trained gate: ${got.map(_._1)}")
+      assert(got.forall(_._2 == "en"))
+    } finally MinHashIndex.drop(index)
+  }
+
   test("pipeline refuses a Gopher floor below the index shingle length") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark; import s.implicits._
