@@ -262,7 +262,7 @@ object IndexStore {
     * scalars live in meta. */
   def writeInverted(index: InvertedIndex.Index, dir: String): Unit = {
     writeMeta(dir, "kind" -> "inverted", "nDocs" -> index.nDocs,
-      "avgdl" -> index.avgdl)
+      "avgdl" -> index.avgdl, "sumDl" -> index.sumDl)
     index.postings
       .repartition(col("term"))
       .sortWithinPartitions("term")
@@ -271,11 +271,56 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/docfreq")
   }
 
+  /** The df read folds appended per-increment rows: after
+    * [[appendInverted]] a term can hold one df row per increment, and
+    * BM25's broadcast join needs ONE row per term — the sum IS the
+    * union-corpus df (each document contributes to exactly one
+    * increment's count). Vocabulary-sized aggregate, paid once per
+    * load. */
   def loadInverted(spark: SparkSession, dir: String): InvertedIndex.Index = {
     val m = requireKind(dir, "inverted")
+    val nDocs = m.get("nDocs").asLong()
+    val sumDl = m.get("sumDl").asLong()
     InvertedIndex.Index(spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/docfreq"),
-      m.get("nDocs").asLong(), m.get("avgdl").asDouble())
+      spark.read.parquet(s"$dir/docfreq")
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      nDocs, sumDl.toDouble / nDocs, sumDl)
+  }
+
+  /** Append NEW documents to a stored BM25 bundle — the first append
+    * family whose MODEL STATE drifts with the corpus: unlike the
+    * frozen-parameter ANN appends ([[appendLsh]]/[[appendIvf]]/
+    * [[appendPq]], pure per-row maps against frozen parameters), BM25's
+    * df table and corpus scalars (N, avgdl) are functions of the WHOLE
+    * corpus, so an append must fold them under the MV1 counting
+    * discipline: postings and per-increment df rows append (the load
+    * re-aggregates df from the deltas — vocabulary-sized), and
+    * (nDocs, sumDl) fold additively in meta, from which avgdl is
+    * re-derived exactly. Append ≡ rebuild EXACTLY — postings are a row
+    * union, df is a sum of disjoint-document counts, and the scalars
+    * fold losslessly (see [[InvertedIndex.Index]] on sumDl) — so scores
+    * through the reloaded bundle are bit-identical to a full rebuild
+    * (InvertedIndexSpec pins it).
+    *
+    * Precondition (the counting algorithm's): the increment is NEW
+    * documents — an id present in the base would double-count its df
+    * contribution. Same contract as every append in the family. */
+  def appendInverted(increment: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val m = requireKind(dir, "inverted")
+    val inc = InvertedIndex.build(increment, idCol, textCol)
+    try {
+      inc.postings
+        .repartition(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Append).parquet(s"$dir/postings")
+      inc.docFreq.coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$dir/docfreq")
+      val nDocs = m.get("nDocs").asLong() + inc.nDocs
+      val sumDl = m.get("sumDl").asLong() + inc.sumDl
+      writeMeta(dir, "kind" -> "inverted", "nDocs" -> nDocs,
+        "avgdl" -> (sumDl.toDouble / nDocs), "sumDl" -> sumDl)
+    } finally InvertedIndex.drop(inc)
   }
 
   /** Positional postings ([[InvertedIndex.buildPositional]]): clustered+
@@ -292,6 +337,21 @@ object IndexStore {
   def loadPositional(spark: SparkSession, dir: String): DataFrame = {
     requireKind(dir, "positional")
     spark.read.parquet(s"$dir/postings")
+  }
+
+  /** Append NEW documents' positional postings (R4′): the positional
+    * index carries no model state at all — no df, no scalars — so the
+    * append IS a clustered row append, and append ≡ rebuild is a plain
+    * row-set union. Each appended file is itself clustered+sorted by
+    * term, so phrase-query row-group skipping keeps working over
+    * base + increments. */
+  def appendPositional(increment: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    requireKind(dir, "positional")
+    InvertedIndex.buildPositional(increment, idCol, textCol)
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Append).parquet(s"$dir/postings")
   }
 
   // ---- PQ -----------------------------------------------------------

@@ -33,8 +33,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object InvertedIndex {
 
+  /** `sumDl` (exact token total) rides beside `avgdl` because the APPEND
+    * path must update the corpus scalars exactly: avgdl is a derived
+    * quotient, and only the (nDocs, sumDl) pair folds under the counting
+    * discipline — avgdl′ = (sumDl + sumDlᵢ)/(nDocs + nDocsᵢ) reproduces a
+    * rebuild's avg(dl) bit-for-bit (integer sums below 2^53 are exact in
+    * the double accumulator, so the final division is the same op). */
   final case class Index(postings: DataFrame, docFreq: DataFrame,
-      nDocs: Long, avgdl: Double)
+      nDocs: Long, avgdl: Double, sumDl: Long)
 
   /** Tokenize + count once; postings persisted and materialized, df and
     * the corpus scalars computed at build (bounded driver state). */
@@ -52,8 +58,10 @@ object InvertedIndex {
     postings.count() // pay the corpus pass HERE
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("a")).head()
-    Index(postings, docFreq, stats.getLong(0), stats.getDouble(1))
+    val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("a"),
+      coalesce(sum(col("dl")), lit(0L)).cast("long").as("s")).head()
+    Index(postings, docFreq, stats.getLong(0), stats.getDouble(1),
+      stats.getLong(2))
   }
 
   /** BM25 top-k from the index: postings filtered to the query terms

@@ -53,5 +53,66 @@ object Round11Queries {
            |       CAST(count(text) AS BIGINT) AS n_scored
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q232)
+  /** Q233 (R2′, incremental BM25 index append): the build-once/append
+    * matrix extended to the RETRIEVAL tier — the one family whose model
+    * state drifts with the corpus: unlike the frozen-parameter ANN
+    * appends, BM25's df table and (N, avgdl) scalars are functions of
+    * the whole corpus, so [[graft.ext.IndexStore.appendInverted]] folds
+    * them under the MV1 counting discipline (postings + per-increment
+    * df rows append; nDocs/sumDl fold additively in meta; the load
+    * re-aggregates df vocabulary-sized). Lifecycle: base = all but the
+    * newest fifth of documents, built and stored; increment appended;
+    * q191's query served through the RELOADED bundle. Append ≡ rebuild
+    * exactly (InvertedIndexSpec pins postings, df, scalars, and scores
+    * bit-for-bit), so q191's full-corpus oracle carries over verbatim —
+    * the gate is hash-exact, not a contract. */
+  val q233 = GQuery("q233_bm25_append", (s, d) => {
+    import graft.ext.{IndexStore, InvertedIndex}
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val idx = InvertedIndex.cached(
+        s.sparkContext.applicationId + ":invapp:" + d) {
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = maxId - maxId / 5
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/invapp_${Registry.pathKey(d)}"
+      IndexStore.writeInverted(
+        InvertedIndex.build(docs.where(col("doc_id") < cut),
+          "doc_id", "text"), dir)
+      IndexStore.appendInverted(docs.where(col("doc_id") >= cut),
+        "doc_id", "text", dir)
+      IndexStore.loadInverted(s, dir)
+    }
+    InvertedIndex.bm25(idx, Seq("spark", "window", "hash"), topK = 20)
+  }, Round7Queries.q191.oracle)
+
+  /** Q234 (R4′, incremental positional-postings append): the phrase
+    * index under the same lifecycle — the positional layout carries no
+    * model state at all, so [[graft.ext.IndexStore.appendPositional]]
+    * is a pure clustered row append and append ≡ rebuild is a row-set
+    * union (InvertedIndexSpec). q208's two phrases served through the
+    * base+increment bundle, against q208's full-corpus oracle. */
+  val q234 = GQuery("q234_phrase_append", (s, d) => {
+    import graft.ext.{IndexStore, InvertedIndex}
+    val docs = t(s, d, "documents")
+    val pos = InvertedIndex.cachedPositional(
+        s.sparkContext.applicationId + ":posapp:" + d) {
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = maxId - maxId / 5
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/posapp_${Registry.pathKey(d)}"
+      IndexStore.writePositional(
+        InvertedIndex.buildPositional(docs.where(col("doc_id") < cut),
+          "doc_id", "text"), dir)
+      IndexStore.appendPositional(docs.where(col("doc_id") >= cut),
+        "doc_id", "text", dir)
+      IndexStore.loadPositional(s, dir)
+    }
+    val p2 = InvertedIndex.phraseCount(pos, Seq("value", "table"))
+      .select(lit("value table").as("phrase"), col("doc_id"), col("n_occ"))
+    val p3 = InvertedIndex.phraseCount(pos, Seq("a", "row", "fast"))
+      .select(lit("a row fast").as("phrase"), col("doc_id"), col("n_occ"))
+    p2.unionAll(p3).orderBy("phrase", "doc_id")
+  }, Round7bQueries.q208.oracle)
+
+  val all: Seq[GQuery] = Seq(q232, q233, q234)
 }

@@ -59,6 +59,38 @@ class InvertedIndexSpec extends SparkSpec {
     } finally InvertedIndex.drop(built)
   }
 
+  test("appendInverted ≡ rebuild: postings, df, scalars, and scores bit-equal") {
+    val base = docs.where(col("doc_id") < 40)
+    val inc1 = docs.where(col("doc_id") >= 40 && col("doc_id") < 48)
+    val inc2 = docs.where(col("doc_id") >= 48)
+    val built = InvertedIndex.build(base, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-invapp").toString
+    val rebuilt = InvertedIndex.build(docs, "doc_id", "text")
+    try {
+      IndexStore.writeInverted(built, dir)
+      // two chained appends — the steady-state cadence, not one lucky fold
+      IndexStore.appendInverted(inc1, "doc_id", "text", dir)
+      IndexStore.appendInverted(inc2, "doc_id", "text", dir)
+      val appended = IndexStore.loadInverted(spark, dir)
+      assert(appended.nDocs === rebuilt.nDocs)
+      assert(appended.sumDl === rebuilt.sumDl)
+      assert(appended.avgdl === rebuilt.avgdl,
+        "avgdl must fold exactly (sumDl counting), not approximately")
+      // df table: per-increment rows re-aggregate to the rebuild's df
+      val dfGot = appended.docFreq.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dfWant = rebuilt.docFreq.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfGot === dfWant)
+      // scores through the reloaded bundle are bit-identical to rebuild
+      for (ts <- Seq(terms, Seq("join", "filter"))) {
+        val a = InvertedIndex.bm25(appended, ts, topK = 20).collect().toSeq
+        val b = InvertedIndex.bm25(rebuilt, ts, topK = 20).collect().toSeq
+        assert(a === b, s"terms $ts diverged after append")
+      }
+    } finally { InvertedIndex.drop(built); InvertedIndex.drop(rebuilt) }
+  }
+
   // ---- positional phrase search -------------------------------------
 
   /** Brute-force phrase occurrence counter over raw token sequences. */
@@ -110,5 +142,32 @@ class InvertedIndexSpec extends SparkSpec {
       IndexStore.loadInverted(spark, dir)
     }
     assert(e.getMessage.contains("positional"))
+  }
+
+  test("appendPositional ≡ rebuild: phrase counts equal over base + increments") {
+    val s = spark; import s.implicits._
+    val baseRows = phraseDocs.take(3)
+    val incRows = phraseDocs.drop(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-posapp").toString
+    IndexStore.writePositional(
+      InvertedIndex.buildPositional(baseRows.toDF("doc_id", "text"),
+        "doc_id", "text"), dir)
+    IndexStore.appendPositional(incRows.take(1).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    IndexStore.appendPositional(incRows.drop(1).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val loaded = IndexStore.loadPositional(spark, dir)
+    for (p <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "a"),
+        Seq("c"), Seq("z", "b"))) {
+      val got = InvertedIndex.phraseCount(loaded, p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteCount(phraseDocs, p), s"phrase $p after append")
+    }
+    // row-set union: appended postings ≡ full rebuild's postings
+    val rebuilt = InvertedIndex.buildPositional(phraseDf, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    val gotRows = loaded
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    assert(gotRows.toSeq === rebuilt.toSeq)
   }
 }
