@@ -89,7 +89,7 @@ object Bench {
       "q08_", "q09_", "q15_", "q24_",
       // round-11 new/changed paths: inverted-index appends, map-only
       // langid serve, bucket-clustered LSH fetch, MOR join views
-      "q187", "q177", "q191", "q208", "q228", "q232", "q233", "q234",
+      "q187", "q177", "q191", "q208", "q228", "q232", "q233", "q234", "q235",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182", "q220")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")

@@ -210,6 +210,90 @@ object Mview {
       keys, measures)
   }
 
+  /** [[summarize]] over a SIGNED delta: rows carry `__sgn` (+1 insert /
+    * −1 retraction) and every additive partial folds with its sign —
+    * count(*) → Σ sgn, count(c) → Σ sgn·[c≠null], sum(c) → Σ sgn·c.
+    * This is the counting algorithm's aggregation step applied to a
+    * join delta, where negation must ride PER ROW (a retraction can
+    * join several dimension rows) rather than per summary as in
+    * [[refreshMor]]'s append-source case. */
+  private def summarizeSigned(df: DataFrame, keys: Seq[String],
+      measures: Seq[Measure]) = {
+    val aggs = measures.map { m =>
+      m.fn.toLowerCase match {
+        case "count" => sum(m.column
+          .map(c => when(col(c).isNotNull, col("__sgn")).otherwise(lit(0L)))
+          .getOrElse(col("__sgn"))).as(m.alias)
+        case "sum" => sum(col("__sgn") * col(m.column.get)).as(m.alias)
+        case other => throw new IllegalArgumentException(
+          s"non-additive measure fn '$other' cannot fold a signed delta")
+      }
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[refreshJoin]] for sources that advance by CDC upserts/deletes —
+    * the fact table maintained by [[Layout.upsertMor]]/the ST13 sink
+    * feeding a join view. Each side's window comes from
+    * [[Layout.morDeltas]] as (inserts, retractions) and folds as a
+    * SIGNED delta through the exact join identity
+    *
+    *   A′⋈B′ − A⋈B = ΔA ⋈ B_new + A_old ⋈ ΔB
+    *
+    * (ΔA, ΔB signed; B_new = B_old ⊎ insB ∖ retB absorbs the ΔA⋈ΔB
+    * cross term — the [[refreshJoin]] decomposition, now valid under
+    * retraction because the joined row's sign rides along: a retracted
+    * fact row joins the CURRENT dimension state and SUBTRACTS exactly
+    * the partials its insert once added, per the counting rule
+    * (Gupta/Mumick/Subrahmanian 1993). Both sides may be MOR sources;
+    * an append-only side simply yields an empty retraction half.
+    * Refresh cost: two delta-sized joins + one summary-sized
+    * re-aggregate — historical A never re-joins historical B.
+    *
+    * Same loud preconditions as [[refreshMor]]: a count(*) support
+    * measure (zero-support groups leave the view) and no sketch
+    * measures (HLL cannot retract). */
+  def refreshJoinMor(spark: SparkSession, view: String, srcA: String,
+      srcB: String, joinKeys: Seq[String], keys: Seq[String],
+      measures: Seq[Measure]): Unit = {
+    require(measures.forall(_.fn.toLowerCase != "approx_distinct"),
+      "sketch measures cannot retract — an approx_distinct join view " +
+        "under MOR deletes must recompute (or keep refreshJoin's " +
+        "append-only contract)")
+    val support = measures.find(m =>
+      m.fn.toLowerCase == "count" && m.column.isEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        "refreshJoinMor needs a count(*) measure as group support — " +
+          "zero-support groups must leave the view"))
+    val lastA = lastTagIndex(spark, srcA, view)
+    val lastB = lastTagIndex(spark, srcB, view)
+    require(lastA >= 0 && lastB >= 0,
+      s"view $view was never created over ($srcA, $srcB)")
+    val oldTagA = s"${tagPrefix(view)}$lastA"
+    val oldTagB = s"${tagPrefix(view)}$lastB"
+    val tagA = s"${tagPrefix(view)}${lastA + 1}"
+    val tagB = s"${tagPrefix(view)}${lastB + 1}"
+    Layout.snapshot(spark, srcA, tagA)
+    Layout.snapshot(spark, srcB, tagB)
+    val (insA, retA) = Layout.morDeltas(spark, srcA, oldTagA, tagA)
+    val (insB, retB) = Layout.morDeltas(spark, srcB, oldTagB, tagB)
+    val dA = insA.withColumn("__sgn", lit(1L))
+      .unionByName(retA.withColumn("__sgn", lit(-1L)))
+    val dB = insB.withColumn("__sgn", lit(1L))
+      .unionByName(retB.withColumn("__sgn", lit(-1L)))
+    val aSide = !(insA.isEmpty && retA.isEmpty)
+    val bSide = !(insB.isEmpty && retB.isEmpty)
+    if (!aSide && !bSide) return
+    val parts = Seq(
+      if (aSide) Some(dA.join(Layout.readAt(spark, srcB, tagB), joinKeys))
+      else None,
+      if (bSide) Some(Layout.readAt(spark, srcA, oldTagA).join(dB, joinKeys))
+      else None).flatten
+    mergeInto(spark, view,
+      summarizeSigned(parts.reduce(_ unionByName _), keys, measures),
+      keys, measures, dropWhere = Some(col(support.alias) === 0L))
+  }
+
   /** Read surface: additive measures come back as stored; sketch measures
     * surface as their cardinality ESTIMATE under the same alias — the
     * binary sketch never leaks to consumers. */

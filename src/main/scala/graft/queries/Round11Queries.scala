@@ -114,5 +114,77 @@ object Round11Queries {
     p2.unionAll(p3).orderBy("phrase", "doc_id")
   }, Round7bQueries.q208.oracle)
 
-  val all: Seq[GQuery] = Seq(q232, q233, q234)
+  /** Q235 (MV5, join view maintained from MOR/CDC sources): [[graft
+    * .engine.Mview.refreshJoinMor]] — the round-10 q231 counting rule
+    * composed with the join-view delta rule, so a fact table advanced
+    * by CDC upserts (ST13's sink shape) can feed a fact ⋈ dimension
+    * summary without re-joining history: each side's window is
+    * [[graft.engine.Layout.morDeltas]]'s (inserts, retractions) folded
+    * SIGNED through Δ(A⋈B) = ΔA⋈B_new + A_old⋈ΔB, with count(*) as
+    * group support (zero-support groups leave the view — here the
+    * 'tiny' category empties through simultaneous fact moves AND a dim
+    * rename in the same window). One CDC window mutates BOTH sides:
+    * fact rewrites/moves/inserts (q231's) plus a dim-side rename and a
+    * new dim row; the oracle reconstructs both final states and
+    * re-joins from scratch. */
+  val q235 = GQuery("q235_mv_join_mor", (s, d) => {
+    import graft.engine.{Layout, Mview}
+    import s.implicits._
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val fact = s"mvjf_$run"
+    val dim = s"mvjd_$run"
+    val view = s"mvjv_$run"
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      col("n_chars"))
+    val syn = Seq((9000001L, "tiny", 11L), (9000002L, "tiny", 12L),
+      (9000003L, "tiny", 13L)).toDF("doc_id", "lang", "n_chars")
+    docs.unionByName(syn).repartition(4).write.saveAsTable(fact)
+    s.table(fact).select(col("lang")).distinct()
+      .select(col("lang"), concat(lit("cat_"), col("lang")).as("category"))
+      .coalesce(1).write.saveAsTable(dim)
+    val ms = Seq(Mview.Measure("count", None, "n_docs"),
+      Mview.Measure("sum", Some("n_chars"), "sum_chars"))
+    Mview.createJoin(s, view, fact, dim, Seq("lang"), Seq("category"), ms)
+    // one CDC window, both sides: the q231 fact mutation (value
+    // rewrites into 'upserted', the syn 'tiny' rows move out, 20 new
+    // docs) + dim gains the 'upserted' category and renames tiny's
+    val keyed = s.table(fact)
+      .where(col("doc_id") < 50 || col("doc_id") >= 9000000L)
+      .select(col("doc_id"), lit("upserted").as("lang"),
+        (col("n_chars") * 2).as("n_chars"))
+    val inserts = s.range(1, 21).select((col("id") + 9100000L).as("doc_id"),
+      lit("upserted").as("lang"), (col("id") + 777L).as("n_chars"))
+    Layout.upsertMor(s, fact, keyed.unionByName(inserts), "doc_id")
+    Layout.upsertMor(s, dim,
+      Seq(("upserted", "cat_upserted"), ("tiny", "cat_tiny2"))
+        .toDF("lang", "category"), "lang")
+    Mview.refreshJoinMor(s, view, fact, dim, Seq("lang"), Seq("category"), ms)
+    Mview.read(s, view, Seq("category"), ms).orderBy("category")
+  },
+    Some("""WITH syn AS (SELECT * FROM (VALUES (9000001, 'tiny', 11),
+           |    (9000002, 'tiny', 12), (9000003, 'tiny', 13))
+           |    t(doc_id, lang, n_chars)),
+           |base AS (SELECT doc_id, lang, n_chars FROM documents
+           |         UNION ALL SELECT doc_id, lang, n_chars FROM syn),
+           |dim0 AS (SELECT DISTINCT lang, 'cat_' || lang AS category
+           |         FROM base),
+           |dimf AS (SELECT lang, CASE WHEN lang = 'tiny' THEN 'cat_tiny2'
+           |                           ELSE category END AS category
+           |         FROM dim0
+           |         UNION ALL SELECT 'upserted', 'cat_upserted'),
+           |ins AS (SELECT 9100000 + i AS doc_id, 'upserted' AS lang,
+           |               777 + i AS n_chars FROM range(1, 21) r(i)),
+           |fin AS (
+           |  SELECT doc_id, 'upserted' AS lang, n_chars * 2 AS n_chars
+           |  FROM base WHERE doc_id < 50 OR doc_id >= 9000000
+           |  UNION ALL
+           |  SELECT doc_id, lang, n_chars FROM base
+           |  WHERE doc_id >= 50 AND doc_id < 9000000
+           |  UNION ALL SELECT doc_id, lang, n_chars FROM ins)
+           |SELECT category, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM fin JOIN dimf USING (lang)
+           |GROUP BY category ORDER BY category""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q232, q233, q234, q235)
 }

@@ -183,6 +183,75 @@ class MviewSpec extends SparkSpec {
     assert(!stored.exists(_._1 == "e"))
   }
 
+  test("refreshJoinMor: CDC fact + dim rename/appends equal a full re-join") {
+    val (fact, dim, view) = ("mvjm_fact", "mvjm_dim", "mvjm_view")
+    Seq(fact, dim, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 20L, 3.0), (4L, 30L, 4.0))
+      .toDF("id", "fk", "v").write.saveAsTable(fact)
+    Seq((10L, "east"), (20L, "west"), (30L, "tiny"))
+      .toDF("fk", "region").write.saveAsTable(dim)
+    val ms = Seq(
+      Mview.Measure("count", None, "n"),
+      Mview.Measure("sum", Some("v"), "total"))
+    def fullJoin = Layout.readCurrent(spark, fact)
+      .join(Layout.readCurrent(spark, dim), Seq("fk"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    def stored = spark.table(view).as[(String, Long, Double)].collect().toSet
+
+    Mview.createJoin(spark, view, fact, dim, Seq("fk"), Seq("region"), ms)
+    assert(stored === fullJoin)
+
+    // epoch 1: CDC on the fact side only — id 2 changes VALUE (retract
+    // 2.0 / insert 20.0 within east), id 4 MOVES 30→10 (the 'tiny'
+    // group empties and must leave the view), id 5 is brand new
+    Layout.upsertMor(spark, fact,
+      Seq((2L, 10L, 20.0), (4L, 10L, 40.0), (5L, 20L, 5.0))
+        .toDF("id", "fk", "v"), "id")
+    Mview.refreshJoinMor(spark, view, fact, dim, Seq("fk"), Seq("region"), ms)
+    assert(stored === fullJoin)
+    assert(!stored.exists(_._1 == "tiny"), "emptied group must leave the view")
+    assert(spark.table(view).filter($"region" === "east")
+      .select("n", "total").as[(Long, Double)].head() === ((3L, 61.0)))
+
+    // epoch 2: BOTH sides move at once — a new id appears on both sides
+    // (must count ONCE, the ΔA⋈ΔB corner under signs) AND the dim
+    // renames fk 10 east→eastern via CDC (old fact rows must migrate
+    // groups through A_old ⋈ ΔB's signed pair) while a new fact row
+    // lands on the renamed key (counted once, under the NEW name,
+    // through ΔA ⋈ B_new)
+    Layout.upsertMor(spark, fact,
+      Seq((6L, 40L, 6.0), (7L, 10L, 7.0)).toDF("id", "fk", "v"), "id")
+    Layout.upsertMor(spark, dim,
+      Seq((40L, "north"), (10L, "eastern")).toDF("fk", "region"), "fk")
+    Mview.refreshJoinMor(spark, view, fact, dim, Seq("fk"), Seq("region"), ms)
+    assert(stored === fullJoin)
+    assert(!stored.exists(_._1 == "east"), "renamed group must migrate")
+    assert(spark.table(view).filter($"region" === "eastern")
+      .select("n", "total").as[(Long, Double)].head() === ((4L, 68.0)))
+
+    // epoch 3: positional MOR delete empties 'west' on the fact side
+    Layout.deleteWhereMor(spark, fact, col("fk") === 20L)
+    Mview.refreshJoinMor(spark, view, fact, dim, Seq("fk"), Seq("region"), ms)
+    assert(stored === fullJoin)
+    assert(!stored.exists(_._1 == "west"))
+
+    // epoch 4: nothing changed — no-op refresh stays correct
+    Mview.refreshJoinMor(spark, view, fact, dim, Seq("fk"), Seq("region"), ms)
+    assert(stored === fullJoin)
+
+    // loud refusals: sketch measures and missing count(*) support
+    assert(intercept[IllegalArgumentException] {
+      Mview.refreshJoinMor(spark, view, fact, dim, Seq("fk"), Seq("region"),
+        ms :+ Mview.Measure("approx_distinct", Some("id"), "du"))
+    }.getMessage.contains("sketch"))
+    assert(intercept[IllegalArgumentException] {
+      Mview.refreshJoinMor(spark, view, fact, dim, Seq("fk"), Seq("region"),
+        Seq(Mview.Measure("sum", Some("v"), "total")))
+    }.getMessage.contains("support"))
+  }
+
   test("refreshMor refuses sketch measures and missing count(*) support") {
     val (src, view) = ("mvmor_ref_src", "mvmor_ref_view")
     Seq(src, view).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
