@@ -105,6 +105,50 @@ object IndexStore {
   def loadLshVectors(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/vectors")
 
+  /** Bucket-clustered LSH serving table ([[LshIndex.Bucketed]]): each
+    * vector stored once per hash table BESIDE its (table_id, bucket)
+    * key, clustered+sorted on that key — one probed bucket's whole
+    * candidate set (signatures AND vectors) sits in one row-group run,
+    * so a search is a single pruned scan with no second fetch join
+    * (BASELINE §q187's "fetch dominates" lever). Storage: ×tables the
+    * vector bytes — the explicit space/time trade; `tables` is small
+    * (8) by the q30-family convention. */
+  def writeLshBucketed(index: LshIndex.Index, corpus: DataFrame,
+      idCol: String, vecCol: String, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "lshb", "tables" -> index.tables,
+      "bits" -> index.bits, "dim" -> index.dim)
+    index.buckets.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("table_id"), col("bucket"), col(idCol), col(vecCol))
+      .repartition(col("table_id"), col("bucket"))
+      .sortWithinPartitions("table_id", "bucket", idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/rows")
+  }
+
+  def loadLshBucketed(spark: SparkSession, dir: String): LshIndex.Bucketed = {
+    val m = requireKind(dir, "lshb")
+    LshIndex.Bucketed(spark.read.parquet(s"$dir/rows"),
+      m.get("tables").asInt(), m.get("bits").asInt(), m.get("dim").asInt())
+  }
+
+  /** Append an increment to a bucketed bundle — the [[appendLsh]]
+    * frozen-parameter move: hash the new vectors with the bundle's
+    * fixed-seed hyperplanes (bit-identical to a rebuild's assignment)
+    * and append their (table_id, bucket, id, vec) rows as files that
+    * are themselves bucket-clustered, so probed-bucket row-group
+    * skipping keeps working over base + increments. */
+  def appendLshBucketed(increment: DataFrame, idCol: String,
+      vecCol: String, dir: String): Unit = {
+    val m = requireKind(dir, "lshb")
+    Similarity.lshBuckets(increment.select(col(idCol), col(vecCol)),
+        idCol, vecCol, m.get("tables").asInt(), m.get("bits").asInt(),
+        m.get("dim").asInt())
+      .join(increment.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("table_id"), col("bucket"), col(idCol), col(vecCol))
+      .repartition(col("table_id"), col("bucket"))
+      .sortWithinPartitions("table_id", "bucket", idCol)
+      .write.mode(SaveMode.Append).parquet(s"$dir/rows")
+  }
+
   /** Append an increment to a stored LSH serving bundle — the D14/N14′
     * incremental move for the hash family, and the easiest of the three:
     * LSH signatures are DATA-INDEPENDENT (fixed-seed hyperplanes frozen

@@ -187,6 +187,66 @@ object LshIndex {
     * [[IndexStore.writeLshVectors]]). */
   final case class Stored(index: Index, vectors: DataFrame)
 
+  /** Bucket-CLUSTERED serving bundle: one stored table of
+    * (table_id, bucket, id, vec) — each vector duplicated once per hash
+    * table (×tables storage, the classic space/time trade), clustered
+    * and sorted by (table_id, bucket). See [[searchBucketed]]. */
+  final case class Bucketed(rows: DataFrame, tables: Int, bits: Int, dim: Int)
+
+  /** [[searchStored]] with the candidate-vector fetch CO-CLUSTERED with
+    * the buckets — the next lever BASELINE §q187 names: at sf10 the
+    * pruned and unpruned paths converge because the per-probe candidate
+    * FETCH dominates — the id-sorted vectors table scatters one
+    * bucket's candidates across row-groups, so each probe pays many
+    * row-group reads plus a driver-side candidate collect to build the
+    * id predicate. The bucketed layout ([[IndexStore.writeLshBucketed]])
+    * stores each vector BESIDE its (table_id, bucket) assignment, so the
+    * probed buckets' `(table_id, bucket) IN (...)` predicate — already
+    * bounded and driver-known — prunes ONE scan that yields signatures
+    * AND vectors together: one row-group serves one probe's whole
+    * candidate set, there is no second fetch join, and no candidate-id
+    * collect at all (the only driver-side read left is the probes ×
+    * tables bucket-key set). Cost per search: O(probed-bucket
+    * row-groups); at 100 TB the same layout serves partition pruning.
+    *
+    * Results are identical to [[search]]: same fixed-seed hyperplanes
+    * and bucket semantics select the same candidates (a multi-table
+    * collision collapses to one row — its vector copies are identical
+    * by construction), and the exact cosine re-rank is verbatim. */
+  def searchBucketed(b: Bucketed, probes: DataFrame, idCol: String,
+      vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
+    val pb = Similarity.lshBuckets(
+      probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")),
+      "pid", "pv", b.tables, b.bits, b.dim)
+    // bounded: probes × tables (table_id, bucket) keys
+    val probed = pb.select(col("table_id"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val prune = probed.toSeq.sortBy(_._1).map { case (t, bs) =>
+      col("table_id") === t && col("bucket").isin(bs: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val cand = b.rows.where(prune)
+      .join(broadcast(pb), Seq("table_id", "bucket"))
+      .where(col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol), col(vecCol))
+      .dropDuplicates("pid", idCol)
+    val rescored = cand
+      .join(broadcast(probes.select(col(probeIdCol).as("pid"),
+        col(probeVecCol).as("pv"))), Seq("pid"))
+      .select(col("pid"), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("pv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col(idCol))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
+  }
+
+  private val bucketedCache = new ConcurrentHashMap[String, Bucketed]()
+
+  /** Process-lifetime memo for the [[Bucketed]] bundle. */
+  def cachedBucketed(key: String)(build: => Bucketed): Bucketed =
+    bucketedCache.computeIfAbsent(key, _ => build)
+
   private val storedCache = new ConcurrentHashMap[String, Stored]()
 
   /** Process-lifetime memo for the [[Stored]] bundle (the [[cached]]

@@ -59,35 +59,36 @@ object Round7Queries {
 
   /** Q187 (N11, bucket-pruned search over a STORED LSH index): the full
     * durable serving path — build once, persist through
-    * [[graft.ext.IndexStore]], reload, and search with the probe buckets
-    * PUSHED INTO the parquet scan ([[graft.ext.LshIndex.searchPruned]]):
-    * the stored table is clustered+sorted by (table_id, bucket), so
-    * row-group stats skip everything outside the probed buckets and the
-    * scan reads O(selected buckets), not O(N). Round 8 closes the LAST
-    * linear term BASELINE §q187 identified: the candidate-vector fetch
-    * now reads an id-sorted stored vectors table with the bounded
-    * candidate-id set pushed as a scan predicate
-    * ([[graft.ext.LshIndex.searchStored]]) — O(candidates), not
-    * O(corpus), per search. Memoized per (session, dir): rep 1 pays
-    * build+write+load, reps 2+ price the pruned steady state. Same
-    * recall contract as the q30 family. */
+    * [[graft.ext.IndexStore]], reload, search with the probe buckets
+    * PUSHED INTO the parquet scan. Round 11 serves through the
+    * BUCKET-CLUSTERED bundle ([[graft.ext.LshIndex.searchBucketed]] over
+    * [[graft.ext.IndexStore.writeLshBucketed]]): vectors stored BESIDE
+    * their (table_id, bucket) assignment, so the probed buckets' pruned
+    * scan yields signatures AND vectors in one pass — no second fetch
+    * join, no candidate-id collect; one row-group serves one probe's
+    * whole candidate set (the lever BASELINE §q187 named after the
+    * round-8 id-sorted fetch, [[graft.ext.LshIndex.searchStored]],
+    * still converged with q177 at sf10 — the fetch dominated).
+    * searchStored remains the layout of record when ×tables vector
+    * duplication is unaffordable (LshIndexSpec keeps both exact).
+    * Memoized per (session, dir): rep 1 pays build+write+load, reps 2+
+    * price the pruned steady state. Same recall contract as the q30
+    * family. */
   val q187 = GQuery("q187_ann_lsh_pruned", (s, d) => {
     import graft.ext.{IndexStore, LshIndex, Similarity}
     val e = t(s, d, "embeddings")
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val stored = LshIndex.cachedStored(
-        s.sparkContext.applicationId + ":pruned:" + d) {
+    val bucketed = LshIndex.cachedBucketed(
+        s.sparkContext.applicationId + ":bucketed:" + d) {
       val built = LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
       val dir = sys.props("java.io.tmpdir") +
-        s"/graft_idx/lsh_${Registry.pathKey(d)}"
-      IndexStore.writeLsh(built, dir)
-      IndexStore.writeLshVectors(e, "vec_id", "embedding", dir)
+        s"/graft_idx/lshb_${Registry.pathKey(d)}"
+      IndexStore.writeLshBucketed(built, e, "vec_id", "embedding", dir)
       LshIndex.drop(built)
-      LshIndex.Stored(IndexStore.loadLsh(s, dir),
-        IndexStore.loadLshVectors(s, dir))
+      IndexStore.loadLshBucketed(s, dir)
     }
-    val ann = LshIndex.searchStored(stored.index, stored.vectors, probes,
+    val ann = LshIndex.searchBucketed(bucketed, probes,
       "vec_id", "embedding", "probe_id", "pv", k = 10)
     val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
       "probe_id", "pv", 10)

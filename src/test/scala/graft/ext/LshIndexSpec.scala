@@ -81,6 +81,67 @@ class LshIndexSpec extends SparkSpec {
     } finally LshIndex.drop(built)
   }
 
+  test("bucketed search: identical results, one pruned scan, no fetch join") {
+    val built = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshb").toString
+    try {
+      IndexStore.writeLshBucketed(built, embeddings, "vec_id", "embedding", dir)
+      val bucketed = IndexStore.loadLshBucketed(spark, dir)
+      assert(bucketed.tables === built.tables && bucketed.bits === built.bits)
+      val viaBucketed = LshIndex.searchBucketed(bucketed, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      val plain = LshIndex.search(built, embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      assert(viaBucketed.exceptAll(plain).isEmpty &&
+        plain.exceptAll(viaBucketed).isEmpty,
+        "bucketed path must select the same candidates and re-rank exactly")
+      val explained = viaBucketed.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the probed buckets reach the ONE scan as pushed filters...
+      val scanBlock = explained.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("\n")
+      assert(scanBlock.contains("In(bucket") || scanBlock.contains("EqualTo(bucket"),
+        s"bucket predicate not pushed:\n$scanBlock")
+      // ...and the bundle contributes exactly ONE scan: signatures and
+      // vectors arrive together — no second fetch scan of a vectors
+      // table (the searchStored shape). Probe-side scans of the
+      // embeddings table are expected and not counted.
+      val bundleScans = explained.linesIterator
+        .count(l => l.contains("Location") && l.contains(dir))
+      assert(bundleScans === 1,
+        s"expected ONE bundle scan, found $bundleScans:\n$explained")
+    } finally LshIndex.drop(built)
+  }
+
+  test("appendLshBucketed == rebuild: identical rows and identical search") {
+    val base = embeddings.where(col("vec_id") < 400)
+    val inc = embeddings.where(col("vec_id") >= 400)
+    val builtBase = LshIndex.build(base, "vec_id", "embedding",
+      tables = 8, bits = 6, dim = 64)
+    val builtAll = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, bits = 6, dim = 64)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-lshb-app").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft-lshb-reb").toString
+    try {
+      IndexStore.writeLshBucketed(builtBase, base, "vec_id", "embedding", dirA)
+      IndexStore.appendLshBucketed(inc, "vec_id", "embedding", dirA)
+      IndexStore.writeLshBucketed(builtAll, embeddings, "vec_id", "embedding", dirR)
+      val a = IndexStore.loadLshBucketed(spark, dirA)
+      val r = IndexStore.loadLshBucketed(spark, dirR)
+      assert(a.rows.select("table_id", "bucket", "vec_id")
+        .exceptAll(r.rows.select("table_id", "bucket", "vec_id")).isEmpty &&
+        r.rows.select("table_id", "bucket", "vec_id")
+          .exceptAll(a.rows.select("table_id", "bucket", "vec_id")).isEmpty,
+        "frozen-plane append must reproduce the rebuild's assignment rows")
+      val sa = LshIndex.searchBucketed(a, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      val sr = LshIndex.searchBucketed(r, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      assert(sa.exceptAll(sr).isEmpty && sr.exceptAll(sa).isEmpty)
+    } finally { LshIndex.drop(builtBase); LshIndex.drop(builtAll) }
+  }
+
   test("auto-bits sizing matches the in-query path and needs no corpus job") {
     val idx = LshIndex.build(embeddings, "vec_id", "embedding",
       tables = 4, dim = 64)
