@@ -136,6 +136,34 @@ object StreamCurate {
         col("n_tokens"), col(textCol))
   }
 
+  /** [[pipeline]] composed onto the DURABLE MOR sink — the last seam
+    * between the streaming family and the storage layer: curated
+    * documents land in managed table `table` through [[StreamSink
+    * .ingestCdc]] ([[graft.engine.Layout.upsertMor]] per micro-batch —
+    * O(batch) regardless of table size), keyed on `idCol` with the
+    * window start as the tie-break. Effectively-once: the pipeline's
+    * append-mode windows emit each curated document once per closed
+    * window, and a REPLAYED delivery (at-least-once foreachBatch, or a
+    * whole re-run of the stream) converges by the CDC sink's
+    * sequence-number scoping — the replay's equality delete erases the
+    * earlier application's rows while its identical rows land, so the
+    * table state is byte-equal to single delivery (StreamSinkSpec pins
+    * it against the batch twin). */
+  def pipelineInto(index: MinHashIndex.Index, bf: Array[Byte],
+      stream: DataFrame, idCol: String, textCol: String, tsCol: String,
+      langs: Set[String], threshold: Double, watermark: String,
+      windowDur: String, table: String, checkpointDir: String,
+      shingleK: Int = 5, minHits: Int = 1,
+      minWords: Int = 20, maxWords: Int = 90,
+      langModel: Option[LangId.Model] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    StreamSink.ingestCdc(
+      pipeline(index, bf, stream, idCol, textCol, tsCol, langs, threshold,
+        watermark, windowDur, shingleK, minHits, minWords, maxWords,
+        langModel),
+      table, idCol, tieBreakCol = "win_start",
+      checkpointDir = checkpointDir)
+
   /** Batch twin: identical gates over a static frame, near-dup verdict
     * via [[MinHashIndex.probe]] + anti-join. The spec's ground truth. */
   def batch(index: MinHashIndex.Index, bf: Array[Byte], docs: DataFrame,

@@ -250,4 +250,81 @@ class StreamSinkSpec extends SparkSpec {
     assert(spark.table(table).as[(Long, Long, String)].collect().toSet
       === streamed)
   }
+
+  test("curation pipeline lands in a MOR table; replay converges to the batch state (ST17→ST13)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.{Decontaminate, MinHashIndex}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // the StreamCurateSpec fixture: 100 near-dup of corpus 1, 101/102
+    // clean (kept), 103 contaminated, 104 wrong language, 105 too short;
+    // the flusher closes the earlier windows but its own never closes
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "completely unrelated corpus filler text about engines here"))
+      .toDF("doc_id", "text")
+    val testSet = Seq((900L,
+      "contamination marker phrase alpha beta gamma delta appears verbatim in this benchmark"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, ts("2026-01-01 00:00:00"),
+        "the quick brown fox jumps over the lazy dog and runs away"),
+      (101L, ts("2026-01-01 00:00:10"),
+        "the sun rises over a calm valley and the birds sing softly to greet morning light"),
+      (103L, ts("2026-01-01 00:00:20"),
+        "the answer is contamination marker phrase alpha beta gamma and more words to pass gates today"),
+      (102L, ts("2026-01-01 00:01:00"),
+        "a gentle river flows past the old mill and carries leaves of autumn to the sea"),
+      (104L, ts("2026-01-01 00:01:10"),
+        "der hund und die katze ist the animal of wonder walking today here"),
+      (105L, ts("2026-01-01 00:01:20"), "short text here"))
+    val flusher = (999L, ts("2026-01-01 01:00:00"),
+      "the night sky is full of quiet stars and the moon drifts slowly over sleeping hills")
+    val index = MinHashIndex.build(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 128, numBands = 32)
+    val bf = Decontaminate.buildShingleBloom(testSet, "doc_id", "text",
+      shingleK = 5)
+    val table = s"curated_mor_${java.util.UUID.randomUUID().toString.take(8)}"
+    Seq.empty[(Long, Timestamp, String, Long, String)]
+      .toDF("doc_id", "win_start", "lang", "n_tokens", "text")
+      .write.saveAsTable(table)
+    def runOnce(): Unit = {
+      val ckpt = Files.createTempDirectory("curate-ckpt").toString
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamCurate.pipelineInto(index, bf,
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", langs = Set("en"), threshold = 0.8,
+        watermark = "1 minute", windowDur = "5 minutes",
+        table = table, checkpointDir = ckpt,
+        shingleK = 5, minWords = 8, maxWords = 200)
+      try {
+        mem.addData(incoming.take(3))
+        q.processAllAvailable()
+        mem.addData(incoming.drop(3) :+ flusher)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    try {
+      runOnce()
+      def state() = Layout.readCurrent(spark, table)
+        .as[(Long, Timestamp, String, Long, String)].collect().toSet
+      val once = state()
+      // table state == the batch twin over the CLOSED-window docs, with
+      // the deterministic window floor attached
+      val batch = StreamCurate.batch(index, bf,
+          incoming.toDF("doc_id", "ts", "text"), "doc_id", "text",
+          langs = Set("en"), threshold = 0.8,
+          shingleK = 5, minWords = 8, maxWords = 200)
+        .select(col("doc_id"), lit(ts("2026-01-01 00:00:00")).as("win_start"),
+          col("lang"), col("n_tokens"), col("text"))
+        .as[(Long, Timestamp, String, Long, String)].collect().toSet
+      assert(once === batch, "durable state must equal the batch twin")
+      assert(once.map(_._1) === Set(101L, 102L))
+      // a WHOLE-RUN replay (fresh checkpoint, same deliveries) must
+      // converge byte-equal, not grow — the CDC sink's seq scoping
+      runOnce()
+      assert(state() === once, "replayed curation run must converge")
+    } finally MinHashIndex.drop(index)
+  }
 }
