@@ -62,10 +62,26 @@ object EditJoin {
     * string-collapse shuffle + one equi-join shuffle on the variant hash
     * + one dedup shuffle on the representative pair; the verify is
     * map-side on deduped distinct-string candidates, and the fan-out
-    * back to record ids is generate-only. */
+    * back to record ids is generate-only.
+    *
+    * `prefixBlocks` (default 1 = off) is the documented mitigation for
+    * the gsf10 memory-pressure finding (BASELINE §Round 10: runtime
+    * exponent 1.34 above the candidate exponent 1.17 with the working
+    * set near heap — candidate density concentrating on dense key
+    * regions): when > 1, the candidate join and its occurrence-dedup
+    * aggregate are DECOMPOSED into `prefixBlocks` independent slices of
+    * the variant-key space (block = pmod(vkey, B) — EXACT, because
+    * candidates only ever form on EQUAL variant keys, so every pair
+    * lives wholly inside one block for each shared key). Each slice's
+    * exchange and dedup hold ~1/B of the candidate volume, bounding the
+    * per-stage working set; a pair colliding in several blocks is
+    * re-deduplicated by one global PAIR-level aggregate (pairs ≪
+    * candidate occurrences) before the one-per-pair verify. Same rows
+    * out, bit for bit (EditJoinSpec pins blocks ≡ default). */
   def join(records: DataFrame, idCol: String, strCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, prefixBlocks: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, "maxDist must be in [1, 3]")
+    require(prefixBlocks >= 1, "prefixBlocks must be >= 1")
     val base = records
       .where(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
@@ -107,21 +123,35 @@ object EditJoin {
     // hundreds of millions of candidates (caught live at the 100× scale
     // point). The hint forces a vkey shuffle: full parallelism, and the
     // two identical exchanges dedupe via ReusedExchange.
-    val cand = keys.as("a")
-      .join(keys.as("b").hint("shuffle_hash"),
+    // pair dedup as an aggregate with the strings carried via first()
+    // (the representative struct determines the string, so first is
+    // deterministic): grouping keys are the slim (id, short-string)
+    // struct pair, the map side absorbs duplicate candidates, and —
+    // decisive — the lev filter below CANNOT be pushed through the
+    // aggregate (its inputs are aggregate results, not grouping
+    // columns; filtering on the structs' own `s` fields would let the
+    // optimizer push `lev <= d` under the dedup and run the O(len²) DP
+    // once per candidate OCCURRENCE instead of once per pair)
+    def candFor(ks: DataFrame) = ks.as("a")
+      .join(ks.as("b").hint("shuffle_hash"),
         col("a.__vkey") === col("b.__vkey") && col("a.__rid") < col("b.__rid"))
-      // pair dedup as an aggregate with the strings carried via first()
-      // (the representative struct determines the string, so first is
-      // deterministic): grouping keys are the slim (id, short-string)
-      // struct pair, the map side absorbs duplicate candidates, and —
-      // decisive — the lev filter below CANNOT be pushed through the
-      // aggregate (its inputs are aggregate results, not grouping
-      // columns; filtering on the structs' own `s` fields would let the
-      // optimizer push `lev <= d` under the dedup and run the O(len²) DP
-      // once per candidate OCCURRENCE instead of once per pair)
       .groupBy(col("a.__rid").as("__ra"), col("b.__rid").as("__rb"))
       .agg(first(col("a.__rid").getField("s")).as("__sa"),
         first(col("b.__rid").getField("s")).as("__sb"))
+    val cand =
+      if (prefixBlocks == 1) candFor(keys)
+      else {
+        // block-decomposed candidate stage (see scaladoc): each slice of
+        // the variant-key space joins and dedups independently — exact,
+        // since candidates only form on equal keys — then one global
+        // PAIR-level dedup collapses pairs that collided in > 1 block
+        (0 until prefixBlocks)
+          .map(i => candFor(keys.where(
+            pmod(col("__vkey"), lit(prefixBlocks.toLong)) === i.toLong)))
+          .reduce(_ unionByName _)
+          .groupBy(col("__ra"), col("__rb"))
+          .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"))
+      }
     val repPairs = cand
       .withColumn("__lev", levenshtein(col("__sa"), col("__sb")))
       .where(col("__lev") <= maxDist)

@@ -63,6 +63,23 @@ class EditJoinSpec extends SparkSpec {
       assert(pairs(rows, d) == bruteForce(rows, d), s"d=$d")
   }
 
+  test("prefixBlocks decomposition is exact: blocked == default, bit for bit") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd" // dense near-pair space: pairs collide in many
+    // blocks, exercising the cross-block pair re-dedup
+    val rows = (1L to 120L).map { i =>
+      i -> Array.fill(3 + rnd.nextInt(6))(alphabet(rnd.nextInt(4))).mkString
+    } ++ Seq(200L -> "abca", 201L -> "abca", 202L -> "abca") // dup ids ride too
+    for (d <- Seq(1, 2); b <- Seq(2, 4, 7)) {
+      val blocked = EditJoin.join(df(rows), "id", "name", d, prefixBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(blocked == pairs(rows, d), s"d=$d blocks=$b")
+    }
+    assert(intercept[IllegalArgumentException] {
+      EditJoin.join(df(rows), "id", "name", 1, prefixBlocks = 0)
+    }.getMessage.contains("prefixBlocks"))
+  }
+
   test("exact duplicates pair at distance 0; empty and null drop cleanly") {
     val s = spark; import s.implicits._
     val rows = Seq((1L, "abc"), (2L, "abc"), (3L, null: String), (4L, ""))
