@@ -199,32 +199,49 @@ object LangId {
     // bucket −1) — literal arithmetic, constant-folded
     val biasMs = array(model.weights.toSeq.map(wv =>
       r9(lit(1.0).cast("double") * lit(wv(0))).cast("decimal(34,9)")): _*)
-    // close a run of `run` occurrences of bucket `prev`: per label,
-    // margin += round₉(round₉(run/n)·w) — exactly predict's per-(doc,
-    // bucket) term with cnt = run
-    def flush(prev: Column, run: Column, ms: Column): Column =
-      when(run === 0L, ms).otherwise(
-        zip_with(ms, element_at(wlit, (prev + 2L).cast("int")),
-          (m, w) => (m +
-            r9(r9(run.cast("double") / nng).cast("double") * w))
-            .cast("decimal(34,9)")))
-    val folded = aggregate(
-      bkts,
-      struct(lit(-2L).as("prev"), lit(0L).as("run"), biasMs.as("ms")),
-      (acc, bk) => when(bk === acc.getField("prev"),
-          struct(acc.getField("prev").as("prev"),
-            (acc.getField("run") + 1L).as("run"),
-            acc.getField("ms").as("ms")))
-        .otherwise(struct(bk.as("prev"), lit(1L).as("run"),
-          flush(acc.getField("prev"), acc.getField("run"),
-            acc.getField("ms")).as("ms"))),
-      acc => flush(acc.getField("prev"), acc.getField("run"),
-        acc.getField("ms")))
-    // argmax, ties to the smallest label index (predict's
-    // min(struct(−m, l)) order) — array_position finds the FIRST max
-    val pos = array_position(folded, array_max(folded))
-    when(nng.isNull, lit(null).cast("string"))
-      .otherwise(element_at(labelLit, pos.cast("int")))
+    // BIND-ONCE discipline: referencing an outer Column inside an HOF
+    // lambda INLINES its whole subtree into the lambda body — a fold
+    // that divides by `nng` would re-tokenize the document once per
+    // n-gram occurrence, O(len²) per row (caught live: q232 at sf0.1
+    // went from seconds to unbounded). The single-element-array +
+    // transform wrapper turns each heavy subtree into a lambda VARIABLE,
+    // evaluated once per row and referenced for free thereafter; the
+    // same wrapper binds the folded margins so argmax doesn't run the
+    // fold twice.
+    val scored = transform(
+      array(struct(bkts.as("b"), nng.cast("long").as("n"))),
+      doc => {
+        val n = doc.getField("n")
+        // close a run of `run` occurrences of bucket `prev`: per label,
+        // margin += round₉(round₉(run/n)·w) — exactly predict's
+        // per-(doc, bucket) term with cnt = run
+        def flush(prev: Column, run: Column, ms: Column): Column =
+          when(run === 0L, ms).otherwise(
+            zip_with(ms, element_at(wlit, (prev + 2L).cast("int")),
+              (m, w) => (m +
+                r9(r9(run.cast("double") / n).cast("double") * w))
+                .cast("decimal(34,9)")))
+        val folded = aggregate(
+          doc.getField("b"),
+          struct(lit(-2L).as("prev"), lit(0L).as("run"), biasMs.as("ms")),
+          (acc, bk) => when(bk === acc.getField("prev"),
+              struct(acc.getField("prev").as("prev"),
+                (acc.getField("run") + 1L).as("run"),
+                acc.getField("ms").as("ms")))
+            .otherwise(struct(bk.as("prev"), lit(1L).as("run"),
+              flush(acc.getField("prev"), acc.getField("run"),
+                acc.getField("ms")).as("ms"))),
+          acc => flush(acc.getField("prev"), acc.getField("run"),
+            acc.getField("ms")))
+        // argmax, ties to the smallest label index (predict's
+        // min(struct(−m, l)) order) — array_position finds the FIRST
+        // max; a NULL-text row propagates NULL through b/n → folded →
+        // position → label, predict's no-prediction outcome
+        element_at(transform(array(folded), ms =>
+          element_at(labelLit,
+            array_position(ms, array_max(ms)).cast("int"))), 1)
+      })
+    element_at(scored, 1)
   }
 
   private val cache =
