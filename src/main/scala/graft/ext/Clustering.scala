@@ -143,42 +143,19 @@ object Clustering {
         coalesce(col("__root"), col("component")).as("component"))
   }
 
-  private val cacheMax: Int =
-    sys.props.get("graft.clustering.cachedMax").map(_.toInt).getOrElse(8)
-  // access-order LRU bounded at `cacheMax` labelings (the Hnsw.resident
-  // discipline): the memo pins localCheckpoint'd corpus-sized label
-  // frames, so an unbounded map is a process-lifetime leak. Eviction
-  // drops the strong reference (unpersist is a safe no-op for the
-  // checkpoint-backed case; ContextCleaner reclaims the blocks once the
-  // plan is unreachable). All access goes through the map's own monitor.
+  // the memo pins localCheckpoint'd corpus-sized label frames — bounded
+  // LRU, eviction unpersists (a safe no-op for the checkpoint-backed
+  // case; ContextCleaner reclaims the blocks once the plan is
+  // unreachable). See [[Memo]].
   private val cache =
-    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
-        val evict = size() > cacheMax
-        if (evict) e.getValue.unpersist(false)
-        evict
-      }
-    }
+    new Memo[DataFrame](df => { df.unpersist(false); () })
 
-  /** Process-lifetime memo for a maintained labeling (the q78/q177
-    * serving semantics: build/append priced once, reps serve). Bounded
-    * LRU — see `cacheMax`. */
+  /** Serving memo for a maintained labeling (the q78/q177 semantics:
+    * build/append priced once, reps serve); bounded LRU ([[Memo]]). */
   def cached(key: String)(build: => DataFrame): DataFrame =
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) hit
-      else { val v = build; cache.put(key, v); v }
-    }
+    cache(key)(build)
 
-  /** Release one memoized labeling (or all of them): removes the map
-    * reference and unpersists so the checkpointed blocks can be
-    * reclaimed. */
-  def dropCached(key: String): Unit = cache.synchronized {
-    Option(cache.remove(key)).foreach(_.unpersist(false))
-  }
-  def clearCached(): Unit = cache.synchronized {
-    cache.values().forEach(df => { df.unpersist(false); () })
-    cache.clear()
-  }
+  /** Release one memoized labeling (or all of them). */
+  def dropCached(key: String): Unit = cache.drop(key)
+  def clearCached(): Unit = cache.clear()
 }

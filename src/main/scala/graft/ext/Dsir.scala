@@ -152,13 +152,13 @@ object Dsir {
   }
 
   private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+    new Memo[Model](m => { m.weights.unpersist(false); () })
 
   /** Session-scoped fit-once memo (the [[MinHashIndex.cached]] lifecycle
     * pattern): bench rep 1 pays fit+store+load, reps 2+ price the
-    * steady-state increment scoring. */
+    * steady-state increment scoring; bounded LRU ([[Memo]]). */
   def cachedModel(key: String)(build: => Model): Model =
-    modelCache.computeIfAbsent(key, _ => build)
+    modelCache(key)(build)
 
   /** Deterministic Gumbel(0,1) draw from a salted md5 of the id:
     * u = (hash32 + 0.5) / 2^32 ∈ (0,1), g = −ln(−ln u). */

@@ -464,9 +464,12 @@ object Hnsw {
       .select(col(probeIdCol), col(outIdCol), col("cos_sim"))
   }
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val cache =
+    new Memo[DataFrame](df => { df.unpersist(false); () })
 
-  /** Process-lifetime memo (the q78/q177 serving semantics). */
+  /** Serving memo (the q78/q177 semantics); bounded LRU, eviction
+    * unpersists the prepared serving table ([[Memo]] — the executor-
+    * pinned decoded shards have their own LRU, `resident`). */
   def cached(key: String)(buildGraph: => DataFrame): DataFrame =
-    cache.computeIfAbsent(key, _ => buildGraph)
+    cache(key)(buildGraph)
 }

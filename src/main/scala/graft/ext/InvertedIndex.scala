@@ -134,16 +134,17 @@ object InvertedIndex {
     matches.groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
   }
 
-  private val cache = new ConcurrentHashMap[String, Index]()
+  private val cache = new Memo[Index](drop)
 
-  /** Process-lifetime memo — the q78_search serving semantics. */
-  def cached(key: String)(build: => Index): Index =
-    cache.computeIfAbsent(key, _ => build)
+  /** Serving memo — the q78_search semantics; bounded LRU, eviction
+    * unpersists ([[Memo]]). */
+  def cached(key: String)(build: => Index): Index = cache(key)(build)
 
-  private val posCache = new ConcurrentHashMap[String, DataFrame]()
+  private val posCache =
+    new Memo[DataFrame](df => { df.unpersist(false); () })
 
-  /** Process-lifetime memo for positional postings (the [[cached]]
-    * semantics: rep 1 pays build+store, reps 2+ price steady-state). */
+  /** Serving memo for positional postings (the [[cached]] semantics:
+    * rep 1 pays build+store, reps 2+ price steady-state). */
   def cachedPositional(key: String)(build: => DataFrame): DataFrame =
-    posCache.computeIfAbsent(key, _ => build)
+    posCache(key)(build)
 }

@@ -60,12 +60,12 @@ object IvfIndex {
   /** Release a built index's cluster-side state. */
   def drop(index: Index): Unit = { index.assignment.unpersist(); () }
 
-  private val cache = new ConcurrentHashMap[String, Index]()
+  private val cache = new Memo[Index](drop)
 
-  /** Process-lifetime memo for query entries: `q78_search` (and any
-    * search-many caller) builds on first use and reuses thereafter —
-    * which is the semantics being benchmarked. Keyed by caller-chosen
-    * key (application id + table dir). */
-  def cached(key: String)(build: => Index): Index =
-    cache.computeIfAbsent(key, _ => build)
+  /** Serving memo for query entries: `q78_search` (and any search-many
+    * caller) builds on first use and reuses thereafter — which is the
+    * semantics being benchmarked. Keyed by caller-chosen key
+    * (application id + table dir). Bounded LRU, eviction unpersists
+    * ([[Memo]] — the suite-drift fix). */
+  def cached(key: String)(build: => Index): Index = cache(key)(build)
 }

@@ -63,13 +63,15 @@ object KneserNey {
   final case class Model(lm: DataFrame, ctx: DataFrame, cont: DataFrame,
       tot: DataFrame, vocab: DataFrame, discount: Double)
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  private val cache = new Memo[Model](m => {
+    m.lm.unpersist(false); m.ctx.unpersist(false); m.cont.unpersist(false)
+    m.tot.unpersist(false); m.vocab.unpersist(false); ()
+  })
 
-  /** Process-lifetime memo — the q78_search serving semantics (rep 1
-    * pays fit+store+load, reps 2+ price the frozen-model steady state). */
-  def cached(key: String)(build: => Model): Model =
-    cache.computeIfAbsent(key, _ => build)
+  /** Serving memo — the q78_search semantics (rep 1 pays
+    * fit+store+load, reps 2+ price the frozen-model steady state);
+    * bounded LRU, eviction unpersists ([[Memo]]). */
+  def cached(key: String)(build: => Model): Model = cache(key)(build)
 
   /** Map a raw token column to the model vocabulary via a left join
     * against `vocab(tok)`; misses become `<unk>`. */

@@ -244,11 +244,9 @@ object LangId {
     element_at(scored, 1)
   }
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  private val cache = Memo.unmanaged[Model]
 
   /** Session-scoped train-once memo (the [[QualityClassifier.cached]]
     * lifecycle): rep 1 pays training, reps 2+ price scoring. */
-  def cached(key: String)(build: => Model): Model =
-    cache.computeIfAbsent(key, _ => build)
+  def cached(key: String)(build: => Model): Model = cache(key)(build)
 }

@@ -241,25 +241,26 @@ object LshIndex {
       .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
   }
 
-  private val bucketedCache = new ConcurrentHashMap[String, Bucketed]()
+  private val bucketedCache = Memo.unmanaged[Bucketed]
 
-  /** Process-lifetime memo for the [[Bucketed]] bundle. */
+  /** Serving memo for the [[Bucketed]] bundle (lazy parquet reads —
+    * nothing cluster-side to release; the bound still caps JVM state). */
   def cachedBucketed(key: String)(build: => Bucketed): Bucketed =
-    bucketedCache.computeIfAbsent(key, _ => build)
-
-  private val storedCache = new ConcurrentHashMap[String, Stored]()
-
-  /** Process-lifetime memo for the [[Stored]] bundle (the [[cached]]
-    * semantics, one level wider). */
-  def cachedStored(key: String)(build: => Stored): Stored =
-    storedCache.computeIfAbsent(key, _ => build)
+    bucketedCache(key)(build)
 
   /** Release the index's cluster-side state. */
   def drop(index: Index): Unit = { index.buckets.unpersist(); () }
 
-  private val cache = new ConcurrentHashMap[String, Index]()
+  private val storedCache = new Memo[Stored](s => drop(s.index))
 
-  /** Process-lifetime memo — the q78_search/q175 serving semantics. */
-  def cached(key: String)(build: => Index): Index =
-    cache.computeIfAbsent(key, _ => build)
+  /** Serving memo for the [[Stored]] bundle (the [[cached]] semantics,
+    * one level wider); bounded LRU, eviction unpersists ([[Memo]]). */
+  def cachedStored(key: String)(build: => Stored): Stored =
+    storedCache(key)(build)
+
+  private val cache = new Memo[Index](drop)
+
+  /** Serving memo — the q78_search/q175 semantics; bounded LRU,
+    * eviction unpersists ([[Memo]]). */
+  def cached(key: String)(build: => Index): Index = cache(key)(build)
 }

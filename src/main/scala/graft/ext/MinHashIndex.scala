@@ -152,9 +152,9 @@ object MinHashIndex {
     index.bands.unpersist(); index.shingles.unpersist(); ()
   }
 
-  private val cache = new ConcurrentHashMap[String, Index]()
+  private val cache = new Memo[Index](drop)
 
-  /** Process-lifetime memo — the q78_search serving semantics. */
-  def cached(key: String)(build: => Index): Index =
-    cache.computeIfAbsent(key, _ => build)
+  /** Serving memo — the q78_search semantics; bounded LRU, eviction
+    * unpersists ([[Memo]]). */
+  def cached(key: String)(build: => Index): Index = cache(key)(build)
 }

@@ -288,10 +288,10 @@ object Pq {
   /** Release a built index's cluster-side state. */
   def drop(index: Index): Unit = { index.codes.unpersist(); () }
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+  private val cache = new Memo[Index](drop)
 
-  /** Process-lifetime memo — the search-many serving semantics the q175
-    * bench entry measures from rep 2 on. */
-  def cached(key: String)(build: => Index): Index =
-    cache.computeIfAbsent(key, _ => build)
+  /** Serving memo — the search-many semantics the q175 bench entry
+    * measures from rep 2 on. Bounded LRU, eviction unpersists
+    * ([[Memo]]). */
+  def cached(key: String)(build: => Index): Index = cache(key)(build)
 }

@@ -157,14 +157,13 @@ object QualityClassifier {
     LogisticModel(buckets, statRamps, w(0), w.drop(1))
   }
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, LogisticModel]()
+  private val cache = Memo.unmanaged[LogisticModel]
 
   /** Session-scoped train-once memo (the [[MinHashIndex.cached]] /
     * [[InvertedIndex.cached]] lifecycle pattern): rep 1 of a bench pays
     * the training, reps 2+ price steady-state scoring. */
   def cached(key: String)(build: => LogisticModel): LogisticModel =
-    cache.computeIfAbsent(key, _ => build)
+    cache(key)(build)
 
   /** Score documents under a trained model: (idCol, prob rounded to 6).
     * Broadcast (B+1+ramps)-row weights; one exchange (the feature

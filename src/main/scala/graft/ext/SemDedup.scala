@@ -80,13 +80,13 @@ object SemDedup {
   /** Release a clustering's cluster-side state. */
   def drop(c: Clustering): Unit = { c.assignment.unpersist(); () }
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, Clustering]()
+  private val memo = new Memo[Clustering](drop)
 
-  /** Process-lifetime memo — the [[IvfIndex.cached]] semantics for
-    * steady-state bench entries: first use builds, reuses thereafter. */
+  /** Serving memo — the [[IvfIndex.cached]] semantics for steady-state
+    * bench entries: first use builds, reuses thereafter. Bounded LRU,
+    * eviction unpersists ([[Memo]]). */
   def cached(key: String)(build: => Clustering): Clustering =
-    memo.computeIfAbsent(key, _ => build)
+    memo(key)(build)
 
   /** Cluster + dedup. Output: (idCol, cluster_id, kept) — cluster_id
     * dense-renumbered 0..k-1 in centroid-id order so downstream gates
