@@ -16,37 +16,113 @@ package graft.ext
   * (unpersist / drop) so the block manager actually gets the memory
   * back instead of waiting on GC.
   *
-  * All access goes through the map's monitor; `build` runs under it —
-  * the same serialization `computeIfAbsent` provided (a memoized build
-  * is expensive and must run once; concurrent callers of the SAME key
-  * must wait for it anyway).
+  * Concurrency (the round-11 advisor finding): a build can take minutes
+  * and spawn Spark jobs, so it must NOT run under the map-wide monitor —
+  * a concurrent caller for a DIFFERENT key (a streaming micro-batch
+  * thread sharing a family with a bench thread) would block for the
+  * whole build, and cross-family nested builds would create a
+  * lock-ordering deadlock surface. Builds are serialized PER KEY via a
+  * latch slot installed under the monitor; the monitor itself is only
+  * ever held for map bookkeeping. A failed build removes its slot and
+  * rethrows; waiters on the failed slot retry (installing their own
+  * build) rather than caching the failure.
+  *
+  * Eviction is LOGGED (key + family), and a rebuild of a just-evicted
+  * key WARNS — with `max` small, a session touching more keys than the
+  * bound round-robin would otherwise thrash silently, every access
+  * re-paying a full index/model build (the invisible-cliff half of the
+  * same advisor finding). An in-flight build is never evicted: if the
+  * LRU-eldest slot is still building, the bound is temporarily exceeded
+  * instead (releasing half-built state would hand eviction a value the
+  * builder is about to return).
   *
   * `max` defaults to the `graft.memo.max` system property (default 4 —
   * generous for per-dataset keys while bounding the worst case). */
 final class Memo[V](release: V => Unit,
-    max: Int = Memo.defaultMax) {
+    max: Int = Memo.defaultMax, name: String = "memo") {
   require(max >= 1, s"memo bound must be >= 1, got $max")
-  private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean = {
-      val evict = size() > max
-      if (evict) release(e.getValue)
-      evict
+
+  /** One key's lifecycle: installed under the monitor, completed (or
+    * failed) outside it, latch released exactly once. */
+  private final class Slot {
+    @volatile var value: Option[V] = None
+    val done = new java.util.concurrent.CountDownLatch(1)
+  }
+
+  // access-order LinkedHashMap = the LRU; values are slots so the map
+  // can hold in-flight builds without blocking unrelated keys
+  private val m = new java.util.LinkedHashMap[String, Slot](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Slot]): Boolean = {
+      if (size() <= max) false
+      else e.getValue.value match {
+        case Some(v) =>
+          System.err.println(s"[memo:$name] evicting '${e.getKey}' (bound $max)")
+          evicted.add(e.getKey)
+          release(v)
+          true
+        case None => // in-flight: never evict a building slot
+          System.err.println(s"[memo:$name] bound $max exceeded but eldest " +
+            s"'${e.getKey}' is still building — deferring eviction")
+          false
+      }
+    }
+  }
+  // small ring of recently-evicted keys: a rebuild of one of these is
+  // the thrash signature worth warning about
+  private val evicted = java.util.Collections.newSetFromMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > 16
+    })
+
+  @annotation.tailrec
+  def apply(key: String)(build: => V): V = {
+    var mine = false
+    val slot = m.synchronized {
+      val hit = m.get(key)
+      if (hit != null) hit
+      else {
+        if (evicted.remove(key))
+          System.err.println(s"[memo:$name] REBUILDING just-evicted '$key' " +
+            s"— family bound $max may be too small for this session")
+        val s = new Slot
+        m.put(key, s)
+        mine = true
+        s
+      }
+    }
+    if (mine) {
+      // the build runs OUTSIDE the monitor: only same-key callers wait
+      try {
+        val v = build
+        slot.value = Some(v)
+        slot.done.countDown()
+        v
+      } catch {
+        case e: Throwable =>
+          m.synchronized { if (m.get(key) eq slot) m.remove(key) }
+          slot.done.countDown() // waiters observe the empty slot and retry
+          throw e
+      }
+    } else {
+      slot.done.await()
+      slot.value match {
+        case Some(v) => v
+        case None    => apply(key)(build) // other thread's build failed
+      }
     }
   }
 
-  def apply(key: String)(build: => V): V = m.synchronized {
-    val hit = m.get(key)
-    if (hit != null) hit
-    else { val v = build; m.put(key, v); v }
-  }
-
   /** Release one entry (or everything): removes the reference and runs
-    * the release hook so cluster-side blocks free immediately. */
+    * the release hook so cluster-side blocks free immediately. A slot
+    * still building is dropped from the map but not released — its
+    * builder owns the value it is about to return. */
   def drop(key: String): Unit = m.synchronized {
-    Option(m.remove(key)).foreach(release)
+    Option(m.remove(key)).flatMap(_.value).foreach(release)
   }
   def clear(): Unit = m.synchronized {
-    m.values.forEach(v => release(v))
+    m.values.forEach(s => s.value.foreach(release))
     m.clear()
   }
 }
