@@ -219,13 +219,30 @@ object LshIndex {
     val pb = Similarity.lshBuckets(
       probes.select(col(probeIdCol).as("pid"), col(probeVecCol).as("pv")),
       "pid", "pv", b.tables, b.bits, b.dim)
-    // bounded: probes × tables (table_id, bucket) keys
-    val probed = pb.select(col("table_id"), col("bucket")).distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
-    val prune = probed.toSeq.sortBy(_._1).map { case (t, bs) =>
-      col("table_id") === t && col("bucket").isin(bs: _*)
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    // The probed-bucket key set is probes × tables rows — bounded because
+    // the probe side is small BY CONTRACT, but the contract needs teeth
+    // (round-11 advisor): collect at most maxProbeKeys+1 keys, and past
+    // the bound SKIP the driver-built prune predicate entirely — the
+    // bucket-equi join below is what's correct, the IN-predicate is only
+    // its row-group-skipping accelerator, and a million-key OR-of-isin
+    // would blow the driver and degrade the scan anyway. The fallback's
+    // full scan is the honest plan for a probe set that large.
+    val maxKeys = Memo.intProp("graft.lsh.maxProbeKeys", 8192)
+    val probedRows = pb.select(col("table_id"), col("bucket")).distinct()
+      .limit(maxKeys + 1).collect()
+    val pruned = probedRows.length <= maxKeys
+    if (!pruned)
+      System.err.println(s"[lsh] probe-bucket keys exceed $maxKeys " +
+        "(graft.lsh.maxProbeKeys) — serving via the join-only full scan")
+    val prune =
+      if (!pruned) lit(true)
+      else {
+        val probed = probedRows.map(r => (r.getInt(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+        probed.toSeq.sortBy(_._1).map { case (t, bs) =>
+          col("table_id") === t && col("bucket").isin(bs: _*)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+      }
     val cand = b.rows.where(prune)
       .join(broadcast(pb), Seq("table_id", "bucket"))
       .where(col(idCol) =!= col("pid"))

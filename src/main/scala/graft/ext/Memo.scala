@@ -128,8 +128,11 @@ final class Memo[V](release: V => Unit,
 }
 
 object Memo {
-  private[ext] def defaultMax: Int =
-    sys.props.get("graft.memo.max").map(_.toInt).getOrElse(4)
+  private[ext] def defaultMax: Int = intProp("graft.memo.max", 4)
+
+  /** Shared system-property integer knob reader. */
+  private[ext] def intProp(name: String, default: Int): Int =
+    sys.props.get(name).map(_.toInt).getOrElse(default)
 
   /** A memo for values with no cluster-side state to release (driver
     * models, lazily-read stored bundles). Bounding still matters — it

@@ -114,6 +114,33 @@ class LshIndexSpec extends SparkSpec {
     } finally LshIndex.drop(built)
   }
 
+  test("bucketed search past the probe-key bound: join-only fallback, identical results") {
+    val built = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshbf").toString
+    try {
+      IndexStore.writeLshBucketed(built, embeddings, "vec_id", "embedding", dir)
+      val bucketed = IndexStore.loadLshBucketed(spark, dir)
+      // 5 probes × 8 tables ≫ 4 keys: the driver-built IN-predicate must
+      // be SKIPPED (no unbounded collect, no mega-OR), and the bucket
+      // equi-join alone must still produce the exact same results
+      sys.props("graft.lsh.maxProbeKeys") = "4"
+      try {
+        val fallback = LshIndex.searchBucketed(bucketed, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10)
+        val explained = fallback.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(!explained.contains("In(bucket"),
+          "over-bound probe set must not build the driver-side IN predicate")
+        val plain = LshIndex.search(built, embeddings, probes,
+          "vec_id", "embedding", "probe_id", "pv", k = 10)
+        assert(fallback.exceptAll(plain).isEmpty &&
+          plain.exceptAll(fallback).isEmpty,
+          "join-only fallback must be result-identical")
+      } finally sys.props.remove("graft.lsh.maxProbeKeys")
+    } finally LshIndex.drop(built)
+  }
+
   test("appendLshBucketed == rebuild: identical rows and identical search") {
     val base = embeddings.where(col("vec_id") < 400)
     val inc = embeddings.where(col("vec_id") >= 400)
