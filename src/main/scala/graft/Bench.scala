@@ -119,27 +119,104 @@ object Bench {
       System.err.println(s"[bench] rotation parity=$parity: running " +
         s"${named.size}/${all.size} entries (${rotatedOut.size} stable " +
         "entries deferred to the alternate half)")
+    val wallT0 = System.nanoTime()
+    // Untimed WARM phase (round-11 verdict, Next-round #1a): every entry
+    // backed by a build-once/serve-many memo (index builds, model
+    // training, stored-bundle creation) runs ONCE before the timed loop,
+    // so rep 1 of the timed window prices steady-state serving instead
+    // of a multi-second lifecycle — the mechanism that made q232's rep-1
+    // training bleed into alphabetical neighbors' readings. Warm times
+    // are emitted under "warm" so the lifecycle cost stays VISIBLE in
+    // the artifact; it just no longer contaminates the regression signal.
+    val warmPrefixes = Seq("q78_", "q175", "q177", "q178", "q179_", "q187",
+      "q190", "q191", "q193", "q194", "q208", "q215", "q219", "q223",
+      "q225", "q226", "q227", "q228", "q229", "q232", "q233", "q234")
+    val warmed: Seq[(String, Double)] = named
+      .filter { case (n, _) => warmPrefixes.exists(n.startsWith) }
+      .map { case (n, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm $n failed: $e") }
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    if (warmed.nonEmpty)
+      System.err.println(f"[bench] warm phase: ${warmed.size} entries, " +
+        f"${warmed.map(_._2).sum}%.1f s (untimed)")
+    // Previous per-entry times (most recent bench_history run containing
+    // the entry with a clean time) — the round-11 verdict's ask #2: the
+    // drift comparison belongs IN the artifact, against the last run the
+    // entry actually appeared in, whatever round that was.
+    val lastTimes: Map[String, Double] = {
+      val histDir = java.nio.file.Paths.get("target", "bench_history")
+      if (!java.nio.file.Files.exists(histDir)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val files = java.nio.file.Files.list(histDir).iterator()
+        val sorted = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+          .asScala.toSeq.sortBy(_.getFileName.toString) // ts-stamped names
+        sorted.foldLeft(Map.empty[String, Double]) { (acc, p) =>
+          try {
+            val node = om.readTree(java.nio.file.Files.readAllBytes(p))
+            val qs = node.get("queries")
+            val runSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
+            if (qs == null || runSf != sfDir) acc // same-SF runs only
+            else {
+              val it = qs.properties().iterator()
+              var m = acc
+              while (it.hasNext) {
+                val e = it.next()
+                val v = e.getValue.asDouble()
+                if (v > 0) m = m.updated(e.getKey, v) // later files win
+              }
+              m
+            }
+          } catch { case _: Exception => acc }
+        }
+      }
+    }
     // Round-7 lesson (`target/bench_latest.json`): a query that OOMs the
     // SparkContext poisons every query after it — each "fails" in
     // milliseconds against a dead session and the artifact reports phantom
     // errors. After any failure, check the context and rebuild it loudly so
     // one bad query costs one bad entry, not the rest of the suite.
     var rebuilds = 0
-    val timed: Seq[(String, Seq[Double])] = named.map { case (name, fn) =>
-      name -> (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-        val secs = (System.nanoTime() - t0) / 1e9
-        if (!ok && spark.sparkContext.isStopped) {
-          System.err.println(s"[bench] SparkContext DIED during $name — rebuilding session")
-          rebuilds += 1
-          spark = buildSession(cpus)
-        }
-        if (ok) secs else -secs
-      }
+    // Interleaved CANARY (round-11 verdict, Next-round #1b): one fixed,
+    // light, steady query timed every `canaryEvery` entries. Its spread
+    // across the suite localizes contention — a drifting canary flags a
+    // contaminated region of the artifact instead of letting a heavy
+    // neighbor's session pressure masquerade as a per-query regression.
+    val canaryName = "q08_join_agg"
+    val canaryFn = SparkEntry.queries.get(canaryName)
+    val canaryEvery = 20
+    val canary = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runCanary(): Unit = canaryFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        canary += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed: $e") }
     }
+    runCanary()
+    val timed: Seq[(String, Seq[Double])] = named.zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i > 0 && i % canaryEvery == 0) runCanary()
+        name -> (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (!ok && spark.sparkContext.isStopped) {
+            System.err.println(s"[bench] SparkContext DIED during $name — rebuilding session")
+            rebuilds += 1
+            spark = buildSession(cpus)
+          }
+          if (ok) secs else -secs
+        }
+    }
+    runCanary()
     val results = timed.map { case (name, ts) =>
       name -> (if (ts.forall(_ >= 0)) ts.min else -ts.map(math.abs).max)
     }
@@ -152,7 +229,26 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(v => math.abs(v._2)).sum
     val rotJson = rotatedOut.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"sf":"$sfDir"}"""
+    val warmJson = warmed.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val canaryJson = canary.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val canarySpread =
+      if (canary.size >= 2 && canary.min > 0) canary.max / canary.min else 0.0
+    val deltaPairs = results.filter(_._2 > 0).flatMap { case (k, v) =>
+      lastTimes.get(k).map(prev => k -> v / prev)
+    }
+    val deltas = deltaPairs.map { case (k, r) => "\"" + k + f"""":$r%.2f""" }
+      .mkString("{", ",", "}")
+    // compact digest for the tail-captured summary (the full map would
+    // blow the driver's 2000-char tail): how many entries compared, and
+    // the 5 worst apparent regressions
+    val driftWorst = deltaPairs.sortBy(-_._2).take(5)
+      .map { case (k, r) => "\"" + k + f"""":$r%.2f""" }
+      .mkString("{", ",", "}")
+    val driftJson =
+      s"""{"n_compared":${deltaPairs.size},"worst":$driftWorst}"""
+    val wallS = (System.nanoTime() - wallT0) / 1e9
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f},"delta_vs_last_run":$deltas,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; at 230 entries the full
     // per-query line is ~10 KB and the tail has truncated it mid-map two
     // rounds running (BENCH_r08/r09 `parsed: null`). Persist the full line
@@ -175,7 +271,7 @@ object Bench {
       "q24_cosine_topk")
     val hq = results.filter(r => headlines.contains(r._1))
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"sf":"$sfDir","full":"target/bench_latest.json"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f},"drift":$driftJson,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
     // Stop Spark BEFORE the final prints: the driver parses the LAST stdout
     // line as JSON, and shutdown must not be able to interleave output
     // after it (build.sbt already strips sbt's own [info]/[success] noise).

@@ -17,6 +17,26 @@ object Round11Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** Q232_BUILD (T1″ fit, priced and gated alone — the q78/q179/q193
+    * build/serve convention, applied on the judge's round-11 ask so the
+    * serve entry prices ONLY the map-only path): forces the shared
+    * [[Round10Queries.langidModel]] train-and-store memo and reports
+    * invariants the oracle recomputes from the corpus alone. In the
+    * bench this entry (and the untimed warm phase) absorbs the training
+    * cost that round 11 measured bleeding into q232's rep 1 (35.5 s). */
+  val q232b = GQuery("q232_build", (s, d) => {
+    val m = Round10Queries.langidModel(s, d)
+    val nDocs = t(s, d, "documents").count()
+    import s.implicits._
+    Seq((m.labels.size.toLong, m.buckets.toLong, nDocs))
+      .toDF("n_labels", "n_buckets", "n_docs")
+  },
+    Some("""SELECT
+           |  (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+           |   FROM documents WHERE doc_id < 500) AS n_labels,
+           |  CAST(512 AS BIGINT) AS n_buckets,
+           |  CAST(count(*) AS BIGINT) AS n_docs FROM documents""".stripMargin))
+
   /** Q232 (T1″, map-only trained-langid serving): [[graft.ext.LangId
     * .scoreExpr]] — the q228 stored softmax served as ONE in-row
     * expression (hash n-grams to buckets with array HOFs, dot against
@@ -186,5 +206,5 @@ object Round11Queries {
            |FROM fin JOIN dimf USING (lang)
            |GROUP BY category ORDER BY category""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q232, q233, q234, q235)
+  val all: Seq[GQuery] = Seq(q232b, q232, q233, q234, q235)
 }
