@@ -144,11 +144,36 @@ object EditJoin {
         // block-decomposed candidate stage (see scaladoc): each slice of
         // the variant-key space joins and dedups independently — exact,
         // since candidates only form on equal keys — then one global
-        // PAIR-level dedup collapses pairs that collided in > 1 block
-        (0 until prefixBlocks)
-          .map(i => candFor(keys.where(
-            pmod(col("__vkey"), lit(prefixBlocks.toLong)) === i.toLong)))
-          .reduce(_ unionByName _)
+        // PAIR-level dedup collapses pairs that collided in > 1 block.
+        // Slices run SEQUENTIALLY against a DISK-persisted key table,
+        // each landing its pair output on disk before the next starts:
+        // the round-11 cut unioned the B lazy slices into ONE job,
+        // whose independent stages Spark schedules CONCURRENTLY — the
+        // gsf1 probe measured B=8 at MORE peak heap than B=1 (11.3 vs
+        // 8.8 GiB), the exact opposite of the knob's purpose (and each
+        // lazy slice re-ran the string-collapse aggregate). Three rules
+        // make the bound real: (1) the variant expansion materializes
+        // ONCE, DISK_ONLY, so slices re-read bytes instead of re-paying
+        // the collapse aggregate and without competing for storage
+        // heap; (2) slices execute one at a time (eager count), so at
+        // most one slice's join+dedup working set (~1/B of the
+        // candidate volume) is in flight; (3) slice outputs persist
+        // DISK_ONLY (pairs ≪ candidate occurrences), off the heap. The
+        // returned plan is partially materialized at call time — the
+        // price of an opt-in memory-bounding knob; a 100 TB deployment
+        // would land slices in a staging table instead.
+        import org.apache.spark.storage.StorageLevel
+        val keysP = keys.persist(StorageLevel.DISK_ONLY)
+        keysP.count()
+        val slices = (0 until prefixBlocks).map { i =>
+          val s = candFor(keysP.where(
+              pmod(col("__vkey"), lit(prefixBlocks.toLong)) === i.toLong))
+            .persist(StorageLevel.DISK_ONLY)
+          s.count() // sequential: one slice's working set in flight
+          s
+        }
+        keysP.unpersist(false) // slices are materialized; drop the keys
+        slices.reduce(_ unionByName _)
           .groupBy(col("__ra"), col("__rb"))
           .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"))
       }

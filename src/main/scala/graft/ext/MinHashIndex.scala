@@ -74,14 +74,7 @@ object MinHashIndex {
   def probe(index: Index, newDocs: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
     val newSh = Dedup.shingleSets(newDocs, idCol, textCol, index.shingleK)
-    val newBands = bandKeys(newSh, index.numHashes, index.numBands)
-      .select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
-    val candidates = index.bands
-      .select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
-      .join(newBands, Seq("band_id", "band_key"))
-      .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    candidates
+    candidates(index, newSh)
       .join(index.shingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
       .join(newSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
@@ -89,6 +82,28 @@ object MinHashIndex {
       .select(col("id_a"), col("id_b"),
         round(TextPrep.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** The increment-side shingle sets a [[candidates]] caller prepares
+    * once (exposed for the serving-cost probe tool's prep step). */
+  def shingleSetsOf(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = Dedup.shingleSets(docs, idCol, textCol, k)
+
+  /** The candidate half of [[probe]] alone — (id_a = corpus doc,
+    * id_b = new doc) distinct band collisions, BEFORE the shingle fetch
+    * and exact verify. Split out so the serving-cost probe
+    * ([[graft.tools.MinhashProbe]]) can price the fetch+verify term
+    * separately from candidate generation — the q187 measurement
+    * discipline applied to the MinHash family. `newSh` is the
+    * increment's shingle sets ([[Dedup.shingleSets]]). */
+  def candidates(index: Index, newSh: DataFrame): DataFrame = {
+    val newBands = bandKeys(newSh, index.numHashes, index.numBands)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
+    index.bands
+      .select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
+      .join(newBands, Seq("band_id", "band_key"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Candidate (corpus, stream) pairs for the streaming probe (ST14):

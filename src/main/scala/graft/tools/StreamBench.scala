@@ -59,7 +59,7 @@ object StreamBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batches = args.lift(1).map(_.toInt).getOrElse(10)
     val which = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("st14", "st15", "st16", "st17"))
+      .getOrElse(Set("st14", "st15", "st16", "st17", "st17t"))
     val spark = graft.GraftSession.local("graft-streambench")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -145,6 +145,39 @@ object StreamBench {
           watermark = "10 minutes", windowDur = "5 minutes",
           shingleK = 5, minWords = 5, maxWords = 1000000)
         drive("st17_curate", spark, (b, ts) =>
+          mem.addData(docRows.toSeq.zipWithIndex.map { case ((_, txt), i) =>
+            (docBase + b.toLong * docRows.length + i, ts, txt)
+          }): Unit,
+          outDf, batches, docRows.length.toLong)
+      } finally MinHashIndex.drop(index)
+    }
+
+    // ---- ST17 with the TRAINED langid tier (T1″) ---------------------
+    // Same pipeline as st17 but the language gate runs LangId.scoreExpr
+    // against a model trained in-engine on the labeled slice — the
+    // map-only serving path, so throughput prices the trained tier's
+    // in-row expression (a ~2.5k-double weight literal dotted per row)
+    // on top of the same plumbing. langs covers the model's label space
+    // (trained argmax always lands on a trained label, never 'und').
+    if (which("st17t")) {
+      val model = graft.ext.LangId.train(
+        docs.where(col("doc_id") < 500)
+          .join(Tables.load(spark, sfDir, "documents")
+            .select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "doc_id", "text", "lang", buckets = 512, iters = 10, lr = 4.0)
+      val index = MinHashIndex.build(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 128, numBands = 32)
+      try {
+        val test = docs.where(col("doc_id") < 100)
+        val bf = Decontaminate.buildShingleBloom(test, "doc_id", "text")
+        val mem = MemoryStream[(Long, Timestamp, String)]
+        val outDf = StreamCurate.pipeline(index, bf,
+          mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+          langs = model.labels.toSet, threshold = 0.8,
+          watermark = "10 minutes", windowDur = "5 minutes",
+          shingleK = 5, minWords = 5, maxWords = 1000000,
+          langModel = Some(model))
+        drive("st17t_curate_trained", spark, (b, ts) =>
           mem.addData(docRows.toSeq.zipWithIndex.map { case ((_, txt), i) =>
             (docBase + b.toLong * docRows.length + i, ts, txt)
           }): Unit,
