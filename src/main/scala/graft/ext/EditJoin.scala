@@ -74,10 +74,15 @@ object EditJoin {
     * candidates only ever form on EQUAL variant keys, so every pair
     * lives wholly inside one block for each shared key). Each slice's
     * exchange and dedup hold ~1/B of the candidate volume, bounding the
-    * per-stage working set; a pair colliding in several blocks is
-    * re-deduplicated by one global PAIR-level aggregate (pairs ≪
-    * candidate occurrences) before the one-per-pair verify. Same rows
-    * out, bit for bit (EditJoinSpec pins blocks ≡ default). */
+    * IN-FLIGHT working set (slices run sequentially — see the inline
+    * note); a pair colliding in several blocks is re-deduplicated by
+    * one global PAIR-level aggregate (pairs ≪ candidate occurrences)
+    * before the one-per-pair verify. Same rows out, bit for bit
+    * (EditJoinSpec pins blocks ≡ default). Measured at gsf10
+    * (BASELINE §Round 12): B=8 cuts peak heap 63.5 → 50 GiB at 1.7×
+    * wall, and COMPLETES at the 48 GiB heap where the B=1 leg
+    * GC-killed the context — an OOM-death → bounded-memory-completion
+    * converter, not a speedup; pick the smallest B that fits. */
   def join(records: DataFrame, idCol: String, strCol: String,
       maxDist: Int, prefixBlocks: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, "maxDist must be in [1, 3]")
