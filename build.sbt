@@ -40,5 +40,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g (was 8g through round 11): the round-12 bench warm phase keeps
+  // every memo family's serving state resident through the whole timed
+  // window — the storage pool needs the headroom or block eviction
+  // bleeds into unrelated entries' readings (the q177 adjacency note,
+  // BASELINE §Round 12)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -106,6 +106,71 @@ object MinHashIndex {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** [[candidates]] with the probe band keys PUSHED INTO the bands scan
+    * — the `searchPruned` discipline ([[LshIndex.searchPruned]]) applied
+    * to the last stored-index family without it: the stored bundle
+    * clusters+sorts bands by (band_id, band_key)
+    * ([[IndexStore.writeMinhash]]), so a literal per-band
+    * `band_key IN (...)` predicate reaches the parquet reader and
+    * row-group min/max stats skip everything outside the probed keys —
+    * the scan reads O(probed buckets), not O(corpus bands). The
+    * driver-side key collect is probes × numBands rows, bounded at
+    * `graft.minhash.maxProbeKeys` (default 8192, the
+    * [[LshIndex.searchBucketed]] teeth): past the bound the predicate
+    * accelerator is skipped loudly and the bucket equi-join alone
+    * serves — correct either way, the join is what's exact. Results are
+    * identical to [[candidates]] (the predicate selects a superset of
+    * the join keys; the same join then applies). MinhashProbe measured
+    * the UNpruned candidates term scaling with the corpus (0.38/0.52/
+    * 1.22 s at sf0.1/1/10, BASELINE §Round 12) — this is the zero-
+    * storage-cost lever that attacks it, preferred over a ×bands
+    * shingle-duplicating bundle the same measurement rejected. */
+  def candidatesPruned(index: Index, newSh: DataFrame): DataFrame = {
+    // persisted: the probe-side sketch (shingle hashes → 128-hash sig →
+    // band keys) is the pruned path's fixed cost and feeds BOTH the key
+    // collect and the join — without the persist it runs twice, which
+    // the probe tool measured as a ~0.5 s penalty that buried the scan
+    // saving at small corpora. Probe-count × numBands rows — tiny; the
+    // ContextCleaner reclaims the blocks when the plan goes unreachable.
+    val newBands = bandKeys(newSh, index.numHashes, index.numBands)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxKeys = Memo.intProp("graft.minhash.maxProbeKeys", 8192)
+    val probed = newBands.select(col("band_id"), col("band_key")).distinct()
+      .limit(maxKeys + 1).collect()
+    val prune =
+      if (probed.length > maxKeys) {
+        System.err.println(s"[minhash] probe band keys exceed $maxKeys " +
+          "(graft.minhash.maxProbeKeys) — serving via the join-only scan")
+        lit(true)
+      } else probed.map(r => (r.getInt(0), r.getLong(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+        .map { case (b, ks) =>
+          col("band_id") === b && col("band_key").isin(ks: _*)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+    index.bands.where(prune)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
+      .join(newBands, Seq("band_id", "band_key"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** [[probe]] through [[candidatesPruned]] — the stored-bundle serving
+    * form (band scan pruned to the probed keys, then the doc-clustered
+    * shingle fetch + exact verify). Result-identical to [[probe]]. */
+  def probePruned(index: Index, newDocs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val newSh = Dedup.shingleSets(newDocs, idCol, textCol, index.shingleK)
+    candidatesPruned(index, newSh)
+      .join(index.shingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(newSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextPrep.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Candidate (corpus, stream) pairs for the streaming probe (ST14):
     * the stream side is map-only (per-row shingles → signature → band
     * keys, all `SketchExprs` native loops), candidates come from a

@@ -43,6 +43,7 @@ object MinhashProbe {
         println(f"[minhash-probe] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     time("candidates")(MinHashIndex.candidates(loaded, probeSh))
+    time("candidates_pruned")(MinHashIndex.candidatesPruned(loaded, probeSh))
     time("probe_full")(
       MinHashIndex.candidates(loaded, probeSh)
         .join(loaded.shingles.select(col("doc_id").as("id_a"),

@@ -45,6 +45,37 @@ class MinHashIndexSpec extends SparkSpec {
     } finally MinHashIndex.drop(built)
   }
 
+  test("pruned stored probe: identical results, band predicate pushed, over-bound fallback identical") {
+    val built = MinHashIndex.build(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhp").toString
+    try {
+      IndexStore.writeMinhash(built, dir)
+      val loaded = IndexStore.loadMinhash(spark, dir)
+      val pruned = MinHashIndex.probePruned(loaded, increment,
+        "doc_id", "text", 0.8)
+      val plain = MinHashIndex.probe(loaded, increment, "doc_id", "text", 0.8)
+      assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+        "pruned probe must select the same candidates and verify identically")
+      // the probed band keys reach the stored bands scan as pushed filters
+      val explained = MinHashIndex.candidatesPruned(loaded,
+          MinHashIndex.shingleSetsOf(increment, "doc_id", "text",
+            loaded.shingleK))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(explained.contains("In(band_key") ||
+        explained.contains("EqualTo(band_key"),
+        s"band-key predicate not pushed:\n$explained")
+      // past the key bound: the IN accelerator is skipped, results equal
+      sys.props("graft.minhash.maxProbeKeys") = "4"
+      try {
+        val fb = MinHashIndex.probePruned(loaded, increment,
+          "doc_id", "text", 0.8)
+        assert(fb.exceptAll(plain).isEmpty && plain.exceptAll(fb).isEmpty,
+          "join-only fallback must be result-identical")
+      } finally sys.props.remove("graft.minhash.maxProbeKeys")
+    } finally MinHashIndex.drop(built)
+  }
+
   test("only the increment is sketched: corpus text never enters the probe plan") {
     val idx = MinHashIndex.build(corpus, "doc_id", "text")
     try {
