@@ -87,9 +87,11 @@ object Bench {
     val hotPrefixes = Seq(
       // headlines (BASELINE §1)
       "q08_", "q09_", "q15_", "q24_",
-      // round-11 new/changed paths: inverted-index appends, map-only
-      // langid serve, bucket-clustered LSH fetch, MOR join views
-      "q187", "q177", "q191", "q208", "q228", "q232", "q233", "q234", "q235",
+      // round-11/12 new/changed paths: inverted-index appends, map-only
+      // langid serve, bucket-clustered LSH fetch, MOR join views,
+      // pruned stored-MinHash serving, block-decomposed edit join
+      "q187", "q177", "q191", "q208", "q228", "q232", "q233", "q234",
+      "q235", "q236", "q190", "q220",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182", "q220")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")
@@ -130,7 +132,8 @@ object Bench {
     // the artifact; it just no longer contaminates the regression signal.
     val warmPrefixes = Seq("q78_", "q175", "q177", "q178", "q179_", "q187",
       "q190", "q191", "q193", "q194", "q208", "q215", "q219", "q223",
-      "q225", "q226", "q227", "q228", "q229", "q232", "q233", "q234")
+      "q225", "q226", "q227", "q228", "q229", "q232", "q233", "q234",
+      "q236")
     val warmed: Seq[(String, Double)] = named
       .filter { case (n, _) => warmPrefixes.exists(n.startsWith) }
       .map { case (n, fn) =>

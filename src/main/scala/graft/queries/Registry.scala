@@ -35,7 +35,8 @@ object Registry {
       AdvancedQueries.all ++ AnalyticsQueries.all ++ Round4Queries.all ++
       CorpusQueries.all ++ SurfaceQueries.all ++ Round5Queries.all ++
       Round6Queries.all ++ Round7Queries.all ++ Round7bQueries.all ++
-      Round8Queries.all ++ Round10Queries.all ++ Round11Queries.all
+      Round8Queries.all ++ Round10Queries.all ++ Round11Queries.all ++
+      Round12Queries.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
