@@ -41,6 +41,7 @@ package graft.ext
 final class Memo[V](release: V => Unit,
     max: Int = Memo.defaultMax, name: String = "memo") {
   require(max >= 1, s"memo bound must be >= 1, got $max")
+  Memo.register(this)
 
   /** One key's lifecycle: installed under the monitor, completed (or
     * failed) outside it, latch released exactly once. */
@@ -128,6 +129,16 @@ final class Memo[V](release: V => Unit,
 }
 
 object Memo {
+  // every family memo self-registers so a harness can release ALL
+  // serving state at a protocol boundary (graft.Bench runs memo-backed
+  // entries first, then clears before timing the stateless rest — the
+  // cross-family-residency skew fix, BASELINE §Round 12)
+  private val registry = new java.util.concurrent.CopyOnWriteArrayList[Memo[_]]()
+  private def register(m: Memo[_]): Unit = { registry.add(m); () }
+
+  /** Release every registered family's entire serving state. */
+  def clearAllRegistered(): Unit = registry.forEach(_.clear())
+
   private[ext] def defaultMax: Int = intProp("graft.memo.max", 4)
 
   /** Shared system-property integer knob reader. */
