@@ -93,7 +93,7 @@ object Bench {
       "q187", "q177", "q191", "q208", "q228", "q232", "q233", "q234",
       "q235", "q236", "q190", "q220",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
-      "q78", "q88", "q55", "q182", "q220")
+      "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")
     val rotateOff = only.isDefined || group.contains("all")
     val parity: Int = group.filter(g => g == "0" || g == "1").map(_.toInt)
@@ -159,9 +159,14 @@ object Bench {
       if (!java.nio.file.Files.exists(histDir)) Map.empty
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val files = java.nio.file.Files.list(histDir).iterator()
-        val sorted = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
-          .asScala.toSeq.sortBy(_.getFileName.toString) // ts-stamped names
+        // Files.list holds a directory handle until closed (round-12
+        // advisor: the unclosed stream leaked one fd per bench run)
+        val listing = java.nio.file.Files.list(histDir)
+        val sorted =
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(
+            listing.iterator()).asScala.toSeq
+            .sortBy(_.getFileName.toString) // ts-stamped names
+          finally listing.close()
         sorted.foldLeft(Map.empty[String, Double]) { (acc, p) =>
           try {
             val node = om.readTree(java.nio.file.Files.readAllBytes(p))
@@ -217,27 +222,40 @@ object Bench {
     // BASELINE §Round 12), then the stateless entries against an
     // unpressured block manager.
     var timedCount = 0
-    val timedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    val timedBuf = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-entry canary interval (index of the last canary reading taken
+    // BEFORE the entry ran): the self-heal pass maps a drifted canary
+    // reading back to exactly the entries it brackets
+    val entrySpan = scala.collection.mutable.Map.empty[String, Int]
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (!ok && spark.sparkContext.isStopped) {
+        System.err.println(s"[bench] SparkContext DIED during $name — rebuilding session")
+        rebuilds += 1
+        spark = buildSession(cpus)
+      }
+      if (ok) secs else -secs
+    }
     def timeEntry(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       if (timedCount > 0 && timedCount % canaryEvery == 0) runCanary()
       timedCount += 1
-      timedBuf += name -> (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-        val secs = (System.nanoTime() - t0) / 1e9
-        if (!ok && spark.sparkContext.isStopped) {
-          System.err.println(s"[bench] SparkContext DIED during $name — rebuilding session")
-          rebuilds += 1
-          spark = buildSession(cpus)
-        }
-        if (ok) secs else -secs
-      }
+      entrySpan(name) = canary.size - 1
+      timedBuf(name) = (1 to reps).map(_ => timeOnce(name, fn))
     }
     val groups = warmGroups
       .map(g => named.filter { case (n, _) => g.exists(n.startsWith) })
       .filter(_.nonEmpty)
+    // in-artifact residency attribution (VERDICT r12 #7): which entries
+    // shared serving state while timed — an in-suite/isolated delta on
+    // one of these is attributable to its group's residency, not to the
+    // entry's own plan
+    val groupOf: Map[String, Int] = groups.zipWithIndex.flatMap {
+      case (g, i) => g.map { case (n, _) => n -> i } }.toMap
     val stateless = named.filterNot { case (n, _) =>
       warmPrefixes.exists(n.startsWith) }
     groups.foreach { g =>
@@ -256,6 +274,76 @@ object Bench {
         f"entries, ${warmed.map(_._2).sum}%.1f s across ${groups.size} groups")
     stateless.foreach { case (n, fn) => timeEntry(n, fn) }
     runCanary()
+    // ---- SELF-HEALING RE-TIME (VERDICT r12 Next-round #1) ----------
+    // The canary DETECTS environment contention; this pass REPAIRS the
+    // artifact instead of merely flagging it: every entry bracketed by
+    // a canary reading > 2× the run's floor is re-timed once (min
+    // across attempts kept — a contended rep can only ever ADD time),
+    // within a wall budget so the repair cannot blow the driver's kill
+    // window. Memo-group entries re-warm themselves first (one untimed
+    // run rebuilds exactly their family state) and their groups release
+    // after, preserving the per-group residency protocol.
+    val fnOf = named.toMap
+    val canaryFloor = if (canary.nonEmpty) canary.min else 0.0
+    val badReadings = canary.zipWithIndex.collect {
+      case (t, i) if canaryFloor > 0 && t > 2.0 * canaryFloor => i }.toSet
+    val suspects: Seq[String] =
+      if (badReadings.isEmpty) Seq.empty
+      else timedBuf.toSeq.collect {
+        case (n, ts) if ts.exists(_ >= 0) &&
+          (badReadings.contains(entrySpan(n)) ||
+            badReadings.contains(entrySpan(n) + 1)) => n }
+    val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (suspects.nonEmpty) {
+      val maxWall = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WALL", "545").toDouble
+      val warmCost = warmed.toMap
+      def elapsed = (System.nanoTime() - wallT0) / 1e9
+      System.err.println(f"[bench] canary flagged ${badReadings.size} " +
+        f"readings (floor $canaryFloor%.2f) — re-timing ${suspects.size} " +
+        "bracketed entries within the wall budget")
+      // stateless suspects first (no rebuild cost), then grouped ones
+      // ordered cheapest-group-first; each entry is skipped — loudly —
+      // if its estimated cost would cross the wall budget
+      val (grouped, free) = suspects.partition(groupOf.contains)
+      val orderedGroups = grouped.groupBy(groupOf).toSeq.sortBy { case (_, ns) =>
+        ns.map(n => warmCost.getOrElse(n, 0.0) +
+          timedBuf(n).filter(_ >= 0).map(math.abs).minOption.getOrElse(0.0)).sum
+      }
+      def retimeOne(n: String, est: Double): Unit = {
+        if (elapsed + est > maxWall)
+          System.err.println(f"[bench] retime SKIPPED $n (est $est%.1f s " +
+            f"would cross wall budget $maxWall%.0f)")
+        else {
+          val t = timeOnce(n, fnOf(n))
+          timedBuf(n) = timedBuf(n) :+ t
+          if (t >= 0) retimed += n
+        }
+      }
+      free.sortBy(n => timedBuf(n).map(math.abs).min).foreach { n =>
+        retimeOne(n, timedBuf(n).map(math.abs).min * 1.5)
+      }
+      orderedGroups.foreach { case (_, ns) =>
+        ns.foreach { n =>
+          val base = timedBuf(n).map(math.abs).min
+          val est = warmCost.getOrElse(n, base) + base * 1.5
+          if (elapsed + est > maxWall)
+            System.err.println(f"[bench] retime SKIPPED $n (est $est%.1f s " +
+              f"would cross wall budget $maxWall%.0f)")
+          else {
+            // re-warm: one untimed run rebuilds this entry's family
+            try fnOf(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] retime warm $n failed: $e") }
+            val t = timeOnce(n, fnOf(n))
+            timedBuf(n) = timedBuf(n) :+ t
+            if (t >= 0) retimed += n
+          }
+        }
+        graft.ext.Memo.clearAllRegistered()
+      }
+      runCanary() // post-repair reading, visible in the artifact
+    }
+    val canaryOk = badReadings.isEmpty || suspects.forall(retimed.contains)
     val timed: Seq[(String, Seq[Double])] = timedBuf.toSeq
     val results = timed.map { case (name, ts) =>
       name -> (if (ts.forall(_ >= 0)) ts.min else -ts.map(math.abs).max)
@@ -274,6 +362,14 @@ object Bench {
     val canaryJson = canary.map(t => f"$t%.3f").mkString("[", ",", "]")
     val canarySpread =
       if (canary.size >= 2 && canary.min > 0) canary.max / canary.min else 0.0
+    val contendedJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // residency attribution: which entries were timed with a shared
+    // memo family resident (grouped by warm group)
+    val residentJson = groups.zipWithIndex.map { case (g, i) =>
+      "\"g" + i + "\":" + g.map { case (n, _) => "\"" + n + "\"" }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val deltaPairs = results.filter(_._2 > 0).flatMap { case (k, v) =>
       lastTimes.get(k).map(prev => k -> v / prev)
     }
@@ -288,7 +384,7 @@ object Bench {
     val driftJson =
       s"""{"n_compared":${deltaPairs.size},"worst":$driftWorst}"""
     val wallS = (System.nanoTime() - wallT0) / 1e9
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f},"delta_vs_last_run":$deltas,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"warm_groups":$residentJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson},"canary_ok":$canaryOk,"delta_vs_last_run":$deltas,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; at 230 entries the full
     // per-query line is ~10 KB and the tail has truncated it mid-map two
     // rounds running (BENCH_r08/r09 `parsed: null`). Persist the full line
@@ -311,7 +407,7 @@ object Bench {
       "q24_cosine_topk")
     val hq = results.filter(r => headlines.contains(r._1))
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f},"drift":$driftJson,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson},"canary_ok":$canaryOk,"drift":$driftJson,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
     // Stop Spark BEFORE the final prints: the driver parses the LAST stdout
     // line as JSON, and shutdown must not be able to interleave output
     // after it (build.sbt already strips sbt's own [info]/[success] noise).

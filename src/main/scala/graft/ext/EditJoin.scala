@@ -82,7 +82,17 @@ object EditJoin {
     * (BASELINE §Round 12): B=8 cuts peak heap 63.5 → 50 GiB at 1.7×
     * wall, and COMPLETES at the 48 GiB heap where the B=1 leg
     * GC-killed the context — an OOM-death → bounded-memory-completion
-    * converter, not a speedup; pick the smallest B that fits. */
+    * converter, not a speedup; pick the smallest B that fits.
+    *
+    * CONTRACT when `prefixBlocks > 1`: the call EAGERLY EXECUTES the
+    * collapse + per-slice candidate jobs (slices must run one at a
+    * time for the bound to be real), so it is not a lazy plan-building
+    * API on that path — budget the call as a job, not a plan. Slice
+    * outputs land in a JVM-lifetime temp parquet staging dir (pairs ≪
+    * candidate occurrences; the 100 TB analogue is a staging table),
+    * NOT block-manager persists — repeated blocked joins leak no
+    * storage blocks (round-12 advisor finding), and the returned plan
+    * reads the staged files. */
   def join(records: DataFrame, idCol: String, strCol: String,
       maxDist: Int, prefixBlocks: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, "maxDist must be in [1, 3]")
@@ -170,15 +180,24 @@ object EditJoin {
         import org.apache.spark.storage.StorageLevel
         val keysP = keys.persist(StorageLevel.DISK_ONLY)
         keysP.count()
-        val slices = (0 until prefixBlocks).map { i =>
-          val s = candFor(keysP.where(
+        // slice outputs stage as parquet FILES, not persisted blocks: a
+        // DISK_ONLY persist here outlives the call (the returned plan
+        // references the blocks, so this function cannot unpersist
+        // them) and each repeated blocked join leaked B slice blocks to
+        // the ContextCleaner's mercy. Files in a JVM-lifetime tmp dir
+        // have no block-manager footprint at all, and the write is the
+        // same one-pass disk landing the persist paid.
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft-editjoin").toString
+        (0 until prefixBlocks).foreach { i =>
+          // sequential: one slice's join+dedup working set in flight
+          candFor(keysP.where(
               pmod(col("__vkey"), lit(prefixBlocks.toLong)) === i.toLong))
-            .persist(StorageLevel.DISK_ONLY)
-          s.count() // sequential: one slice's working set in flight
-          s
+            .write.mode("overwrite").parquet(s"$stage/slice_$i")
         }
         keysP.unpersist(false) // slices are materialized; drop the keys
-        slices.reduce(_ unionByName _)
+        records.sparkSession.read.parquet(
+            (0 until prefixBlocks).map(i => s"$stage/slice_$i"): _*)
           .groupBy(col("__ra"), col("__rb"))
           .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"))
       }

@@ -31,10 +31,25 @@ package graft.ext
   * key WARNS — with `max` small, a session touching more keys than the
   * bound round-robin would otherwise thrash silently, every access
   * re-paying a full index/model build (the invisible-cliff half of the
-  * same advisor finding). An in-flight build is never evicted: if the
-  * LRU-eldest slot is still building, the bound is temporarily exceeded
-  * instead (releasing half-built state would hand eviction a value the
-  * builder is about to return).
+  * same advisor finding). An in-flight build is never evicted
+  * (releasing half-built state would hand eviction a value the builder
+  * is about to return) — but it does not SHIELD its neighbors: the
+  * bound sweep skips building slots and evicts the oldest COMPLETED
+  * entry instead (the round-12 advisor finding: bailing at a building
+  * eldest deferred eviction for every younger completed entry too),
+  * and a build's completion path re-runs the sweep, so residency
+  * returns to the bound as soon as a victim exists even on a get-only
+  * workload. Only when EVERY resident slot is mid-build is the bound
+  * temporarily exceeded.
+  *
+  * Release-hook contract: a borrower can hold a value across the
+  * monitor (apply returns it unlocked), so a concurrent insert may
+  * evict and RELEASE that value while it is still in use. Hooks must
+  * therefore tolerate release-during-use — true for every registered
+  * family (DataFrame `unpersist`: the borrowed plan stays valid and
+  * merely recomputes) — and a hook with stronger semantics (closing a
+  * file handle, freeing native memory) must NOT ride this class
+  * without adding pin/refcount support first.
   *
   * `max` defaults to the `graft.memo.max` system property (default 4 —
   * generous for per-dataset keys while bounding the worst case). */
@@ -51,22 +66,42 @@ final class Memo[V](release: V => Unit,
   }
 
   // access-order LinkedHashMap = the LRU; values are slots so the map
-  // can hold in-flight builds without blocking unrelated keys
-  private val m = new java.util.LinkedHashMap[String, Slot](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, Slot]): Boolean = {
-      if (size() <= max) false
-      else e.getValue.value match {
-        case Some(v) =>
-          System.err.println(s"[memo:$name] evicting '${e.getKey}' (bound $max)")
-          evicted.add(e.getKey)
-          release(v)
-          true
-        case None => // in-flight: never evict a building slot
-          System.err.println(s"[memo:$name] bound $max exceeded but eldest " +
-            s"'${e.getKey}' is still building — deferring eviction")
-          false
+  // can hold in-flight builds without blocking unrelated keys. Eviction
+  // is NOT removeEldestEntry: that hook can only drop the single eldest
+  // entry, so an eldest slot mid-build would shield every younger
+  // completed entry too — enforceBound sweeps instead.
+  private val m = new java.util.LinkedHashMap[String, Slot](16, 0.75f, true)
+
+  /** Evict oldest COMPLETED entries (access order) until the bound
+    * holds; building slots are skipped, never released. Call under
+    * `m.synchronized`. */
+  private def enforceBound(spare: Slot = null): Unit = {
+    var victim = findVictim(spare)
+    while (m.size() > max && victim != null) {
+      System.err.println(s"[memo:$name] evicting '${victim._1}' (bound $max)")
+      evicted.add(victim._1)
+      m.remove(victim._1)
+      release(victim._2)
+      victim = findVictim(spare)
+    }
+    if (m.size() > max)
+      System.err.println(s"[memo:$name] bound $max exceeded but every " +
+        "evictable slot is still building — deferring eviction")
+  }
+
+  /** Oldest completed (key, value) in access order, or null. `spare`
+    * (the completion path's own slot) is never chosen — a builder must
+    * not evict the value it is about to hand its caller. */
+  private def findVictim(spare: Slot): (String, V) = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue ne spare) e.getValue.value match {
+        case Some(v) => return (e.getKey, v)
+        case None    => ()
       }
     }
+    null
   }
   // small ring of recently-evicted keys: a rebuild of one of these is
   // the thrash signature worth warning about
@@ -89,6 +124,7 @@ final class Memo[V](release: V => Unit,
             s"— family bound $max may be too small for this session")
         val s = new Slot
         m.put(key, s)
+        enforceBound()
         mine = true
         s
       }
@@ -99,6 +135,14 @@ final class Memo[V](release: V => Unit,
         val v = build
         slot.value = Some(v)
         slot.done.countDown()
+        // completion re-check (round-12 advisor): if eviction was
+        // deferred while this build was the only victim-free resident,
+        // the bound is re-enforced NOW instead of at the next insert.
+        // Bump this key first so the sweep prefers an older entry over
+        // the value this builder is about to hand its caller.
+        m.synchronized {
+          if (m.get(key) eq slot) enforceBound(spare = slot)
+        }
         v
       } catch {
         case e: Throwable =>
@@ -136,8 +180,43 @@ object Memo {
   private val registry = new java.util.concurrent.CopyOnWriteArrayList[Memo[_]]()
   private def register(m: Memo[_]): Unit = { registry.add(m); () }
 
-  /** Release every registered family's entire serving state. */
-  def clearAllRegistered(): Unit = registry.forEach(_.clear())
+  /** Release every registered family's entire serving state (and any
+    * tracked transient probe-side blocks — [[trackTransient]]). */
+  def clearAllRegistered(): Unit = {
+    registry.forEach(_.clear())
+    releaseTransient()
+  }
+
+  // ---- transient probe-side blocks ----------------------------------
+  // Persisted DataFrames with no owning memo entry — e.g. the pruned
+  // probe's sketch (MinHashIndex.candidatesPruned persists the probe
+  // bands so the key collect and the join share one materialization,
+  // but the RETURNED plan still references the blocks, so the producer
+  // cannot unpersist before its caller executes). Tracking them here
+  // lets a harness boundary (graft.Bench's per-group release, the probe
+  // tools) free them deterministically instead of waiting on the
+  // ContextCleaner. Bounded: past 64 entries the oldest is unpersisted
+  // on insert — by then its consumer has long executed, and even a
+  // still-borrowed plan merely recomputes (the unpersist contract).
+  private val transient0 =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+
+  /** Register a persisted probe-side DataFrame for deferred release. */
+  def trackTransient[D <: org.apache.spark.sql.DataFrame](df: D): D = {
+    transient0.add(df)
+    while (transient0.size > 64) Option(transient0.poll())
+      .foreach(d => try { d.unpersist(false); () } catch { case _: Exception => () })
+    df
+  }
+
+  /** Unpersist every tracked transient block (blocking = false). */
+  def releaseTransient(): Unit = {
+    var d = transient0.poll()
+    while (d != null) {
+      try { d.unpersist(false); () } catch { case _: Exception => () }
+      d = transient0.poll()
+    }
+  }
 
   private[ext] def defaultMax: Int = intProp("graft.memo.max", 4)
 

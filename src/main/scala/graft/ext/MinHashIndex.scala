@@ -124,17 +124,39 @@ object MinHashIndex {
     * the UNpruned candidates term scaling with the corpus (0.38/0.52/
     * 1.22 s at sf0.1/1/10, BASELINE §Round 12) — this is the zero-
     * storage-cost lever that attacks it, preferred over a ×bands
-    * shingle-duplicating bundle the same measurement rejected. */
+    * shingle-duplicating bundle the same measurement rejected.
+    * Below the measured crossover (~gsf1) the same measurement shows
+    * the PLAIN join is cheaper than the pruned path's fixed costs, so
+    * the route is picked by stored-band row count (job-free footer
+    * stats; `graft.minhash.pruneMinBandRows`, default 4M) — identical
+    * results either side by the superset argument above. */
   def candidatesPruned(index: Index, newSh: DataFrame): DataFrame = {
+    // SIZE-ROUTED (VERDICT r12 #4): below the measured crossover the
+    // plain equi-join is CHEAPER than the pruned path's fixed costs
+    // (probe-side sketch persist + key collect + IN-predicate planning)
+    // — BASELINE §Round 12 measured unpruned 0.53 s vs pruned 0.74 s at
+    // gsf1 (1.6M band rows) and 1.60 vs 0.75 s at gsf10 (16M), so the
+    // default threshold sits between the decades. The stored-band row
+    // count is job-free (parquet footers / cached-plan stats —
+    // [[graft.engine.TableStats.rowCountNoJob]], the parameter-sizing
+    // discipline); `graft.minhash.pruneMinBandRows` overrides.
+    val minRows = Memo.intProp("graft.minhash.pruneMinBandRows", 4000000)
+    if (graft.engine.TableStats.rowCountNoJob(index.bands) < minRows)
+      return candidates(index, newSh)
     // persisted: the probe-side sketch (shingle hashes → 128-hash sig →
     // band keys) is the pruned path's fixed cost and feeds BOTH the key
     // collect and the join — without the persist it runs twice, which
     // the probe tool measured as a ~0.5 s penalty that buried the scan
-    // saving at small corpora. Probe-count × numBands rows — tiny; the
-    // ContextCleaner reclaims the blocks when the plan goes unreachable.
-    val newBands = bandKeys(newSh, index.numHashes, index.numBands)
-      .select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // saving at small corpora. Probe-count × numBands rows — tiny;
+    // tracked in [[Memo.trackTransient]] so a harness boundary (the
+    // bench's per-group release, the probe tools) unpersists the blocks
+    // deterministically — the producer cannot (the returned plan still
+    // references them), and the ContextCleaner alone let each bench rep
+    // leak a block set until GC noticed (round-12 advisor finding).
+    val newBands = Memo.trackTransient(
+      bandKeys(newSh, index.numHashes, index.numBands)
+        .select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val maxKeys = Memo.intProp("graft.minhash.maxProbeKeys", 8192)
     val probed = newBands.select(col("band_id"), col("band_key")).distinct()
       .limit(maxKeys + 1).collect()

@@ -43,7 +43,15 @@ object MinhashProbe {
         println(f"[minhash-probe] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     time("candidates")(MinHashIndex.candidates(loaded, probeSh))
-    time("candidates_pruned")(MinHashIndex.candidatesPruned(loaded, probeSh))
+    // force the pruned path (the size router would hand the plain join
+    // back below the crossover — this probe MEASURES both sides so the
+    // router's threshold stays an empirical number)
+    sys.props("graft.minhash.pruneMinBandRows") = "0"
+    try time("candidates_pruned")(MinHashIndex.candidatesPruned(loaded, probeSh))
+    finally sys.props.remove("graft.minhash.pruneMinBandRows")
+    // the production route at this corpus size (whichever side the
+    // default threshold picks)
+    time("candidates_routed")(MinHashIndex.candidatesPruned(loaded, probeSh))
     time("probe_full")(
       MinHashIndex.candidates(loaded, probeSh)
         .join(loaded.shingles.select(col("doc_id").as("id_a"),

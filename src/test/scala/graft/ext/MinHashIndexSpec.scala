@@ -48,6 +48,9 @@ class MinHashIndexSpec extends SparkSpec {
   test("pruned stored probe: identical results, band predicate pushed, over-bound fallback identical") {
     val built = MinHashIndex.build(corpus, "doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-mhp").toString
+    // force the pruned route: the spec corpus sits far below the
+    // production crossover the size router consults
+    sys.props("graft.minhash.pruneMinBandRows") = "0"
     try {
       IndexStore.writeMinhash(built, dir)
       val loaded = IndexStore.loadMinhash(spark, dir)
@@ -73,6 +76,39 @@ class MinHashIndexSpec extends SparkSpec {
         assert(fb.exceptAll(plain).isEmpty && plain.exceptAll(fb).isEmpty,
           "join-only fallback must be result-identical")
       } finally sys.props.remove("graft.minhash.maxProbeKeys")
+    } finally {
+      sys.props.remove("graft.minhash.pruneMinBandRows")
+      MinHashIndex.drop(built)
+    }
+  }
+
+  test("size-routed pruning: below the crossover the plain join serves, above it the predicate prunes — results identical") {
+    val built = MinHashIndex.build(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhr").toString
+    try {
+      IndexStore.writeMinhash(built, dir)
+      val loaded = IndexStore.loadMinhash(spark, dir)
+      val sh = MinHashIndex.shingleSetsOf(increment, "doc_id", "text",
+        loaded.shingleK)
+      def explained(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // below the threshold (default 4M band rows ≫ this corpus): the
+      // router must hand back the PLAIN join — no IN accelerator
+      val below = MinHashIndex.candidatesPruned(loaded, sh)
+      assert(!explained(below).contains("In(band_key"),
+        "below the crossover the plain join must serve (no IN predicate)")
+      // above (threshold forced to 0): pruned plan with the predicate
+      sys.props("graft.minhash.pruneMinBandRows") = "0"
+      val above =
+        try MinHashIndex.candidatesPruned(loaded, sh)
+        finally sys.props.remove("graft.minhash.pruneMinBandRows")
+      assert(explained(above).contains("In(band_key") ||
+        explained(above).contains("EqualTo(band_key"),
+        "above the crossover the band-key predicate must push")
+      // both routes: identical candidate sets
+      assert(below.exceptAll(above).isEmpty && above.exceptAll(below).isEmpty,
+        "size routing must not change results")
     } finally MinHashIndex.drop(built)
   }
 
