@@ -44,26 +44,23 @@ object Round11Queries {
     * zero per-row state, which is what lets [[graft.streaming
     * .StreamCurate]] serve the TRAINED tier in append mode where
     * [[graft.ext.LangId.predict]]'s per-document aggregation would be a
-    * stateful stage. Correctness is enforced IN-PLAN: every document's
-    * map-only verdict is assert_true'd equal to predict's (the
-    * EntityResolution guard discipline — any divergence fails the gate
-    * loudly), which reduces the OUTPUT to corpus facts the oracle
-    * recomputes independently: per-label document counts and the
-    * scored count (= documents with non-NULL text; even the empty
-    * string produces one feature row, so only NULL text goes unscored).
-    * LangIdSpec pins scoreExpr ≡ predict prediction-for-prediction,
-    * including the empty/whitespace/repeated-run edge cases. */
+    * stateful stage. The entry prices EXACTLY what production pays: ONE
+    * corpus pass through the map-only expression plus the reducing
+    * aggregate (VERDICT r12 What's-wrong #3 — through round 12 this
+    * entry ALSO ran predict and an in-plan assert_true equality,
+    * tripling the corpus passes; that scoreExpr ≡ predict proof rides
+    * in LangIdSpec, where it is pinned prediction-for-prediction over
+    * the REAL corpus plus the empty/whitespace/repeated-run/NULL-text
+    * edges — the gate's output is unchanged either way). Output:
+    * per-label document counts and the scored count (= documents with
+    * non-NULL text; even the empty string produces one feature row, so
+    * only NULL text goes unscored), both recomputed independently by
+    * the oracle. */
   val q232 = GQuery("q232_langid_serve", (s, d) => {
     import graft.ext.LangId
     val m = Round10Queries.langidModel(s, d)
-    val docs = t(s, d, "documents")
-    val preds = LangId.predict(m, docs.select(col("doc_id"), col("text")),
-      "doc_id", "text")
-    docs.select(col("doc_id"), col("lang"),
-        LangId.scoreExpr(m, col("text")).as("__pm"))
-      .join(preds, Seq("doc_id"), "left")
-      .where(assert_true(col("__pm") <=> col("pred_lang"),
-        lit("map-only langid diverged from predict")).isNull)
+    t(s, d, "documents")
+      .select(col("lang"), LangId.scoreExpr(m, col("text")).as("__pm"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__pm").isNotNull, 1L).otherwise(0L)).as("n_scored"))
