@@ -31,11 +31,11 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Deterministic unit-ish hyperplanes: planes(table)(bit)(dim), fixed seed. */
-  private def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
-  }
+  // Hyperplane generation lives with the native signature expression
+  // ([[org.apache.spark.sql.graft.LshSignatures.flatPlanes]]): one
+  // deterministic Random(seed) Gaussian stream in (table, bit, dim)
+  // order — SimilaritySpec pins the buckets against an independent
+  // plain-Scala recomputation of the same draw.
 
   /** Occupancy-constant LSH bucket sizing: bits = log2(N / 32) clamped to
     * [4, 20], so expected bucket occupancy stays ≈ 32 per table as the
@@ -99,24 +99,29 @@ object Similarity {
     * it while keeping their own columns (watermarked timestamps survive
     * only as top-level attributes). */
   def lshBucketArray(vec: Column, tables: Int, bits: Int, dim: Int,
-      seed: Long = 42L): Column = {
-    val planes = hyperplanes(tables, bits, dim, seed)
-    val v = vec.cast("array<double>")
-    array(planes.zipWithIndex.map { case (tablePlanes, t) =>
-      val bucket = tablePlanes.zipWithIndex.map { case (plane, b) =>
-        when(VectorFunctions.dot(v, typedLit(plane)) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("table_id"), bucket.as("bucket"))
-    }: _*)
-  }
+      seed: Long = 42L): Column =
+    // native signature pass (ONE jit-able loop — the composed 128-dot
+    // form fell out of JIT at auto-bits ≥ 13, see
+    // [[org.apache.spark.sql.graft.LshSignatures]]), wrapped back into
+    // the documented ARRAY<STRUCT<table_id, bucket>> contract; the cast
+    // names the transform's anonymous struct fields
+    transform(
+      org.apache.spark.sql.graft.VectorExprs
+        .lshSignatures(vec, tables, bits, dim, seed),
+      (bucket, t) => struct(t, bucket))
+      .cast("array<struct<table_id:int,bucket:bigint>>")
 
-  /** Per-vector LSH bucket ids, one row per (id, table, bucket). */
+  /** Per-vector LSH bucket ids, one row per (id, table, bucket) — the
+    * corpus/probe hashing hot path: the native signature array
+    * posexplodes directly (pos = table_id), no struct wrap at all. */
   def lshBuckets(
       vecs: DataFrame, idCol: String, vecCol: String,
       tables: Int, bits: Int, dim: Int, seed: Long = 42L): DataFrame =
     vecs.select(col(idCol),
-        explode(lshBucketArray(col(vecCol), tables, bits, dim, seed)).as("tb"))
-      .select(col(idCol), col("tb.table_id"), col("tb.bucket"))
+        posexplode(org.apache.spark.sql.graft.VectorExprs
+          .lshSignatures(col(vecCol), tables, bits, dim, seed))
+          .as(Seq("table_id", "bucket")))
+      .select(col(idCol), col("table_id"), col("bucket"))
 
   /** LSH-bucketed approximate top-k with exact cosine re-rank.
     *

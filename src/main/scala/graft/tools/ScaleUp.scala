@@ -35,9 +35,20 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || (args.length == 4 && args(3) == "--graph"),
-      "usage: ScaleUp <srcDir> <dstDir> <factor> [--graph]")
+    require(args.length >= 3,
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [--graph] [--only t1,t2]")
     val src = args(0); val dst = args(1); val factor = args(2).toInt
+    // --only: emit just the named tables (e.g. `--only embeddings` for
+    // the gsf100 two-decade serving probe — 2M vectors is ~0.5 GB where
+    // the full gsf100 fact side would be ~12 GB and an hour of writes;
+    // the replication math per table is IDENTICAL to a full run, so a
+    // partial dir's tables are byte-compatible with a full one's)
+    val only: Option[Set[String]] = {
+      val i = args.indexOf("--only")
+      if (i < 0) None
+      else Some(args(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    }
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     // --graph: ALSO replicate customer/part/supplier with per-copy key
     // offsets (fact FKs remapped to match). The derived purchase graph
     // becomes `factor` DISJOINT copies of the base graph — nodes ∝ SF,
@@ -48,7 +59,7 @@ object ScaleUp {
     // shape: genuinely new users/products arrive as new communities, and
     // nothing in the plans exploits the disjointness (every exchange,
     // rank table, and wedge join carries the full scaled graph).
-    val graphMode = args.length == 4
+    val graphMode = args.contains("--graph")
     require(factor >= 1, "factor must be >= 1")
     val spark = graft.GraftSession.local("graft-scaleup")
     spark.sparkContext.setLogLevel("WARN")
@@ -59,19 +70,28 @@ object ScaleUp {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
 
     val copies = spark.range(factor).select(col("id").as("__copy"))
+    // A replicated frame keeps the BASE file's partitioning (the copies
+    // side is broadcast), so a high factor over a small source would
+    // write one giant file/row-group — every downstream scan of the
+    // generated dir then runs as ONE task (caught live: the gsf100
+    // embeddings probe pinned a single core for 20+ minutes). Spread
+    // replicated outputs across tasks, capped so small factors don't
+    // shatter into confetti files.
     def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
+      .repartition(math.min(256, math.max(spark.sparkContext.defaultParallelism, factor)))
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
     // region/nation: always fixed (c_nationkey/s_nationkey stay valid —
     // replicated entities reuse the base geography)
-    Seq("region", "nation").foreach(t => write(read(t), t))
+    Seq("region", "nation").filter(wanted).foreach(t => write(read(t), t))
 
     val (custSpan, partSpan, suppSpan) =
       if (!graphMode) {
         // default: dimensions fixed (facts-per-dim-row grows — "more
         // days of the same workload")
-        Seq("customer", "supplier", "part").foreach(t => write(read(t), t))
+        Seq("customer", "supplier", "part").filter(wanted)
+          .foreach(t => write(read(t), t))
         (0L, 0L, 0L)
       } else {
         val (cust, part, supp) = (read("customer"), read("part"), read("supplier"))
@@ -105,23 +125,28 @@ object ScaleUp {
     // in graph mode the dim FKs shift by the same per-copy offsets, so
     // each copy's facts reference that copy's entities — joins intact,
     // graph disjoint by construction.
-    val orders = read("orders")
-    val orderSpan = span(orders, "o_orderkey")
-    write(replicate(orders)
-      .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * orderSpan)
-      .withColumn("o_custkey", col("o_custkey") + col("__copy") * custSpan)
-      .drop("__copy"), "orders")
-    write(replicate(read("lineitem"))
-      .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * orderSpan)
-      .withColumn("l_partkey", col("l_partkey") + col("__copy") * partSpan)
-      .withColumn("l_suppkey", col("l_suppkey") + col("__copy") * suppSpan)
-      .drop("__copy"), "lineitem")
+    if (wanted("orders") || wanted("lineitem")) {
+      val orders = read("orders")
+      val orderSpan = span(orders, "o_orderkey")
+      if (wanted("orders")) write(replicate(orders)
+        .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * orderSpan)
+        .withColumn("o_custkey", col("o_custkey") + col("__copy") * custSpan)
+        .drop("__copy"), "orders")
+      if (wanted("lineitem")) write(replicate(read("lineitem"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * orderSpan)
+        .withColumn("l_partkey", col("l_partkey") + col("__copy") * partSpan)
+        .withColumn("l_suppkey", col("l_suppkey") + col("__copy") * suppSpan)
+        .drop("__copy"), "lineitem")
+    }
 
-    val events = read("events")
-    write(replicate(events)
-      .withColumn("event_id", col("event_id") + col("__copy") * span(events, "event_id"))
-      .drop("__copy"), "events")
+    if (wanted("events")) {
+      val events = read("events")
+      write(replicate(events)
+        .withColumn("event_id", col("event_id") + col("__copy") * span(events, "event_id"))
+        .drop("__copy"), "events")
+    }
 
+    if (wanted("documents")) {
     val docs = read("documents")
     write(replicate(docs)
       .withColumn("doc_id", col("doc_id") + col("__copy") * span(docs, "doc_id"))
@@ -132,7 +157,9 @@ object ScaleUp {
             " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__copy"), "documents")
+    }
 
+    if (wanted("embeddings")) {
     val emb = read("embeddings")
     write(replicate(emb)
       .withColumn("vec_id", col("vec_id") + col("__copy") * span(emb, "vec_id"))
@@ -140,6 +167,7 @@ object ScaleUp {
         expr("transform(embedding, (x, i) -> CAST(x * (CASE WHEN pmod(hash(__copy, i), 2) = 0 " +
           "THEN 1.0 ELSE -1.0 END) AS float))"))
       .drop("__copy"), "embeddings")
+    }
 
     println(s"[scaleup] wrote $dst at ${factor}x of $src")
     spark.stop()

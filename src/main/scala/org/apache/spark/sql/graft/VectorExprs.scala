@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -117,6 +117,113 @@ case class L2Squared(left: Expression, right: Expression) extends VectorFold {
     copy(left = l, right = r)
 }
 
+/** All `tables` LSH bucket ids of one vector in ONE expression — the
+  * hyperplane-signature hot path that the composed-`Column` form could
+  * not keep JIT-compiled. The original `Similarity.lshBucketArray`
+  * built tables × bits separate [[DotProduct]] sub-expressions (128 at
+  * auto-bits 16); whole-stage codegen inlines them all into a single
+  * generated method whose bytecode blows past the JVM's
+  * huge-method compile limit (~8 KB), so the ENTIRE consume path runs
+  * interpreted — caught live at the gsf100 scaling probe, where the
+  * 2M-vector signature pass pinned 32 cores at ~26 ms/row (BASELINE
+  * §Round 13; ~200× off a compiled loop). This expression generates the
+  * same arithmetic as ACTUAL LOOPS over a plane-matrix reference —
+  * bytecode size is constant in tables × bits, so it always JITs.
+  *
+  * Bit-compatibility contract (SimilaritySpec pins native ≡ composed
+  * bucket-for-bucket): planes are drawn by the identical
+  * `Random(seed)` sequence in (table, bit, dim) order as
+  * `Similarity.hyperplanes`; each dot folds elements in ascending
+  * index order with double adds (the [[DotProduct]] fold); the sign
+  * rule is strictly-greater-than-zero; bits OR in as `1L << b` —
+  * exactly the composed form's sum of distinct powers of two.
+  *
+  * Output: ARRAY<LONG>, one bucket per table (index = table_id) —
+  * consumers `posexplode` (corpus/probe hashing) or wrap into the
+  * legacy struct form (`Similarity.lshBucketArray`). */
+case class LshSignatures(child: Expression, tables: Int, bits: Int,
+    dim: Int, seed: Long) extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  require(tables >= 1 && bits >= 1 && bits <= 63 && dim >= 1,
+    s"bad LSH signature shape: tables=$tables bits=$bits dim=$dim")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_signatures"
+
+  // flattened (table, bit, dim)-major plane matrix; @transient lazy —
+  // regenerated per executor from the deterministic seed
+  @transient private lazy val planes: Array[Double] =
+    LshSignatures.flatPlanes(tables, bits, dim, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * planes(base + i); i += 1 }
+        if (s > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |long[] $out = new long[$tables];
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    int $base = ($t * $bits + $b) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $v.getDouble($i) * $p[$base + $i];
+         |    }
+         |    if ($s > 0) $bucket |= (1L << $b);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSignatures {
+  /** The exact `Similarity.hyperplanes` draw, flattened (t, b, d)-major:
+    * one `Random(seed)` Gaussian stream consumed in the same order, so
+    * plane values are bit-identical to the composed form's literals. */
+  private[graft] def flatPlanes(tables: Int, bits: Int, dim: Int,
+      seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * bits * dim)(rnd.nextGaussian())
+  }
+}
+
 /** Column-level factories — the only API the rest of the engine touches.
   * Lives in this package for `private[sql]` access to the Column↔Expression
   * bridge and the abstract type-coercion traits. */
@@ -125,4 +232,7 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column = ExpressionUtils.column(DotProduct(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = ExpressionUtils.column(CosineSim(e(a), e(b)))
   def l2Sq(a: Column, b: Column): Column = ExpressionUtils.column(L2Squared(e(a), e(b)))
+  def lshSignatures(vec: Column, tables: Int, bits: Int, dim: Int,
+      seed: Long = 42L): Column =
+    ExpressionUtils.column(LshSignatures(e(vec), tables, bits, dim, seed))
 }

@@ -22,6 +22,51 @@ class SimilaritySpec extends SparkSpec {
     brute.foreach { case (p, ids) => assert(!ids.contains(p)) }
   }
 
+  test("native lsh_signatures ≡ independent plain-Scala hyperplane recomputation, bucket for bucket") {
+    // independent reference: the SAME deterministic draw re-derived here
+    // with no engine code — Random(42) Gaussians in (table, bit, dim)
+    // order, double dot in element order, strict > 0 sign rule. This is
+    // the bit-compatibility contract every stored LSH bundle depends on
+    // (an append hashes new vectors against planes frozen at build time).
+    val (tables, bits, dim) = (4, 11, 64)
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(tables * bits * dim)(rnd.nextGaussian())
+    def refBuckets(v: Seq[Float]): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until bits).foldLeft(0L) { (acc, b) =>
+          val base = (t * bits + b) * dim
+          var s = 0.0
+          var i = 0
+          val n = math.min(dim, v.size)
+          while (i < n) { s += v(i).toDouble * planes(base + i); i += 1 }
+          if (s > 0) acc | (1L << b) else acc
+        }
+      }
+    val rows = emb.where(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = Similarity.lshBuckets(emb.where(col("vec_id") < 50),
+        "vec_id", "embedding", tables, bits, dim)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(got.keySet === rows.keySet)
+    got.foreach { case (id, buckets) =>
+      assert(buckets === refBuckets(rows(id)),
+        s"vector $id: native signatures diverge from the reference draw")
+    }
+    // the struct-array wrapper serves the same assignments
+    val viaArray = emb.where(col("vec_id") < 50)
+      .select(col("vec_id"),
+        explode(Similarity.lshBucketArray(col("embedding"), tables, bits, dim))
+          .as("tb"))
+      .select(col("vec_id"), col("tb.table_id"), col("tb.bucket"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(viaArray === got, "lshBucketArray wrapper diverged from lshBuckets")
+  }
+
   test("lshTopK candidates re-rank exactly and achieve nontrivial recall") {
     val lsh = topkSet(Similarity.lshTopK(emb, probes, "vec_id", "embedding",
       "probe_id", "pv", 10, tables = 8, bits = 6, dim = 64))
