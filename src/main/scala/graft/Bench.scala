@@ -91,7 +91,7 @@ object Bench {
       // langid serve, bucket-clustered LSH fetch, MOR join views,
       // pruned stored-MinHash serving, block-decomposed edit join
       "q187", "q177", "q191", "q208", "q228", "q232", "q233", "q234",
-      "q235", "q236", "q190", "q220",
+      "q235", "q236", "q237", "q190", "q220",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")
@@ -144,7 +144,7 @@ object Bench {
     val warmGroups: Seq[Seq[String]] = Seq(
       Seq("q78_", "q175", "q178"),
       Seq("q177"), Seq("q179_"), Seq("q187"),
-      Seq("q190", "q236"), Seq("q191", "q233"),
+      Seq("q190", "q236"), Seq("q191", "q233", "q237"),
       Seq("q193"), Seq("q194"), Seq("q208", "q234"), Seq("q215"),
       Seq("q219", "q223"), Seq("q225"), Seq("q226"), Seq("q227"),
       Seq("q228", "q232"), Seq("q229"))
@@ -210,12 +210,16 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] canary failed: $e") }
     }
-    // canary plan warm-up (untimed): the very first q08 execution pays
-    // its whole-stage-codegen compile — without this the first recorded
-    // canary reading is compile cost and the spread stat cries wolf
-    canaryFn.foreach { fn =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // canary plan warm-up (untimed, TWICE): the very first q08 execution
+    // pays its whole-stage-codegen compile, and the second still reads a
+    // cold page cache — a round-13 clean run measured the first recorded
+    // reading at 0.62 vs a 0.30 floor (spread 2.07) purely from this,
+    // tripping the self-heal on a run that needed no healing
+    (1 to 2).foreach { _ =>
+      canaryFn.foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
     runCanary()
     // Per-group warm → time → release (the cross-family-residency fix,
