@@ -175,7 +175,18 @@ object LangId {
     * per-distinct-bucket grouping becomes a sorted-run fold over the
     * sorted bucket array. Documents with NULL text score NULL (predict
     * emits no row for them — the same "no prediction" outcome). */
-  def scoreExpr(model: Model, text: Column): Column = {
+  def scoreExpr(model: Model, text: Column): Column =
+    org.apache.spark.sql.graft.LangIdPredictExpr.column(text,
+      model.labels, model.buckets, model.weights.flatMap(_.toSeq).toArray)
+
+  /** The retired HOF/Column composition of [[scoreExpr]] — kept as a
+    * second independent REFERENCE implementation (LangIdSpec pins
+    * native ≡ composed ≡ predict): the per-term decimal Cast/Round
+    * sub-plans and interpreted lambda chains priced at ~1 ms/document
+    * (q232's 4.9 s serve at sf0.1), the [[org.apache.spark.sql.graft
+    * .LshSignatures]] JIT-cliff class — the native expression runs the
+    * identical arithmetic as plain loops (BASELINE §Round 13). */
+  private[graft] def scoreExprComposed(model: Model, text: Column): Column = {
     val nL = model.labels.size
     val b = model.buckets
     // element j (1-based) = bucket j−2 (j = 1 is the bias, bucket −1);

@@ -207,6 +207,32 @@ class LangIdSpec extends SparkSpec {
     }
   }
 
+  test("native scoreExpr ≡ retired composed form, prediction for prediction (real corpus + edges)") {
+    // three-way pin: the native expression (serving path) against the
+    // HOF/Column composition it replaced — both already ≡ predict via
+    // the other cases; this closes the triangle on the real documents
+    // table plus the degenerate shapes
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val model = LangId.train(docs, "doc_id", "text", "lang",
+      buckets = 128, iters = 3, lr = 2.0)
+    val withEdges = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9000L, ""), (9001L, "   "), (9002L, "solo"),
+        (9003L, "dup dup dup word word"), (9004L, "Ünïcode MIXED Case"))
+        .toDF("doc_id", "text"))
+    val both = withEdges.select(col("doc_id"),
+        LangId.scoreExpr(model, col("text")).as("native"),
+        LangId.scoreExprComposed(model, col("text")).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: native ${r.getString(1)} vs composed ${r.getString(2)}")
+    }
+  }
+
   test("scoreExpr scores NULL text as NULL (predict emits no row)") {
     import org.apache.spark.sql.functions._
     val model = LangId.train(corpusDf, "id", "text", "lang",
