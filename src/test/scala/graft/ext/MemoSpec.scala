@@ -72,6 +72,36 @@ class MemoSpec extends AnyFunSuite {
     assert(rebuilds == 1 && released == List(2, 1))
   }
 
+  test("an in-flight eldest does not shield younger completed entries; completion re-checks the bound") {
+    // round-12 advisor: the removeEldestEntry form bailed when the
+    // ELDEST slot was mid-build, shielding every younger completed
+    // entry, and nothing re-checked until the next insert. The sweep
+    // must (1) keep deferring only while NO completed victim exists,
+    // and (2) re-enforce when a build completes, without another put.
+    var released = List.empty[Int]
+    val memo = new Memo[Int](v => released ::= v, max = 1, name = "spec")
+    val aStarted = new CountDownLatch(1)
+    val aRelease = new CountDownLatch(1)
+    val t = new Thread(() => {
+      memo("a") { aStarted.countDown(); aRelease.await(); 1 }; ()
+    })
+    t.start()
+    assert(aStarted.await(5, TimeUnit.SECONDS))
+    // 'a' is mid-build (never evictable); 'b' completes over the bound
+    assert(memo("b") { 2 } == 2)
+    assert(released.isEmpty,
+      "neither the building eldest nor the just-built value may release yet")
+    // when 'a' completes, its completion path must sweep: 'b' (the only
+    // completed non-spare entry) evicts WITHOUT any further insert
+    aRelease.countDown()
+    t.join(5000)
+    assert(released == List(2),
+      "completion re-check must evict the completed-over-bound entry")
+    var rebuiltA = false
+    assert(memo("a") { rebuiltA = true; -1 } == 1)
+    assert(!rebuiltA, "the completing builder's value must survive the sweep")
+  }
+
   test("a failed build is not cached; waiters and retries rebuild") {
     val memo = Memo.unmanaged[Int]
     intercept[RuntimeException](memo("k") { sys.error("boom") })
