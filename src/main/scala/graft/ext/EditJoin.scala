@@ -57,6 +57,25 @@ import org.apache.spark.sql.graft.DeletionNeighborhood
   */
 object EditJoin {
 
+  // Process-wide staging root for blocked-join slice files, deleted by
+  // a JVM shutdown hook. Slices must outlive this call (the returned
+  // plan reads them lazily), so per-call deletion is impossible — but
+  // the round-13 cut never deleted them AT ALL, leaking one tmp dir per
+  // prefixBlocks>1 join across runs. One root + one hook bounds the
+  // leak to the process lifetime; each join stages under its own
+  // subdirectory so concurrent joins never collide.
+  private lazy val stagingRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-editjoin")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Exception => () }
+    }, "graft-editjoin-staging-gc"))
+    root
+  }
+
   /** All pairs (id_a < id_b) with lev(s_a, s_b) <= maxDist, plus the
     * distance. Null strings drop out (they can match nothing). One
     * string-collapse shuffle + one equi-join shuffle on the variant hash
@@ -184,11 +203,11 @@ object EditJoin {
         // DISK_ONLY persist here outlives the call (the returned plan
         // references the blocks, so this function cannot unpersist
         // them) and each repeated blocked join leaked B slice blocks to
-        // the ContextCleaner's mercy. Files in a JVM-lifetime tmp dir
-        // have no block-manager footprint at all, and the write is the
-        // same one-pass disk landing the persist paid.
+        // the ContextCleaner's mercy. Files under the shutdown-hooked
+        // [[stagingRoot]] have no block-manager footprint at all, and
+        // the write is the same one-pass disk landing the persist paid.
         val stage = java.nio.file.Files
-          .createTempDirectory("graft-editjoin").toString
+          .createTempDirectory(stagingRoot, "join").toString
         (0 until prefixBlocks).foreach { i =>
           // sequential: one slice's join+dedup working set in flight
           candFor(keysP.where(

@@ -279,6 +279,44 @@ object IndexStore {
       m.get("tables").asInt(), m.get("bits").asInt(), m.get("dim").asInt())
   }
 
+  /** INT8 variant of [[writeLshBucketed]] — the gsf100 cold-spread fix
+    * (BASELINE §two-decade: the float bundle's ×tables vector copies are
+    * ~4 GB at 2M vectors, 4× what the page cache needs to hold): the
+    * bucket-clustered rows carry q170-gated [[Quantize.int8]] vectors +
+    * per-vector scales (¼ the bytes in the hot probed row-groups), and
+    * ONE float copy lands beside them as an id-sorted `vectors` table
+    * that only the exact re-rank tail reads (O(shortlist) row-groups per
+    * search — the [[writeLshVectors]] layout). Total bundle bytes:
+    * tables·(dim + 8) + dim·4 per vector vs tables·dim·4 float — ~0.4×
+    * at tables=8/dim=64. */
+  def writeLshBucketedQ8(index: LshIndex.Index, corpus: DataFrame,
+      idCol: String, vecCol: String, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "lshbq", "tables" -> index.tables,
+      "bits" -> index.bits, "dim" -> index.dim)
+    val q = Quantize.int8(
+        corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__fv")),
+        "__fv")
+      .select(col(idCol), col("q8"), col("scale"))
+    index.buckets.join(q, Seq(idCol))
+      .select(col("table_id"), col("bucket"), col(idCol),
+        col("q8"), col("scale"))
+      .repartition(col("table_id"), col("bucket"))
+      .sortWithinPartitions("table_id", "bucket", idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/rows")
+    corpus.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+  }
+
+  def loadLshBucketedQ8(spark: SparkSession, dir: String): LshIndex.BucketedQ8 = {
+    val m = requireKind(dir, "lshbq")
+    LshIndex.BucketedQ8(
+      spark.read.parquet(livePaths(dir, m, "rows"): _*),
+      spark.read.parquet(livePaths(dir, m, "vectors"): _*),
+      m.get("tables").asInt(), m.get("bits").asInt(), m.get("dim").asInt())
+  }
+
   /** Append an increment to a bucketed bundle — the [[appendLsh]]
     * frozen-parameter move: hash the new vectors with the bundle's
     * fixed-seed hyperplanes (bit-identical to a rebuild's assignment)
@@ -301,6 +339,41 @@ object IndexStore {
       .sortWithinPartitions("table_id", "bucket", idCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$stage/rows")
     commitAppend(dir, stage, before, (Seq[(String, Any)]("kind" -> "lshb",
+      "tables" -> m.get("tables").asInt(), "bits" -> m.get("bits").asInt(),
+      "dim" -> m.get("dim").asInt(), "incs" -> (incTokens(m) :+ token)) ++
+      dirPointers(m)): _*)
+  }
+
+  /** [[appendLshBucketed]] for the INT8 bundle: the increment hashes with
+    * the bundle's frozen hyperplane parameters and quantizes with the
+    * same per-vector [[Quantize.int8]] rule (quantization is per-row, so
+    * an append's q8 rows are bit-identical to a rebuild's), staging both
+    * the bucket-clustered q8 rows AND the increment's float `vectors`
+    * slice under one token — the meta CAS commits them together. */
+  def appendLshBucketedQ8(increment: DataFrame, idCol: String,
+      vecCol: String, dir: String): Unit = {
+    val before = metaBytes(dir)
+    val m = requireKind(dir, "lshbq")
+    val token = newToken()
+    val stage = s"$dir/inc/$token"
+    val q = Quantize.int8(
+        increment.select(col(idCol), col(vecCol).cast("array<double>").as("__fv")),
+        "__fv")
+      .select(col(idCol), col("q8"), col("scale"))
+    Similarity.lshBuckets(increment.select(col(idCol), col(vecCol)),
+        idCol, vecCol, m.get("tables").asInt(), m.get("bits").asInt(),
+        m.get("dim").asInt())
+      .join(q, Seq(idCol))
+      .select(col("table_id"), col("bucket"), col(idCol),
+        col("q8"), col("scale"))
+      .repartition(col("table_id"), col("bucket"))
+      .sortWithinPartitions("table_id", "bucket", idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/rows")
+    increment.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/vectors")
+    commitAppend(dir, stage, before, (Seq[(String, Any)]("kind" -> "lshbq",
       "tables" -> m.get("tables").asInt(), "bits" -> m.get("bits").asInt(),
       "dim" -> m.get("dim").asInt(), "incs" -> (incTokens(m) :+ token)) ++
       dirPointers(m)): _*)
@@ -890,6 +963,11 @@ object IndexStore {
       "lshb" -> Seq(
         "rows" -> (df => df.repartition(col("table_id"), col("bucket"))
           .sortWithinPartitions("table_id", "bucket", df.columns(2)))),
+      "lshbq" -> Seq(
+        "rows" -> (df => df.repartition(col("table_id"), col("bucket"))
+          .sortWithinPartitions("table_id", "bucket", df.columns(2))),
+        "vectors" -> (df => df.repartitionByRange(col(df.columns.head))
+          .sortWithinPartitions(df.columns.head))),
       "ivf" -> Seq(
         "assignment" -> cluster(Seq("centroid_id"), Seq("centroid_id"))),
       "inverted" -> Seq(
@@ -923,7 +1001,14 @@ object IndexStore {
     * route to [[compactCc]] (their base is merge-on-read, not a plain
     * union). A bundle with no increments is a no-op. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val m = readMeta(dir)
+    // Bytes FIRST, then parse those same bytes — the fail-safe read
+    // order every append (and compactCc) already uses. Parsing a fresh
+    // read after grabbing the CAS-expected bytes would let an append
+    // committing between the two reads vanish silently: the rewrite
+    // folds a stale inc list, the CAS still succeeds against the newer
+    // bytes, and gcIncrements deletes the committed increment's data.
+    val before = metaBytes(dir)
+    val m = mapper.readTree(new String(before, UTF_8))
     val kind = m.path("kind").asText()
     if (kind == "cc") return compactCc(spark, dir)
     val toks = incTokens(m)
@@ -932,7 +1017,6 @@ object IndexStore {
       throw new IllegalArgumentException(
         s"$dir: kind '$kind' carries increments but has no compaction " +
           "layout — refuse rather than guess a clustering"))
-    val before = metaBytes(dir)
     val token = newToken()
     val stage = s"compact_$token"
     val written = layout.flatMap { case (table, recluster) =>

@@ -193,6 +193,16 @@ object LshIndex {
     * and sorted by (table_id, bucket). See [[searchBucketed]]. */
   final case class Bucketed(rows: DataFrame, tables: Int, bits: Int, dim: Int)
 
+  /** Bucket-clustered bundle with INT8 rows ([[IndexStore.writeLshBucketedQ8]]):
+    * the hot pruned scan carries (table_id, bucket, id, q8, scale) —
+    * ¼ the float bundle's bytes, which is the direct attack on the
+    * gsf100 cold-cache spread (BASELINE §two-decade: the float bundle is
+    * ~4 GB vs page cache; its pass spread was 1.14–12.6 s cold → warm) —
+    * plus an id-sorted FLOAT `vectors` side table that only the
+    * O(shortlist) exact re-rank tail reads. */
+  final case class BucketedQ8(rows: DataFrame, vectors: DataFrame,
+      tables: Int, bits: Int, dim: Int)
+
   /** [[searchStored]] with the candidate-vector fetch CO-CLUSTERED with
     * the buckets — the next lever BASELINE §q187 names: at sf10 the
     * pruned and unpruned paths converge because the per-probe candidate
@@ -257,6 +267,99 @@ object LshIndex {
     rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
   }
+
+  /** [[searchBucketed]] over the INT8 bundle — the q172 verify-tail
+    * pattern applied to the stored serving path: the pruned scan and
+    * candidate join ride the quantized rows (¼ bytes — candidate
+    * SELECTION is identical to the float bundle's, because bucket
+    * assignments are stored, not recomputed), candidates shortlist by
+    * integer-exact [[Quantize.cosineQ8]] (per-vector scales cancel in
+    * cosine, so q8 ranking is the dequantized ranking exactly — only
+    * elementwise rounding differs from float), and the top
+    * `rerankFactor`·k per probe re-rank in FLOAT from the bundle's
+    * id-sorted vectors table (an O(shortlist) pruned fetch, the
+    * [[searchStored]] discipline). Scores are float-exact, so the
+    * q30-family recall contract applies unchanged; LshIndexSpec pins
+    * result equality against [[searchBucketed]] on the gate corpus. */
+  def searchBucketedQ8(b: BucketedQ8, probes: DataFrame, idCol: String,
+      vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, rerankFactor: Int = 4): DataFrame = {
+    val spark = b.rows.sparkSession
+    val probesF = probes.select(col(probeIdCol).as("pid"),
+      col(probeVecCol).cast("array<double>").as("pv"))
+    val q8Scored = bucketedQ8Scored(b, probesF, idCol)
+    val wq = Window.partitionBy(col("pid")).orderBy(col("q8_sim").desc, col(idCol))
+    val shortlist = q8Scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k * rerankFactor)
+      .select(col("pid"), col(idCol))
+    // float tail: shortlist is ≤ probes · k · rerankFactor rows by
+    // construction (bounded like the probe side itself), so the
+    // driver-side id collect that prunes the vectors fetch is safe
+    val slSchema = shortlist.schema
+    val slRows = shortlist.collect()
+    val slDf = spark.createDataFrame(
+      java.util.Arrays.asList(slRows.toIndexedSeq: _*), slSchema)
+    val ids = slRows.map(_.get(1)).distinct.toSeq
+    val fetch =
+      if (ids.isEmpty) b.vectors.where(lit(false))
+      // a giant literal In() degrades the plan past ~1e5 ids (huge probe
+      // batches) — the broadcast join below is already correct; the
+      // predicate is only the row-group-skipping accelerator
+      else if (ids.length > 100000) b.vectors
+      else b.vectors.where(col(idCol).isin(ids: _*))
+    val rescored = fetch
+      .join(broadcast(slDf), Seq(idCol))
+      .join(broadcast(probesF), Seq("pid"))
+      .select(col("pid"), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("pv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col(idCol))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
+  }
+
+  /** The q8 candidate-scoring stage of [[searchBucketedQ8]] — split out
+    * because the shortlist COLLECT severs the executed plan in two: the
+    * search's returned plan is only the float tail, so the pruned-scan
+    * shape of this stage must be assertable on its own (LshIndexSpec). */
+  private[ext] def bucketedQ8Scored(b: BucketedQ8, probesF: DataFrame,
+      idCol: String): DataFrame = {
+    val pb = Similarity.lshBuckets(probesF, "pid", "pv", b.tables, b.bits, b.dim)
+    // same bounded probe-key prune + loud join-only fallback as
+    // searchBucketed — the predicate is the row-group-skipping
+    // accelerator, never the correctness
+    val maxKeys = Memo.intProp("graft.lsh.maxProbeKeys", 8192)
+    val probedRows = pb.select(col("table_id"), col("bucket")).distinct()
+      .limit(maxKeys + 1).collect()
+    val pruned = probedRows.length <= maxKeys
+    if (!pruned)
+      System.err.println(s"[lsh] probe-bucket keys exceed $maxKeys " +
+        "(graft.lsh.maxProbeKeys) — serving via the join-only full scan")
+    val prune =
+      if (!pruned) lit(true)
+      else {
+        val probed = probedRows.map(r => (r.getInt(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+        probed.toSeq.sortBy(_._1).map { case (t, bs) =>
+          col("table_id") === t && col("bucket").isin(bs: _*)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+      }
+    val probesQ = Quantize.int8(probesF, "pv").select(col("pid"), col("q8").as("pq8"))
+    b.rows.where(prune)
+      .join(broadcast(pb.select(col("table_id"), col("bucket"), col("pid"))),
+        Seq("table_id", "bucket"))
+      .where(col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol), col("q8"))
+      .dropDuplicates("pid", idCol)
+      .join(broadcast(probesQ), Seq("pid"))
+      .select(col("pid"), col(idCol),
+        Quantize.cosineQ8(col("q8"), col("pq8")).as("q8_sim"))
+  }
+
+  private val bucketedQ8Cache = Memo.unmanaged[BucketedQ8]
+
+  /** Serving memo for the [[BucketedQ8]] bundle (lazy parquet reads). */
+  def cachedBucketedQ8(key: String)(build: => BucketedQ8): BucketedQ8 =
+    bucketedQ8Cache(key)(build)
 
   private val bucketedCache = Memo.unmanaged[Bucketed]
 

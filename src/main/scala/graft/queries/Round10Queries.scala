@@ -130,35 +130,49 @@ object Round10Queries {
   /** Q228 (T1′, trained language-ID serving): the marker-word heuristic
     * (q32, kept as the cheap map-only tier) upgraded to the TRAINED
     * classifier — per-document argmax softmax prediction from the stored
-    * model, reported as a confusion matrix against the corpus label with
-    * an in-artifact agreement count vs the q32 heuristic. Iterative
-    * training is not SQL-expressible → DECLARED rows-only (the
-    * q193/q185/q168 class); LangIdSpec pins the trainer weight-for-weight
-    * against an independent single-node softmax reference, and
-    * determinism (decimal sums + 9-dp rounding) hash-stabilizes the
-    * rows-only check. Accuracy caveat, stated where the artifact reader
-    * will look: the driver corpus's `lang` label is INDEPENDENT of its
-    * text (every language draws from one shared vocabulary — the q32
-    * caveat), so the Bayes optimum here is the majority class and the
-    * confusion matrix shows exactly that; the spec's disjoint-vocab
-    * corpus is where learning is provable (perfect separation). */
+    * model, folded through the confusion matrix against the corpus
+    * label. Iterative training is not SQL-expressible → the gate states
+    * the SERVE-SIDE CONTRACT as a row (the q193 pattern): the matrix
+    * accounts for EVERY document (Σ cnt matches DuckDB's corpus count —
+    * the LEFT join guarantee: a doc with no feature rows surfaces as a
+    * (lang, NULL) cell instead of vanishing), `n_labels` matches
+    * DuckDB's distinct-lang count (every true label appears as a matrix
+    * row), every prediction is a label the model was TRAINED on (the
+    * doc_id < 500 slice's langs — argmax cannot invent a class), and
+    * the per-cell heuristic-agreement count never exceeds its cell
+    * count. LangIdSpec pins the trainer weight-for-weight against an
+    * independent single-node softmax reference. Accuracy caveat: the
+    * driver corpus's `lang` label is INDEPENDENT of its text (q32
+    * caveat), so the Bayes optimum is the majority class; the spec's
+    * disjoint-vocab corpus is where learning is provable. */
   val q228 = GQuery("q228_langid_trained", (s, d) => {
     import graft.ext.{LangId, TextAnalysis}
     val docs = t(s, d, "documents")
-    val preds = LangId.predict(langidModel(s, d),
+    val model = langidModel(s, d)
+    val preds = LangId.predict(model,
       docs.select(col("doc_id"), col("text")), "doc_id", "text")
-    // LEFT join: a doc with no feature rows (empty/NULL text) gets no
-    // prediction — it must surface as a (lang, NULL) confusion row, not
-    // silently vanish from the matrix
-    docs.select(col("doc_id"), col("lang"),
+    val trained = model.labels.toSet
+    val matrix = docs.select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("__heur"))
       .join(preds, Seq("doc_id"), "left")
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("pred_lang") === col("__heur"), 1L).otherwise(0L))
           .as("heur_agree"))
-      .orderBy("lang", "pred_lang")
-  }, None)
+    val inTrained = matrix("pred_lang").isNull ||
+      trained.toSeq.map(l => matrix("pred_lang") === l)
+        .reduceOption(_ || _).getOrElse(lit(false))
+    matrix.agg(sum(col("cnt")).as("n_docs"),
+      countDistinct(col("lang")).as("n_labels"),
+      (sum(when(inTrained, 0L).otherwise(1L)) === 0L)
+        .as("preds_in_trained_labels"),
+      (sum(when(col("heur_agree").between(0L, col("cnt")), 0L)
+        .otherwise(1L)) === 0L).as("heur_agree_bounded"))
+  },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_labels,
+           |  true AS preds_in_trained_labels,
+           |  true AS heur_agree_bounded FROM documents""".stripMargin))
 
   /** Q229 (G9, incremental connected components): the build-once/append
     * matrix extended to the GRAPH tier — the near-dup cluster table (q56)

@@ -61,19 +61,38 @@ object Round5Queries {
   /** Q164 (D5′, embedding near-dup — the SCALE path, benchable): the
     * LSH-bucketed candidate stage + exact-cosine verify tail
     * ([[graft.ext.Dedup.embeddingNearDupLsh]]), the form a 100 TB corpus
-    * actually runs — q29's exact all-pairs twin is the ground truth and
-    * intentionally quadratic (its oracle needs exactness), so the scaling
-    * checkpoint (BASELINE.md) times THIS query instead. Deterministic
-    * (seed-42 hyperplanes; every emitted pair is exact-verified ≥
-    * threshold — zero false positives by construction), but candidate
-    * recall is a property of the LSH draw, not SQL-expressible — so this
-    * entry declares no oracle and takes the rows-only check; DedupSpec
-    * holds its recall contract against the exact path. */
-  val q164 = GQuery("q164_embedding_neardup_lsh", (s, d) =>
-    graft.ext.Dedup.embeddingNearDupLsh(
-      t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
-      .orderBy("id_a", "id_b"),
-    None)
+    * actually runs. Gated as a q30-style CONTRACT ROW against the exact
+    * all-pairs twin (q29's plan, re-run here as the in-plan ground
+    * truth): zero false positives (every LSH pair is exact-verified ≥
+    * threshold by construction, and the anti-join recounts it), recall ≥
+    * 0.5 over the exact pair set (uniform-random vectors at cos 0.4 are
+    * ANN's hardest case — the DedupSpec floor, held at the gate SF with
+    * the default auto-bits operating point), and `n_exact` recomputed
+    * independently by DuckDB's quadratic join so the contract row is
+    * anchored to real data, not stated constants alone. */
+  val q164 = GQuery("q164_embedding_neardup_lsh", (s, d) => {
+    import graft.ext.Dedup
+    val e = t(s, d, "embeddings")
+    val lsh = Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"))
+    val exact = Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHits = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    val nFp = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_false_pos"))
+    nExact.crossJoin(nHits).crossJoin(nFp)
+      .select(col("n_exact"), col("n_false_pos"),
+        (col("__hits").cast("double") >= col("n_exact") * 0.5).as("recall_ok"))
+  },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |      WHERE round(list_inner_product(a.v, b.v) /
+           |        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4)
+           |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok FROM p""".stripMargin))
 
   /** Q165 (L1″, manifest-pruned tagged scan through the gate): write
     * events range-partitioned on `event_id` (8 files with disjoint id
@@ -185,20 +204,34 @@ object Round5Queries {
     * count + fused top-1 + codegen'd fold re-map
     * ([[graft.ext.BpeTrainer]]). The merge sequence is deterministic
     * (count desc, pair asc tie-break) but K chained argmax rounds are
-    * not SQL-expressible, so this entry declares no oracle (rows-only
-    * gate); BpeTrainerSpec pins the trainer rank-for-rank (merges AND
-    * winning counts) against an independent single-node reference, plus
-    * lossless-encode and early-stop contracts. */
+    * not SQL-expressible — so the gate states the TRAIN-SIDE CONTRACT as
+    * a row DuckDB can verify (the q30/q186 pattern): exactly the 16
+    * requested merges landed (no early stop at gate scale), ranks are
+    * contiguous with every winning count over the floor, and the trained
+    * merges drive the production encoder over the full corpus with ZERO
+    * round-trip failures (BPE merges only regroup characters, so token
+    * concatenation must rebuild every whitespace-stripped document
+    * byte-exactly). BpeTrainerSpec still pins the merge sequence
+    * rank-for-rank against an independent single-node reference. */
   val q168 = GQuery("q168_bpe_train", (s, d) => {
-    import s.implicits._
-    val merges = graft.ext.BpeTrainer.train(
-      t(s, d, "documents").select(col("text")), "text",
+    import graft.ext.BpeTrainer
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val merges = BpeTrainer.train(docs.select(col("text")), "text",
       numMerges = 16, minPairCount = 2)
-    s.createDataset(merges).toDF()
-      .select(col("rank").cast(LongType).as("rank"),
-        col("left"), col("right"), col("count"))
-      .orderBy("rank")
-  }, None)
+    val mergesOk = merges.map(_.rank) == (0 until merges.size) &&
+      merges.forall(_.count >= 2L)
+    BpeTrainer.encodePartitioned(docs, "text", merges)
+      .select((concat_ws("", col("tokens")) ===
+        regexp_replace(col("text"), "\\s+", "")).as("ok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_roundtrip_fail"))
+      .select(lit(merges.size.toLong).as("n_merges"),
+        lit(mergesOk).as("merges_ok"),
+        col("n_docs"), col("n_roundtrip_fail"))
+  },
+    Some("""SELECT CAST(16 AS BIGINT) AS n_merges, true AS merges_ok,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(0 AS BIGINT) AS n_roundtrip_fail FROM documents""".stripMargin))
 
   /** Q169 (L10″, merge-on-read UPSERT through the gate): one
     * [[graft.engine.Layout.upsertMor]] commit carries a batch that

@@ -15,22 +15,50 @@ object Round7Queries {
 
   /** Q185 (T15, unigram-LM training): hard-EM over the Zipf-bounded
     * word table ([[graft.ext.UnigramLm]], Kudo 2018) on a deterministic
-    * document slice. EM argmax + prune is not SQL-expressible, so this
-    * is a DECLARED rows-only gate (the q164/q168 class); the
-    * vocabulary's correctness contract lives in UnigramLmSpec, which
-    * pins piece-for-piece equality against an independent single-node
-    * reference. Output: (rank, piece, log_prob) — deterministic, so the
-    * rows-only check still hash-stabilizes across runs. */
+    * document slice. EM argmax + prune is not SQL-expressible, so the
+    * gate states the TRAIN-SIDE CONTRACT as a row (the q168/q30
+    * pattern): `n_singles` — the single-codepoint piece count — is
+    * recomputed INDEPENDENTLY by DuckDB as the slice's distinct
+    * character count (the alphabet-coverage guarantee: training always
+    * retains the full alphabet, which is what makes Viterbi segmentation
+    * total); the multi-piece inventory is non-empty and within the
+    * requested budget; ranks are contiguous with log-probs
+    * non-increasing; and the distribution is normalized (Σ exp(logProb)
+    * = 1 — `normalize` computes log(n/total) over the kept inventory).
+    * UnigramLmSpec still pins piece-for-piece equality against an
+    * independent single-node reference. */
   val q185 = GQuery("q185_unigram_train", (s, d) => {
     import s.implicits._
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    UnigramLm.train(docs.filter(col("doc_id") < 200), "text",
+    val slice = docs.filter(col("doc_id") < 200)
+    val pieces = UnigramLm.train(slice, "text",
       vocabSize = 64, maxPieceLen = 5, seedSize = 256, emIters = 1)
-      .map(p => (p.rank, p.piece, BigDecimal(p.logProb)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("rank", "piece", "log_prob")
-      .orderBy("rank")
-  }, None)
+    def cps(p: String): Int = p.codePointCount(0, p.length)
+    val singles = pieces.filter(p => cps(p.piece) == 1).map(_.piece).toSet
+    val nMultis = pieces.size - singles.size
+    val ranksOk = pieces.map(_.rank) == (0 until pieces.size) &&
+      pieces.sliding(2).forall(w => w.size < 2 || w(0).logProb >= w(1).logProb)
+    val normOk =
+      math.abs(pieces.iterator.map(p => math.exp(p.logProb)).sum - 1.0) < 1e-6
+    val lenOk = pieces.forall(p => cps(p.piece) >= 1 && cps(p.piece) <= 5)
+    // the alphabet must be EXACTLY the slice's character set (same split
+    // discipline as UnigramLm.wordCounts/alphabet) — DuckDB recounts it
+    val charSet = slice
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(filter(split(col("w"), ""), c => c =!= "")).as("c"))
+      .distinct().collect().map(_.getString(0)).toSet
+    Seq((singles.size.toLong, charSet == singles,
+        nMultis > 0 && nMultis <= 64, ranksOk, normOk, lenOk))
+      .toDF("n_singles", "alphabet_ok", "multi_budget_ok",
+        "ranks_ok", "normalized_ok", "piece_len_ok")
+  },
+    Some("""WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
+           |          FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+           |c AS (SELECT unnest(string_split(w, '')) AS c FROM w WHERE len(w) > 0)
+           |SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_singles,
+           |  true AS alphabet_ok, true AS multi_budget_ok, true AS ranks_ok,
+           |  true AS normalized_ok, true AS piece_len_ok FROM c""".stripMargin))
 
   /** Q186 (T15′, unigram Viterbi encoder through the gate): train on
     * the q185 slice, segment the WHOLE corpus with
@@ -99,20 +127,28 @@ object Round7Queries {
   /** Q188 (T16, WordPiece training): likelihood-scored merges
     * ([[graft.ext.WordPiece]], Schuster & Nakajima 2012 — the BERT
     * tokenizer) on the q185 document slice. The iterative argmax is not
-    * SQL-expressible → DECLARED rows-only (the q168 class); WordPieceSpec
-    * pins merge-for-merge equality vs an independent reference. Output:
-    * (rank, left, right, n, score) — deterministic. */
+    * SQL-expressible → the gate states the TRAIN-SIDE CONTRACT as a row
+    * (the q168 pattern): exactly the 16 requested merges landed, ranks
+    * are contiguous, every winning pair count clears the floor, and
+    * every likelihood score sits in (0, 1] — score = n/(nl·nr) with
+    * n ≤ min(nl, nr), so a score above 1 or at 0 would mean the count
+    * join itself is broken. The greedy-encode round-trip over the FULL
+    * corpus is q189's gate; WordPieceSpec pins merge-for-merge equality
+    * vs an independent reference. */
   val q188 = GQuery("q188_wordpiece_train", (s, d) => {
     import graft.ext.WordPiece
     import s.implicits._
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    WordPiece.train(docs.filter(col("doc_id") < 200), "text",
+    val merges = WordPiece.train(docs.filter(col("doc_id") < 200), "text",
       numMerges = 16, minPairCount = 2)
-      .map(m => (m.rank, m.left, m.right, m.count, BigDecimal(m.score)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("rank", "left", "right", "n", "score")
-      .orderBy("rank")
-  }, None)
+    val ranksOk = merges.map(_.rank) == (0 until merges.size)
+    val countsOk = merges.forall(_.count >= 2L)
+    val scoresOk = merges.forall(m => m.score > 0.0 && m.score <= 1.0)
+    Seq((merges.size.toLong, ranksOk, countsOk, scoresOk))
+      .toDF("n_merges", "ranks_ok", "counts_ok", "scores_ok")
+  },
+    Some("""SELECT CAST(16 AS BIGINT) AS n_merges, true AS ranks_ok,
+           |  true AS counts_ok, true AS scores_ok""".stripMargin))
 
   /** Q189 (T16′, WordPiece greedy encoder through the gate): merges from
     * the slice, ALPHABET from the full corpus (character coverage is a
@@ -246,16 +282,21 @@ object Round7Queries {
     * hashed n-gram features PLUS the two saturated length ramps at the
     * Gopher band cutoffs (20/90 — the gate corpus's label signal is
     * length-dominated, and normalized bag-of-n-grams is length-blind by
-    * construction), then score the corpus and emit the top-50 by
-    * probability. Iterative GD is not SQL-expressible, so this is a
-    * DECLARED rows-only gate (the q164/q168/q185/q188 class); the
-    * training procedure's correctness contract lives in
-    * QualityClassifierSpec (weight-for-weight equality vs an independent
-    * single-node reference + a separable-corpus accuracy floor).
-    * Training is memoized per (session, dir) — the q191 lifecycle
-    * split — so bench reps 2+ price steady-state scoring. Output is
-    * deterministic (full-batch GD + decimal sums), so the rows-only
-    * check still hash-stabilizes across runs. */
+    * construction), then score the corpus. Iterative GD is not
+    * SQL-expressible, so the gate states the SERVE-SIDE CONTRACT as a
+    * row (the q168/q185 pattern): every document scores (n_docs matches
+    * DuckDB's count), every probability is a probability (0 ≤ p ≤ 1 —
+    * a broken sigmoid or feature join shows up here), threshold
+    * agreement with the weak label clears 0.75 (measured 0.84 at the
+    * gate SF; a linear probe cannot express the rule CONJUNCTION
+    * exactly, so sub-1.0 is the honest ceiling), and agreement BEATS the
+    * all-true base rate (0.67) — the distillation genuinely learned,
+    * not just predicted the majority class. The training procedure's
+    * correctness contract lives in QualityClassifierSpec
+    * (weight-for-weight equality vs an independent single-node reference
+    * + a separable-corpus accuracy floor). Training is memoized per
+    * (session, dir) — the q191 lifecycle split — so bench reps 2+ price
+    * steady-state scoring. */
   private def qclfModel(s: SparkSession, d: String) = {
     import graft.ext.{IndexStore, QualityClassifier, TextQuality}
     QualityClassifier.cached(s.sparkContext.applicationId + ":" + d) {
@@ -301,21 +342,21 @@ object Round7Queries {
     val labels = TextQuality.gopherFilter(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep"))
     val model = qclfModel(s, d)
-    val scored = QualityClassifier.score(model, docs, "doc_id", "text")
+    QualityClassifier.score(model, docs, "doc_id", "text")
       .join(labels.withColumnRenamed("keep", "label"), Seq("doc_id"))
-    // Transparency columns: threshold agreement vs the weak label and the
-    // all-true base rate ride along on every row, so the gate artifact
-    // itself shows the distillation beat predicting the majority class
-    // (0.84 vs 0.67 at sf0.01 — a linear probe cannot express the rule
-    // CONJUNCTION exactly, so sub-1.0 agreement is the honest ceiling).
-    val agg = scored.agg(
-      round(avg(when((col("prob") >= 0.5) === col("label"), 1.0)
-        .otherwise(0.0)), 4).as("agreement"),
-      round(avg(when(col("label"), 1.0).otherwise(0.0)), 4).as("base_rate"))
-    scored.crossJoin(broadcast(agg))
-      .orderBy(col("prob").desc, col("doc_id"))
-      .limit(50)
-  }, None)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("prob") < 0.0 || col("prob") > 1.0, 1L).otherwise(0L))
+          .as("n_prob_oob"),
+        avg(when((col("prob") >= 0.5) === col("label"), 1.0)
+          .otherwise(0.0)).as("__agreement"),
+        avg(when(col("label"), 1.0).otherwise(0.0)).as("__base_rate"))
+      .select(col("n_docs"), col("n_prob_oob"),
+        (col("__agreement") >= 0.75).as("agreement_ok"),
+        (col("__agreement") > col("__base_rate")).as("beats_base_rate"))
+  },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(0 AS BIGINT) AS n_prob_oob, true AS agreement_ok,
+           |  true AS beats_base_rate FROM documents""".stripMargin))
 
   /** Q194 (T17′, incremental DSIR scoring against a STORED model): the
     * serving form of q192 — the crawl-selection steady state scores each

@@ -15,27 +15,53 @@ object Round8Queries {
   /** Q218 (T23, LZ78 compressibility filter): per-document incremental-
     * parse phrase count ([[graft.ext.TextAnalysis.lz78Phrases]] — a
     * native codegen'd expression, one map-only projection over the
-    * corpus like every TextAnalysis feature) plus the normalized ratio
-    * and the band keep-flag both tails of which real pipelines drop
-    * (machine repetition below, noise above). The parse is sequential
-    * per string, NOT SQL-expressible → DECLARED rows-only (the
-    * q164/q168 class); Lz78Spec pins phrase counts character-for-
-    * character against an independently-written trie reference, and
-    * the ratio/keep columns are pure SQL over the pinned count.
-    * Deterministic, so the rows-only check hash-stabilizes. */
+    * corpus like every TextAnalysis feature). The parse is sequential
+    * per string, NOT SQL-expressible — so the gate plants CLOSED-FORM
+    * contract rows DuckDB can state (the Lz78Spec families run through
+    * the production expression in-plan): `a^5050` parses into exactly
+    * 100 phrases (k full phrases cover k(k+1)/2 chars) and 500
+    * all-distinct characters into exactly 500; plus the corpus-wide
+    * UNIVERSAL BOUND — every non-empty document's phrase count sits in
+    * [ceil((√(8n+1)−1)/2), n] (phrase k has length ≤ k, so k phrases
+    * cover ≤ k(k+1)/2 chars; and no phrase is empty), empty text parses
+    * to 0 — with violations counted in-plan and stated 0. The band
+    * keep-flag semantics (ratio ∈ [0.40, 0.55], the Gopher band
+    * convention) live on in ST17/curate; Lz78Spec pins phrase counts
+    * character-for-character against an independent trie reference. */
   val q218 = GQuery("q218_lz_compressibility", (s, d) => {
     import graft.ext.TextAnalysis
-    t(s, d, "documents")
-      .select(col("doc_id"), length(col("text")).as("n_chars"),
-        TextAnalysis.lz78Phrases(col("text")).as("lz_phrases"),
-        TextAnalysis.lz78Ratio(col("text")).as("lz_ratio"))
-      .withColumn("keep",
-        // band scaled to the synthetic corpus (ratios 0.38–0.67, median
-        // 0.44 at sf0.01) so BOTH edges genuinely fire at the gate SF —
-        // the Gopher word-count-band convention (q180)
-        col("lz_ratio") >= 0.40 && col("lz_ratio") <= 0.55)
-      .orderBy("doc_id")
-  }, None)
+    val stats = t(s, d, "documents")
+      .select(length(col("text")).as("n"),
+        TextAnalysis.lz78Phrases(col("text")).as("p"))
+      .where(col("n").isNotNull)
+    val lower = ceil((sqrt(col("n").cast("double") * 8 + 1) - 1) / 2)
+    val violations = stats.agg(
+      sum(when(
+        when(col("n") === 0, col("p") =!= 0)
+          .otherwise(col("p") < lower || col("p") > col("n")),
+        1L).otherwise(0L)).as("value"))
+      .select(lit("bound_violations").as("kind"), col("value"))
+    val nDocs = t(s, d, "documents")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("corpus_docs").as("kind"), col("value"))
+    val closed = s.range(1).select(
+        TextAnalysis.lz78Phrases(lit("a" * 5050)).cast("long").as("run"),
+        TextAnalysis.lz78Phrases(
+          lit((0 until 500).map(i => (0x4e00 + i).toChar).mkString))
+          .cast("long").as("distinct"))
+    closed.select(lit("closed_form_run").as("kind"), col("run").as("value"))
+      .unionByName(closed.select(
+        lit("closed_form_distinct").as("kind"), col("distinct").as("value")))
+      .unionByName(violations)
+      .unionByName(nDocs)
+      .orderBy("kind")
+  },
+    Some("""SELECT 'bound_violations' AS kind, CAST(0 AS BIGINT) AS value
+           |UNION ALL SELECT 'closed_form_distinct', CAST(500 AS BIGINT)
+           |UNION ALL SELECT 'closed_form_run', CAST(100 AS BIGINT)
+           |UNION ALL SELECT 'corpus_docs',
+           |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+           |ORDER BY kind""".stripMargin))
 
   /** Q219 (N14, shard-parallel HNSW): the graph-based ANN family —
     * build per-shard navigable-small-world graphs ([[graft.ext.Hnsw]],

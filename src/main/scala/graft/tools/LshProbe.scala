@@ -24,10 +24,12 @@ object LshProbe {
     IndexStore.writeLsh(built, dir)
     IndexStore.writeLshVectors(e, "vec_id", "embedding", dir)
     IndexStore.writeLshBucketed(built, e, "vec_id", "embedding", dir + "b")
+    IndexStore.writeLshBucketedQ8(built, e, "vec_id", "embedding", dir + "q")
     LshIndex.drop(built)
     val loaded = IndexStore.loadLsh(spark, dir)
     val vectors = IndexStore.loadLshVectors(spark, dir)
     val bucketed = IndexStore.loadLshBucketed(spark, dir + "b")
+    val bucketedQ8 = IndexStore.loadLshBucketedQ8(spark, dir + "q")
     def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
       (1 to passes).foreach { i =>
         val t0 = System.nanoTime()
@@ -39,6 +41,8 @@ object LshProbe {
     time("searchStored")(LshIndex.searchStored(loaded, vectors, probes,
       "vec_id", "embedding", "probe_id", "pv", k = 10))
     time("searchBucketed")(LshIndex.searchBucketed(bucketed, probes,
+      "vec_id", "embedding", "probe_id", "pv", k = 10))
+    time("searchBucketedQ8")(LshIndex.searchBucketedQ8(bucketedQ8, probes,
       "vec_id", "embedding", "probe_id", "pv", k = 10))
     spark.stop()
   }

@@ -46,7 +46,12 @@ object ScaleUp {
     val only: Option[Set[String]] = {
       val i = args.indexOf("--only")
       if (i < 0) None
-      else Some(args(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else {
+        require(i + 1 < args.length,
+          "--only needs a table list: " +
+            "usage: ScaleUp <srcDir> <dstDir> <factor> [--graph] [--only t1,t2]")
+        Some(args(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      }
     }
     def wanted(t: String): Boolean = only.forall(_.contains(t))
     // --graph: ALSO replicate customer/part/supplier with per-copy key
@@ -102,18 +107,21 @@ object ScaleUp {
         // verbatim name replication would make every copy an exact dup of
         // every other — string-similarity outputs would grow ∝ factor²,
         // the degenerate-replication failure this tool exists to avoid.
-        write(replicate(cust)
+        // Spans come from the READS above, so --only still honors its
+        // contract here: an unwanted dimension is never written, but the
+        // wanted facts still get the correct per-copy key offsets.
+        if (wanted("customer")) write(replicate(cust)
           .withColumn("c_custkey", col("c_custkey") + col("__copy") * cs)
           .withColumn("c_name",
             format_string("Customer#%09d", col("c_custkey")))
           .drop("__copy"), "customer")
-        write(replicate(part)
+        if (wanted("part")) write(replicate(part)
           .withColumn("p_partkey", col("p_partkey") + col("__copy") * ps)
           .withColumn("p_name",
             when(col("__copy") === 0, col("p_name"))
               .otherwise(concat(col("p_name"), lit(" c"), col("__copy"))))
           .drop("__copy"), "part")
-        write(replicate(supp)
+        if (wanted("supplier")) write(replicate(supp)
           .withColumn("s_suppkey", col("s_suppkey") + col("__copy") * ss)
           .withColumn("s_name",
             format_string("Supplier#%09d", col("s_suppkey")))

@@ -114,6 +114,81 @@ class LshIndexSpec extends SparkSpec {
     } finally LshIndex.drop(built)
   }
 
+  test("bucketed INT8 search: equals the float bucketed path, recall floor holds, q8 pruned scan") {
+    val built = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, dim = 64)
+    val dirF = java.nio.file.Files.createTempDirectory("graft-lshb-f").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("graft-lshb-q").toString
+    try {
+      IndexStore.writeLshBucketed(built, embeddings, "vec_id", "embedding", dirF)
+      IndexStore.writeLshBucketedQ8(built, embeddings, "vec_id", "embedding", dirQ)
+      val bucketed = IndexStore.loadLshBucketed(spark, dirF)
+      val q8 = IndexStore.loadLshBucketedQ8(spark, dirQ)
+      assert(q8.tables === built.tables && q8.bits === built.bits)
+      val viaQ8 = LshIndex.searchBucketedQ8(q8, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      val viaFloat = LshIndex.searchBucketed(bucketed, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      // result EQUALITY, scores included: candidate selection is stored
+      // (identical buckets), the int8 shortlist at rerankFactor=4 retains
+      // every true top-10 on this corpus, and the float tail re-scores
+      // with the same rounded cosine
+      assert(viaQ8.exceptAll(viaFloat).isEmpty &&
+        viaFloat.exceptAll(viaQ8).isEmpty,
+        "int8 bundle must reproduce the float bundle's results exactly")
+      // recall contract (the q30 floor) through the q8 path
+      val exact = Similarity.bruteForceTopK(embeddings, probes,
+        "vec_id", "embedding", "probe_id", "pv", 10)
+      val contract = Similarity.recallContract(viaQ8, exact,
+        "probe_id", "vec_id", k = 10, minHits = 2.0).collect()
+      assert(contract.forall(_.getBoolean(2)), "recall floor broken")
+      // the shortlist COLLECT severs the executed plan: the returned
+      // search plan is the float tail (whose vectors fetch must carry
+      // the shortlist-id pushdown), and the candidate stage — exposed as
+      // bucketedQ8Scored for exactly this assertion — must carry the
+      // bucket pushdown into the q8 rows scan
+      val tail = viaQ8.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+      assert(tail.contains("In(vec_id") || tail.contains("EqualTo(vec_id"),
+        s"shortlist-id predicate not pushed to the vectors fetch:\n$tail")
+      val probesF = probes.select(col("probe_id").as("pid"),
+        col("pv").cast("array<double>").as("pv"))
+      val candStage = LshIndex.bucketedQ8Scored(q8, probesF, "vec_id")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+      assert(candStage.contains("In(bucket") || candStage.contains("EqualTo(bucket"),
+        s"bucket predicate not pushed to the q8 rows scan:\n$candStage")
+    } finally LshIndex.drop(built)
+  }
+
+  test("appendLshBucketedQ8 == rebuild: identical rows and identical search") {
+    val base = embeddings.where(col("vec_id") < 120)
+    val inc = embeddings.where(col("vec_id") >= 120)
+    val builtBase = LshIndex.build(base, "vec_id", "embedding",
+      tables = 8, bits = 4, dim = 64)
+    val builtAll = LshIndex.build(embeddings, "vec_id", "embedding",
+      tables = 8, bits = 4, dim = 64)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-lshbq-app").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft-lshbq-reb").toString
+    try {
+      IndexStore.writeLshBucketedQ8(builtBase, base, "vec_id", "embedding", dirA)
+      IndexStore.appendLshBucketedQ8(inc, "vec_id", "embedding", dirA)
+      IndexStore.writeLshBucketedQ8(builtAll, embeddings, "vec_id", "embedding", dirR)
+      val appended = IndexStore.loadLshBucketedQ8(spark, dirA)
+      val rebuilt = IndexStore.loadLshBucketedQ8(spark, dirR)
+      assert(appended.rows.exceptAll(rebuilt.rows).isEmpty &&
+        rebuilt.rows.exceptAll(appended.rows).isEmpty,
+        "frozen-parameter hashing + per-row quantization ⇒ bit-identical rows")
+      val sa = LshIndex.searchBucketedQ8(appended, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      val sr = LshIndex.searchBucketedQ8(rebuilt, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10)
+      assert(sa.exceptAll(sr).isEmpty && sr.exceptAll(sa).isEmpty)
+    } finally { LshIndex.drop(builtBase); LshIndex.drop(builtAll) }
+  }
+
   test("bucketed search past the probe-key bound: join-only fallback, identical results") {
     val built = LshIndex.build(embeddings, "vec_id", "embedding",
       tables = 8, dim = 64)
