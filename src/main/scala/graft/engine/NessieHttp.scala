@@ -38,6 +38,15 @@ import org.apache.spark.sql.SparkSession
   *     `{"fromRefName": branch}` → [[Layout.mergeBranch]]; a
   *     since-moved main → 409 (non-fast-forward merge conflict)
   *   - `DELETE /api/v2/trees/{branch}` → [[Layout.dropBranch]]
+  *   - `GET /api/v2/trees/{ref}/contents/{key}` → the ICEBERG_TABLE
+  *     content object at the ref (metadataLocation = the manifest file
+  *     the read path loads, snapshotId = the graft seq) + the
+  *     effectiveReference — the pointer a catalog client resolves before
+  *     planning a scan (round 14)
+  *   - `GET /api/v2/trees/{from}/diff/{to}` → Nessie's DiffResponse over
+  *     the served key: from/to content objects + the manifest file-diff
+  *     (filesAdded/filesRemoved/recordsDelta), empty when the refs
+  *     resolve to the same snapshot (round 14)
   *
   * Zero new dependencies: the JDK's `com.sun.net.httpserver` (the same
   * choice Spark's own test fixtures make for tiny HTTP endpoints).
@@ -94,6 +103,16 @@ object NessieHttp {
           case None => send(exchange, 404,
             s"""{"message":"reference not found: $ref"}""")
         }
+      case ("GET", ContentsPath(ref, key)) =>
+        contentsJson(spark, table, ref, key) match {
+          case Right(body) => send(exchange, 200, body)
+          case Left(msg) => send(exchange, 404, s"""{"message":"$msg"}""")
+        }
+      case ("GET", DiffPath(from, to)) =>
+        diffJson(spark, table, from, to) match {
+          case Right(body) => send(exchange, 200, body)
+          case Left(msg) => send(exchange, 404, s"""{"message":"$msg"}""")
+        }
       case ("POST", CommitPath(ref)) => commitRef(spark, table, ref, exchange)
       case ("POST", MergePath(ref)) => mergeRef(spark, table, ref, exchange)
       case ("DELETE", RefPath(ref)) => deleteRef(spark, table, ref, exchange)
@@ -114,6 +133,19 @@ object NessieHttp {
   private val CommitPath = new PathMatcher("/api/v2/trees/([^/]+)/history/commit")
   private val MergePath = new PathMatcher("/api/v2/trees/([^/]+)/history/merge")
   private val RefPath = new PathMatcher("/api/v2/trees/([^/]+)")
+
+  private final class PathMatcher2(pattern: String) {
+    private val re = pattern.r
+    def unapply(path: String): Option[(String, String)] = path match {
+      case re(a, b) => Some((java.net.URLDecoder.decode(a, "UTF-8"),
+        java.net.URLDecoder.decode(b, "UTF-8")))
+      case _ => None
+    }
+  }
+  private val ContentsPath =
+    new PathMatcher2("/api/v2/trees/([^/]+)/contents/([^/]+)")
+  private val DiffPath =
+    new PathMatcher2("/api/v2/trees/([^/]+)/diff/([^/]+)")
 
   private def queryParams(exchange: HttpExchange): Map[String, String] =
     Option(exchange.getRequestURI.getQuery).map(_.split("&").toSeq).getOrElse(Seq.empty)
@@ -309,4 +341,109 @@ object NessieHttp {
       mapper.writeValueAsString(root)
     }
   }
+
+  /** Resolve a ref name to the TABLE its snapshots live on and the seq
+    * it points at: main → (table, head); a branch → its branch table's
+    * own head (commits land there — the fork seq main's refs carry is
+    * the fork POINT, not the branch tip); a tag → (table, tag seq).
+    * None for an unknown ref. */
+  private def resolveRef(spark: SparkSession, table: String,
+      ref: String): Option[(String, String, Long)] = {
+    if (ref == "main")
+      Some((table, "BRANCH", Manifests.loadRefs(Manifests.root(spark, table)).head))
+    else if (spark.catalog.tableExists(refTable(table, ref))) {
+      val bt = refTable(table, ref)
+      Some((bt, "BRANCH", Manifests.loadRefs(Manifests.root(spark, bt)).head))
+    } else
+      Manifests.loadRefs(Manifests.root(spark, table)).tags.get(ref)
+        .filterNot(_ => ref.startsWith("__fork_"))
+        .map(seq => (table, "TAG", seq))
+  }
+
+  /** The Nessie v2 Content object for the served table at a resolved
+    * (refTable, seq): ICEBERG_TABLE with `metadataLocation` = the actual
+    * manifest file the read path loads ([[Manifests.Refs.snapName]]) and
+    * `snapshotId` = the graft seq. None below the first commit. */
+  private def contentNode(spark: SparkSession, tbl: String,
+      seq: Long): Option[ObjectNode] =
+    if (seq < 0) None
+    else {
+      val root = Manifests.root(spark, tbl)
+      val refs = Manifests.loadRefs(root)
+      val n = mapper.createObjectNode()
+      n.put("type", "ICEBERG_TABLE")
+      n.put("id", tbl)
+      n.put("metadataLocation", root.resolve(refs.snapName(seq)).toString)
+      n.put("snapshotId", seq)
+      Some(n)
+    }
+
+  /** `GET /trees/{ref}/contents/{key}` — the table pointer a catalog
+    * client (Trino via iceberg.properties:4-7 in the reference compose)
+    * asks for before planning a scan: the content object at the ref plus
+    * the effective reference it was resolved against. 404s: unknown ref,
+    * a key that isn't the served table, a ref with no committed content
+    * yet — each the CONTENT_NOT_FOUND/REFERENCE_NOT_FOUND split real
+    * Nessie makes. */
+  def contentsJson(spark: SparkSession, table: String, ref: String,
+      key: String): Either[String, String] =
+    resolveRef(spark, table, ref) match {
+      case None => Left(s"reference not found: $ref")
+      case Some(_) if key != table => Left(s"content not found: $key")
+      case Some((tbl, tpe, seq)) =>
+        contentNode(spark, tbl, seq) match {
+          case None => Left(s"content not found: $key (no commits at $ref)")
+          case Some(content) =>
+            val root = mapper.createObjectNode()
+            root.set[ObjectNode]("content", content)
+            val eff = mapper.createObjectNode()
+            eff.put("name", ref)
+            eff.put("type", tpe)
+            eff.put("hash", hashOf(seq))
+            root.set[ObjectNode]("effectiveReference", eff)
+            Right(mapper.writeValueAsString(root))
+        }
+    }
+
+  /** `GET /trees/{from}/diff/{to}` — Nessie's DiffResponse over the one
+    * served key: an empty `diffs` list when both refs resolve to the
+    * same snapshot, else one entry with the from/to content objects PLUS
+    * the manifest FILE-diff the snapshots prove (files only in from =
+    * removed, only in to = added, record-count delta) — the
+    * [[Layout.changesBetween]] story at file granularity, driver-side
+    * over two in-memory manifests, no data scan at all. */
+  def diffJson(spark: SparkSession, table: String, from: String,
+      to: String): Either[String, String] =
+    (resolveRef(spark, table, from), resolveRef(spark, table, to)) match {
+      case (None, _) => Left(s"reference not found: $from")
+      case (_, None) => Left(s"reference not found: $to")
+      case (Some((ft, _, fs)), Some((tt, _, ts))) =>
+        val root = mapper.createObjectNode()
+        val diffs = mapper.createArrayNode()
+        if (!(ft == tt && fs == ts)) {
+          val entry = mapper.createObjectNode()
+          val keyNode = mapper.createObjectNode()
+          val elems = mapper.createArrayNode()
+          elems.add(table)
+          keyNode.set[com.fasterxml.jackson.databind.JsonNode]("elements", elems)
+          entry.set[ObjectNode]("key", keyNode)
+          contentNode(spark, ft, fs).foreach(entry.set[ObjectNode]("from", _))
+          contentNode(spark, tt, ts).foreach(entry.set[ObjectNode]("to", _))
+          def filesAt(tbl: String, seq: Long): Map[String, Long] =
+            if (seq < 0) Map.empty
+            else {
+              val r = Manifests.root(spark, tbl)
+              val snap = Manifests.loadSnapshot(r, seq)
+              snap.files.map(f => f.path -> f.records).toMap
+            }
+          val before = filesAt(ft, fs)
+          val after = filesAt(tt, ts)
+          entry.put("filesAdded", (after.keySet -- before.keySet).size)
+          entry.put("filesRemoved", (before.keySet -- after.keySet).size)
+          entry.put("recordsDelta", after.values.sum - before.values.sum)
+          diffs.add(entry)
+        }
+        root.set[ObjectNode]("diffs", diffs)
+        Right(mapper.writeValueAsString(root))
+    }
 }

@@ -6,44 +6,78 @@ import graft.ext.{IndexStore, LshIndex}
 
 /** One-off calibration probe for the stored-LSH serving paths (not a
   * gate): isolates the SEARCH cost of searchPruned / searchStored /
-  * searchBucketed at a scaled dir — the q177/q187 gate entries cannot
-  * show this split because both include the brute-force exact oracle
-  * (corpus-linear by definition), which converges their totals at sf10.
-  * `LshProbe <sfDir> [passes]`. */
+  * searchBucketed / searchBucketedQ8 at a scaled dir — the q177/q187
+  * gate entries cannot show this split because both include the
+  * brute-force exact oracle (corpus-linear by definition), which
+  * converges their totals at sf10.
+  *
+  * `LshProbe <sfDir> [passes] [legs] [bundleRoot]`
+  *   - `legs`: comma list from {pruned, stored, bucketed, bucketedq8};
+  *     default all. One leg per invocation + a page-cache drop between
+  *     invocations is how the COLD points of the two-decade table are
+  *     measured (a single multi-leg run warms the FS cache for every
+  *     later leg).
+  *   - `bundleRoot`: persistent dir — bundles are built only when their
+  *     meta is absent, so repeated single-leg invocations don't re-pay
+  *     the 2M-vector build.
+  */
 object LshProbe {
   def main(args: Array[String]): Unit = {
     val d = args(0)
     val passes = args.lift(1).map(_.toInt).getOrElse(4)
+    val legs = args.lift(2).filterNot(_ == "all")
+      .map(_.split(",").map(_.trim.toLowerCase).toSet)
+      .getOrElse(Set("pruned", "stored", "bucketed", "bucketedq8"))
+    val root = args.lift(3).getOrElse(
+      java.nio.file.Files.createTempDirectory("lsh-probe").toString)
     val spark = graft.GraftSession.local("lsh-probe")
     spark.sparkContext.setLogLevel("ERROR")
     val e = graft.Tables.load(spark, d, "embeddings")
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val built = LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
-    val dir = java.nio.file.Files.createTempDirectory("lsh-probe").toString
-    IndexStore.writeLsh(built, dir)
-    IndexStore.writeLshVectors(e, "vec_id", "embedding", dir)
-    IndexStore.writeLshBucketed(built, e, "vec_id", "embedding", dir + "b")
-    IndexStore.writeLshBucketedQ8(built, e, "vec_id", "embedding", dir + "q")
-    LshIndex.drop(built)
-    val loaded = IndexStore.loadLsh(spark, dir)
-    val vectors = IndexStore.loadLshVectors(spark, dir)
-    val bucketed = IndexStore.loadLshBucketed(spark, dir + "b")
-    val bucketedQ8 = IndexStore.loadLshBucketedQ8(spark, dir + "q")
+    val dir = s"$root/plain"
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "meta.json"))
+    if (missing(dir) || missing(dir + "b") || missing(dir + "q")) {
+      val built = LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
+      if (missing(dir)) {
+        IndexStore.writeLsh(built, dir)
+        IndexStore.writeLshVectors(e, "vec_id", "embedding", dir)
+      }
+      if (missing(dir + "b"))
+        IndexStore.writeLshBucketed(built, e, "vec_id", "embedding", dir + "b")
+      if (missing(dir + "q"))
+        IndexStore.writeLshBucketedQ8(built, e, "vec_id", "embedding", dir + "q")
+      LshIndex.drop(built)
+      println(s"[lsh-probe] bundles ready under $root")
+    }
     def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
       (1 to passes).foreach { i =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
         println(f"[lsh-probe] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
-    time("searchPruned")(LshIndex.searchPruned(loaded, e, probes,
-      "vec_id", "embedding", "probe_id", "pv", k = 10))
-    time("searchStored")(LshIndex.searchStored(loaded, vectors, probes,
-      "vec_id", "embedding", "probe_id", "pv", k = 10))
-    time("searchBucketed")(LshIndex.searchBucketed(bucketed, probes,
-      "vec_id", "embedding", "probe_id", "pv", k = 10))
-    time("searchBucketedQ8")(LshIndex.searchBucketedQ8(bucketedQ8, probes,
-      "vec_id", "embedding", "probe_id", "pv", k = 10))
+    if (legs("pruned")) {
+      val loaded = IndexStore.loadLsh(spark, dir)
+      time("searchPruned")(LshIndex.searchPruned(loaded, e, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10))
+    }
+    if (legs("stored")) {
+      val loaded = IndexStore.loadLsh(spark, dir)
+      val vectors = IndexStore.loadLshVectors(spark, dir)
+      time("searchStored")(LshIndex.searchStored(loaded, vectors, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10))
+    }
+    if (legs("bucketed")) {
+      val bucketed = IndexStore.loadLshBucketed(spark, dir + "b")
+      time("searchBucketed")(LshIndex.searchBucketed(bucketed, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10))
+    }
+    if (legs("bucketedq8")) {
+      val bucketedQ8 = IndexStore.loadLshBucketedQ8(spark, dir + "q")
+      time("searchBucketedQ8")(LshIndex.searchBucketedQ8(bucketedQ8, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10))
+    }
     spark.stop()
   }
 }

@@ -161,4 +161,75 @@ class NessieHttpSpec extends SparkSpec {
       assert(delete(server.uri("/api/v2/trees/main"))._1 === 400)
     } finally server.stop()
   }
+
+  test("GET /trees/{ref}/contents/{key}: the table pointer at main, a tag, a branch; 404s") {
+    val t = freshRefTable() // commit 0 tagged v1, commit 1 on main
+    val server = NessieHttp.start(spark, t)
+    try {
+      // main: content resolves to the CURRENT manifest file + head seq
+      val (c1, b1) = get(server.uri(s"/api/v2/trees/main/contents/$t"))
+      assert(c1 === 200)
+      assert(b1.at("/content/type").asText() === "ICEBERG_TABLE")
+      assert(b1.at("/content/snapshotId").asLong() === 1L)
+      assert(b1.at("/effectiveReference/name").asText() === "main")
+      assert(b1.at("/effectiveReference/hash").asText() === NessieHttp.hashOf(1L))
+      val loc = b1.at("/content/metadataLocation").asText()
+      val refs = Manifests.loadRefs(Manifests.root(spark, t))
+      assert(loc.endsWith(refs.snapName(1L)),
+        s"metadataLocation must be the manifest the read path loads: $loc")
+      // the tag points one commit back — a DIFFERENT manifest file
+      val (c2, b2) = get(server.uri(s"/api/v2/trees/v1/contents/$t"))
+      assert(c2 === 200)
+      assert(b2.at("/content/snapshotId").asLong() === 0L)
+      assert(b2.at("/effectiveReference/type").asText() === "TAG")
+      assert(b2.at("/content/metadataLocation").asText() !== loc)
+      // a branch resolves against ITS OWN head (fork + branch-side commit)
+      assert(post(server.uri("/api/v2/trees?name=etl&type=BRANCH"))._1 === 200)
+      Layout.deleteWhereMor(spark, s"${t}__branch_etl", col("event_id") < 200L)
+      val (c3, b3) = get(server.uri(s"/api/v2/trees/etl/contents/$t"))
+      assert(c3 === 200)
+      val branchHead = Manifests.loadRefs(
+        Manifests.root(spark, s"${t}__branch_etl")).head
+      assert(b3.at("/content/snapshotId").asLong() === branchHead)
+      // 404s: unknown ref, wrong key
+      assert(get(server.uri(s"/api/v2/trees/nope/contents/$t"))._1 === 404)
+      assert(get(server.uri("/api/v2/trees/main/contents/other_table"))._1 === 404)
+    } finally server.stop()
+  }
+
+  test("GET /trees/{from}/diff/{to}: cross-ref manifest diff, empty self-diff, 404") {
+    val t = freshRefTable() // v1 = commit 0 (full table), main = commit 1 (MOR delete)
+    val server = NessieHttp.start(spark, t)
+    try {
+      // self-diff: same snapshot → empty diffs (the Nessie contract)
+      val (c0, b0) = get(server.uri("/api/v2/trees/main/diff/main"))
+      assert(c0 === 200 && b0.get("diffs").size() === 0)
+      // v1 → main: one entry for the served key with both content
+      // objects and the manifest file-diff the snapshots prove
+      val (c1, b1) = get(server.uri("/api/v2/trees/v1/diff/main"))
+      assert(c1 === 200 && b1.get("diffs").size() === 1)
+      val e = b1.get("diffs").get(0)
+      assert(e.at("/key/elements/0").asText() === t)
+      assert(e.at("/from/snapshotId").asLong() === 0L)
+      assert(e.at("/to/snapshotId").asLong() === 1L)
+      // the independent truth: set-diff the two snapshots' file lists
+      val root = Manifests.root(spark, t)
+      val f0 = Manifests.loadSnapshot(root, 0L).files.map(_.path).toSet
+      val f1 = Manifests.loadSnapshot(root, 1L).files.map(_.path).toSet
+      assert(e.get("filesAdded").asInt() === (f1 -- f0).size)
+      assert(e.get("filesRemoved").asInt() === (f0 -- f1).size)
+      val r0 = Manifests.loadSnapshot(root, 0L).files.map(_.records).sum
+      val r1 = Manifests.loadSnapshot(root, 1L).files.map(_.records).sum
+      assert(e.get("recordsDelta").asLong() === r1 - r0)
+      // direction flips the roles
+      val (_, b2) = get(server.uri("/api/v2/trees/main/diff/v1"))
+      val e2 = b2.get("diffs").get(0)
+      assert(e2.at("/from/snapshotId").asLong() === 1L)
+      assert(e2.at("/to/snapshotId").asLong() === 0L)
+      assert(e2.get("filesAdded").asInt() === (f0 -- f1).size)
+      // 404 names the missing ref
+      val (c3, b3) = get(server.uri("/api/v2/trees/ghost/diff/main"))
+      assert(c3 === 404 && b3.get("message").asText().contains("ghost"))
+    } finally server.stop()
+  }
 }
