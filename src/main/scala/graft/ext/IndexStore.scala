@@ -540,6 +540,33 @@ object IndexStore {
       m.get("shingleK").asInt())
   }
 
+  /** Fingerprinted MinHash bundle ([[MinHashIndex.IndexFp]]): same
+    * band-clustered bands; the verify side stores (doc_id, fp) — the
+    * sorted 64-bit base-hash array of each doc's shingle set — instead
+    * of the shingle strings. ~4–5× fewer verify-fetch bytes at k=5 word
+    * shingles; the gsf100 probe_full lever (BASELINE §Round 14). */
+  def writeMinhashFp(index: MinHashIndex.Index, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "minhashfp", "numHashes" -> index.numHashes,
+      "numBands" -> index.numBands, "shingleK" -> index.shingleK)
+    index.bands
+      .repartition(col("band_id"), col("band_key"))
+      .sortWithinPartitions("band_id", "band_key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
+    index.shingles
+      .select(col("doc_id"), MinHashIndex.fpOf(col("sh")).as("fp"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/fps")
+  }
+
+  def loadMinhashFp(spark: SparkSession, dir: String): MinHashIndex.IndexFp = {
+    val m = requireKind(dir, "minhashfp")
+    MinHashIndex.IndexFp(spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/fps"),
+      m.get("numHashes").asInt(), m.get("numBands").asInt(),
+      m.get("shingleK").asInt())
+  }
+
   // ---- BM25 inverted index ------------------------------------------
 
   /** [[InvertedIndex]]: postings clustered+sorted by term, so a query's

@@ -40,6 +40,26 @@ object MinHashIndex {
   final case class Index(bands: DataFrame, shingles: DataFrame,
       numHashes: Int, numBands: Int, shingleK: Int)
 
+  /** Fingerprinted index ([[IndexStore.writeMinhashFp]]): the verify
+    * side stores each doc's shingle set as its SORTED 64-bit base-hash
+    * array (`fp` = the same per-shingle xxhash64 the band keys already
+    * derive from, [[TextPrep.baseHashes]]) instead of the shingle
+    * STRINGS — the gsf100 MinhashProbe finding (BASELINE §Round 14: the
+    * doc-clustered shingle fetch dominates probe_full at 2.5M docs, the
+    * q187 shape) attacked at its bytes: a k=5-word shingle string is
+    * ~30–40 bytes, its fingerprint is 8. Jaccard over fingerprint sets
+    * equals Jaccard over shingle sets except under a 64-bit collision
+    * WITHIN one compared pair's union (~m²/2⁶⁴ for m-shingle docs,
+    * ~1e-15 at corpus document sizes — the q26 miss-probability class,
+    * stated rather than hidden; MinHashIndexSpec pins result equality
+    * against the string path on the gate corpus). */
+  final case class IndexFp(bands: DataFrame, fps: DataFrame,
+      numHashes: Int, numBands: Int, shingleK: Int)
+
+  /** Sorted distinct fingerprint array of a shingle-set column. */
+  private[graft] def fpOf(sh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_sort(array_distinct(TextPrep.baseHashes(sh)))
+
   /** Banded MinHash keys of a document set: (band_id, band_key, doc_id). */
   private[ext] def bandKeys(sh: DataFrame, numHashes: Int,
       numBands: Int): DataFrame =
@@ -96,10 +116,14 @@ object MinHashIndex {
     * separately from candidate generation — the q187 measurement
     * discipline applied to the MinHash family. `newSh` is the
     * increment's shingle sets ([[Dedup.shingleSets]]). */
-  def candidates(index: Index, newSh: DataFrame): DataFrame = {
-    val newBands = bandKeys(newSh, index.numHashes, index.numBands)
+  def candidates(index: Index, newSh: DataFrame): DataFrame =
+    candidatesCore(index.bands, index.numHashes, index.numBands, newSh)
+
+  private def candidatesCore(bands: DataFrame, numHashes: Int,
+      numBands: Int, newSh: DataFrame): DataFrame = {
+    val newBands = bandKeys(newSh, numHashes, numBands)
       .select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
-    index.bands
+    bands
       .select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
       .join(newBands, Seq("band_id", "band_key"))
       .where(col("id_a") =!= col("id_b"))
@@ -130,7 +154,11 @@ object MinHashIndex {
     * the route is picked by stored-band row count (job-free footer
     * stats; `graft.minhash.pruneMinBandRows`, default 4M) — identical
     * results either side by the superset argument above. */
-  def candidatesPruned(index: Index, newSh: DataFrame): DataFrame = {
+  def candidatesPruned(index: Index, newSh: DataFrame): DataFrame =
+    candidatesPrunedCore(index.bands, index.numHashes, index.numBands, newSh)
+
+  private def candidatesPrunedCore(idxBands: DataFrame, numHashes: Int,
+      numBands: Int, newSh: DataFrame): DataFrame = {
     // SIZE-ROUTED (VERDICT r12 #4): below the measured crossover the
     // plain equi-join is CHEAPER than the pruned path's fixed costs
     // (probe-side sketch persist + key collect + IN-predicate planning)
@@ -141,8 +169,8 @@ object MinHashIndex {
     // [[graft.engine.TableStats.rowCountNoJob]], the parameter-sizing
     // discipline); `graft.minhash.pruneMinBandRows` overrides.
     val minRows = Memo.intProp("graft.minhash.pruneMinBandRows", 4000000)
-    if (graft.engine.TableStats.rowCountNoJob(index.bands) < minRows)
-      return candidates(index, newSh)
+    if (graft.engine.TableStats.rowCountNoJob(idxBands) < minRows)
+      return candidatesCore(idxBands, numHashes, numBands, newSh)
     // persisted: the probe-side sketch (shingle hashes → 128-hash sig →
     // band keys) is the pruned path's fixed cost and feeds BOTH the key
     // collect and the join — without the persist it runs twice, which
@@ -154,7 +182,7 @@ object MinHashIndex {
     // references them), and the ContextCleaner alone let each bench rep
     // leak a block set until GC noticed (round-12 advisor finding).
     val newBands = Memo.trackTransient(
-      bandKeys(newSh, index.numHashes, index.numBands)
+      bandKeys(newSh, numHashes, numBands)
         .select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val maxKeys = Memo.intProp("graft.minhash.maxProbeKeys", 8192)
@@ -170,7 +198,7 @@ object MinHashIndex {
         .map { case (b, ks) =>
           col("band_id") === b && col("band_key").isin(ks: _*)
         }.reduceOption(_ || _).getOrElse(lit(false))
-    index.bands.where(prune)
+    idxBands.where(prune)
       .select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
       .join(newBands, Seq("band_id", "band_key"))
       .where(col("id_a") =!= col("id_b"))
@@ -190,6 +218,26 @@ object MinHashIndex {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(TextPrep.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** [[probe]] against a FINGERPRINTED bundle ([[IndexFp]]): identical
+    * candidate stage (the bands are the same rows), verify fetch reads
+    * 8-byte fingerprints instead of shingle strings, and the exact
+    * Jaccard runs over sorted long arrays — same `array_intersect`/
+    * `array_union` codegen, ~4–5× fewer fetched bytes. Result-identical
+    * to [[probe]] modulo 64-bit collisions (see [[IndexFp]]);
+    * size-routed through the pruned band scan like [[probePruned]]. */
+  def probeFp(index: IndexFp, newDocs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val newSh = Dedup.shingleSets(newDocs, idCol, textCol, index.shingleK)
+    candidatesPrunedCore(index.bands, index.numHashes, index.numBands, newSh)
+      .join(index.fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")),
+        Seq("id_a"))
+      .join(newSh.select(col("doc_id").as("id_b"), fpOf(col("sh")).as("fp_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextPrep.jaccard(col("fp_a"), col("fp_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -255,6 +303,12 @@ object MinHashIndex {
   }
 
   private val cache = new Memo[Index](drop)
+
+  private val fpCache = Memo.unmanaged[IndexFp]
+
+  /** Serving memo for the fingerprinted bundle (lazy parquet reads —
+    * nothing cluster-side to release; the bound caps JVM state). */
+  def cachedFp(key: String)(build: => IndexFp): IndexFp = fpCache(key)(build)
 
   /** Serving memo — the q78_search semantics; bounded LRU, eviction
     * unpersists ([[Memo]]). */

@@ -62,6 +62,25 @@ object MinhashProbe {
           round(graft.ext.TextPrep.jaccard(col("sh_a"), col("sh_b")), 6)
             .as("jaccard"))
         .where(col("jaccard") >= 0.8))
+    // fingerprinted verify side (round 14): IDENTICAL candidate stage
+    // and pre-paid probe prep — only the fetch changes, so the delta vs
+    // probe_full isolates the string-vs-fingerprint fetch bytes
+    IndexStore.writeMinhashFp(loaded, dir + "fp")
+    val fp = IndexStore.loadMinhashFp(spark, dir + "fp")
+    val probeFpSide = probeSh
+      .select(col("doc_id"), MinHashIndex.fpOf(col("sh")).as("fp"))
+      .persist()
+    probeFpSide.count() // probe-side prep paid outside the timed window
+    time("probe_full_fp")(
+      MinHashIndex.candidates(loaded, probeSh)
+        .join(fp.fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")),
+          Seq("id_a"))
+        .join(probeFpSide.select(col("doc_id").as("id_b"),
+          col("fp").as("fp_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.ext.TextPrep.jaccard(col("fp_a"), col("fp_b")), 6)
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.8))
     spark.stop()
   }
 }

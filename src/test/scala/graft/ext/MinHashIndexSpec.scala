@@ -45,6 +45,30 @@ class MinHashIndexSpec extends SparkSpec {
     } finally MinHashIndex.drop(built)
   }
 
+  test("fingerprinted bundle: probeFp ≡ probe result-identical, fp fetch reads longs") {
+    val built = MinHashIndex.build(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhfp").toString
+    try {
+      IndexStore.writeMinhashFp(built, dir)
+      val fp = IndexStore.loadMinhashFp(spark, dir)
+      assert(fp.numHashes === built.numHashes &&
+        fp.numBands === built.numBands && fp.shingleK === built.shingleK)
+      // exact Jaccard over fingerprint sets ≡ over shingle strings on
+      // the gate corpus (a 64-bit collision inside one pair's union is
+      // the only divergence — ~1e-15 at these document sizes)
+      val a = MinHashIndex.probeFp(fp, increment, "doc_id", "text", 0.8)
+      val b = MinHashIndex.probe(built, increment, "doc_id", "text", 0.8)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "fingerprint verify must reproduce the string verify's pairs and values")
+      assert(a.count() > 0, "the fixture must actually exercise the verify")
+      // the stored fp column is long[], not string[] — the bytes claim
+      val fpType = fp.fps.schema("fp").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      assert(fpType === org.apache.spark.sql.types.LongType,
+        s"fp column must store 64-bit fingerprints, got $fpType")
+    } finally MinHashIndex.drop(built)
+  }
+
   test("pruned stored probe: identical results, band predicate pushed, over-bound fallback identical") {
     val built = MinHashIndex.build(corpus, "doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-mhp").toString
