@@ -144,7 +144,7 @@ object Bench {
     val warmGroups: Seq[Seq[String]] = Seq(
       Seq("q78_", "q175", "q178"),
       Seq("q177"), Seq("q179_"), Seq("q187"),
-      Seq("q190", "q236"), Seq("q191", "q233", "q237"),
+      Seq("q190", "q236", "q238"), Seq("q191", "q233", "q237"),
       Seq("q193"), Seq("q194"), Seq("q208", "q234"), Seq("q215"),
       Seq("q219", "q223"), Seq("q225"), Seq("q226"), Seq("q227"),
       Seq("q228", "q232"), Seq("q229"))
