@@ -229,11 +229,36 @@ object MinHashIndex {
     * to [[probe]] modulo 64-bit collisions (see [[IndexFp]]);
     * size-routed through the pruned band scan like [[probePruned]]. */
   def probeFp(index: IndexFp, newDocs: DataFrame, idCol: String,
-      textCol: String, threshold: Double): DataFrame = {
+      textCol: String, threshold: Double,
+      maxCandidates: Int = 1 << 20): DataFrame = {
+    val spark = index.fps.sparkSession
     val newSh = Dedup.shingleSets(newDocs, idCol, textCol, index.shingleK)
-    candidatesPrunedCore(index.bands, index.numHashes, index.numBands, newSh)
-      .join(index.fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")),
-        Seq("id_a"))
+    val cand = candidatesPrunedCore(
+      index.bands, index.numHashes, index.numBands, newSh)
+    // the candidate-id predicate must reach the fps scan (the
+    // searchStored/q187 lesson, and what the first gsf100 fp probe
+    // still paid for: without it every probe re-scans the WHOLE
+    // doc-clustered fps table — 2 GB at 2.5M docs — when the doc-sorted
+    // layout can row-group-skip to the candidates). The collect is
+    // bounded by the same band-collision contract as searchStored's,
+    // with the same loud guard.
+    val candSchema = cand.schema
+    val candRows = cand.limit(maxCandidates + 1).collect()
+    require(candRows.length <= maxCandidates,
+      s"MinHash candidate set exceeds maxCandidates=$maxCandidates " +
+        "(hot band / degenerate corpus?); raise maxCandidates or reduce " +
+        "the probe batch")
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows.toIndexedSeq: _*), candSchema)
+    val ids = candRows.map(_.getLong(0)).distinct.toSeq
+    val fetch =
+      if (ids.isEmpty) index.fps.where(lit(false))
+      // past ~1e5 ids a literal In() hurts more than it skips — the
+      // join below is already correct (the predicate only accelerates)
+      else if (ids.length > 100000) index.fps
+      else index.fps.where(col("doc_id").isin(ids: _*))
+    fetch.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+      .join(broadcast(candDf), Seq("id_a"))
       .join(newSh.select(col("doc_id").as("id_b"), fpOf(col("sh")).as("fp_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -45,5 +45,65 @@ object Round14Queries {
       .orderBy("id_a", "id_b")
   }, Round7Queries.q190.oracle)
 
-  val all: Seq[GQuery] = Seq(q238)
+  /** Q239 (M2‴, REAL video frame decode — MJPEG/AVI): the declared-stub
+    * half of M2 closed by the honest zero-dependency route: the JDK
+    * ships no H.264 codec (MP4 stays container-only, q163), but
+    * Motion-JPEG frames ARE baseline JPEGs. One synthesized REAL AVI
+    * per doc id (solid-gray JPEG frames — gray survives 4:2:0
+    * subsampling exactly, so the decode error is just the luma DC
+    * quantizer), every frame decoded through the actual JDK decoder,
+    * and the gate checks the q116 contract: frame inventory and
+    * dimensions are pure functions of the id DuckDB recomputes
+    * codec-free, and the decoded mean luma lands inside the stated
+    * ±2.5 DC-quantization band (boolean in-plan, the contract-row
+    * pattern). */
+  val q239 = GQuery("q239_avi_frame_decode", (s, d) => {
+    import graft.ext.Multimodal
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 60)
+    val media = Multimodal.synthesizeAvi(s, ids, "doc_id")
+    Multimodal.sampleAviFrames(s, media, stride = 1, maxFrames = 8).toDF()
+      .select(col("media_id"), col("frame_index"), col("width"), col("height"),
+        (col("decode_ok") &&
+          abs(col("mean_luma") - (lit(16.0) +
+            lit(16.0) * pmod(col("media_id") + col("frame_index"), lit(13L))))
+            < 2.5).as("luma_ok"))
+      .orderBy("media_id", "frame_index")
+  },
+    Some("""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+           |f AS (SELECT media_id,
+           |        unnest(generate_series(0, CAST(media_id % 4 AS BIGINT))) AS frame_index
+           |      FROM ids)
+           |SELECT media_id, frame_index,
+           |  CAST(8 + media_id % 8 AS BIGINT) AS width,
+           |  CAST(8 + (media_id // 8) % 8 AS BIGINT) AS height,
+           |  true AS luma_ok
+           |FROM f ORDER BY media_id, frame_index""".stripMargin))
+
+  /** Q240 (M2⁗, AVI container parse): the 'avih' header fields plus the
+    * movi-list video-chunk census (ground truth over the advisory
+    * header count) — every output a pure function of the id, full
+    * oracle (the q163 shape for RIFF instead of ISO BMFF). */
+  val q240 = GQuery("q240_avi_container", (s, d) => {
+    import graft.ext.Multimodal
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 60)
+    val media = Multimodal.synthesizeAvi(s, ids, "doc_id")
+    Multimodal.decodeAvi(s, media).toDF()
+      .select(col("media_id"), col("decode_ok"),
+        col("us_per_frame"), col("total_frames"),
+        col("n_streams").cast("long").as("n_streams"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_video_chunks"))
+      .orderBy("media_id")
+  },
+    Some("""SELECT doc_id AS media_id, true AS decode_ok,
+           |  CAST(40000 AS BIGINT) AS us_per_frame,
+           |  CAST(1 + doc_id % 4 AS BIGINT) AS total_frames,
+           |  CAST(1 AS BIGINT) AS n_streams,
+           |  CAST(8 + doc_id % 8 AS BIGINT) AS width,
+           |  CAST(8 + (doc_id // 8) % 8 AS BIGINT) AS height,
+           |  CAST(1 + doc_id % 4 AS BIGINT) AS n_video_chunks
+           |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q238, q239, q240)
 }

@@ -81,6 +81,14 @@ object MinhashProbe {
           round(graft.ext.TextPrep.jaccard(col("fp_a"), col("fp_b")), 6)
             .as("jaccard"))
         .where(col("jaccard") >= 0.8))
+    // the PRODUCTION fp path (probeFp): routed candidates + the
+    // candidate-id predicate pushed into the fps scan — includes the
+    // probe-side shingling the other legs pre-paid, so its floor is the
+    // honest end-to-end serving number
+    val probeDocs = docs.where(col("doc_id") < nProbe)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+    time("probe_fp_routed")(
+      MinHashIndex.probeFp(fp, probeDocs, "doc_id", "text", threshold = 0.8))
     spark.stop()
   }
 }

@@ -42,6 +42,63 @@ class MultimodalSpec extends SparkSpec {
     assert(badOut.forall(!_.decode_ok))
   }
 
+  test("AVI: real MJPEG frames decode with correct dimensions + luma; corrupt/truncated handled") {
+    import spark.implicits._
+    val ids = Seq(3L, 9L, 14L, 26L).toDF("id")
+    val avis = Multimodal.synthesizeAvi(spark, ids, "id")
+    // container metadata is the id arithmetic the synthesizer declares
+    val meta = Multimodal.decodeAvi(spark, avis).collect()
+      .map(m => m.media_id -> m).toMap
+    ids.as[Long].collect().foreach { id =>
+      val m = meta(id)
+      assert(m.decode_ok && m.us_per_frame === 40000L &&
+        m.n_streams === 1 &&
+        m.total_frames === 1 + id % 4 &&
+        m.n_video_chunks === 1 + id % 4 &&
+        m.width === 8 + id % 8 && m.height === 8 + (id / 8) % 8, s"id=$id: $m")
+    }
+    // every frame REALLY decodes: dimensions exact, solid-gray luma
+    // within the JPEG DC-quantization band
+    val frames = Multimodal.sampleAviFrames(spark, avis).collect()
+    assert(frames.length === ids.as[Long].collect().map(id => 1 + id % 4).sum)
+    frames.foreach { f =>
+      assert(f.decode_ok, s"frame failed to decode: $f")
+      assert(f.width === 8 + f.media_id % 8 &&
+        f.height === 8 + (f.media_id / 8) % 8)
+      val want = 16.0 + 16.0 * ((f.media_id + f.frame_index) % 13)
+      assert(math.abs(f.mean_luma - want) < 2.5,
+        s"luma ${f.mean_luma} vs $want for $f")
+    }
+    // stride + cap: every 2nd frame, at most 1
+    val strided = Multimodal.sampleAviFrames(spark, avis, stride = 2, maxFrames = 1)
+      .collect()
+    assert(strided.length === 4 && strided.forall(_.frame_index === 0L))
+    // corrupt blob → container-level decode_ok=false row; a frame-level
+    // corruption (JPEG bytes zeroed in place) → that frame's row fails,
+    // siblings still decode
+    val corrupt = Seq((1L, "nonsense".getBytes("UTF-8"))).toDF("media_id", "media")
+    val cm = Multimodal.decodeAvi(spark, corrupt).collect()
+    assert(cm.length === 1 && !cm.head.decode_ok)
+    val cf = Multimodal.sampleAviFrames(spark, corrupt).collect()
+    assert(cf.length === 1 && !cf.head.decode_ok && cf.head.frame_index === -1L)
+    val oneGood = Multimodal.synthesizeAvi(spark, Seq(3L).toDF("id"), "id")
+      .as[(Long, Array[Byte])].collect().head
+    // zero out the LAST frame's JPEG payload bytes in place: chunk
+    // structure intact, frame undecodable
+    val bytes = oneGood._2.clone()
+    val marker = "00dc".getBytes("US-ASCII")
+    val lastChunk = bytes.indices.findLast(i => i + 4 <= bytes.length &&
+      bytes.slice(i, i + 4).sameElements(marker)).get
+    java.util.Arrays.fill(bytes, lastChunk + 8,
+      math.min(bytes.length, lastChunk + 24), 0.toByte)
+    val mixed = Multimodal.sampleAviFrames(spark,
+      Seq((3L, bytes)).toDF("media_id", "media")).collect()
+      .sortBy(_.frame_index)
+    assert(mixed.length === 4) // id 3 → 4 frames
+    assert(mixed.init.forall(_.decode_ok), "earlier frames must survive")
+    assert(!mixed.last.decode_ok, "the zeroed frame must fail alone")
+  }
+
   test("sniffFormat recovers every format from magic bytes; unheadered blobs are unknown") {
     val sniffed = Multimodal.withMagic(media)
       .withColumn("sniffed", Multimodal.sniffFormat(col("media")))
