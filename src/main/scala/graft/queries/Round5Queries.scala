@@ -61,32 +61,44 @@ object Round5Queries {
   /** Q164 (D5′, embedding near-dup — the SCALE path, benchable): the
     * LSH-bucketed candidate stage + exact-cosine verify tail
     * ([[graft.ext.Dedup.embeddingNearDupLsh]]), the form a 100 TB corpus
-    * actually runs. Gated as a q30-style CONTRACT ROW against the exact
-    * all-pairs twin (q29's plan, re-run here as the in-plan ground
-    * truth): zero false positives (every LSH pair is exact-verified ≥
-    * threshold by construction, and the anti-join recounts it), recall ≥
-    * 0.5 over the exact pair set (uniform-random vectors at cos 0.4 are
-    * ANN's hardest case — the DedupSpec floor, held at the gate SF with
-    * the default auto-bits operating point), and `n_exact` recomputed
-    * independently by DuckDB's quadratic join so the contract row is
-    * anchored to real data, not stated constants alone. */
+    * actually runs. Gated as a q30-style CONTRACT ROW against an exact
+    * all-pairs ground truth BOUNDED to the vec_id < 500 subset — at the
+    * gate SF that subset IS the whole corpus (sf0.01 ships exactly 500
+    * vectors), so the gate's strength is the full quadratic contract,
+    * while at scale dirs the twin stays O(500²) and the timed work
+    * remains the FULL-corpus LSH path (materialized through a tracked
+    * persist BEFORE the subset filters — otherwise Catalyst pushes the
+    * id bounds into the candidate join and the bench would time the
+    * 500-vector subgraph instead of the operator; the r11–r13 scaling
+    * exponents for this entry, BASELINE, were measured on exactly that
+    * full-corpus plan). Contract: zero false positives on the subset
+    * (anti-join recount), recall ≥ 0.5 over the subset's exact pairs
+    * (the DedupSpec floor, held at the gate's auto-bits point), and
+    * `n_exact` recomputed independently by DuckDB's quadratic join. */
   val q164 = GQuery("q164_embedding_neardup_lsh", (s, d) => {
-    import graft.ext.Dedup
+    import graft.ext.{Dedup, Memo}
     val e = t(s, d, "embeddings")
-    val lsh = Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.4)
-      .select(col("id_a"), col("id_b"))
-    val exact = Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.4)
+    val lsh = Memo.trackTransient(
+      Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    lsh.count() // the scale path's full-corpus work, timed here
+    val cap = 500L
+    val lshSub = lsh.where(col("id_a") < cap && col("id_b") < cap)
+    val exact = Dedup.embeddingNearDup(e.where(col("vec_id") < cap),
+        "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHits = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
+    val nHits = lshSub.join(exact, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("__hits"))
-    val nFp = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
+    val nFp = lshSub.join(exact, Seq("id_a", "id_b"), "left_anti")
       .agg(count(lit(1)).as("n_false_pos"))
     nExact.crossJoin(nHits).crossJoin(nFp)
       .select(col("n_exact"), col("n_false_pos"),
         (col("__hits").cast("double") >= col("n_exact") * 0.5).as("recall_ok"))
   },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |           FROM embeddings WHERE vec_id < 500),
            |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
            |      FROM e a JOIN e b ON a.vec_id < b.vec_id
            |      WHERE round(list_inner_product(a.v, b.v) /

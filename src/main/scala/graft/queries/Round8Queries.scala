@@ -25,9 +25,12 @@ object Round8Queries {
     * [ceil((√(8n+1)−1)/2), n] (phrase k has length ≤ k, so k phrases
     * cover ≤ k(k+1)/2 chars; and no phrase is empty), empty text parses
     * to 0 — with violations counted in-plan and stated 0. The band
-    * keep-flag semantics (ratio ∈ [0.40, 0.55], the Gopher band
-    * convention) live on in ST17/curate; Lz78Spec pins phrase counts
-    * character-for-character against an independent trie reference. */
+    * keep-flag (ratio ∈ [0.40, 0.55], the Gopher band convention) is
+    * plain SQL over the pinned count — a caller filters
+    * `lz78Ratio(text).between(0.40, 0.55)` directly; Lz78Spec pins the
+    * band's signal DIRECTION (repetition < prose < noise) and the
+    * phrase counts character-for-character against an independent trie
+    * reference. */
   val q218 = GQuery("q218_lz_compressibility", (s, d) => {
     import graft.ext.TextAnalysis
     val stats = t(s, d, "documents")
