@@ -261,8 +261,12 @@ object MinHashIndex {
       .join(broadcast(candDf), Seq("id_a"))
       .join(newSh.select(col("doc_id").as("id_b"), fpOf(col("sh")).as("fp_b")),
         Seq("id_b"))
+      // native two-pointer walk over the sorted fingerprint sets —
+      // value-identical to the array_intersect/array_union composition
+      // (SketchExprsSpec), zero per-row set/array allocation
       .select(col("id_a"), col("id_b"),
-        round(TextPrep.jaccard(col("fp_a"), col("fp_b")), 6).as("jaccard"))
+        round(org.apache.spark.sql.graft.SketchExprs
+          .jaccardSorted(col("fp_a"), col("fp_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

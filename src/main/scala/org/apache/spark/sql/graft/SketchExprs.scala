@@ -203,8 +203,67 @@ case class BloomHitCount(bf: Array[Byte], child: Expression) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Exact Jaccard over two SORTED-DISTINCT ARRAY<BIGINT> fingerprint
+  * sets (the [[graft.ext.MinHashIndex.IndexFp]] storage invariant): one
+  * two-pointer merge walk counts the intersection with ZERO allocation —
+  * `array_intersect`/`array_union` each build a hash set and materialize
+  * a result array per row, which is the dominant verify cost once the
+  * fetch is fingerprint-sized. |A∪B| = |A|+|B|−|A∩B| (both sides
+  * duplicate-free by the storage contract), 0.0 on empty union —
+  * value-identical to the `TextPrep.jaccard` composition it replaces
+  * (SketchExprsSpec pins equality on random sets + edges). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+    with Serializable {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long xv = $x.getLong($i); long yv = $y.getLong($j);
+         |  if (xv == yv) { $inter++; $i++; $j++; }
+         |  else if (xv < yv) { $i++; } else { $j++; }
+         |}
+         |int $union = $nx + $ny - $inter;
+         |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object SketchExprs {
   private def e(c: Column) = ExpressionUtils.expression(c)
+
+  /** Exact Jaccard over two sorted-distinct ARRAY<BIGINT> sets. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedJaccard(e(a), e(b)))
   def minHashSig(hashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(e(hashes), k))
   def simHash64(hashes: Column): Column =

@@ -69,6 +69,37 @@ class MinHashIndexSpec extends SparkSpec {
     } finally MinHashIndex.drop(built)
   }
 
+  test("SortedJaccard ≡ the array_intersect/array_union composition on sorted-distinct sets") {
+    import org.apache.spark.sql.graft.SketchExprs
+    val rnd = new scala.util.Random(19)
+    val sets: Seq[(Seq[Long], Seq[Long])] =
+      (1 to 60).map { _ =>
+        val universe = (0 until 40).map(_ => rnd.nextLong() % 50)
+        def pick() = rnd.shuffle(universe).take(rnd.nextInt(universe.size))
+          .distinct.sorted
+        (pick(), pick())
+      } ++ Seq(
+        (Seq.empty[Long], Seq.empty[Long]), // empty union → 0.0
+        (Seq(1L, 2L), Seq.empty[Long]),
+        (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), // identical → 1.0
+        (Seq(Long.MinValue, 0L), Seq(Long.MaxValue))) // disjoint extremes
+    val df = spark.createDataFrame(sets.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, a, b) }).toDF("i", "a", "b")
+    val out = df.select(col("i"),
+        SketchExprs.jaccardSorted(col("a"), col("b")).as("fast"),
+        TextPrep.jaccard(col("a"), col("b")).as("ref"))
+      .orderBy("i").collect()
+    out.foreach(r => assert(r.getDouble(1) === r.getDouble(2),
+      s"row ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}"))
+    // null propagation
+    import spark.implicits._
+    val withNull = Seq((Some(Seq(1L)), None: Option[Seq[Long]]))
+      .toDF("a", "b")
+      .select(SketchExprs.jaccardSorted(col("a"), col("b")).as("j"))
+      .collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
   test("pruned stored probe: identical results, band predicate pushed, over-bound fallback identical") {
     val built = MinHashIndex.build(corpus, "doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-mhp").toString
