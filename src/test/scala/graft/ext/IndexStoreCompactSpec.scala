@@ -107,6 +107,36 @@ class IndexStoreCompactSpec extends SparkSpec {
       === preSearch, "compaction changed search results")
   }
 
+  test("lshbq: compact folds q8 rows AND the float vectors table; search identical") {
+    val cut = 450L
+    val base = embeddings.where(col("vec_id") < cut)
+    val inc = embeddings.where(col("vec_id") >= cut)
+    val dir = tmp()
+    val built = LshIndex.build(base, "vec_id", "embedding", tables = 4, dim = 64)
+    IndexStore.writeLshBucketedQ8(built, base, "vec_id", "embedding", dir)
+    LshIndex.drop(built)
+    IndexStore.appendLshBucketedQ8(inc, "vec_id", "embedding", dir)
+    val probes = embeddings.where(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val pre = IndexStore.loadLshBucketedQ8(spark, dir)
+    val preRows = pre.rows.collect().toSet
+    val preVecs = pre.vectors.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).toSet
+    val preSearch = LshIndex.searchBucketedQ8(pre, probes,
+      "vec_id", "embedding", "probe_id", "pv", k = 5).collect().toSet
+    IndexStore.compact(spark, dir)
+    assertCompacted(dir)
+    val post = IndexStore.loadLshBucketedQ8(spark, dir)
+    assert(post.rows.collect().toSet === preRows,
+      "compaction changed the q8 row set")
+    assert(post.vectors.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).toSet === preVecs,
+      "compaction changed the float vectors table")
+    assert(LshIndex.searchBucketedQ8(post, probes,
+      "vec_id", "embedding", "probe_id", "pv", k = 5).collect().toSet
+      === preSearch, "compaction changed search results")
+  }
+
   test("ivf: compact folds the assignment; frozen-centroid equality holds") {
     val cut = 450L
     val base = embeddings.where(col("vec_id") < cut)
