@@ -770,6 +770,30 @@ object Layout {
       listSnapshots(spark, table).toSet - forkTag(branch))
   }
 
+  /** L19 — assign a table's head to an earlier committed snapshot (the
+    * Nessie `AssignReference` verb / Iceberg `rollback_to_snapshot`):
+    * one CAS-retried pointer update, NO data movement — at 100 TB a
+    * rollback that rewrites files is not an operation, a pointer swap
+    * is. Pointer-only means it governs the MANIFEST-reading plane —
+    * [[scanAt]]/[[readAt]]-style pruned scans, the catalog surface
+    * ([[NessieHttp]] contents/diff/history), incremental readers — the
+    * plane a real Nessie+Iceberg client plans from. Rolled-back
+    * snapshots stay in the commit log (data files keep living until
+    * [[expireSnapshots]] drops their tags), `nextSeq` never rewinds, so
+    * a later commit can NEVER reuse a rolled-back seq and history stays
+    * append-only. A caller that also wants the live Spark table's
+    * CONTENT restored composes this with
+    * `overwrite(spark, table, readAt(spark, table, tag))` — an explicit,
+    * separately-priced data-plane operation. */
+  def assignHead(spark: SparkSession, table: String, seq: Long): Unit = {
+    val root = Manifests.root(spark, table)
+    val committed = Manifests.listSnapshots(root).map(_.seq).toSet
+    require(committed.contains(seq),
+      s"$table has no committed snapshot $seq — cannot assign head")
+    Manifests.updateRefs(root)(r => r.copy(head = seq))
+    ()
+  }
+
   /** Expire snapshot tags (Iceberg `expire_snapshots`): every tag NOT in
     * `keep` is dereferenced and its name returned, then the GC reclaims
     * every data file no remaining tag and no live table state references.

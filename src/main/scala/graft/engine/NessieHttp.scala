@@ -115,8 +115,9 @@ object NessieHttp {
         }
       case ("POST", CommitPath(ref)) => commitRef(spark, table, ref, exchange)
       case ("POST", MergePath(ref)) => mergeRef(spark, table, ref, exchange)
+      case ("PUT", RefPath(ref)) => assignRef(spark, table, ref, exchange)
       case ("DELETE", RefPath(ref)) => deleteRef(spark, table, ref, exchange)
-      case ("GET" | "POST" | "DELETE", _) =>
+      case ("GET" | "POST" | "PUT" | "DELETE", _) =>
         send(exchange, 404, """{"message":"no route"}""")
       case _ => send(exchange, 405, """{"message":"method not allowed"}""")
     }
@@ -268,6 +269,41 @@ object NessieHttp {
         send(exchange, 404, s"""{"message":"${e.getMessage}"}""")
       case e: IllegalStateException if e.getMessage.contains("conflict") =>
         send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
+    }
+  }
+
+  /** `PUT /trees/{name}` or `/trees/{name}@{expectedHash}` — Nessie's
+    * AssignReference verb: move a branch's head to the snapshot named by
+    * the body's `hash` ([[Layout.assignHead]]: one CAS pointer swap, no
+    * data movement — the rollback shape that still works at 100 TB).
+    * `@expectedHash` is the optimistic-concurrency guard real Nessie
+    * puts in the path: stale → 409 with both hashes named. 404 unknown
+    * ref, 400 a hash that names no committed snapshot of that ref. */
+  private def assignRef(spark: SparkSession, table: String, refRaw: String,
+      exchange: HttpExchange): Unit = {
+    val (ref, expected) = refRaw.split("@", 2) match {
+      case Array(n, h) => (n, Some(h))
+      case _ => (refRaw, None)
+    }
+    val target = refTable(table, ref)
+    if (ref != "main" && !spark.catalog.tableExists(target)) {
+      send(exchange, 404, s"""{"message":"reference not found: $ref"}"""); return
+    }
+    val head = Manifests.loadRefs(Manifests.root(spark, target)).head
+    expected.filter(h => seqOf(h) != head) match {
+      case Some(h) =>
+        send(exchange, 409, s"""{"message":"expected hash $h is not head ${hashOf(head)}: assign conflict"}""")
+        return
+      case None => ()
+    }
+    val hash = mapper.readTree(exchange.getRequestBody).path("hash").asText("")
+    val seq = try seqOf(hash) catch { case _: NumberFormatException => -1L }
+    try {
+      Layout.assignHead(spark, target, seq)
+      send(exchange, 200, refJson(ref, "BRANCH", seq))
+    } catch {
+      case e: IllegalArgumentException =>
+        send(exchange, 400, s"""{"message":"${e.getMessage}"}""")
     }
   }
 

@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Binary-quantized (1-bit) similarity serving — N15.
+  *
+  * The tier below the int8 bundle ([[Quantize]] §1-bit scaladoc): the
+  * corpus's SHORTLIST table is sign-bit signatures at 16 bytes/vector
+  * (dim 64), 16× under the float table, and the shortlist kernel is
+  * popcount(xor) — a d-hyperplane angle estimate computed with integer
+  * instructions only. Serving is the classic two-stage shape production
+  * vector stores use for binary quantization (faiss / Lucene BQ):
+  *
+  *   1. ONE pruned-column scan of the packed signature table scores
+  *      Hamming against every (broadcast) probe signature and keeps the
+  *      `rerankFactor`·k nearest per probe — at 100 TB the stage reads
+  *      ~1.5% of the float bytes, and it is the ONLY corpus-wide pass;
+  *   2. the shortlist ids (bounded: probes × rerankFactor·k, driver-
+  *      known) push into the id-sorted float `vectors` table as an
+  *      `IN` predicate — O(shortlist) row-groups — and the exact float
+  *      cosine re-ranks the shortlist to the final top-k.
+  *
+  * Unlike LSH/IVF there is NO trained or seeded state: the signature of
+  * a vector is a pure function of the vector, so an append's rows are
+  * bit-identical to a rebuild's by definition, and the bundle carries
+  * only `dim`. Recall at a given cost point is controlled by exactly
+  * one knob (`rerankFactor`); the contract gate (q242) pins the floor.
+  *
+  * Reference tie: the reference stack serves ANN-shaped work through
+  * Trino SQL over Iceberg (hands-on-trino-iceberg-superset
+  * `compose/seed.sh`); this module is the Spark-native serving design
+  * for the same corpus at the scale where exact scan stops paying.
+  */
+object BqIndex {
+
+  /** Durable serving bundle: `sigs` (id, packed lanes) and `vectors`
+    * (id, float vec), both id-range-clustered parquet
+    * ([[IndexStore.writeBq]]). */
+  final case class Bundle(sigs: DataFrame, vectors: DataFrame, dim: Int)
+
+  /** The packed signature table for a corpus — the build (map-only). */
+  def signatures(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    corpus.select(col(idCol),
+      Quantize.binarySig(col(vecCol), dim).as("sig"))
+
+  /** In-plan two-stage BQ top-k (no stored state): Hamming shortlist of
+    * `rerankFactor`·k per probe over sign signatures computed on the
+    * fly, exact float cosine re-rank to top-k. The declarative twin of
+    * [[searchStored]] — same candidates, same scores — used by the q242
+    * spec equivalence and callers without a bundle. Excludes self-hits
+    * (id == probe id), the q24/q30 family convention. */
+  def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, dim: Int, rerankFactor: Int = 4): DataFrame = {
+    val sigs = signatures(corpus, idCol, vecCol, dim)
+    val shortlist = hammingShortlist(sigs, probes, idCol, probeIdCol,
+      probeVecCol, k * rerankFactor, dim)
+    rerank(shortlist, corpus.select(col(idCol), col(vecCol)), probes,
+      idCol, vecCol, probeIdCol, probeVecCol, k)
+  }
+
+  /** Stage 1: per-probe `keep` nearest by Hamming over a signature
+    * table (stored or in-plan). Probes are broadcast (signatures
+    * computed in the same pass); ties break on id so the shortlist is
+    * deterministic. Output: (pid, id, hamming). */
+  def hammingShortlist(sigs: DataFrame, probes: DataFrame,
+      idCol: String, probeIdCol: String, probeVecCol: String,
+      keep: Int, dim: Int): DataFrame = {
+    val psigs = probes.select(col(probeIdCol).as("pid"),
+      Quantize.binarySig(col(probeVecCol), dim).as("psig"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("hamming"), col(idCol))
+    sigs.join(broadcast(psigs), col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol),
+        Quantize.hamming(col("sig"), col("psig")).as("hamming"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= keep)
+      .drop("__rn")
+  }
+
+  /** Stage 2: exact float cosine over the shortlist only.
+    * Output: (probeIdCol, idCol, cos_sim) — the q30-family shape. */
+  private def rerank(shortlist: DataFrame, vectors: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String,
+      probeIdCol: String, probeVecCol: String, k: Int): DataFrame = {
+    val scored = vectors
+      .join(shortlist.select(col("pid"), col(idCol)), Seq(idCol))
+      .join(broadcast(probes.select(col(probeIdCol).as("pid"),
+        col(probeVecCol).as("pv"))), Seq("pid"))
+      .select(col("pid"), col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), col("pv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col("pid").as(probeIdCol), col(idCol), col("cos_sim"))
+  }
+
+  /** Serve top-k from a durable bundle: Hamming shortlist over the
+    * stored packed table, then the shortlist ids PUSH into the
+    * id-sorted float table (`IN` predicate → row-group skips) for the
+    * exact re-rank — the [[LshIndex.searchStored]] bounded-collect
+    * discipline: the shortlist is probes × rerankFactor·k rows BY
+    * CONSTRUCTION (the window caps it before the collect), so the
+    * driver materialization is bounded by the request, not the corpus;
+    * `maxCandidates` guards the contract loudly all the same. */
+  def searchStored(b: Bundle, probes: DataFrame, idCol: String,
+      vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, rerankFactor: Int = 4,
+      maxCandidates: Int = 1 << 20): DataFrame = {
+    val spark = b.sigs.sparkSession
+    val shortlist = hammingShortlist(b.sigs, probes, idCol, probeIdCol,
+      probeVecCol, k * rerankFactor, dim = b.dim)
+    val shortSchema = shortlist.schema
+    val rows = shortlist.limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"BQ shortlist exceeds maxCandidates=$maxCandidates " +
+        s"(probes × rerankFactor·k too large for one search); " +
+        "reduce the probe batch or rerankFactor")
+    val shortDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows.toIndexedSeq: _*), shortSchema)
+    val ids = rows.map(_.get(1)).distinct.toSeq
+    val fetch =
+      if (ids.isEmpty) b.vectors.where(lit(false))
+      else b.vectors.where(col(idCol).isin(ids: _*))
+    rerank(broadcast(shortDf), fetch, probes, idCol, vecCol,
+      probeIdCol, probeVecCol, k)
+  }
+
+  private val cache = Memo.unmanaged[Bundle]
+
+  /** Serving memo (lazy parquet reads — nothing cluster-side to
+    * release; the bound caps JVM state). */
+  def cached(key: String)(build: => Bundle): Bundle = cache(key)(build)
+}

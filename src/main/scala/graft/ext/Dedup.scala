@@ -311,6 +311,36 @@ object Dedup {
       .drop("component")
   }
 
+  /** [[dropNearDuplicates]] with a QUALITY keep policy — D16: inside each
+    * near-dup cluster keep the doc that maximizes `keepCol` (ties on min
+    * id) instead of the min-id one. This is what a curation pipeline
+    * actually wants: near-dup clusters usually hold one full document
+    * and several truncated/boilerplate-wrapped copies, and min-id keeps
+    * whichever crawled first — the quality-argmax policy keeps the best
+    * copy (longest, highest quality score, newest — the caller picks the
+    * column).
+    *
+    * Shape at scale: the window that picks winners runs ONLY over
+    * clustered docs (inner join against the component list — a tiny
+    * fraction of the corpus at real dup rates), never corpus-wide; the
+    * unclustered majority passes through an anti join untouched. One
+    * extra exchange on `component`, increment-sized. */
+  def dropNearDuplicatesKeepBest(docs: DataFrame, idCol: String,
+      textCol: String, keepCol: String, threshold: Double,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, threshold, shingleK,
+      numHashes, bands)
+    val comps = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", idCol)
+    val member = docs.join(comps, Seq(idCol))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(keepCol).desc, col(idCol))
+    val winners = member.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "component")
+    docs.join(comps.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(winners)
+  }
+
   /** Incremental exact dedup — the steady-state ingest shape: an incoming
     * batch is deduplicated against the already-curated corpus AND within
     * itself, in one pass. A row survives iff (a) its content key appears

@@ -415,6 +415,62 @@ object IndexStore {
       dirPointers(m)): _*)
   }
 
+  // ---- BQ (1-bit binary quantization) --------------------------------
+
+  /** Binary-quantized serving bundle ([[BqIndex]], N15): `sigs` — one
+    * packed sign-bit row per vector (⌈dim/32⌉ BIGINT lanes, 16 bytes at
+    * dim 64 — the 16×-smaller table the Hamming shortlist scans) — and
+    * the float `vectors` side only the exact re-rank tail reads, both
+    * id-range-clustered so shortlist-id predicates prune row-groups.
+    * The bundle's ONLY parameter is `dim`: the signature is a pure
+    * function of the vector (no planes, no centroids, no seed), which
+    * is what makes the append below trivially rebuild-identical. */
+  def writeBq(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, dir: String): Unit = {
+    writeMeta(dir, "kind" -> "bq", "dim" -> dim)
+    BqIndex.signatures(corpus, idCol, vecCol, dim)
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
+    corpus.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+  }
+
+  def loadBq(spark: SparkSession, dir: String): BqIndex.Bundle = {
+    val m = requireKind(dir, "bq")
+    BqIndex.Bundle(
+      spark.read.parquet(livePaths(dir, m, "sigs"): _*),
+      spark.read.parquet(livePaths(dir, m, "vectors"): _*),
+      m.get("dim").asInt())
+  }
+
+  /** Append an increment to a BQ bundle: sign-pack the new vectors
+    * (parameter-free — bit-identical to a rebuild by definition, the
+    * strongest append ≡ rebuild in the store) and stage id-sorted sig +
+    * vector slices under one token; the meta CAS is the commit point.
+    * Increments are typically contiguous high ids, so their files prune
+    * perfectly under shortlist-id predicates. */
+  def appendBq(increment: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val before = metaBytes(dir)
+    val m = requireKind(dir, "bq")
+    val token = newToken()
+    val stage = s"$dir/inc/$token"
+    BqIndex.signatures(increment, idCol, vecCol, m.get("dim").asInt())
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/sigs")
+    increment.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/vectors")
+    commitAppend(dir, stage, before, (Seq[(String, Any)]("kind" -> "bq",
+      "dim" -> m.get("dim").asInt(),
+      "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
+  }
+
   // ---- IVF ----------------------------------------------------------
 
   def writeIvf(index: IvfIndex.Index, dir: String): Unit = {
@@ -993,6 +1049,11 @@ object IndexStore {
       "lshbq" -> Seq(
         "rows" -> (df => df.repartition(col("table_id"), col("bucket"))
           .sortWithinPartitions("table_id", "bucket", df.columns(2))),
+        "vectors" -> (df => df.repartitionByRange(col(df.columns.head))
+          .sortWithinPartitions(df.columns.head))),
+      "bq" -> Seq(
+        "sigs" -> (df => df.repartitionByRange(col(df.columns.head))
+          .sortWithinPartitions(df.columns.head)),
         "vectors" -> (df => df.repartitionByRange(col(df.columns.head))
           .sortWithinPartitions(df.columns.head))),
       "ivf" -> Seq(

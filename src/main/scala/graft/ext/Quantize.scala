@@ -67,4 +67,51 @@ object Quantize {
       .filter(col("rk") <= k)
       .select(col(probeIdCol), col(idCol), col("score"), col("rk"))
   }
+
+  // ---- 1-bit (binary) quantization ----------------------------------
+  //
+  // The tier below int8: keep only each dimension's SIGN. A dim-d float
+  // vector becomes ⌈d/32⌉ packed words (d=64 → 16 bytes vs 256 float
+  // bytes, 16×), and the angular distance estimator is pure integer
+  // work: for sign vectors, popcount(xor) counts the dimensions where
+  // two vectors disagree in sign, and by the hyperplane argument
+  // P[sign disagree] = θ/π per dimension — Hamming distance is a
+  // d-sample estimate of the angle, the same estimator an LSH table
+  // with d random hyperplanes uses, except the "hyperplanes" are the
+  // coordinate axes and the signature is data-independent (append ≡
+  // rebuild bit-for-bit, no frozen plane state to carry). Production
+  // ANN serves exactly this shape (faiss/Lucene binary quantization):
+  // Hamming shortlist over the packed table, float re-rank on the
+  // shortlist only.
+  //
+  // Lane discipline: bits pack into 32-bit LANES carried as BIGINT
+  // values. Packing 64 bits per word would shift into the signed top
+  // bit, which the DuckDB twin refuses (`1::BIGINT << 63` overflows
+  // there, while Spark wraps) — 32-bit lanes make every word a small
+  // non-negative integer both engines compute identically, at the cost
+  // of 2× the (already tiny) word count. xor/bit_count over the lanes
+  // are unaffected.
+
+  /** Sign-bit signature of `vec`: ⌈dim/32⌉ BIGINT lanes, bit i of lane
+    * w set iff vec[32w+i] > 0 (strict — zeros and negatives are 0, so
+    * the packing is exactly reproducible from the floats by any
+    * engine). Codegen'd array HOFs, no UDF. */
+  def binarySig(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"binarySig needs a positive dim, got $dim")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      val n = math.min(32, dim - w * 32)
+      aggregate(
+        zip_with(slice(vec, w * 32 + 1, n), sequence(lit(0), lit(n - 1)),
+          (x, i) => when(x > lit(0d),
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc.bitwiseOR(v))
+    }: _*)
+  }
+
+  /** Hamming distance between two packed signatures:
+    * Σ popcount(a[w] xor b[w]) — integer-only, one fused HOF pass. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
 }

@@ -130,6 +130,37 @@ object TextAnalysis {
       regexp_replace(c, pat, tag)
     }
 
+  /** T24 — Unicode-SCRIPT profile: per-doc codepoint counts by script
+    * class (Latin, Han, digits, whitespace, everything else), the
+    * dominant script, and a mixed-script flag. The signal under three
+    * curation gates langid alone can't serve: (a) code-switching docs
+    * (prose legitimately mixing scripts — route to multilingual
+    * handling, don't drop), (b) mojibake / encoding damage (a "Latin"
+    * doc with a high other-count is usually broken bytes, the classic
+    * web-crawl failure), (c) CJK tokenizer routing (whitespace
+    * tokenization is wrong for Han-dominant text regardless of what the
+    * langid marker words said). One `regexp_count` pass per class —
+    * codegen'd, map-only, no UDF; Java `\p{IsX}` and RE2 `\p{X}` both
+    * implement the Unicode Script property, so the DuckDB twin counts
+    * identically (q244 pins it hash-exact at the gate). */
+  def scriptProfile(text: Column): Seq[(String, Column)] = {
+    def cnt(pat: String) = regexp_count(text, lit(pat)).cast("long")
+    val latin = cnt("\\p{IsLatin}")
+    val han = cnt("\\p{IsHan}")
+    val digit = cnt("[0-9]")
+    val space = cnt("\\s")
+    val other = length(text).cast("long") - latin - han - digit - space
+    Seq(
+      "latin_cnt" -> latin,
+      "han_cnt" -> han,
+      "digit_cnt" -> digit,
+      "space_cnt" -> space,
+      "other_cnt" -> other,
+      "script" -> when(latin === 0L && han === 0L, lit("none"))
+        .when(han > latin, lit("han")).otherwise(lit("latin")),
+      "mixed" -> (latin > 0L && han > 0L))
+  }
+
   /** Count of PII matches [[redactPii]] would scrub.
     * DuckDB twin: sum of `len(regexp_extract_all(...))` per pattern —
     * counted pattern-by-pattern on the ORIGINAL text, mirroring the

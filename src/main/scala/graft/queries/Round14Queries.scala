@@ -105,5 +105,138 @@ object Round14Queries {
            |  CAST(1 + doc_id % 4 AS BIGINT) AS n_video_chunks
            |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q238, q239, q240)
+  /** Q241 (N15, binary quantization + Hamming — the EXACT half): packed
+    * sign-bit signatures and the Hamming top-10 per probe, both
+    * recomputed end-to-end by DuckDB from the raw floats (sign packing
+    * into 32-bit lanes, popcount-of-xor, identical tie-break) — integer
+    * outputs only, hash-exact. This gates the quantizer and the
+    * shortlist kernel; q242 gates the full serve path's recall. */
+  val q241 = GQuery("q241_bq_hamming_topk", (s, d) => {
+    import graft.ext.BqIndex
+    val e = t(s, d, "embeddings")
+    val sigs = BqIndex.signatures(e, "vec_id", "embedding", dim = 64)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    BqIndex.hammingShortlist(sigs, probes, "vec_id", "probe_id", "pv",
+        keep = 10, dim = 64)
+      .select(col("pid").as("probe_id"), col("vec_id"), col("hamming"))
+      .orderBy("probe_id", "hamming", "vec_id")
+  },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sig AS (SELECT vec_id,
+           |  list_transform(range(2), w ->
+           |    list_sum(list_transform(range(32), i ->
+           |      CASE WHEN v[w*32 + i + 1] > 0 THEN (1::BIGINT << i)
+           |           ELSE 0::BIGINT END))::BIGINT) AS s
+           |  FROM e)
+           |SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+           |  CAST(bit_count(xor(p.s[1], c.s[1])) +
+           |       bit_count(xor(p.s[2], c.s[2])) AS BIGINT) AS hamming
+           |FROM sig p JOIN sig c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+           |QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           |                           ORDER BY hamming, c.vec_id) <= 10
+           |ORDER BY probe_id, hamming, vec_id""".stripMargin))
+
+  /** Q242 (N15, the SERVE half): top-10 through the durable BQ bundle —
+    * Hamming shortlist over the stored 16-byte/vector packed table,
+    * shortlist ids pushed into the id-sorted float table, exact cosine
+    * re-rank — under the q30-family recall contract (exactly k results
+    * per probe, ≥ minHits of the exact top-10; floor 2/10 with margin
+    * under the measured 4/10 minimum at the gate SF). Memoized per
+    * (session, dir): rep 1 pays build+write+load, reps 2+ price the
+    * steady serve. */
+  val q242 = GQuery("q242_bq_ann_serve", (s, d) => {
+    import graft.ext.{BqIndex, IndexStore, Similarity}
+    val e = t(s, d, "embeddings")
+    val b = BqIndex.cached(s.sparkContext.applicationId + ":bq:" + d) {
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/bq_${Registry.pathKey(d)}"
+      IndexStore.writeBq(e, "vec_id", "embedding", dim = 64, dir)
+      IndexStore.loadBq(s, dir)
+    }
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val ann = BqIndex.searchStored(b, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10, rerankFactor = 4)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id",
+      k = 10, minHits = 2.0)
+  }, Some(PipelineQueries.annContractSql))
+
+  /** Q243 (D16, quality-argmax near-dup representative): q64's
+    * end-to-end corpus near-dup removal with the keep policy a curation
+    * pipeline actually wants — inside each cluster keep the LONGEST doc
+    * (n_chars desc, ties min-id) instead of the min-id one. Summarized
+    * per language with an id-sum pinning the exact member set; oracle is
+    * q64's recursive-CTE closure with the argmax winner recomputed per
+    * component. */
+  val q243 = GQuery("q243_dedup_keep_best",
+    (s, d) => graft.ext.Dedup.dropNearDuplicatesKeepBest(
+        t(s, d, "documents"), "doc_id", "text", keepCol = "n_chars",
+        threshold = 0.8, shingleK = 3, numHashes = 128, bands = 32)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang"),
+    Some(s"""WITH RECURSIVE ${PipelineQueries.duckShingles3},
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |      WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+            |e AS (SELECT id_a AS src, id_b AS dst FROM p
+            |      UNION SELECT id_b, id_a FROM p),
+            |reach AS (
+            |  SELECT src AS node, src AS r FROM e
+            |  UNION
+            |  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node),
+            |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            |w AS (SELECT d.doc_id
+            |      FROM documents d JOIN comp c ON d.doc_id = c.node
+            |      QUALIFY row_number() OVER (PARTITION BY c.component
+            |        ORDER BY d.n_chars DESC, d.doc_id) = 1)
+            |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+            |FROM documents
+            |WHERE doc_id NOT IN (SELECT node FROM comp)
+            |   OR doc_id IN (SELECT doc_id FROM w)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Q244 (T24, Unicode-script profile): per-doc codepoint counts by
+    * script class + dominant script + mixed flag, rolled up per (lang,
+    * script, mixed) with count and latin/han sums pinning the per-doc
+    * values. Java `\p{IsX}` and RE2 `\p{X}` both implement the Unicode
+    * Script property — the hash-exact match IS the cross-engine proof. */
+  val q244 = GQuery("q244_script_profile", (s, d) => {
+    import graft.ext.TextAnalysis
+    val prof = TextAnalysis.scriptProfile(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id") +: col("lang") +:
+        prof.map { case (n, c) => c.as(n) }: _*)
+      .groupBy("lang", "script", "mixed")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("latin_cnt")).as("latin_sum"),
+        sum(col("han_cnt")).as("han_sum"),
+        sum(col("digit_cnt")).as("digit_sum"),
+        sum(col("other_cnt")).as("other_sum"))
+      .orderBy("lang", "script", "mixed")
+  },
+    Some("""WITH p AS (SELECT doc_id, lang,
+           |    len(regexp_extract_all(text, '\p{Latin}'))::BIGINT AS latin_cnt,
+           |    len(regexp_extract_all(text, '\p{Han}'))::BIGINT AS han_cnt,
+           |    len(regexp_extract_all(text, '[0-9]'))::BIGINT AS digit_cnt,
+           |    len(regexp_extract_all(text, '\s'))::BIGINT AS space_cnt,
+           |    length(text)::BIGINT AS n FROM documents),
+           |f AS (SELECT doc_id, lang, latin_cnt, han_cnt, digit_cnt,
+           |    n - latin_cnt - han_cnt - digit_cnt - space_cnt AS other_cnt,
+           |    CASE WHEN latin_cnt = 0 AND han_cnt = 0 THEN 'none'
+           |         WHEN han_cnt > latin_cnt THEN 'han'
+           |         ELSE 'latin' END AS script,
+           |    latin_cnt > 0 AND han_cnt > 0 AS mixed
+           |  FROM p)
+           |SELECT lang, script, mixed, count(*) AS n_docs,
+           |  sum(latin_cnt) AS latin_sum, sum(han_cnt) AS han_sum,
+           |  sum(digit_cnt) AS digit_sum, sum(other_cnt) AS other_sum
+           |FROM f GROUP BY lang, script, mixed
+           |ORDER BY lang, script, mixed""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q238, q239, q240, q241, q242, q243, q244)
 }

@@ -12,8 +12,11 @@ import graft.ext.{IndexStore, LshIndex}
   * converges their totals at sf10.
   *
   * `LshProbe <sfDir> [passes] [legs] [bundleRoot]`
-  *   - `legs`: comma list from {pruned, stored, bucketed, bucketedq8};
-  *     default all. One leg per invocation + a page-cache drop between
+  *   - `legs`: comma list from {pruned, stored, bucketed, bucketedq8,
+  *     bq}; default = the four LSH legs (`bq` — the N15 binary-quantized
+  *     bundle, [[graft.ext.BqIndex]] — is opt-in: its build is one
+  *     map-only pass, no shared LSH state). One leg per invocation + a
+  *     page-cache drop between
   *     invocations is how the COLD points of the two-decade table are
   *     measured (a single multi-leg run warms the FS cache for every
   *     later leg).
@@ -38,7 +41,14 @@ object LshProbe {
     val dir = s"$root/plain"
     def missing(p: String): Boolean =
       !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "meta.json"))
-    if (missing(dir) || missing(dir + "b") || missing(dir + "q")) {
+    // the BQ bundle needs no LSH build at all (data-independent
+    // signatures) — its write is one map-only pass
+    if (legs("bq") && missing(s"$root/bq")) {
+      IndexStore.writeBq(e, "vec_id", "embedding", dim = 64, s"$root/bq")
+      println(s"[lsh-probe] bq bundle ready under $root/bq")
+    }
+    if ((legs -- Set("bq")).nonEmpty &&
+        (missing(dir) || missing(dir + "b") || missing(dir + "q"))) {
       val built = LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
       if (missing(dir)) {
         IndexStore.writeLsh(built, dir)
@@ -77,6 +87,11 @@ object LshProbe {
       val bucketedQ8 = IndexStore.loadLshBucketedQ8(spark, dir + "q")
       time("searchBucketedQ8")(LshIndex.searchBucketedQ8(bucketedQ8, probes,
         "vec_id", "embedding", "probe_id", "pv", k = 10))
+    }
+    if (legs("bq")) {
+      val bq = IndexStore.loadBq(spark, s"$root/bq")
+      time("searchBq")(graft.ext.BqIndex.searchStored(bq, probes,
+        "vec_id", "embedding", "probe_id", "pv", k = 10, rerankFactor = 4))
     }
     spark.stop()
   }

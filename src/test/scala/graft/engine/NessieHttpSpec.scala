@@ -232,4 +232,54 @@ class NessieHttpSpec extends SparkSpec {
       assert(c3 === 404 && b3.get("message").asText().contains("ghost"))
     } finally server.stop()
   }
+
+  private def put(url: String, body: String): (Int, JsonNode) = {
+    val resp = client.send(HttpRequest.newBuilder(URI.create(url))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  test("PUT /trees/{ref}: assign rolls the head pointer back; guards and errors") {
+    val t = freshRefTable() // commit 0 tagged v1, commit 1 on main
+    val server = NessieHttp.start(spark, t)
+    try {
+      // roll main back to commit 0 — one pointer swap, no data movement
+      val (c1, b1) = put(server.uri("/api/v2/trees/main"),
+        s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(0L)}"}""")
+      assert(c1 === 200 &&
+        b1.at("/reference/hash").asText() === NessieHttp.hashOf(0L))
+      // the whole catalog surface now serves the rolled-back head:
+      // contents points at commit 0's manifest file...
+      val (c2, b2) = get(server.uri(s"/api/v2/trees/main/contents/$t"))
+      assert(c2 === 200 && b2.at("/content/snapshotId").asLong() === 0L)
+      val refs = Manifests.loadRefs(Manifests.root(spark, t))
+      assert(b2.at("/content/metadataLocation").asText()
+        .endsWith(refs.snapName(0L)))
+      // ...and main↔v1 diff is now EMPTY (same snapshot)
+      val (c3, b3) = get(server.uri("/api/v2/trees/v1/diff/main"))
+      assert(c3 === 200 && b3.get("diffs").size() === 0)
+      // rolled-back commit 1 stays in the log (history is append-only)
+      assert(Manifests.listSnapshots(Manifests.root(spark, t))
+        .map(_.seq).contains(1L))
+      // a NEW commit continues from nextSeq — never reuses seq 1
+      Layout.deleteWhereMor(spark, t, col("event_id") < 150L)
+      assert(Manifests.loadRefs(Manifests.root(spark, t)).head === 2L)
+      // optimistic guard: stale expectedHash → 409, head untouched
+      val (c4, b4) = put(server.uri(
+        s"/api/v2/trees/main@${NessieHttp.hashOf(0L)}"),
+        s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(1L)}"}""")
+      assert(c4 === 409 && b4.get("message").asText().contains("conflict"))
+      assert(Manifests.loadRefs(Manifests.root(spark, t)).head === 2L)
+      // matching expectedHash succeeds
+      assert(put(server.uri(s"/api/v2/trees/main@${NessieHttp.hashOf(2L)}"),
+        s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(1L)}"}""")._1 === 200)
+      assert(Manifests.loadRefs(Manifests.root(spark, t)).head === 1L)
+      // 400: a hash naming no committed snapshot; 404: unknown ref
+      assert(put(server.uri("/api/v2/trees/main"),
+        s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(77L)}"}""")._1 === 400)
+      assert(put(server.uri("/api/v2/trees/ghost"),
+        s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(0L)}"}""")._1 === 404)
+    } finally server.stop()
+  }
 }

@@ -50,6 +50,33 @@ class DedupSpec extends SparkSpec {
     assert(dropped.nonEmpty, "test corpus should contain planted near-dups")
   }
 
+  test("dropNearDuplicatesKeepBest keeps the argmax(keepCol) member per cluster") {
+    val survivors = Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", "text",
+        keepCol = "n_chars", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // expectation from the exact pair set: per component keep the
+    // longest doc (ties min id); everything unclustered survives
+    val comps = Clustering.connectedComponents(
+      docs.sparkSession.createDataFrame(
+        exactPairs.toSeq.map(p => (p._1, p._2))).toDF("id_a", "id_b"),
+      "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val winners = comps.groupBy(_._2).values.map { members =>
+      members.map(_._1).minBy(id => (-chars(id), id))
+    }.toSet
+    val clustered = comps.map(_._1).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === (allIds -- clustered) ++ winners)
+    // the policy genuinely differs from min-id keep on this corpus —
+    // otherwise the test proves nothing beyond dropNearDuplicates
+    val minIdWinners = comps.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(winners !== minIdWinners,
+      "corpus has no cluster where the longest member isn't the min id; " +
+        "pick a different keepCol to keep this spec meaningful")
+  }
+
   test("exactKeepFirst: dedup(x ++ x) == dedup(x) and keeps min id") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "text")
