@@ -147,7 +147,7 @@ object Bench {
       Seq("q190", "q236", "q238"), Seq("q191", "q233", "q237"),
       Seq("q193"), Seq("q194"), Seq("q208", "q234"), Seq("q215"),
       Seq("q219", "q223"), Seq("q225"), Seq("q226"), Seq("q227"),
-      Seq("q228", "q232"), Seq("q229"), Seq("q242"))
+      Seq("q228", "q232"), Seq("q229"), Seq("q242"), Seq("q245"))
     val warmPrefixes = warmGroups.flatten
     val warmed = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // Previous per-entry times (most recent bench_history run containing

@@ -131,9 +131,93 @@ object BqIndex {
       probeIdCol, probeVecCol, k)
   }
 
+  // ---- N16: IVF-routed BQ — the production composition ---------------
+
+  /** Routed bundle ([[IndexStore.writeIvfBq]]): trained IVF centroids
+    * (driver-pinned, k rows) route each search to `nprobe` inverted
+    * lists; the lists store PACKED signatures clustered by centroid_id
+    * (probed lists = row-group runs), and the float `vectors` side
+    * serves only the re-rank tail. This is the faiss IVF+BQ shape: BQ
+    * alone is corpus-linear over 16-byte rows (the honest trade BASELINE
+    * §Round 14 states — flat across the measured decades because the
+    * bytes are tiny, but a scan term all the same); IVF routing makes
+    * the shortlist stage sub-linear too, so the composition holds the
+    * decade law at ANY corpus size while keeping BQ's integer kernel
+    * inside the probed lists. */
+  final case class Routed(centroids: DataFrame, rows: DataFrame,
+      vectors: DataFrame, dim: Int)
+
+  /** Serve top-k from a routed bundle:
+    *
+    *   1. probe → `nprobe` nearest centroids (k-row broadcast, exact
+    *      cosine — the trained-IVF routing of q78);
+    *   2. the probed centroid ids (bounded: probes × nprobe,
+    *      driver-known) push into the centroid-clustered signature scan
+    *      as an `IN` predicate — row-group skips make the Hamming stage
+    *      read ONLY the probed lists — and each probe Hamming-scores
+    *      just its own lists (join on centroid_id against the broadcast
+    *      probe routing), keeping `rerankFactor`·k;
+    *   3. shortlist ids push into the id-sorted float table for the
+    *      exact cosine re-rank ([[searchStored]]'s stage 2 verbatim).
+    *
+    * With `nprobe` ≥ the centroid count the routing admits every list
+    * and the result is IDENTICAL to the unrouted [[topK]] (spec-pinned)
+    * — recall then degrades only through the `nprobe` knob, exactly the
+    * q31 story, with the BQ knob (`rerankFactor`) orthogonal. */
+  def searchRouted(b: Routed, probes: DataFrame, idCol: String,
+      vecCol: String, probeIdCol: String, probeVecCol: String,
+      k: Int, nprobe: Int, rerankFactor: Int = 4,
+      maxCandidates: Int = 1 << 20): DataFrame = {
+    val spark = b.rows.sparkSession
+    val routing = Similarity.nearestCentroids(
+        probes.select(col(probeIdCol),
+          col(probeVecCol).cast("array<double>").as("__pv")),
+        col(probeIdCol), col("__pv"), nprobe, b.centroids)
+      .select(col("m_id").as("pid"), col("centroid_id"))
+    // bounded by contract: probes × nprobe rows
+    val routingRows = routing.collect()
+    val cids = routingRows.map(_.get(1)).distinct.toSeq
+    val psigs = probes.select(col(probeIdCol).as("pid"),
+      Quantize.binarySig(col(probeVecCol), b.dim).as("psig"))
+    val routed = spark.createDataFrame(
+        java.util.Arrays.asList(routingRows.toIndexedSeq: _*), routing.schema)
+      .join(psigs, Seq("pid"))
+    val pruned =
+      if (cids.isEmpty) b.rows.where(lit(false))
+      else b.rows.where(col("centroid_id").isin(cids: _*))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("hamming"), col(idCol))
+    val shortlist = pruned.join(broadcast(routed), Seq("centroid_id"))
+      .where(col(idCol) =!= col("pid"))
+      .select(col("pid"), col(idCol),
+        Quantize.hamming(col("sig"), col("psig")).as("hamming"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k * rerankFactor)
+      .drop("__rn")
+    val shortSchema = shortlist.schema
+    val rows = shortlist.limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"routed BQ shortlist exceeds maxCandidates=$maxCandidates; " +
+        "reduce the probe batch, nprobe, or rerankFactor")
+    val shortDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows.toIndexedSeq: _*), shortSchema)
+    val ids = rows.map(_.get(1)).distinct.toSeq
+    val fetch =
+      if (ids.isEmpty) b.vectors.where(lit(false))
+      else b.vectors.where(col(idCol).isin(ids: _*))
+    rerank(broadcast(shortDf), fetch, probes, idCol, vecCol,
+      probeIdCol, probeVecCol, k)
+  }
+
   private val cache = Memo.unmanaged[Bundle]
 
   /** Serving memo (lazy parquet reads — nothing cluster-side to
     * release; the bound caps JVM state). */
   def cached(key: String)(build: => Bundle): Bundle = cache(key)(build)
+
+  private val routedCache = Memo.unmanaged[Routed]
+
+  /** Serving memo for the routed bundle. */
+  def cachedRouted(key: String)(build: => Routed): Routed =
+    routedCache(key)(build)
 }

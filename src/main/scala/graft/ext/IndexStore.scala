@@ -427,7 +427,6 @@ object IndexStore {
     * is what makes the append below trivially rebuild-identical. */
   def writeBq(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, dir: String): Unit = {
-    writeMeta(dir, "kind" -> "bq", "dim" -> dim)
     BqIndex.signatures(corpus, idCol, vecCol, dim)
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(idCol)
@@ -436,6 +435,10 @@ object IndexStore {
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(idCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+    // meta LAST — it is the bundle's existence marker (loads and
+    // build-if-missing callers key on it), so a build killed mid-write
+    // leaves no meta rather than a meta pointing at missing tables
+    writeMeta(dir, "kind" -> "bq", "dim" -> dim)
   }
 
   def loadBq(spark: SparkSession, dir: String): BqIndex.Bundle = {
@@ -467,6 +470,75 @@ object IndexStore {
       .sortWithinPartitions(idCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$stage/vectors")
     commitAppend(dir, stage, before, (Seq[(String, Any)]("kind" -> "bq",
+      "dim" -> m.get("dim").asInt(),
+      "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
+  }
+
+  /** IVF-routed BQ bundle ([[BqIndex.Routed]], N16 — the faiss IVF+BQ
+    * composition): trained centroids (k rows, the frozen routing
+    * parameters), packed signatures CLUSTERED by centroid_id so a
+    * search's probed lists are row-group runs under the driver-known
+    * `centroid_id IN (...)` predicate, and the float vectors id-sorted
+    * for the re-rank tail. Sub-linear shortlist (IVF's routing) over
+    * 16-byte rows (BQ's bytes): both decade levers in one layout. */
+  def writeIvfBq(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCentroids: Int, lloydIters: Int, dir: String): Unit = {
+    val idx = IvfIndex.buildTrained(corpus, idCol, vecCol, nCentroids,
+      lloydIters)
+    idx.centroids.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    idx.assignment
+      .join(BqIndex.signatures(corpus, idCol, vecCol, dim), Seq(idCol))
+      .select(col("centroid_id"), col(idCol), col("sig"))
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions("centroid_id", idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/rows")
+    IvfIndex.drop(idx)
+    corpus.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+    // meta LAST — the existence marker (see writeBq)
+    writeMeta(dir, "kind" -> "ivfbq", "dim" -> dim)
+  }
+
+  def loadIvfBq(spark: SparkSession, dir: String): BqIndex.Routed = {
+    val m = requireKind(dir, "ivfbq")
+    BqIndex.Routed(
+      pinLocal(spark.read.parquet(s"$dir/centroids")),
+      spark.read.parquet(livePaths(dir, m, "rows"): _*),
+      spark.read.parquet(livePaths(dir, m, "vectors"): _*),
+      m.get("dim").asInt())
+  }
+
+  /** Append to a routed BQ bundle: the [[appendIvf]] frozen-centroid
+    * move (assignment is a pure per-row argmin against the STORED
+    * centroids — append ≡ rebuild-with-same-centroids exactly) composed
+    * with BQ's parameter-free packing; both staged centroid-clustered
+    * under one token, the meta CAS commits them together. No retraining
+    * — list-occupancy drift under distribution shift degrades balance,
+    * never correctness, and re-clustering cadence is the operator's
+    * knob (the [[appendIvf]] story verbatim). */
+  def appendIvfBq(increment: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val before = metaBytes(dir)
+    val m = requireKind(dir, "ivfbq")
+    val token = newToken()
+    val stage = s"$dir/inc/$token"
+    val spark = increment.sparkSession
+    val centroids = pinLocal(spark.read.parquet(s"$dir/centroids"))
+    Similarity.ivfAssign(increment, idCol, vecCol, centroids)
+      .join(BqIndex.signatures(increment, idCol, vecCol,
+        m.get("dim").asInt()), Seq(idCol))
+      .select(col("centroid_id"), col(idCol), col("sig"))
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions("centroid_id", idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/rows")
+    increment.select(col(idCol), col(vecCol))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/vectors")
+    commitAppend(dir, stage, before, (Seq[(String, Any)]("kind" -> "ivfbq",
       "dim" -> m.get("dim").asInt(),
       "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
   }
@@ -1058,6 +1130,11 @@ object IndexStore {
           .sortWithinPartitions(df.columns.head))),
       "ivf" -> Seq(
         "assignment" -> cluster(Seq("centroid_id"), Seq("centroid_id"))),
+      "ivfbq" -> Seq(
+        "rows" -> (df => df.repartition(col("centroid_id"))
+          .sortWithinPartitions("centroid_id", df.columns(1))),
+        "vectors" -> (df => df.repartitionByRange(col(df.columns.head))
+          .sortWithinPartitions(df.columns.head))),
       "inverted" -> Seq(
         "postings" -> cluster(Seq("term"), Seq("term")),
         // fold the per-increment df rows to one row per term — the

@@ -238,5 +238,36 @@ object Round14Queries {
            |FROM f GROUP BY lang, script, mixed
            |ORDER BY lang, script, mixed""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q238, q239, q240, q241, q242, q243, q244)
+  /** Q245 (N16, IVF-routed BQ serve): top-10 through the stored routed
+    * bundle — trained-centroid routing (q78's operating point:
+    * 8 centroids / Lloyd 2 / nprobe 3) over centroid-clustered PACKED
+    * signatures, Hamming shortlist inside the probed lists only, float
+    * re-rank over the shortlist-id-pushed fetch — under the q30-family
+    * recall contract. The composition's recall is bounded by its two
+    * knobs independently (routing admits the lists, BQ ranks inside
+    * them); floor 1.5/10 (integer hits ⇒ ≥2 required), recall_ok
+    * measured green at sf0.001 and the sf0.01 gate. Memoized per
+    * (session, dir): rep 1 pays
+    * Lloyd+write+load, reps 2+ price the routed steady state. */
+  val q245 = GQuery("q245_ivfbq_ann_serve", (s, d) => {
+    import graft.ext.{BqIndex, IndexStore, Similarity}
+    val e = t(s, d, "embeddings")
+    val b = BqIndex.cachedRouted(s.sparkContext.applicationId + ":ivfbq:" + d) {
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/ivfbq_${Registry.pathKey(d)}"
+      IndexStore.writeIvfBq(e, "vec_id", "embedding", dim = 64,
+        nCentroids = 8, lloydIters = 2, dir)
+      IndexStore.loadIvfBq(s, dir)
+    }
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val ann = BqIndex.searchRouted(b, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10, nprobe = 3, rerankFactor = 4)
+    val exact = Similarity.bruteForceTopK(e, probes, "vec_id", "embedding",
+      "probe_id", "pv", 10)
+    Similarity.recallContract(ann, exact, "probe_id", "vec_id",
+      k = 10, minHits = 1.5)
+  }, Some(PipelineQueries.annContractSql))
+
+  val all: Seq[GQuery] = Seq(q238, q239, q240, q241, q242, q243, q244, q245)
 }

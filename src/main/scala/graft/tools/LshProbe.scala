@@ -13,9 +13,11 @@ import graft.ext.{IndexStore, LshIndex}
   *
   * `LshProbe <sfDir> [passes] [legs] [bundleRoot]`
   *   - `legs`: comma list from {pruned, stored, bucketed, bucketedq8,
-  *     bq}; default = the four LSH legs (`bq` — the N15 binary-quantized
-  *     bundle, [[graft.ext.BqIndex]] — is opt-in: its build is one
-  *     map-only pass, no shared LSH state). One leg per invocation + a
+  *     bq, ivfbq}; default = the four LSH legs (`bq`/`ivfbq` — the N15
+  *     binary-quantized bundle and its N16 IVF-routed composition,
+  *     [[graft.ext.BqIndex]] — are opt-in: no shared LSH state; ivfbq
+  *     sizes its list count √N-capped and probes a fixed ¼ fraction so
+  *     decade dirs stay comparable). One leg per invocation + a
   *     page-cache drop between
   *     invocations is how the COLD points of the two-decade table are
   *     measured (a single multi-leg run warms the FS cache for every
@@ -47,7 +49,16 @@ object LshProbe {
       IndexStore.writeBq(e, "vec_id", "embedding", dim = 64, s"$root/bq")
       println(s"[lsh-probe] bq bundle ready under $root/bq")
     }
-    if ((legs -- Set("bq")).nonEmpty &&
+    if (legs("ivfbq") && missing(s"$root/ivfbq")) {
+      // centroid count scales with the corpus (√N capped) so the probed
+      // fraction stays comparable across decade dirs
+      val n = graft.engine.TableStats.rowCountNoJob(e)
+      val k = math.max(8, math.min(256, math.sqrt(n.toDouble).toInt / 4))
+      IndexStore.writeIvfBq(e, "vec_id", "embedding", dim = 64,
+        nCentroids = k, lloydIters = 2, s"$root/ivfbq")
+      println(s"[lsh-probe] ivfbq bundle ready under $root/ivfbq ($k lists)")
+    }
+    if ((legs -- Set("bq", "ivfbq")).nonEmpty &&
         (missing(dir) || missing(dir + "b") || missing(dir + "q"))) {
       val built = LshIndex.build(e, "vec_id", "embedding", tables = 8, dim = 64)
       if (missing(dir)) {
@@ -92,6 +103,17 @@ object LshProbe {
       val bq = IndexStore.loadBq(spark, s"$root/bq")
       time("searchBq")(graft.ext.BqIndex.searchStored(bq, probes,
         "vec_id", "embedding", "probe_id", "pv", k = 10, rerankFactor = 4))
+    }
+    if (legs("ivfbq")) {
+      val rb = IndexStore.loadIvfBq(spark, s"$root/ivfbq")
+      val lists = rb.centroids.count().toInt
+      // CONSTANT nprobe over √N-scaled lists = per-probe candidates
+      // ~ nprobe·√N — the sub-linear shortlist the composition exists
+      // for (a fixed probed FRACTION would re-linearize candidates)
+      val nprobe = math.min(8, lists)
+      time(s"searchIvfBq(nprobe=$nprobe/$lists)")(
+        graft.ext.BqIndex.searchRouted(rb, probes, "vec_id", "embedding",
+          "probe_id", "pv", k = 10, nprobe = nprobe, rerankFactor = 4))
     }
     spark.stop()
   }

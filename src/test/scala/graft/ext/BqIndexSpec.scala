@@ -116,6 +116,62 @@ class BqIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/i/inc")))
   }
 
+  test("routed bundle: all-lists ≡ unrouted; append ≡ rebuild; pushdown; compact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfbq").toString
+    val full = emb
+    val probes = full.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+
+    IndexStore.writeIvfBq(full.where(col("vec_id") < 350), "vec_id",
+      "embedding", dim = 64, nCentroids = 8, lloydIters = 3, s"$dir/i")
+    IndexStore.appendIvfBq(full.where(col("vec_id") >= 350), "vec_id",
+      "embedding", s"$dir/i")
+    val b = IndexStore.loadIvfBq(spark, s"$dir/i")
+
+    // append ≡ rebuild-with-frozen-params: re-derive the expected rows
+    // from the STORED centroids over the full corpus (assignment is a
+    // pure per-row argmin; packing is parameter-free)
+    val expectRows = Similarity.ivfAssign(full, "vec_id", "embedding",
+        b.centroids)
+      .join(BqIndex.signatures(full, "vec_id", "embedding", 64), Seq("vec_id"))
+      .select(col("centroid_id"), col("vec_id"), col("sig"))
+      .orderBy("centroid_id", "vec_id").collect().toSeq
+    assert(b.rows.orderBy("centroid_id", "vec_id").collect().toSeq
+      == expectRows)
+
+    // nprobe = all lists → routing admits everything → IDENTICAL to the
+    // unrouted two-stage (same shortlist semantics, same re-rank)
+    val all = BqIndex.searchRouted(b, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10, nprobe = 8, rerankFactor = 4)
+      .orderBy("probe_id", "cos_sim", "vec_id").collect().toSeq
+    val unrouted = BqIndex.topK(full, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10, dim = 64, rerankFactor = 4)
+      .orderBy("probe_id", "cos_sim", "vec_id").collect().toSeq
+    assert(all == unrouted)
+
+    // routed (nprobe 4 of 8) still returns k rows per probe and the
+    // probed-list predicate reaches the signature scan
+    val routed = BqIndex.searchRouted(b, probes, "vec_id", "embedding",
+      "probe_id", "pv", k = 10, nprobe = 4, rerankFactor = 4)
+    val counts = routed.groupBy("probe_id").count()
+      .collect().map(_.getLong(1))
+    assert(counts.length == 5 && counts.forall(_ == 10L))
+    val plan = b.rows.where(col("centroid_id").isin(Seq(0L, 1L): _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(centroid_id"),
+      s"no pushed In filter on the rows scan:\n$plan")
+
+    // compaction folds the inc chain; all-lists serving identical
+    IndexStore.compact(spark, s"$dir/i")
+    val bc = IndexStore.loadIvfBq(spark, s"$dir/i")
+    val afterCompact = BqIndex.searchRouted(bc, probes, "vec_id",
+      "embedding", "probe_id", "pv", k = 10, nprobe = 8, rerankFactor = 4)
+      .orderBy("probe_id", "cos_sim", "vec_id").collect().toSeq
+    assert(afterCompact == all)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/i/inc")))
+  }
+
   test("recall floor vs exact brute force (rerankFactor 4, k 10)") {
     val probes = emb.where(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
