@@ -571,4 +571,165 @@ object Multimodal {
       (id, ftyp ++ box("moov", mvhd ++ traks.flatten))
     }).toDF("media_id", "media")
   }
+
+  // ------------------------------------------------------------ EXIF (M5)
+  //
+  // The metadata plane of image curation: orientation (the tag every
+  // resize/thumbnail pass must honor or ship sideways images),
+  // capture-device make (dedup/provenance grouping), capture datetime
+  // (temporal splits). EXIF is an APP1 JPEG segment carrying a TIFF
+  // structure — endianness declared per file ("II" little / "MM" big),
+  // IFD0 = a counted table of 12-byte (tag, type, count, value-or-offset)
+  // entries. Both the writer and the reader below speak REAL
+  // TIFF-in-APP1 bytes (the q116/q163 discipline: real format, real
+  // parser, corruption surfaces as exif_ok=false), and the synthesizer
+  // EXERCISES BOTH byte orders (id parity picks II vs MM) so the gate
+  // proves the endian paths, not one happy path.
+
+  final case class ExifMeta(media_id: Long, exif_ok: Boolean,
+      byte_order: String, orientation: Int, make: String, datetime: String)
+
+  private def exifTiff(id: Long): Array[Byte] = {
+    val little = id % 2 == 0
+    def u16(v: Int): Array[Byte] =
+      if (little) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long): Array[Byte] =
+      if (little) leBytes32(v)
+      else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val make = s"cam_${id % 5}"
+    val makeBytes = make.getBytes("US-ASCII") :+ 0.toByte
+    val dt = f"2024:01:${1 + id % 28}%02d 00:00:00"
+    val dtBytes = dt.getBytes("US-ASCII") :+ 0.toByte
+    // header(8) + count(2) + 3 entries(36) + nextIFD(4) = 50 → data area
+    val makeOff = 50L
+    val dtOff = makeOff + makeBytes.length
+    def entry(tag: Int, tpe: Int, count: Long,
+        value: Array[Byte]): Array[Byte] =
+      u16(tag) ++ u16(tpe) ++ u32(count) ++ value.padTo(4, 0.toByte)
+    val header = (if (little) "II" else "MM").getBytes("US-ASCII") ++
+      u16(42) ++ u32(8L)
+    // entries in ascending tag order (the TIFF requirement):
+    // 0x010F Make (ASCII @offset), 0x0112 Orientation (SHORT inline,
+    // left-justified in the 4-byte value field under either order),
+    // 0x0132 DateTime (ASCII @offset)
+    val entries =
+      entry(0x010f, 2, makeBytes.length.toLong, u32(makeOff)) ++
+        entry(0x0112, 3, 1L, u16((1 + id % 8).toInt)) ++
+        entry(0x0132, 2, dtBytes.length.toLong, u32(dtOff))
+    header ++ u16(3) ++ entries ++ u32(0L) ++ makeBytes ++ dtBytes
+  }
+
+  /** Synthesize one REAL JPEG per row with a REAL EXIF APP1 segment
+    * spliced after SOI — every field a pure function of the id (the
+    * oracle recomputes them arithmetic-only), byte order alternating
+    * II/MM by id parity. The image bytes are the JDK encoder's. */
+  def synthesizeJpegWithExif(spark: SparkSession, ids: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) { var x = 0; while (x < 8) {
+        img.setRGB(x, y, 0x808080); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val jpeg = bos.toByteArray
+      val tiff = exifTiff(id)
+      val payload = "Exif".getBytes("US-ASCII") ++
+        Array[Byte](0, 0) ++ tiff
+      val len = payload.length + 2
+      val app1 = Array(0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+      (id, jpeg.take(2) ++ app1 ++ jpeg.drop(2))
+    }).toDF("media_id", "media")
+  }
+
+  /** REAL EXIF parse: JPEG segment walk → APP1 "Exif\0\0" → TIFF header
+    * (II/MM endianness, magic 42) → IFD0 entry table → Make (0x010F,
+    * ASCII), Orientation (0x0112, SHORT, inline left-justified),
+    * DateTime (0x0132, ASCII). Every read bounds-checked; any overrun,
+    * a missing APP1, or a non-Exif APP1 yields exif_ok=false for THAT
+    * row while siblings survive — metadata damage must never fail a
+    * partition. Pure byte arithmetic, no imaging library. */
+  def exifMeta(spark: SparkSession, media: DataFrame): Dataset[ExifMeta] = {
+    import spark.implicits._
+    def fail(id: Long) = ExifMeta(id, exif_ok = false, "", 0, "", "")
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        try {
+          if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+            fail(id)
+          else {
+            // walk marker segments until APP1/Exif, SOS, or EOF
+            var off = 2
+            var tiffStart = -1
+            var tiffEnd = -1
+            while (tiffStart < 0 && off + 4 <= b.length &&
+                (b(off) & 0xff) == 0xff && (b(off + 1) & 0xff) != 0xda) {
+              val marker = b(off + 1) & 0xff
+              val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+              if (off + 2 + len > b.length)
+                throw new IllegalArgumentException("segment overruns file")
+              if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+                  new String(b, off + 4, 4, "US-ASCII") == "Exif" &&
+                  b(off + 8) == 0 && b(off + 9) == 0) {
+                tiffStart = off + 10
+                tiffEnd = off + 2 + len
+              }
+              off += 2 + len
+            }
+            if (tiffStart < 0) fail(id)
+            else {
+              val order = new String(b, tiffStart, 2, "US-ASCII")
+              require(order == "II" || order == "MM", s"bad byte order $order")
+              val little = order == "II"
+              def u16(p: Int): Int = {
+                require(p >= tiffStart && p + 2 <= tiffEnd, "u16 out of TIFF")
+                if (little) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+                else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+              }
+              def u32(p: Int): Long = {
+                require(p >= tiffStart && p + 4 <= tiffEnd, "u32 out of TIFF")
+                if (little) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+                  ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+                else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+                  ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+              }
+              require(u16(tiffStart + 2) == 42, "TIFF magic != 42")
+              val ifd = tiffStart + u32(tiffStart + 4).toInt
+              val n = u16(ifd)
+              var orientation = 0
+              var make = ""
+              var datetime = ""
+              def ascii(countIncNul: Long, valueField: Int): String = {
+                val p =
+                  if (countIncNul <= 4) valueField
+                  else tiffStart + u32(valueField).toInt
+                val len = countIncNul.toInt - 1 // strip the NUL
+                require(len >= 0 && p >= tiffStart && p + len <= tiffEnd,
+                  "ascii out of TIFF")
+                new String(b, p, len, "US-ASCII")
+              }
+              var i = 0
+              while (i < n) {
+                val e = ifd + 2 + i * 12
+                val tag = u16(e)
+                val count = u32(e + 4)
+                tag match {
+                  case 0x0112 => orientation = u16(e + 8) // left-justified
+                  case 0x010f => make = ascii(count, e + 8)
+                  case 0x0132 => datetime = ascii(count, e + 8)
+                  case _ => ()
+                }
+                i += 1
+              }
+              ExifMeta(id, exif_ok = true, order, orientation, make, datetime)
+            }
+          }
+        } catch { case _: Exception => fail(id) }
+      })
+  }
 }

@@ -269,5 +269,31 @@ object Round14Queries {
       k = 10, minHits = 1.5)
   }, Some(PipelineQueries.annContractSql))
 
-  val all: Seq[GQuery] = Seq(q238, q239, q240, q241, q242, q243, q244, q245)
+  /** Q246 (M5, REAL EXIF parse): synthesized REAL JPEGs carry a REAL
+    * TIFF-in-APP1 EXIF segment (byte order alternating II/MM by id
+    * parity — the gate proves BOTH endian paths), and the byte-walking
+    * parser recovers orientation/make/datetime. Every output is a pure
+    * function of the id, so DuckDB restates the whole table
+    * arithmetic-only — hash-exact, the q163/q240 container pattern for
+    * the metadata plane. */
+  val q246 = GQuery("q246_exif_parse", (s, d) => {
+    import graft.ext.Multimodal
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 60)
+    val media = Multimodal.synthesizeJpegWithExif(s, ids, "doc_id")
+    Multimodal.exifMeta(s, media).toDF()
+      .select(col("media_id"), col("exif_ok"), col("byte_order"),
+        col("orientation").cast("long").as("orientation"),
+        col("make"), col("datetime"))
+      .orderBy("media_id")
+  },
+    Some("""SELECT doc_id AS media_id, true AS exif_ok,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           |  'cam_' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           |  '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           |    || ' 00:00:00' AS datetime
+           |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin))
+
+  val all: Seq[GQuery] =
+    Seq(q238, q239, q240, q241, q242, q243, q244, q245, q246)
 }

@@ -208,4 +208,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).decode_ok && out(2L).rms === 0.0 && out(2L).n_samples === 4L)
     assert(!out(3L).decode_ok)
   }
+
+  test("exifMeta parses real TIFF-in-APP1 under BOTH byte orders; damage isolated per row") {
+    import spark.implicits._
+    val ids = spark.range(0, 10).toDF("doc_id")
+    val synth = Multimodal.synthesizeJpegWithExif(spark, ids, "doc_id")
+    val out = Multimodal.exifMeta(spark, synth).collect()
+      .map(m => m.media_id -> m).toMap
+    (0L until 10L).foreach { id =>
+      val m = out(id)
+      assert(m.exif_ok, s"id $id")
+      assert(m.byte_order == (if (id % 2 == 0) "II" else "MM"))
+      assert(m.orientation == (1 + id % 8).toInt)
+      assert(m.make == s"cam_${id % 5}")
+      assert(m.datetime == f"2024:01:${1 + id % 28}%02d 00:00:00")
+    }
+    // the EXIF-bearing JPEGs still DECODE as images (the splice is a
+    // valid segment, not a corruption)
+    val dec = Multimodal.decodeImages(spark, synth).collect()
+    assert(dec.forall(_.decode_ok) && dec.forall(f => f.width == 8 && f.height == 8))
+    // a plain PNG (no APP1) and a truncated APP1 fail ALONE
+    val plain = Multimodal.synthesizeImages(spark, ids.where($"doc_id" < 1), "doc_id")
+    val damaged = synth.as[(Long, Array[Byte])].map { case (id, b) =>
+      if (id == 3L) (id, b.take(12)) else (id, b) // cut inside APP1
+    }.toDF("media_id", "media").unionByName(plain)
+    val got = Multimodal.exifMeta(spark, damaged).collect()
+      .map(m => m.media_id -> m.exif_ok).toMap
+    assert(!got(3L), "truncated APP1 must fail its own row")
+    assert(got(4L) && got(5L), "siblings must survive")
+    // the plain PNG shares media_id 0 with an exif row — both rows exist,
+    // one ok and one not (damage is per-ROW, keyed by payload)
+    val zeroRows = Multimodal.exifMeta(spark, damaged).collect()
+      .filter(_.media_id == 0L).map(_.exif_ok).sorted.toSeq
+    assert(zeroRows == Seq(false, true))
+  }
 }
