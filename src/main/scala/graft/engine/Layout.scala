@@ -785,12 +785,30 @@ object Layout {
     * CONTENT restored composes this with
     * `overwrite(spark, table, readAt(spark, table, tag))` — an explicit,
     * separately-priced data-plane operation. */
-  def assignHead(spark: SparkSession, table: String, seq: Long): Unit = {
+  /** Thrown when an assign's optimistic guard loses: the head moved
+    * between the client's read and this swap. The caller maps it to the
+    * Nessie 409. */
+  final class AssignConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  def assignHead(spark: SparkSession, table: String, seq: Long,
+      expectedHead: Option[Long] = None): Unit = {
     val root = Manifests.root(spark, table)
     val committed = Manifests.listSnapshots(root).map(_.seq).toSet
     require(committed.contains(seq),
       s"$table has no committed snapshot $seq — cannot assign head")
-    Manifests.updateRefs(root)(r => r.copy(head = seq))
+    // the expectedHead guard runs INSIDE the CAS closure, against the
+    // exact refs bytes the swap targets — a commit racing between an
+    // outside check and the swap would otherwise be silently clobbered
+    // with a success (the lost update the guard exists to prevent);
+    // updateRefs re-reads per attempt, so a retry re-validates too
+    Manifests.updateRefs(root) { r =>
+      expectedHead.filter(_ != r.head).foreach { e =>
+        throw new AssignConflictException(
+          s"expected head $e is not head ${r.head}: assign conflict")
+      }
+      r.copy(head = seq)
+    }
     ()
   }
 

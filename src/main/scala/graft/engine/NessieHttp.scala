@@ -289,19 +289,26 @@ object NessieHttp {
     if (ref != "main" && !spark.catalog.tableExists(target)) {
       send(exchange, 404, s"""{"message":"reference not found: $ref"}"""); return
     }
-    val head = Manifests.loadRefs(Manifests.root(spark, target)).head
-    expected.filter(h => seqOf(h) != head) match {
-      case Some(h) =>
-        send(exchange, 409, s"""{"message":"expected hash $h is not head ${hashOf(head)}: assign conflict"}""")
-        return
-      case None => ()
-    }
+    // both hash parses map to 400 (a malformed guard hash is a client
+    // error, never a 500); the guard COMPARISON itself runs inside
+    // assignHead's CAS closure — atomic with the swap, so a commit
+    // racing past a passed outside check can no longer be clobbered
+    val expectedSeq =
+      try expected.map(seqOf)
+      catch {
+        case _: NumberFormatException =>
+          send(exchange, 400,
+            s"""{"message":"malformed expected hash: ${expected.get}"}""")
+          return
+      }
     val hash = mapper.readTree(exchange.getRequestBody).path("hash").asText("")
     val seq = try seqOf(hash) catch { case _: NumberFormatException => -1L }
     try {
-      Layout.assignHead(spark, target, seq)
+      Layout.assignHead(spark, target, seq, expectedSeq)
       send(exchange, 200, refJson(ref, "BRANCH", seq))
     } catch {
+      case e: Layout.AssignConflictException =>
+        send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
       case e: IllegalArgumentException =>
         send(exchange, 400, s"""{"message":"${e.getMessage}"}""")
     }

@@ -17,8 +17,10 @@ import graft.functions.VectorFunctions
   *
   *   1. ONE pruned-column scan of the packed signature table scores
   *      Hamming against every (broadcast) probe signature and keeps the
-  *      `rerankFactor`·k nearest per probe — at 100 TB the stage reads
-  *      ~1.5% of the float bytes, and it is the ONLY corpus-wide pass;
+  *      `rerankFactor`·k nearest per probe — the stage reads 1/16 of
+  *      the float32 bytes (16 vs 256 at dim 64; BASELINE measures
+  *      33 MB vs 501 MB at 2M vectors), and it is the ONLY corpus-wide
+  *      pass;
   *   2. the shortlist ids (bounded: probes × rerankFactor·k, driver-
   *      known) push into the id-sorted float `vectors` table as an
   *      `IN` predicate — O(shortlist) row-groups — and the exact float
@@ -112,21 +114,35 @@ object BqIndex {
       vecCol: String, probeIdCol: String, probeVecCol: String,
       k: Int, rerankFactor: Int = 4,
       maxCandidates: Int = 1 << 20): DataFrame = {
-    val spark = b.sigs.sparkSession
     val shortlist = hammingShortlist(b.sigs, probes, idCol, probeIdCol,
       probeVecCol, k * rerankFactor, dim = b.dim)
+    boundedRerank(shortlist, b.vectors, probes, idCol, vecCol,
+      probeIdCol, probeVecCol, k, maxCandidates, "BQ")
+  }
+
+  /** Shared stage-2 tail of both stored serve paths: bounded-collect
+    * the shortlist (probes × rerankFactor·k rows BY CONSTRUCTION — the
+    * window caps it before the collect; `maxCandidates` guards the
+    * contract loudly all the same), push its ids into the id-sorted
+    * float table as an `IN` predicate (row-group skips, O(shortlist)
+    * fetch), exact cosine re-rank. One copy so a fix to the guard, the
+    * empty-ids branch, or the pushdown shape can never miss a path. */
+  private def boundedRerank(shortlist: DataFrame, vectors: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String,
+      probeIdCol: String, probeVecCol: String, k: Int,
+      maxCandidates: Int, what: String): DataFrame = {
+    val spark = vectors.sparkSession
     val shortSchema = shortlist.schema
     val rows = shortlist.limit(maxCandidates + 1).collect()
     require(rows.length <= maxCandidates,
-      s"BQ shortlist exceeds maxCandidates=$maxCandidates " +
-        s"(probes × rerankFactor·k too large for one search); " +
-        "reduce the probe batch or rerankFactor")
+      s"$what shortlist exceeds maxCandidates=$maxCandidates; " +
+        "reduce the probe batch, nprobe, or rerankFactor")
     val shortDf = spark.createDataFrame(
       java.util.Arrays.asList(rows.toIndexedSeq: _*), shortSchema)
     val ids = rows.map(_.get(1)).distinct.toSeq
     val fetch =
-      if (ids.isEmpty) b.vectors.where(lit(false))
-      else b.vectors.where(col(idCol).isin(ids: _*))
+      if (ids.isEmpty) vectors.where(lit(false))
+      else vectors.where(col(idCol).isin(ids: _*))
     rerank(broadcast(shortDf), fetch, probes, idCol, vecCol,
       probeIdCol, probeVecCol, k)
   }
@@ -194,19 +210,8 @@ object BqIndex {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k * rerankFactor)
       .drop("__rn")
-    val shortSchema = shortlist.schema
-    val rows = shortlist.limit(maxCandidates + 1).collect()
-    require(rows.length <= maxCandidates,
-      s"routed BQ shortlist exceeds maxCandidates=$maxCandidates; " +
-        "reduce the probe batch, nprobe, or rerankFactor")
-    val shortDf = spark.createDataFrame(
-      java.util.Arrays.asList(rows.toIndexedSeq: _*), shortSchema)
-    val ids = rows.map(_.get(1)).distinct.toSeq
-    val fetch =
-      if (ids.isEmpty) b.vectors.where(lit(false))
-      else b.vectors.where(col(idCol).isin(ids: _*))
-    rerank(broadcast(shortDf), fetch, probes, idCol, vecCol,
-      probeIdCol, probeVecCol, k)
+    boundedRerank(shortlist, b.vectors, probes, idCol, vecCol,
+      probeIdCol, probeVecCol, k, maxCandidates, "routed BQ")
   }
 
   private val cache = Memo.unmanaged[Bundle]

@@ -142,13 +142,18 @@ object TextAnalysis {
     * langid marker words said). One `regexp_count` pass per class —
     * codegen'd, map-only, no UDF; Java `\p{IsX}` and RE2 `\p{X}` both
     * implement the Unicode Script property, so the DuckDB twin counts
-    * identically (q244 pins it hash-exact at the gate). */
+    * identically (q244 pins it hash-exact at the gate). Whitespace is
+    * the EXPLICIT class `[ \t\n\r\f]` — RE2's `\s` — rather than Java's
+    * `\s`, which also matches vertical tab U+000B: on a crawl artifact
+    * containing \x0B the two `\s` definitions would silently diverge
+    * other_cnt cross-engine (U+000B lands in `other` on both sides
+    * under the explicit class). */
   def scriptProfile(text: Column): Seq[(String, Column)] = {
     def cnt(pat: String) = regexp_count(text, lit(pat)).cast("long")
     val latin = cnt("\\p{IsLatin}")
     val han = cnt("\\p{IsHan}")
     val digit = cnt("[0-9]")
-    val space = cnt("\\s")
+    val space = cnt("[ \\t\\n\\r\\f]")
     val other = length(text).cast("long") - latin - han - digit - space
     Seq(
       "latin_cnt" -> latin,

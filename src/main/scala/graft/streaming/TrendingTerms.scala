@@ -49,6 +49,7 @@ object TrendingTerms {
       val sorted = rows.toSeq.sortBy(e => (e.tick, e.n))
       val prev = if (state.exists()) state.get() else St(0.0, Long.MinValue)
       val next = sorted.foldLeft(prev) { (s, e) =>
+        require(e.n >= 0, s"negative count for '$key' at tick ${e.tick}")
         require(e.tick >= s.lastTick || s.lastTick == Long.MinValue,
           s"tick regression for '$key': ${e.tick} < ${s.lastTick} — " +
             "late data beyond the current tick needs an upstream watermark")
@@ -58,8 +59,12 @@ object TrendingTerms {
         St(decayed + e.n, e.tick)
       }
       state.update(next)
+      // HALF_UP like the batch twin's Spark round() — math.rint is
+      // half-EVEN and would diverge by 1e-9 exactly on .5 boundaries;
+      // scores are non-negative (n ≥ 0 required above), where
+      // floor(x+0.5) IS HALF_UP
       Iterator.single(TermScore(key, next.lastTick,
-        math.rint(next.score * 1e9) / 1e9))
+        math.floor(next.score * 1e9 + 0.5) / 1e9))
     }
   }
 

@@ -16,9 +16,11 @@ import graft.ext.{IndexStore, LshIndex}
   *     bq, ivfbq}; default = the four LSH legs (`bq`/`ivfbq` — the N15
   *     binary-quantized bundle and its N16 IVF-routed composition,
   *     [[graft.ext.BqIndex]] — are opt-in: no shared LSH state; ivfbq
-  *     sizes its list count √N-capped and probes a fixed ¼ fraction so
-  *     decade dirs stay comparable). One leg per invocation + a
-  *     page-cache drop between
+  *     sizes its list count ~√N/4 capped at 256 and probes a CONSTANT
+  *     nprobe = min(8, lists) — per-probe candidates ~ nprobe·√N,
+  *     sub-linear; a fixed probed FRACTION would re-linearize them,
+  *     the protocol mistake BASELINE §Round 14 records). One leg per
+  *     invocation + a page-cache drop between
   *     invocations is how the COLD points of the two-decade table are
   *     measured (a single multi-leg run warms the FS cache for every
   *     later leg).

@@ -275,9 +275,12 @@ class NessieHttpSpec extends SparkSpec {
       assert(put(server.uri(s"/api/v2/trees/main@${NessieHttp.hashOf(2L)}"),
         s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(1L)}"}""")._1 === 200)
       assert(Manifests.loadRefs(Manifests.root(spark, t)).head === 1L)
-      // 400: a hash naming no committed snapshot; 404: unknown ref
+      // 400: a hash naming no committed snapshot; a MALFORMED guard
+      // hash (client error, not a 500); 404: unknown ref
       assert(put(server.uri("/api/v2/trees/main"),
         s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(77L)}"}""")._1 === 400)
+      assert(put(server.uri("/api/v2/trees/main@not-hex"),
+        s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(0L)}"}""")._1 === 400)
       assert(put(server.uri("/api/v2/trees/ghost"),
         s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(0L)}"}""")._1 === 404)
     } finally server.stop()
