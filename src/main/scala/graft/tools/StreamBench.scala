@@ -31,9 +31,9 @@ object StreamBench {
 
   private def drive(tag: String, spark: org.apache.spark.sql.SparkSession,
       feed: (Int, Timestamp) => Unit, out: DataFrame, batches: Int,
-      rowsPerBatch: Long): Unit = {
+      rowsPerBatch: Long, mode: String = "append"): Unit = {
     val q: StreamingQuery = out.writeStream.format("noop")
-      .outputMode("append").start()
+      .outputMode(mode).start()
     try {
       var steadyNanos = 0L
       val t0 = System.nanoTime()
@@ -183,6 +183,34 @@ object StreamBench {
           }): Unit,
           outDf, batches, docRows.length.toLong)
       } finally MinHashIndex.drop(index)
+    }
+
+    // ---- ST18: decayed trending terms (transformWithState) -----------
+    // Ingest = per-TERM aggregates of the whole corpus per batch (the
+    // shape a real feed has after its per-batch map-side count), tick =
+    // batch index, so every batch updates the ENTIRE live-term keyspace
+    // — the worst case for the state store; update-mode emission.
+    // Terms are word 3-GRAMS (the operator's stated use is spiking
+    // n-grams; the synthetic corpus's unigram vocab is ~31 words — no
+    // keyspace at all — while its 3-gram space is the real thing).
+    if (which("st18")) {
+      import graft.streaming.TrendingTerms
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val toks = split(lower(col("text")), "\\s+")
+      val termRows = docs
+        .select(explode(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      println(s"[streambench] st18 live-term keyspace: ${termRows.length}")
+      val mem = MemoryStream[TrendingTerms.TermEvent]
+      val outDf = TrendingTerms.scores(mem.toDS(), decay = 0.9).toDF()
+      drive("st18_trending", spark, (b, _) =>
+        mem.addData(termRows.toSeq.map { case (t, n) =>
+          TrendingTerms.TermEvent(t, b.toLong, n) }): Unit,
+        outDf, batches, termRows.length.toLong, mode = "update")
     }
 
     spark.stop()
