@@ -103,6 +103,11 @@ object NessieHttp {
           case None => send(exchange, 404,
             s"""{"message":"reference not found: $ref"}""")
         }
+      case ("GET", EntriesPath(ref)) =>
+        entriesJson(spark, table, ref) match {
+          case Right(body) => send(exchange, 200, body)
+          case Left(msg) => send(exchange, 404, s"""{"message":"$msg"}""")
+        }
       case ("GET", ContentsPath(ref, key)) =>
         contentsJson(spark, table, ref, key) match {
           case Right(body) => send(exchange, 200, body)
@@ -131,6 +136,7 @@ object NessieHttp {
     }
   }
   private val HistoryPath = new PathMatcher("/api/v2/trees/([^/]+)/history")
+  private val EntriesPath = new PathMatcher("/api/v2/trees/([^/]+)/entries")
   private val CommitPath = new PathMatcher("/api/v2/trees/([^/]+)/history/commit")
   private val MergePath = new PathMatcher("/api/v2/trees/([^/]+)/history/merge")
   private val RefPath = new PathMatcher("/api/v2/trees/([^/]+)")
@@ -446,6 +452,40 @@ object NessieHttp {
             root.set[ObjectNode]("effectiveReference", eff)
             Right(mapper.writeValueAsString(root))
         }
+    }
+
+  /** `GET /trees/{ref}/entries` — the key listing a catalog client
+    * walks before resolving contents (Nessie's EntriesResponse): one
+    * ICEBERG_TABLE entry for the served table when the ref has
+    * committed content, an EMPTY listing below the first commit (the
+    * ref exists; it just serves nothing yet — real Nessie's behavior
+    * for an empty branch), 404 for an unknown ref. Completes the v2
+    * READ surface: references / history / entries / contents / diff. */
+  def entriesJson(spark: SparkSession, table: String,
+      ref: String): Either[String, String] =
+    resolveRef(spark, table, ref) match {
+      case None => Left(s"reference not found: $ref")
+      case Some((tbl, tpe, seq)) =>
+        val root = mapper.createObjectNode()
+        val arr = root.putArray("entries")
+        if (seq >= 0) {
+          val e = mapper.createObjectNode()
+          val name = mapper.createObjectNode()
+          name.putArray("elements").add(table)
+          e.set[ObjectNode]("name", name)
+          e.put("type", "ICEBERG_TABLE")
+          // the content id a client correlates across refs: the served
+          // table name — one content, many ref-dependent snapshots
+          e.put("contentId", tbl)
+          arr.add(e)
+          ()
+        }
+        val eff = mapper.createObjectNode()
+        eff.put("name", ref)
+        eff.put("type", tpe)
+        if (seq >= 0) eff.put("hash", hashOf(seq)): Unit
+        root.set[ObjectNode]("effectiveReference", eff)
+        Right(mapper.writeValueAsString(root))
     }
 
   /** `GET /trees/{from}/diff/{to}` — Nessie's DiffResponse over the one

@@ -240,6 +240,33 @@ class NessieHttpSpec extends SparkSpec {
     (resp.statusCode(), mapper.readTree(resp.body()))
   }
 
+  test("GET /trees/{ref}/entries: key listing at main/tag/branch; empty branch; 404") {
+    val t = freshRefTable()
+    val server = NessieHttp.start(spark, t)
+    try {
+      val (c1, b1) = get(server.uri("/api/v2/trees/main/entries"))
+      assert(c1 === 200 && b1.get("entries").size() === 1)
+      assert(b1.at("/entries/0/name/elements/0").asText() === t)
+      assert(b1.at("/entries/0/type").asText() === "ICEBERG_TABLE")
+      assert(b1.at("/effectiveReference/hash").asText() === NessieHttp.hashOf(1L))
+      // a tag serves the same key at its own hash
+      val (c2, b2) = get(server.uri("/api/v2/trees/v1/entries"))
+      assert(c2 === 200 && b2.get("entries").size() === 1)
+      assert(b2.at("/effectiveReference/hash").asText() === NessieHttp.hashOf(0L))
+      // a FRESH fork has no committed head yet → the ref exists and
+      // lists EMPTY (real Nessie's empty-branch behavior)…
+      assert(post(server.uri("/api/v2/trees?name=etl2&type=BRANCH"))._1 === 200)
+      val (c3e, b3e) = get(server.uri("/api/v2/trees/etl2/entries"))
+      assert(c3e === 200 && b3e.get("entries").size() === 0)
+      // …and serves the key after its first branch-side commit
+      Layout.deleteWhereMor(spark, s"${t}__branch_etl2", col("event_id") < 200L)
+      val (c3, b3) = get(server.uri("/api/v2/trees/etl2/entries"))
+      assert(c3 === 200 && b3.at("/entries/0/name/elements/0").asText() === t)
+      // unknown ref → 404
+      assert(get(server.uri("/api/v2/trees/ghost/entries"))._1 === 404)
+    } finally server.stop()
+  }
+
   test("PUT /trees/{ref}: assign rolls the head pointer back; guards and errors") {
     val t = freshRefTable() // commit 0 tagged v1, commit 1 on main
     val server = NessieHttp.start(spark, t)
