@@ -294,6 +294,35 @@ object Round14Queries {
            |    || ' 00:00:00' AS datetime
            |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin))
 
+  /** Q247 (ST18's decay law, gated): the trending-terms score law
+    * score_t = Σ n_b·decay^(t−b) computed by the declarative batch twin
+    * ([[graft.streaming.TrendingTerms.scoresBatch]] — the same law the
+    * stream ≡ batch spec pins the stateful operator against) over the
+    * events table: term = event_type, tick = epoch-day of ts, n = daily
+    * count. decay = 0.5 keeps every per-term product an exact dyadic
+    * double, so both engines sum identically; the shared 1e-9 rounding
+    * is applied to bit-identical doubles on both sides. */
+  val q247 = GQuery("q247_trending_decay", (s, d) => {
+    import graft.streaming.TrendingTerms
+    import s.implicits._
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type").as("term"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("tick"))
+      .agg(count(lit(1)).as("n"))
+      .as[TrendingTerms.TermEvent]
+    TrendingTerms.scoresBatch(daily, decay = 0.5).toDF()
+      .orderBy("term", "tick")
+  },
+    Some("""WITH p AS (SELECT event_type AS term,
+           |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+           |         - DATE '1970-01-01' AS BIGINT) AS tick,
+           |    count(*) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT a.term, a.tick,
+           |  round(sum(b.n * power(0.5, a.tick - b.tick)) * 1e9) / 1e9 AS score
+           |FROM p a JOIN p b ON a.term = b.term AND b.tick <= a.tick
+           |GROUP BY a.term, a.tick ORDER BY a.term, a.tick""".stripMargin))
+
   val all: Seq[GQuery] =
-    Seq(q238, q239, q240, q241, q242, q243, q244, q245, q246)
+    Seq(q238, q239, q240, q241, q242, q243, q244, q245, q246, q247)
 }
