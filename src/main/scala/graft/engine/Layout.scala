@@ -794,20 +794,66 @@ object Layout {
   def assignHead(spark: SparkSession, table: String, seq: Long,
       expectedHead: Option[Long] = None): Unit = {
     val root = Manifests.root(spark, table)
-    val committed = Manifests.listSnapshots(root).map(_.seq).toSet
-    require(committed.contains(seq),
-      s"$table has no committed snapshot $seq — cannot assign head")
-    // the expectedHead guard runs INSIDE the CAS closure, against the
-    // exact refs bytes the swap targets — a commit racing between an
-    // outside check and the swap would otherwise be silently clobbered
-    // with a success (the lost update the guard exists to prevent);
-    // updateRefs re-reads per attempt, so a retry re-validates too
+    // EVERY guard runs INSIDE the CAS closure, against the exact refs
+    // bytes the swap targets (updateRefs re-reads per attempt, so a
+    // retry re-validates too): the expectedHead comparison (a commit
+    // racing past an outside check would be silently clobbered — the
+    // lost update the guard exists to prevent) AND the target's
+    // committed-membership / readability checks (a concurrent
+    // expireSnapshots+gc between an outside check and the swap could
+    // otherwise move head to a snapshot whose files were just dropped).
+    // Post-swap the target is safe: [[gc]] reloads refs and pins head's
+    // files, so an expiry that loses the CAS race cannot unpin it.
     Manifests.updateRefs(root) { r =>
       expectedHead.filter(_ != r.head).foreach { e =>
         throw new AssignConflictException(
           s"expected head $e is not head ${r.head}: assign conflict")
       }
+      val manifest = root.resolve(r.snapName(seq))
+      require(Files.exists(manifest),
+        s"$table has no committed snapshot $seq — cannot assign head")
+      // an untagged, non-head target is not gc-pinned: verify its data
+      // files survived any expiry that already won its own refs CAS
+      if (seq != r.head && !r.tags.values.exists(_ == seq)) {
+        val snap = Manifests.loadSnapshot(root, seq)
+        val missing = snap.files.map(_.path).filterNot(p => Files.exists(Paths.get(p)))
+        require(missing.isEmpty,
+          s"$table snapshot $seq was expired (${missing.size} data files " +
+            "reclaimed) — cannot assign head to an unreadable snapshot")
+      }
       r.copy(head = seq)
+    }
+    ()
+  }
+
+  /** L19′ — assign an existing TAG to a committed snapshot (Nessie's
+    * AssignReference on a tag ref, which the v2 spec covers alongside
+    * branches): the same CAS-guarded pointer swap as [[assignHead]],
+    * but the pointer is the tag's entry in refs.tags. Guards run inside
+    * the closure for the same atomicity reasons; fork tags (`__fork_*`)
+    * are internal branch anchors, not client-visible refs, and are
+    * refused by the HTTP layer before this is reached. */
+  def assignTag(spark: SparkSession, table: String, tag: String, seq: Long,
+      expectedSeq: Option[Long] = None): Unit = {
+    val root = Manifests.root(spark, table)
+    Manifests.updateRefs(root) { r =>
+      val cur = r.tags.getOrElse(tag,
+        throw new IllegalArgumentException(s"$table has no tag $tag"))
+      expectedSeq.filter(_ != cur).foreach { e =>
+        throw new AssignConflictException(
+          s"expected seq $e is not tag $tag's seq $cur: assign conflict")
+      }
+      val manifest = root.resolve(r.snapName(seq))
+      require(Files.exists(manifest),
+        s"$table has no committed snapshot $seq — cannot assign tag $tag")
+      if (seq != r.head && !r.tags.values.exists(_ == seq)) {
+        val snap = Manifests.loadSnapshot(root, seq)
+        val missing = snap.files.map(_.path).filterNot(p => Files.exists(Paths.get(p)))
+        require(missing.isEmpty,
+          s"$table snapshot $seq was expired (${missing.size} data files " +
+            s"reclaimed) — cannot assign tag $tag to an unreadable snapshot")
+      }
+      r.copy(tags = r.tags + (tag -> seq))
     }
     ()
   }

@@ -100,23 +100,22 @@ object NessieHttp {
       case ("GET", HistoryPath(ref)) =>
         historyJson(spark, table, ref) match {
           case Some(body) => send(exchange, 200, body)
-          case None => send(exchange, 404,
-            s"""{"message":"reference not found: $ref"}""")
+          case None => sendErr(exchange, 404, s"reference not found: $ref")
         }
       case ("GET", EntriesPath(ref)) =>
         entriesJson(spark, table, ref) match {
           case Right(body) => send(exchange, 200, body)
-          case Left(msg) => send(exchange, 404, s"""{"message":"$msg"}""")
+          case Left(msg) => sendErr(exchange, 404, msg)
         }
       case ("GET", ContentsPath(ref, key)) =>
         contentsJson(spark, table, ref, key) match {
           case Right(body) => send(exchange, 200, body)
-          case Left(msg) => send(exchange, 404, s"""{"message":"$msg"}""")
+          case Left(msg) => sendErr(exchange, 404, msg)
         }
       case ("GET", DiffPath(from, to)) =>
         diffJson(spark, table, from, to) match {
           case Right(body) => send(exchange, 200, body)
-          case Left(msg) => send(exchange, 404, s"""{"message":"$msg"}""")
+          case Left(msg) => sendErr(exchange, 404, msg)
         }
       case ("POST", CommitPath(ref)) => commitRef(spark, table, ref, exchange)
       case ("POST", MergePath(ref)) => mergeRef(spark, table, ref, exchange)
@@ -195,9 +194,9 @@ object NessieHttp {
       send(exchange, 200, refJson(name, "BRANCH", seq))
     } catch {
       case e: IllegalArgumentException if e.getMessage.contains("already exists") =>
-        send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
+        sendErr(exchange, 409, e.getMessage)
       case e: IllegalArgumentException =>
-        send(exchange, 400, s"""{"message":"${e.getMessage}"}""")
+        sendErr(exchange, 400, e.getMessage)
     }
   }
 
@@ -213,13 +212,13 @@ object NessieHttp {
       exchange: HttpExchange): Unit = {
     val target = refTable(table, ref)
     if (ref != "main" && !spark.catalog.tableExists(target)) {
-      send(exchange, 404, s"""{"message":"reference not found: $ref"}"""); return
+      sendErr(exchange, 404, s"reference not found: $ref"); return
     }
     val body = mapper.readTree(exchange.getRequestBody)
     val head = Manifests.loadRefs(Manifests.root(spark, target)).head
     val expected = Option(body.get("expectedHash")).map(_.asText())
     if (expected.exists(h => seqOf(h) != head)) {
-      send(exchange, 409, s"""{"message":"expected hash ${expected.get} is not head ${hashOf(head)}: commit conflict"}""")
+      sendErr(exchange, 409, s"expected hash ${expected.get} is not head ${hashOf(head)}: commit conflict")
       return
     }
     val message = Option(body.at("/commitMeta/message").asText(""))
@@ -252,7 +251,7 @@ object NessieHttp {
       send(exchange, 200, mapper.writeValueAsString(n))
     } catch {
       case e: Manifests.ConcurrentCommitException =>
-        send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
+        sendErr(exchange, 409, e.getMessage)
     }
   }
 
@@ -272,9 +271,9 @@ object NessieHttp {
       send(exchange, 200, refJson("main", "BRANCH", head))
     } catch {
       case e: IllegalArgumentException =>
-        send(exchange, 404, s"""{"message":"${e.getMessage}"}""")
+        sendErr(exchange, 404, e.getMessage)
       case e: IllegalStateException if e.getMessage.contains("conflict") =>
-        send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
+        sendErr(exchange, 409, e.getMessage)
     }
   }
 
@@ -284,7 +283,9 @@ object NessieHttp {
     * data movement — the rollback shape that still works at 100 TB).
     * `@expectedHash` is the optimistic-concurrency guard real Nessie
     * puts in the path: stale → 409 with both hashes named. 404 unknown
-    * ref, 400 a hash that names no committed snapshot of that ref. */
+    * ref, 400 a hash that names no committed snapshot of that ref.
+    * A name that resolves to a TAG reassigns the tag pointer instead
+    * ([[Layout.assignTag]]) — AssignReference covers both ref kinds. */
   private def assignRef(spark: SparkSession, table: String, refRaw: String,
       exchange: HttpExchange): Unit = {
     val (ref, expected) = refRaw.split("@", 2) match {
@@ -292,31 +293,42 @@ object NessieHttp {
       case _ => (refRaw, None)
     }
     val target = refTable(table, ref)
-    if (ref != "main" && !spark.catalog.tableExists(target)) {
-      send(exchange, 404, s"""{"message":"reference not found: $ref"}"""); return
+    val isBranch = ref == "main" || spark.catalog.tableExists(target)
+    // Nessie's AssignReference also covers TAG refs: a PUT whose name
+    // resolves to no branch but sits in the main table's tag map (fork
+    // tags are internal branch anchors, never client refs) reassigns
+    // the tag's pointer instead — same verb, same guards.
+    val isTag = !isBranch && !ref.startsWith("__fork_") &&
+      Manifests.loadRefs(Manifests.root(spark, table)).tags.contains(ref)
+    if (!isBranch && !isTag) {
+      sendErr(exchange, 404, s"reference not found: $ref"); return
     }
     // both hash parses map to 400 (a malformed guard hash is a client
     // error, never a 500); the guard COMPARISON itself runs inside
-    // assignHead's CAS closure — atomic with the swap, so a commit
+    // the assign CAS closure — atomic with the swap, so a commit
     // racing past a passed outside check can no longer be clobbered
     val expectedSeq =
       try expected.map(seqOf)
       catch {
         case _: NumberFormatException =>
-          send(exchange, 400,
-            s"""{"message":"malformed expected hash: ${expected.get}"}""")
+          sendErr(exchange, 400, s"malformed expected hash: ${expected.get}")
           return
       }
     val hash = mapper.readTree(exchange.getRequestBody).path("hash").asText("")
     val seq = try seqOf(hash) catch { case _: NumberFormatException => -1L }
     try {
-      Layout.assignHead(spark, target, seq, expectedSeq)
-      send(exchange, 200, refJson(ref, "BRANCH", seq))
+      if (isTag) {
+        Layout.assignTag(spark, table, ref, seq, expectedSeq)
+        send(exchange, 200, refJson(ref, "TAG", seq))
+      } else {
+        Layout.assignHead(spark, target, seq, expectedSeq)
+        send(exchange, 200, refJson(ref, "BRANCH", seq))
+      }
     } catch {
       case e: Layout.AssignConflictException =>
-        send(exchange, 409, s"""{"message":"${e.getMessage}"}""")
+        sendErr(exchange, 409, e.getMessage)
       case e: IllegalArgumentException =>
-        send(exchange, 400, s"""{"message":"${e.getMessage}"}""")
+        sendErr(exchange, 400, e.getMessage)
     }
   }
 
@@ -327,10 +339,19 @@ object NessieHttp {
       send(exchange, 400, """{"message":"cannot delete main"}"""); return
     }
     if (!spark.catalog.tableExists(refTable(table, ref))) {
-      send(exchange, 404, s"""{"message":"reference not found: $ref"}"""); return
+      sendErr(exchange, 404, s"reference not found: $ref"); return
     }
     Layout.dropBranch(spark, table, ref)
     send(exchange, 200, "{}")
+  }
+
+  /** Error body with the message as a properly-escaped JSON string value —
+    * exception messages and client-supplied path segments can contain
+    * quotes/backslashes that would otherwise yield malformed JSON. */
+  private def sendErr(exchange: HttpExchange, code: Int, msg: String): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("message", msg)
+    send(exchange, code, mapper.writeValueAsString(node))
   }
 
   private def send(exchange: HttpExchange, code: Int, body: String): Unit = {

@@ -140,18 +140,25 @@ object TextAnalysis {
     * web-crawl failure), (c) CJK tokenizer routing (whitespace
     * tokenization is wrong for Han-dominant text regardless of what the
     * langid marker words said). One `regexp_count` pass per class —
-    * codegen'd, map-only, no UDF; Java `\p{IsX}` and RE2 `\p{X}` both
-    * implement the Unicode Script property, so the DuckDB twin counts
-    * identically (q244 pins it hash-exact at the gate). Whitespace is
-    * the EXPLICIT class `[ \t\n\r\f]` — RE2's `\s` — rather than Java's
-    * `\s`, which also matches vertical tab U+000B: on a crawl artifact
-    * containing \x0B the two `\s` definitions would silently diverge
-    * other_cnt cross-engine (U+000B lands in `other` on both sides
-    * under the explicit class). */
+    * codegen'd, map-only, no UDF. Every class is an EXPLICIT
+    * codepoint-range character class, never a named Unicode property:
+    * `\p{IsLatin}` (JDK) and `\p{Latin}` (RE2) read different frozen
+    * copies of the Unicode script table, so their answers can skew by
+    * Unicode VERSION even when both are "correct" — the same
+    * divergence class as Java `\s` matching U+000B where RE2's does
+    * not (whitespace here is the explicit `[ \t\n\r\f]` for that
+    * reason). With literal ranges the count is a pure function of the
+    * codepoints on any JDK/DuckDB build, and the DuckDB twin restates
+    * the IDENTICAL ranges in RE2 `\x{...}` spelling (q244 pins it
+    * hash-exact at the gate). Coverage note: "latin" = ASCII letters +
+    * Latin-1/Extended-A/B + IPA + Latin Extended Additional; "han" =
+    * CJK Extension A + Unified Ideographs + Compatibility Ideographs —
+    * the blocks real crawl corpora actually contain; rarer historic
+    * blocks deliberately land in `other` on BOTH engines. */
   def scriptProfile(text: Column): Seq[(String, Column)] = {
     def cnt(pat: String) = regexp_count(text, lit(pat)).cast("long")
-    val latin = cnt("\\p{IsLatin}")
-    val han = cnt("\\p{IsHan}")
+    val latin = cnt("[A-Za-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02AF\\u1E00-\\u1EFF]")
+    val han = cnt("[\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAD9]")
     val digit = cnt("[0-9]")
     val space = cnt("[ \\t\\n\\r\\f]")
     val other = length(text).cast("long") - latin - han - digit - space

@@ -203,8 +203,12 @@ object Round14Queries {
   /** Q244 (T24, Unicode-script profile): per-doc codepoint counts by
     * script class + dominant script + mixed flag, rolled up per (lang,
     * script, mixed) with count and latin/han sums pinning the per-doc
-    * values. Java `\p{IsX}` and RE2 `\p{X}` both implement the Unicode
-    * Script property — the hash-exact match IS the cross-engine proof. */
+    * values. Both sides count EXPLICIT codepoint ranges (JDK `\uXXXX`
+    * here, RE2 `\x{...}` in the twin — same ranges, different
+    * spelling): named script properties (`\p{IsLatin}` vs `\p{Latin}`)
+    * read each engine's frozen Unicode table and skew by Unicode
+    * version, which is exactly what turned this row red in round 14's
+    * driver environment while passing locally. */
   val q244 = GQuery("q244_script_profile", (s, d) => {
     import graft.ext.TextAnalysis
     val prof = TextAnalysis.scriptProfile(col("text"))
@@ -220,10 +224,10 @@ object Round14Queries {
       .orderBy("lang", "script", "mixed")
   },
     Some("""WITH p AS (SELECT doc_id, lang,
-           |    len(regexp_extract_all(text, '\p{Latin}'))::BIGINT AS latin_cnt,
-           |    len(regexp_extract_all(text, '\p{Han}'))::BIGINT AS han_cnt,
+           |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{02AF}\x{1E00}-\x{1EFF}]'))::BIGINT AS latin_cnt,
+           |    len(regexp_extract_all(text, '[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAD9}]'))::BIGINT AS han_cnt,
            |    len(regexp_extract_all(text, '[0-9]'))::BIGINT AS digit_cnt,
-           |    len(regexp_extract_all(text, '\s'))::BIGINT AS space_cnt,
+           |    len(regexp_extract_all(text, '[ \t\n\r\f]'))::BIGINT AS space_cnt,
            |    length(text)::BIGINT AS n FROM documents),
            |f AS (SELECT doc_id, lang, latin_cnt, han_cnt, digit_cnt,
            |    n - latin_cnt - han_cnt - digit_cnt - space_cnt AS other_cnt,

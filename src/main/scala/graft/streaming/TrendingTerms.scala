@@ -36,7 +36,17 @@ object TrendingTerms {
 
   private final case class St(score: Double, lastTick: Long)
 
-  class Processor(decay: Double)
+  /** `strict = true` turns a cross-batch tick regression into a query
+    * failure. The DEFAULT is lenient: a late row (tick < the key's
+    * lastTick — data that outran the upstream watermark) is CLAMPED to
+    * lastTick and folded in with decay^0, i.e. it still counts but
+    * earns no retroactive decay credit, and the query keeps running.
+    * Strict mode must stay opt-in because the failure is persistent,
+    * not transient: after a restart the checkpoint replays the same
+    * late batch, the same require throws again, and the query is
+    * permanently wedged until its state is discarded — one late record
+    * must never poison a checkpoint. */
+  class Processor(decay: Double, strict: Boolean = false)
       extends StatefulProcessor[String, TermEvent, TermScore] {
     @transient private var state: ValueState[St] = _
 
@@ -50,13 +60,16 @@ object TrendingTerms {
       val prev = if (state.exists()) state.get() else St(0.0, Long.MinValue)
       val next = sorted.foldLeft(prev) { (s, e) =>
         require(e.n >= 0, s"negative count for '$key' at tick ${e.tick}")
-        require(e.tick >= s.lastTick || s.lastTick == Long.MinValue,
+        if (strict) require(e.tick >= s.lastTick || s.lastTick == Long.MinValue,
           s"tick regression for '$key': ${e.tick} < ${s.lastTick} — " +
             "late data beyond the current tick needs an upstream watermark")
+        val tick =
+          if (s.lastTick != Long.MinValue && e.tick < s.lastTick) s.lastTick
+          else e.tick
         val decayed =
           if (s.lastTick == Long.MinValue) 0.0
-          else s.score * math.pow(decay, (e.tick - s.lastTick).toDouble)
-        St(decayed + e.n, e.tick)
+          else s.score * math.pow(decay, (tick - s.lastTick).toDouble)
+        St(decayed + e.n, tick)
       }
       state.update(next)
       // HALF_UP like the batch twin's Spark round() — math.rint is
@@ -70,11 +83,12 @@ object TrendingTerms {
 
   /** Update-mode decayed scores keyed by term; one row per term per
     * batch it appears in, carrying the score as of its latest tick. */
-  def scores(events: Dataset[TermEvent], decay: Double): Dataset[TermScore] = {
+  def scores(events: Dataset[TermEvent], decay: Double,
+      strict: Boolean = false): Dataset[TermScore] = {
     require(decay > 0.0 && decay <= 1.0, s"decay must be in (0,1], got $decay")
     implicit val enc: Encoder[TermScore] = Encoders.product[TermScore]
     events.groupByKey(_.term)(Encoders.STRING)
-      .transformWithState(new Processor(decay), TimeMode.None(),
+      .transformWithState(new Processor(decay, strict), TimeMode.None(),
         OutputMode.Update(), enc)
   }
 

@@ -197,10 +197,14 @@ object StreamBench {
       import graft.streaming.TrendingTerms
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val toks = split(lower(col("text")), "\\s+")
+      // stage toks and drop <3-token docs FIRST: sequence(0, n-3) on a
+      // 2-token doc is the descending [0,-1], whose -1 index makes
+      // slice throw ("SQL array indices start at 1") and kills the leg
       val termRows = docs
-        .select(explode(transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3))))).as("term"))
+        .select(split(lower(col("text")), "\\s+").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(explode(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))).as("term"))
         .where(length(col("term")) > 0)
         .groupBy("term").agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -312,4 +312,51 @@ class NessieHttpSpec extends SparkSpec {
         s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(0L)}"}""")._1 === 404)
     } finally server.stop()
   }
+
+  test("PUT /trees/{tag}: AssignReference covers tags; guards; fork tags stay internal") {
+    val t = freshRefTable() // commit 0 tagged v1, commit 1 on main
+    val server = NessieHttp.start(spark, t)
+    try {
+      // reassign tag v1 from commit 0 to commit 1 — type TAG in the echo
+      val (c1, b1) = put(server.uri("/api/v2/trees/v1"),
+        s"""{"type":"TAG","hash":"${NessieHttp.hashOf(1L)}"}""")
+      assert(c1 === 200 && b1.at("/reference/type").asText() === "TAG" &&
+        b1.at("/reference/hash").asText() === NessieHttp.hashOf(1L))
+      assert(Manifests.loadRefs(Manifests.root(spark, t)).tags("v1") === 1L)
+      // the catalog surface follows: v1's contents now serve commit 1
+      val (c2, b2) = get(server.uri(s"/api/v2/trees/v1/contents/$t"))
+      assert(c2 === 200 && b2.at("/content/snapshotId").asLong() === 1L)
+      // optimistic guard on the TAG pointer: stale (v1 is at 1, not 0) → 409
+      val (c3, b3) = put(server.uri(s"/api/v2/trees/v1@${NessieHttp.hashOf(0L)}"),
+        s"""{"type":"TAG","hash":"${NessieHttp.hashOf(0L)}"}""")
+      assert(c3 === 409 && b3.get("message").asText().contains("conflict"))
+      // matching guard rolls it back
+      assert(put(server.uri(s"/api/v2/trees/v1@${NessieHttp.hashOf(1L)}"),
+        s"""{"type":"TAG","hash":"${NessieHttp.hashOf(0L)}"}""")._1 === 200)
+      assert(Manifests.loadRefs(Manifests.root(spark, t)).tags("v1") === 0L)
+      // 400 a hash naming no committed snapshot; fork tags are internal
+      // branch anchors, never client-assignable refs → 404
+      assert(put(server.uri("/api/v2/trees/v1"),
+        s"""{"type":"TAG","hash":"${NessieHttp.hashOf(77L)}"}""")._1 === 400)
+      assert(post(server.uri("/api/v2/trees?name=etl3&type=BRANCH"))._1 === 200)
+      assert(put(server.uri("/api/v2/trees/__fork_etl3"),
+        s"""{"type":"TAG","hash":"${NessieHttp.hashOf(0L)}"}""")._1 === 404)
+    } finally server.stop()
+  }
+
+  test("error bodies JSON-escape client-supplied segments and exception text") {
+    val t = freshRefTable()
+    val server = NessieHttp.start(spark, t)
+    try {
+      // a malformed guard hash containing a double quote is echoed in the
+      // error message — the body must still parse as JSON (mapper.readTree
+      // in put() throws on malformed bodies, so reaching the assert IS the
+      // proof) with the quote intact in the message value
+      val enc = java.net.URLEncoder.encode("""no"hex\""", "UTF-8")
+      val (c, b) = put(server.uri(s"/api/v2/trees/main@$enc"),
+        s"""{"type":"BRANCH","hash":"${NessieHttp.hashOf(0L)}"}""")
+      assert(c === 400)
+      assert(b.get("message").asText() === """malformed expected hash: no"hex\""")
+    } finally server.stop()
+  }
 }

@@ -64,4 +64,30 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(empty.isEmpty)
   }
+
+  test("scriptProfile counts explicit codepoint ranges on a CJK/Latin-ext/edge fixture") {
+    // The q244 gate's sf corpus is ASCII-only, so it cannot exercise the
+    // ranges that went red in round 14 (JDK-vs-RE2 Unicode-table skew on
+    // \p{IsLatin}/\p{Latin}). This fixture does: Han ideographs, accented
+    // Latin (script Latin, É U+00C9 / ü U+00FC), a Latin Extended
+    // Additional char (ḡ U+1E21), × U+00D7 (NOT script Latin — excluded
+    // from the range class on both engines), vertical tab U+000B (Java \s
+    // but NOT the explicit whitespace class → lands in `other`), and a
+    // digit. Expected counts are hand-derived pure codepoint arithmetic —
+    // any future drift back to named property classes breaks this pin.
+    val doc = "caf\u00C9 \u00FC\u1E21 3\u00D7 \u4E2D\u6587\u3400ok\u000B"
+    val prof = TextAnalysis.scriptProfile(col("text")).toMap
+    val r = Seq(doc).toDF("text")
+      .select(prof("latin_cnt").as("l"), prof("han_cnt").as("h"),
+        prof("digit_cnt").as("d"), prof("space_cnt").as("s"),
+        prof("other_cnt").as("o"), prof("script").as("sc"), prof("mixed").as("m"))
+      .collect().head
+    assert(r.getLong(0) === 8L) // c a f É ü ḡ o k
+    assert(r.getLong(1) === 3L) // 中 文 㐀
+    assert(r.getLong(2) === 1L) // 3
+    assert(r.getLong(3) === 3L) // three U+0020; U+000B is NOT whitespace here
+    assert(r.getLong(4) === 2L) // × and U+000B
+    assert(r.getString(5) === "latin")
+    assert(r.getBoolean(6))
+  }
 }

@@ -59,4 +59,38 @@ class TrendingTermsSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("a late cross-batch row is clamped, not fatal — the query survives and stays exact after it") {
+    // Default (lenient) mode: a tick regression across batches — data
+    // that outran the upstream watermark — folds in at the key's current
+    // tick with decay^0 instead of throwing. Strict mode's throw would
+    // persist across checkpoint restarts (same batch replays, same
+    // throw), so one late record must never poison the query.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TermEvent]
+    val q = scores(in.toDS(), decay = 0.5).writeStream.format("memory")
+      .queryName("trending_late").outputMode("update").start()
+    try {
+      in.addData(TermEvent("spark", 2L, 4L)); q.processAllAvailable()
+      // LATE: tick 0 arrives after tick 2 was folded — clamp to tick 2,
+      // weight 1·decay^0: score 4 + 1 = 5, lastTick stays 2
+      in.addData(TermEvent("spark", 0L, 1L)); q.processAllAvailable()
+      // normal resumption: tick 4 decays the clamped state by 0.5²
+      in.addData(TermEvent("spark", 4L, 2L)); q.processAllAvailable()
+      // memory sink accumulates one row per batch the key emitted in;
+      // the late batch re-emits tick 2 with the clamped score
+      val got = spark.table("trending_late").as[TermScore].collect().toSet
+      assert(got === Set(TermScore("spark", 2L, 4.0),
+        TermScore("spark", 2L, 5.0), TermScore("spark", 4L, 3.25)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
