@@ -307,17 +307,16 @@ object Bench {
           (badReadings.contains(entrySpan(n)) ||
             badReadings.contains(entrySpan(n) + 1)) => n }
     val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (suspects.nonEmpty) {
-      val maxWall = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WALL", "545").toDouble
+    val repairVerdicts = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def repairPass(toFix: Seq[String], maxWall: Double, label: String): Unit = {
       val warmCost = warmed.toMap
       def elapsed = (System.nanoTime() - wallT0) / 1e9
-      System.err.println(f"[bench] canary flagged ${badReadings.size} " +
-        f"readings (floor $canaryFloor%.2f) — re-timing ${suspects.size} " +
-        "bracketed entries within the wall budget")
+      System.err.println(f"[bench] $label: re-timing ${toFix.size} " +
+        f"bracketed entries (wall budget $maxWall%.0f, elapsed $elapsed%.0f)")
       // stateless suspects first (no rebuild cost), then grouped ones
       // ordered cheapest-group-first; each entry is skipped — loudly —
       // if its estimated cost would cross the wall budget
-      val (grouped, free) = suspects.partition(groupOf.contains)
+      val (grouped, free) = toFix.partition(groupOf.contains)
       val orderedGroups = grouped.groupBy(groupOf).toSeq.sortBy { case (_, ns) =>
         ns.map(n => warmCost.getOrElse(n, 0.0) +
           timedBuf(n).filter(_ >= 0).map(math.abs).minOption.getOrElse(0.0)).sum
@@ -355,6 +354,28 @@ object Bench {
         graft.ext.Memo.clearAllRegistered()
       }
       runCanary() // post-repair reading, visible in the artifact
+      repairVerdicts += toFix.forall(retimed.contains)
+    }
+    if (suspects.nonEmpty) {
+      val maxWall = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WALL", "545").toDouble
+      System.err.println(f"[bench] canary flagged ${badReadings.size} " +
+        f"readings (floor $canaryFloor%.2f) across ${suspects.size} entries")
+      repairPass(suspects, maxWall, "repair-1")
+      // ---- BOUNDED RETRY (VERDICT r14 Next-round #2) --------------
+      // Round 14's driver artifact shipped canary_ok:false because the
+      // first repair hit the 545 s wall with part of the queue
+      // unrepaired (wall_s 545.1, 30/57 retimed). One more pass over
+      // exactly the UNREPAIRED remainder runs under an extended budget
+      // (still inside the driver window round 10's 753 s run survived)
+      // before the artifact is written; BOTH passes' verdicts are
+      // recorded under canary.repair_verdicts. A verdict still false
+      // after the retry is emitted honestly — a host contended for the
+      // entire window cannot be timed clean by insisting.
+      if (!repairVerdicts.last) {
+        val maxWall2 =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WALL_RETRY", "660").toDouble
+        repairPass(suspects.filterNot(retimed.contains), maxWall2, "repair-2")
+      }
     }
     val canaryOk = badReadings.isEmpty || suspects.forall(retimed.contains)
     val timed: Seq[(String, Seq[Double])] = timedBuf.toSeq
@@ -382,6 +403,7 @@ object Bench {
       if (canary.size >= 2 && canary.min > 0) canary.max / canary.min else 0.0
     val contendedJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val repairVerdictsJson = repairVerdicts.mkString("[", ",", "]")
     // residency attribution: which entries were timed with a shared
     // memo family resident (grouped by warm group)
     val residentJson = groups.zipWithIndex.map { case (g, i) =>
@@ -411,7 +433,7 @@ object Bench {
     val driftJson =
       s"""{"n_compared":${deltaPairs.size},"worst":$driftWorst}"""
     val wallS = (System.nanoTime() - wallT0) / 1e9
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"warm_groups":$residentJson,"resident_families":$residentOfJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson},"canary_ok":$canaryOk,"delta_vs_last_run":$deltas,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"warm_groups":$residentJson,"resident_families":$residentOfJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"delta_vs_last_run":$deltas,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; at 230 entries the full
     // per-query line is ~10 KB and the tail has truncated it mid-map two
     // rounds running (BENCH_r08/r09 `parsed: null`). Persist the full line
@@ -434,7 +456,7 @@ object Bench {
       "q24_cosine_topk")
     val hq = results.filter(r => headlines.contains(r._1))
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson},"canary_ok":$canaryOk,"drift":$driftJson,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"drift":$driftJson,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
     // Stop Spark BEFORE the final prints: the driver parses the LAST stdout
     // line as JSON, and shutdown must not be able to interleave output
     // after it (build.sbt already strips sbt's own [info]/[success] noise).

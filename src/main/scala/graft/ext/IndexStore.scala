@@ -543,6 +543,69 @@ object IndexStore {
       "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
   }
 
+  // ---- perceptual image hashes (N17) --------------------------------
+
+  /** Durable pHash near-dup bundle: the id-sorted hash table (the
+    * verify side) plus a PRE-BANDED table clustered by (band, value) —
+    * a probe's candidate buckets are contiguous row-group runs, the
+    * [[writeLshBucketed]] layout transplanted to Hamming space. Hashing
+    * is per-row pure (no trained state), so append ≡ rebuild is
+    * bit-identical by construction, the [[writeBq]] class. */
+  def writePhash(spark: SparkSession, media: DataFrame, dir: String,
+      maxDist: Int, bands: Int): Unit = {
+    require(maxDist < bands,
+      s"banded recall guarantee needs maxDist < bands: $maxDist >= $bands")
+    val h = ImageHash.hashes(spark, media).toDF().where(col("decode_ok"))
+    h.select("media_id", "phash", "dhash")
+      .repartitionByRange(col("media_id"))
+      .sortWithinPartitions("media_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/hashes")
+    phashBanded(spark, s"$dir/hashes" :: Nil, bands)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
+    // meta LAST — the existence marker (see writeBq)
+    writeMeta(dir, "kind" -> "phash", "maxDist" -> maxDist, "bands" -> bands)
+  }
+
+  private def phashBanded(spark: SparkSession, hashPaths: Seq[String],
+      bands: Int): DataFrame =
+    spark.read.parquet(hashPaths: _*)
+      .select(col("media_id").as("corpus_id"),
+        explode(ImageHash.bandCols(col("phash"), bands)).as("b"))
+      .select(col("b.band").as("band"), col("b.value").as("value"),
+        col("corpus_id"))
+      .repartition(col("band"))
+      .sortWithinPartitions("band", "value")
+
+  def loadPhash(spark: SparkSession, dir: String): ImageHash.Bundle = {
+    val m = requireKind(dir, "phash")
+    ImageHash.Bundle(
+      spark.read.parquet(livePaths(dir, m, "hashes"): _*),
+      spark.read.parquet(livePaths(dir, m, "bands"): _*),
+      m.get("maxDist").asInt(), m.get("bands").asInt())
+  }
+
+  /** Append new images: hash the increment (pure per-row — identical
+    * to what a rebuild would compute) and stage hash + band slices
+    * under one token; the meta CAS is the commit point. */
+  def appendPhash(spark: SparkSession, increment: DataFrame,
+      dir: String): Unit = {
+    val before = metaBytes(dir)
+    val m = requireKind(dir, "phash")
+    val token = newToken()
+    val stage = s"$dir/inc/$token"
+    val h = ImageHash.hashes(spark, increment).toDF().where(col("decode_ok"))
+    h.select("media_id", "phash", "dhash")
+      .repartitionByRange(col("media_id"))
+      .sortWithinPartitions("media_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/hashes")
+    phashBanded(spark, s"$stage/hashes" :: Nil, m.get("bands").asInt())
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/bands")
+    commitAppend(dir, stage, before, (Seq[(String, Any)]("kind" -> "phash",
+      "maxDist" -> m.get("maxDist").asInt(),
+      "bands" -> m.get("bands").asInt(),
+      "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
+  }
+
   // ---- IVF ----------------------------------------------------------
 
   def writeIvf(index: IvfIndex.Index, dir: String): Unit = {

@@ -36,7 +36,8 @@ object Registry {
       CorpusQueries.all ++ SurfaceQueries.all ++ Round5Queries.all ++
       Round6Queries.all ++ Round7Queries.all ++ Round7bQueries.all ++
       Round8Queries.all ++ Round10Queries.all ++ Round11Queries.all ++
-      Round12Queries.all ++ Round13Queries.all ++ Round14Queries.all
+      Round12Queries.all ++ Round13Queries.all ++ Round14Queries.all ++
+      Round15Queries.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-15 declared queries: perceptual image hashing + image-content
+  * near-dup (M6/D17/N17 — the multimodal-pipeline stage VERDICT r14
+  * ranked first among what's missing), gated hash-exact through the
+  * closed-form cosine-mode fixture ([[graft.ext.ImageHash
+  * .synthesizePatterned]]: the q239 "DuckDB recomputes codec-free"
+  * discipline pushed all the way to the hash bits). */
+object Round15Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Shared oracle prelude: the fixture's closed-form hash bits.
+    * bit_k(id) = [((id div 4)·37 + k·101) mod 7 < 3] XOR [k < id mod 4]
+    * — the margin argument in the synthesizer's scaladoc is what makes
+    * the ENGINE's decode→resample→DCT→sign pipeline provably land on
+    * these bits, so the oracle never touches a codec or a DCT. */
+  private val bitsCte =
+    """ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 48),
+      |ks AS (SELECT unnest(generate_series(0, 62)) AS k),
+      |bits AS (SELECT media_id, k,
+      |    ((((media_id // 4) * 37 + k * 101) % 7 < 3) <> (k < media_id % 4)) AS bit
+      |  FROM ids, ks)""".stripMargin
+
+  /** Q248 (M6, perceptual hash): 63-bit sign-rule pHash of every
+    * fixture image through the REAL JDK decode path, hash-exact against
+    * the closed form, plus the brightness-invariance contract the
+    * operator exists for — a +1-luma re-encode of every image pHashes
+    * IDENTICALLY (the dropped DC absorbs the shift; every AC sign holds
+    * its ±512 margin). dHash is deliberately NOT in this contract
+    * column: the cosine fixture makes some adjacent 9×8 grid cells
+    * ANALYTICALLY equal, so their gradient bits sit on an FP knife edge
+    * no margin argument covers — dHash's shift invariance is pinned in
+    * ImageHashSpec on a gradient fixture built for it instead. */
+  val q248 = GQuery("q248_phash", (s, d) => {
+    import graft.ext.ImageHash
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 48)
+    val h = ImageHash.hashes(s,
+      ImageHash.synthesizePatterned(s, ids, "doc_id")).toDF()
+    val hs = ImageHash.hashes(s,
+      ImageHash.synthesizePatterned(s, ids, "doc_id", brightnessDelta = 1)).toDF()
+      .select(col("media_id"), col("phash").as("phash_s"))
+    h.join(hs, "media_id")
+      .select(col("media_id"), col("decode_ok"), col("phash"),
+        (col("phash") === col("phash_s")).as("shift_ok"))
+      .orderBy("media_id")
+  },
+    Some(s"""WITH $bitsCte
+            |SELECT media_id, true AS decode_ok,
+            |  CAST(sum(CASE WHEN bit THEN 1::BIGINT << k ELSE 0::BIGINT END)
+            |       AS BIGINT) AS phash,
+            |  true AS shift_ok
+            |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin))
+
+  /** Q249 (D17, image near-dup): all pairs at pHash Hamming distance
+    * ≤ 7 via the banded bucket join (8 bands — pigeonhole recall 1.0
+    * for d ≤ 7, never all-pairs). The fixture's group/variant
+    * construction guarantees ground-truth near pairs (within-group
+    * distances ≤ 3); the oracle recomputes EVERY pairwise distance from
+    * the closed-form bits, so band recall, the verify tail, and the
+    * distances are all hash-exact. */
+  val q249 = GQuery("q249_phash_neardup", (s, d) => {
+    import graft.ext.ImageHash
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 48)
+    val h = ImageHash.hashes(s,
+      ImageHash.synthesizePatterned(s, ids, "doc_id")).toDF()
+      .where(col("decode_ok"))
+    ImageHash.nearDupPairs(h, "media_id", "phash", maxDist = 7, bands = 8)
+      .orderBy("id_a", "id_b")
+  },
+    Some(s"""WITH $bitsCte,
+            |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+            |        CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+            |             AS BIGINT) AS dist
+            |      FROM bits a JOIN bits b
+            |        ON a.k = b.k AND a.media_id < b.media_id
+            |      GROUP BY 1, 2)
+            |SELECT id_a, id_b, dist FROM p WHERE dist <= 7
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Q250 (N17, stored-bundle serve): image near-dup through the
+    * durable pHash bundle — corpus ids <40 written, 40–47 APPENDED
+    * through the staged-token CAS (hashing is per-row pure, so the
+    * append is bit-identical to a rebuild by construction), then probe
+    * images 24–47 banded against the stored (band,value)-clustered
+    * table with the exact-Hamming verify tail. Memoized per (session,
+    * dir): rep 1 pays build+append+load, reps 2+ price steady serving.
+    * The oracle recomputes every probe×corpus distance from the
+    * closed-form bits — the append path, the stored band layout, and
+    * the serve join all have to agree with it to stay hash-exact. */
+  val q250 = GQuery("q250_phash_bundle_search", (s, d) => {
+    import graft.ext.{ImageHash, IndexStore}
+    val ids = t(s, d, "documents").select(col("doc_id"))
+    val b = ImageHash.cached(s.sparkContext.applicationId + ":phash:" + d) {
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/phash_${Registry.pathKey(d)}"
+      IndexStore.writePhash(s, ImageHash.synthesizePatterned(s,
+        ids.where(col("doc_id") < 40), "doc_id"), dir, maxDist = 7, bands = 8)
+      IndexStore.appendPhash(s, ImageHash.synthesizePatterned(s,
+        ids.where(col("doc_id") >= 40 && col("doc_id") < 48), "doc_id"), dir)
+      IndexStore.loadPhash(s, dir)
+    }
+    val probes = ImageHash.synthesizePatterned(s,
+      ids.where(col("doc_id") >= 24 && col("doc_id") < 48), "doc_id")
+    ImageHash.searchBundle(s, b, probes)
+      .orderBy("probe_id", "corpus_id")
+  },
+    Some(s"""WITH $bitsCte,
+            |p AS (SELECT a.media_id AS probe_id, b.media_id AS corpus_id,
+            |        CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+            |             AS BIGINT) AS dist
+            |      FROM bits a JOIN bits b
+            |        ON a.k = b.k AND a.media_id >= 24
+            |          AND b.media_id <> a.media_id
+            |      GROUP BY 1, 2)
+            |SELECT probe_id, corpus_id, dist FROM p WHERE dist <= 7
+            |ORDER BY probe_id, corpus_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q248, q249, q250)
+}
