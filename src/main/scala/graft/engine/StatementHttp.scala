@@ -1,0 +1,268 @@
+package graft.engine
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The Trino v1 client wire protocol (`POST /v1/statement` + `nextUri`
+  * paging) served over [[Lakehouse.sql]] — the actual HTTP surface the
+  * reference's OWN clients speak: the seed CLI
+  * (`/root/reference/compose/seed.sh:6-26` drives `trino --server
+  * http://trino:8080`, which is this protocol underneath) and
+  * Superset's SQLAlchemy driver (`compose/superset/entrypoint.sh:8-12`,
+  * same endpoint). With this front an UNMODIFIED Trino-protocol client
+  * can drive the engine's query plane, statement for statement.
+  *
+  * Protocol (public Trino client-protocol docs, `docs/src/main/sphinx/
+  * develop/client-protocol.md` in the Trino repo):
+  *
+  *   - `POST /v1/statement` with the SQL text as the body registers the
+  *     query and answers `{id, infoUri, nextUri, stats.state=QUEUED}`.
+  *   - The client GETs `nextUri` until it disappears. The first
+  *     executing GET runs the statement (through [[TrinoSql.toSpark]],
+  *     the dialect mapping layer) and pages the result: every page
+  *     carries `columns` (name + Trino type) and `data` (JSON row
+  *     arrays — the CSV-compatible shape seed.sh's `--output-format
+  *     CSV` renders), the last page drops `nextUri` and reports
+  *     FINISHED.
+  *   - A failed statement answers a page with `error` {message,
+  *     errorCode, errorName, errorType} and state FAILED — and no
+  *     nextUri, so clients stop paging.
+  *   - `DELETE` on the nextUri path abandons the query (204).
+  *
+  * Scale discipline: results are paged (`pageSize` rows per GET), and a
+  * statement whose result exceeds `maxRows` FAILS loudly instead of
+  * buffering a cluster-sized result on the driver — the wire protocol
+  * is the interactive/BI plane; bulk delivery is
+  * [[Lakehouse.deliverCsv]]'s distributed write. Query registry is
+  * in-memory per server (the engine is the coordinator); entries drop
+  * on the final page, DELETE, or failure.
+  */
+object StatementHttp {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Server(http: HttpServer, port: Int) {
+    def stop(): Unit = http.stop(0)
+    def uri(path: String): String = s"http://127.0.0.1:$port$path"
+  }
+
+  private final case class QueryState(id: String, slug: String, sql: String,
+      var rows: Array[Row] = null, var schema: StructType = null,
+      var failed: Option[Throwable] = None)
+
+  def start(spark: SparkSession, port: Int = 0, pageSize: Int = 1000,
+      maxRows: Int = 1000000): Server = {
+    val queries = new java.util.concurrent.ConcurrentHashMap[String, QueryState]()
+    val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val server = Server(http, 0)
+    http.createContext("/v1/statement", (exchange: HttpExchange) => {
+      try route(spark, exchange, queries, counter, http.getAddress.getPort,
+        pageSize, maxRows)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val n = mapper.createObjectNode()
+          n.put("message", s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          send(exchange, 500, mapper.writeValueAsString(n))
+      }
+    })
+    http.start()
+    Server(http, http.getAddress.getPort)
+  }
+
+  private val ExecPath = "/v1/statement/executing/([^/]+)/([^/]+)/(\\d+)".r
+
+  private def route(spark: SparkSession, exchange: HttpExchange,
+      queries: java.util.concurrent.ConcurrentHashMap[String, QueryState],
+      counter: java.util.concurrent.atomic.AtomicLong, port: Int,
+      pageSize: Int, maxRows: Int): Unit = {
+    val path = exchange.getRequestURI.getPath
+    (exchange.getRequestMethod, path) match {
+      case ("POST", "/v1/statement") =>
+        val sql = new String(exchange.getRequestBody.readAllBytes(), UTF_8).trim
+        if (sql.isEmpty) { sendErr(exchange, 400, "SQL statement is empty"); return }
+        val id = f"graft_${System.currentTimeMillis()}%d_${counter.incrementAndGet()}%05d"
+        val slug = java.util.UUID.randomUUID().toString.take(8)
+        queries.put(id, QueryState(id, slug, sql))
+        val n = mapper.createObjectNode()
+        n.put("id", id)
+        n.put("infoUri", s"http://127.0.0.1:$port/ui/query/$id")
+        n.put("nextUri", s"http://127.0.0.1:$port/v1/statement/executing/$id/$slug/0")
+        stats(n, "QUEUED", queued = true)
+        send(exchange, 200, mapper.writeValueAsString(n))
+      case ("GET", ExecPath(id, slug, tokenStr)) =>
+        val q = queries.get(id)
+        if (q == null || q.slug != slug) {
+          sendErr(exchange, 404, s"query not found: $id"); return
+        }
+        send(exchange, 200, page(spark, q, tokenStr.toLong, port, pageSize,
+          maxRows, queries))
+      case ("DELETE", ExecPath(id, slug, _)) =>
+        val q = queries.get(id)
+        if (q == null || q.slug != slug) {
+          sendErr(exchange, 404, s"query not found: $id"); return
+        }
+        queries.remove(id)
+        exchange.sendResponseHeaders(204, -1)
+        exchange.close()
+      case _ => sendErr(exchange, 404, "no route")
+    }
+  }
+
+  /** One paging step. Token 0 EXECUTES the statement (synchronously —
+    * the engine is its own coordinator; clients see QUEUED only on the
+    * POST echo, matching a fast-coordinator Trino) and serves the first
+    * page; token t serves rows [t·pageSize, (t+1)·pageSize). */
+  private def page(spark: SparkSession, q: QueryState, token: Long,
+      port: Int, pageSize: Int, maxRows: Int,
+      queries: java.util.concurrent.ConcurrentHashMap[String, QueryState]): String = {
+    if (q.rows == null && q.failed.isEmpty) {
+      try {
+        val df = Lakehouse.sql(spark, TrinoSql.toSpark(q.sql))
+        val collected = df.limit(maxRows + 1).collect()
+        if (collected.length > maxRows)
+          throw new IllegalStateException(
+            s"result exceeds the wire-protocol bound ($maxRows rows) — " +
+              "use the CSV delivery plane for bulk results")
+        q.rows = collected
+        q.schema = df.schema
+      } catch { case scala.util.control.NonFatal(e) => q.failed = Some(e) }
+    }
+    val n = mapper.createObjectNode()
+    n.put("id", q.id)
+    n.put("infoUri", s"http://127.0.0.1:$port/ui/query/${q.id}")
+    q.failed match {
+      case Some(e) =>
+        val err = mapper.createObjectNode()
+        err.put("message", String.valueOf(e.getMessage))
+        err.put("errorCode", 1)
+        err.put("errorName", e.getClass.getSimpleName)
+        err.put("errorType", "USER_ERROR")
+        n.set[ObjectNode]("error", err)
+        stats(n, "FAILED", queued = false)
+        queries.remove(q.id)
+      case None =>
+        n.set[ArrayNode]("columns", columnsJson(q.schema))
+        val from = (token * pageSize).toInt.max(0)
+        val until = math.min(q.rows.length, from + pageSize)
+        if (from < until) {
+          val data = mapper.createArrayNode()
+          var i = from
+          while (i < until) {
+            val r = mapper.createArrayNode()
+            val row = q.rows(i)
+            var c = 0
+            while (c < q.schema.length) {
+              appendValue(r, row.get(c), q.schema(c).dataType); c += 1
+            }
+            data.add(r)
+            i += 1
+          }
+          n.set[ArrayNode]("data", data)
+        }
+        if (until < q.rows.length) {
+          n.put("nextUri",
+            s"http://127.0.0.1:$port/v1/statement/executing/${q.id}/${q.slug}/${token + 1}")
+          stats(n, "RUNNING", queued = false)
+        } else {
+          stats(n, "FINISHED", queued = false)
+          queries.remove(q.id)
+        }
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  private def stats(n: ObjectNode, state: String, queued: Boolean): Unit = {
+    val s = mapper.createObjectNode()
+    s.put("state", state)
+    s.put("queued", queued)
+    s.put("scheduled", !queued)
+    n.set[ObjectNode]("stats", s)
+    ()
+  }
+
+  /** Spark → Trino type names (the `columns` entries a CLI renders). */
+  private[engine] def trinoType(dt: DataType): String = dt match {
+    case LongType => "bigint"
+    case IntegerType => "integer"
+    case ShortType => "smallint"
+    case ByteType => "tinyint"
+    case DoubleType => "double"
+    case FloatType => "real"
+    case BooleanType => "boolean"
+    case StringType => "varchar"
+    case _: TimestampType => "timestamp(3)"
+    case DateType => "date"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case BinaryType => "varbinary"
+    case a: ArrayType => s"array(${trinoType(a.elementType)})"
+    case m: MapType => s"map(${trinoType(m.keyType)},${trinoType(m.valueType)})"
+    case other => other.simpleString
+  }
+
+  private def columnsJson(schema: StructType): ArrayNode = {
+    val cols = mapper.createArrayNode()
+    schema.foreach { f =>
+      val c = mapper.createObjectNode()
+      c.put("name", f.name)
+      c.put("type", trinoType(f.dataType))
+      val sig = mapper.createObjectNode()
+      sig.put("rawType", trinoType(f.dataType).takeWhile(_ != '('))
+      sig.set[ArrayNode]("arguments", mapper.createArrayNode())
+      c.set[ObjectNode]("typeSignature", sig)
+      cols.add(c)
+    }
+    cols
+  }
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+
+  /** JSON data-cell encoding: numbers as numbers, timestamps in Trino's
+    * `yyyy-MM-dd HH:mm:ss.SSS` text form, everything CSV-compatible. */
+  private def appendValue(arr: ArrayNode, v: Any, dt: DataType): Unit = {
+    if (v == null) { arr.addNull(); return }
+    (dt, v) match {
+      case (LongType, x: java.lang.Long) => arr.add(x.longValue())
+      case (IntegerType, x: java.lang.Integer) => arr.add(x.intValue())
+      case (ShortType, x: java.lang.Short) => arr.add(x.intValue())
+      case (ByteType, x: java.lang.Byte) => arr.add(x.intValue())
+      case (DoubleType, x: java.lang.Double) => arr.add(x.doubleValue())
+      case (FloatType, x: java.lang.Float) => arr.add(x.floatValue())
+      case (BooleanType, x: java.lang.Boolean) => arr.add(x.booleanValue())
+      case (StringType, x: String) => arr.add(x)
+      case (_: TimestampType, x: java.sql.Timestamp) =>
+        arr.add(tsFmt.format(x.toLocalDateTime))
+      case (DateType, x: java.sql.Date) => arr.add(x.toString)
+      case (_: DecimalType, x: java.math.BigDecimal) => arr.add(x)
+      case (at: ArrayType, x: scala.collection.Seq[_]) =>
+        val inner = mapper.createArrayNode()
+        x.foreach(e => appendValue(inner, e, at.elementType))
+        arr.add(inner)
+      case (_, x) => arr.add(String.valueOf(x))
+    }
+    ()
+  }
+
+  private val UTF_8 = StandardCharsets.UTF_8
+
+  private def sendErr(exchange: HttpExchange, code: Int, msg: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("message", msg)
+    send(exchange, code, mapper.writeValueAsString(n))
+  }
+
+  private def send(exchange: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    exchange.sendResponseHeaders(code, bytes.length.toLong)
+    val os = exchange.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

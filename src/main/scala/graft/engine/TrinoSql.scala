@@ -1,0 +1,103 @@
+package graft.engine
+
+/** Trino → Spark SQL dialect mapping for the [[StatementHttp]] wire
+  * front — exactly the constructs the reference's own clients emit
+  * (`/root/reference/compose/seed.sh:65-118` statements; Superset's
+  * SQLAlchemy probing, `compose/superset/entrypoint.sh:8-12`), nothing
+  * more. Spark 4 already parses most of the overlap verbatim
+  * (`INTERVAL '1' DAY * expr`, `!=`, `||`, CASE-on-expr,
+  * `current_timestamp`), so the shim is five deterministic rewrites,
+  * all QUOTE-AWARE (string literals pass through untouched):
+  *
+  *  1. `iceberg.` catalog prefix → the session catalog. Trino names the
+  *     catalog in `iceberg.properties`; here the engine IS the catalog,
+  *     so `iceberg.demo.events` resolves as `demo.events`.
+  *  2. bare `varchar` → `STRING` (Spark requires a length on VARCHAR;
+  *     `varchar(n)` is kept verbatim).
+  *  3. `FROM UNNEST(expr) AS t(n)` → `FROM (SELECT explode(expr) AS n)
+  *     AS t` — the single-column row-generator shape seed.sh uses
+  *     (balanced-paren scan, so nested `sequence(1, 200)` survives).
+  *  4. `CREATE SCHEMA ... WITH (location = '...')` → the clause is
+  *     dropped: Trino's `WITH (...)` names object-store table
+  *     properties; the engine's warehouse dir governs location.
+  *  5. `SHOW CATALOGS` → a literal relation listing `iceberg` — the
+  *     alias this front serves the session catalog under (the readiness
+  *     probe at seed.sh:49 greps for it) — plus `spark_catalog`.
+  */
+object TrinoSql {
+
+  def toSpark(sql: String): String = {
+    val t = sql.trim.stripSuffix(";").trim
+    if (t.toUpperCase.matches("SHOW\\s+CATALOGS"))
+      return "SELECT * FROM VALUES ('iceberg'), ('spark_catalog') AS t(catalog)"
+    var s = mapOutsideQuotes(t) { seg =>
+      seg.replaceAll("(?i)\\biceberg\\.", "")
+        .replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "STRING")
+    }
+    s = rewriteUnnest(s)
+    if (s.toUpperCase.startsWith("CREATE SCHEMA"))
+      s = s.replaceAll("(?is)\\s+WITH\\s*\\(.*\\)\\s*$", "")
+    s
+  }
+
+  /** Apply `f` to the segments of `s` OUTSIDE single-quoted literals
+    * (Trino escapes a quote by doubling it — `''` stays inside). */
+  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inQuote && c == '\'') {
+        out ++= f(seg.toString); seg.clear()
+        out += c; inQuote = true; i += 1
+      } else if (inQuote) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out += '\''; i += 1 }
+          else inQuote = false
+        }
+        i += 1
+      } else { seg += c; i += 1 }
+    }
+    out ++= f(seg.toString)
+    out.toString
+  }
+
+  /** `UNNEST( <balanced> ) AS <alias>(<col>)` →
+    * `(SELECT explode(<balanced>) AS <col>) AS <alias>`. */
+  private def rewriteUnnest(s: String): String = {
+    val up = s.toUpperCase
+    val at = up.indexOf("UNNEST")
+    if (at < 0) return s
+    var i = at + "UNNEST".length
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length || s.charAt(i) != '(') return s
+    val open = i
+    var depth = 0
+    var inQuote = false
+    while (i < s.length && (depth > 0 || i == open)) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    val inner = s.substring(open + 1, i - 1)
+    val tail = s.substring(i)
+    val AliasRx = "(?is)^\\s*AS\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*\\(\\s*([A-Za-z_][A-Za-z_0-9]*)\\s*\\)".r
+    AliasRx.findFirstMatchIn(tail) match {
+      case Some(m) =>
+        val (alias, colName) = (m.group(1), m.group(2))
+        val rest = tail.substring(m.end)
+        rewriteUnnest(s.substring(0, at) +
+          s"(SELECT explode($inner) AS $colName) AS $alias" + rest)
+      case None => s
+    }
+  }
+}

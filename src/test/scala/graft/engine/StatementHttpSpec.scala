@@ -1,0 +1,163 @@
+package graft.engine
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.SparkSpec
+
+/** The Trino v1 wire protocol over a REAL socket: the verbatim
+  * statement sequence the reference's seed client emits
+  * (`/root/reference/compose/seed.sh:32-118`, post-shell-unquoting —
+  * exactly the bytes `trino --execute` POSTs to `/v1/statement`),
+  * driven end-to-end: readiness probes, schema + five tables created
+  * and populated, the q03 union verification read back over paging. */
+class StatementHttpSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  /** Protocol walker — what the Trino CLI does under the hood: POST the
+    * statement, follow nextUri until it disappears, accumulate data. */
+  private def run(server: StatementHttp.Server, sql: String)
+      : (Seq[String], Seq[Seq[JsonNode]], JsonNode) = {
+    val post = client.send(HttpRequest.newBuilder(URI.create(server.uri("/v1/statement")))
+      .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(post.statusCode() === 200)
+    var node = mapper.readTree(post.body())
+    assert(node.at("/stats/state").asText() === "QUEUED")
+    val rows = Seq.newBuilder[Seq[JsonNode]]
+    var cols: Seq[String] = Seq.empty
+    var pages = 0
+    var last = node
+    while (node.hasNonNull("nextUri")) {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(node.get("nextUri").asText())).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      node = mapper.readTree(r.body())
+      last = node
+      pages += 1
+      assert(pages < 10000, "runaway paging")
+      if (node.has("columns"))
+        cols = (0 until node.get("columns").size())
+          .map(i => node.at(s"/columns/$i/name").asText())
+      if (node.has("data"))
+        (0 until node.get("data").size()).foreach { i =>
+          val row = node.at(s"/data/$i")
+          rows += (0 until row.size()).map(row.get)
+        }
+    }
+    (cols, rows.result(), last)
+  }
+
+  test("the verbatim seed.sh statement sequence drives the engine over the socket") {
+    val server = StatementHttp.start(spark)
+    try {
+      // readiness probes (seed.sh:33, :49)
+      val (_, one, s1) = run(server, "SELECT 1")
+      assert(one === Seq(Seq(mapper.getNodeFactory.numberNode(1))) ||
+        one.map(_.map(_.asInt())) === Seq(Seq(1)))
+      assert(s1.at("/stats/state").asText() === "FINISHED")
+      val (_, cats, _) = run(server, "SHOW CATALOGS")
+      assert(cats.map(_.head.asText()).contains("iceberg"))
+      // the statement sequence, byte-for-byte what the CLI posts
+      // (seed.sh:65-115 with the shell's '\'' unquoted to ')
+      val statements = Seq(
+        "CREATE SCHEMA IF NOT EXISTS iceberg.demo WITH (location='s3://warehouse/demo/');",
+        "DROP TABLE IF EXISTS iceberg.demo.events;",
+        "CREATE TABLE iceberg.demo.events (id bigint, ts timestamp, event_type varchar, payload varchar, user_id bigint, amount double);",
+        "INSERT INTO iceberg.demo.events SELECT n AS id, current_timestamp - INTERVAL '1' DAY * (n % 30), CASE (n % 5) WHEN 0 THEN 'click' WHEN 1 THEN 'purchase' WHEN 2 THEN 'view' WHEN 3 THEN 'login' ELSE 'logout' END, 'Event ' || CAST(n AS varchar), (n % 50) + 1, (n * 10.5) + 100.0 FROM UNNEST(sequence(1, 200)) AS t(n);",
+        "DROP TABLE IF EXISTS iceberg.demo.users;",
+        "CREATE TABLE iceberg.demo.users (user_id bigint, username varchar, email varchar, created_at timestamp, country varchar, active boolean);",
+        "INSERT INTO iceberg.demo.users SELECT n AS user_id, 'user' || CAST(n AS varchar), 'user' || CAST(n AS varchar) || '@example.com', current_timestamp - INTERVAL '1' DAY * (n % 90), CASE (n % 10) WHEN 0 THEN 'US' WHEN 1 THEN 'UK' WHEN 2 THEN 'DE' WHEN 3 THEN 'FR' WHEN 4 THEN 'CA' WHEN 5 THEN 'AU' WHEN 6 THEN 'JP' WHEN 7 THEN 'BR' WHEN 8 THEN 'IN' ELSE 'MX' END, n % 3 != 0 FROM UNNEST(sequence(1, 50)) AS t(n);",
+        "DROP TABLE IF EXISTS iceberg.demo.orders;",
+        "CREATE TABLE iceberg.demo.orders (order_id bigint, user_id bigint, product_id bigint, quantity integer, price double, order_date timestamp, status varchar);",
+        "INSERT INTO iceberg.demo.orders SELECT n AS order_id, (n % 50) + 1, (n % 20) + 1, (n % 5) + 1, (n * 15.75) + 50.0, current_timestamp - INTERVAL '1' DAY * (n % 60), CASE (n % 4) WHEN 0 THEN 'completed' WHEN 1 THEN 'pending' WHEN 2 THEN 'shipped' ELSE 'cancelled' END FROM UNNEST(sequence(1, 150)) AS t(n);",
+        "DROP TABLE IF EXISTS iceberg.demo.products;",
+        "CREATE TABLE iceberg.demo.products (product_id bigint, name varchar, category varchar, price double, stock integer, created_at timestamp);",
+        "INSERT INTO iceberg.demo.products SELECT n AS product_id, 'Product ' || CAST(n AS varchar), CASE (n % 5) WHEN 0 THEN 'Electronics' WHEN 1 THEN 'Clothing' WHEN 2 THEN 'Books' WHEN 3 THEN 'Home' ELSE 'Sports' END, (n * 25.50) + 10.0, (n * 10) + 50, current_timestamp - INTERVAL '1' DAY * n FROM UNNEST(sequence(1, 20)) AS t(n);",
+        "DROP TABLE IF EXISTS iceberg.demo.transactions;",
+        "CREATE TABLE iceberg.demo.transactions (transaction_id bigint, user_id bigint, amount double, currency varchar, transaction_type varchar, timestamp timestamp, status varchar);",
+        "INSERT INTO iceberg.demo.transactions SELECT n AS transaction_id, (n % 50) + 1, (n * 12.34) + 5.0, CASE (n % 3) WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'GBP' END, CASE (n % 3) WHEN 0 THEN 'payment' WHEN 1 THEN 'refund' ELSE 'transfer' END, current_timestamp - INTERVAL '1' HOUR * (n % 720), CASE (n % 10) WHEN 0 THEN 'failed' ELSE 'success' END FROM UNNEST(sequence(1, 300)) AS t(n);")
+      statements.foreach { stmt =>
+        val (_, _, fin) = run(server, stmt)
+        assert(fin.at("/stats/state").asText() === "FINISHED", s"statement failed: $stmt")
+      }
+      // the verification union (seed.sh:118) — the q03 read-back
+      val (cols, rows, _) = run(server,
+        "SELECT 'events' AS table_name, count(*) AS rows FROM iceberg.demo.events UNION ALL SELECT 'users', count(*) FROM iceberg.demo.users UNION ALL SELECT 'orders', count(*) FROM iceberg.demo.orders UNION ALL SELECT 'products', count(*) FROM iceberg.demo.products UNION ALL SELECT 'transactions', count(*) FROM iceberg.demo.transactions ORDER BY table_name;")
+      assert(cols === Seq("table_name", "rows"))
+      assert(rows.map(r => (r(0).asText(), r(1).asLong())) === Seq(
+        "events" -> 200L, "orders" -> 150L, "products" -> 20L,
+        "transactions" -> 300L, "users" -> 50L))
+    } finally server.stop()
+  }
+
+  test("paging: a multi-page result streams through nextUri with stable columns") {
+    val server = StatementHttp.start(spark, pageSize = 100)
+    try {
+      val (cols, rows, last) = run(server,
+        "SELECT n, n * 2 AS d FROM UNNEST(sequence(1, 250)) AS t(n) ORDER BY n")
+      assert(cols === Seq("n", "d"))
+      assert(rows.size === 250)
+      assert(rows.head.map(_.asLong()) === Seq(1L, 2L))
+      assert(rows.last.map(_.asLong()) === Seq(250L, 500L))
+      assert(last.at("/stats/state").asText() === "FINISHED")
+    } finally server.stop()
+  }
+
+  test("failure: a bad statement answers error + FAILED and stops paging; oversized results refuse") {
+    val server = StatementHttp.start(spark, maxRows = 100)
+    try {
+      val (_, _, fail) = run(server, "SELECT FROM nothing WHERE")
+      assert(fail.at("/stats/state").asText() === "FAILED")
+      assert(fail.at("/error/errorType").asText() === "USER_ERROR")
+      assert(!fail.hasNonNull("nextUri"))
+      val (_, _, big) = run(server,
+        "SELECT n FROM UNNEST(sequence(1, 200)) AS t(n)")
+      assert(big.at("/stats/state").asText() === "FAILED")
+      assert(big.at("/error/message").asText().contains("wire-protocol bound"))
+    } finally server.stop()
+  }
+
+  test("type mapping: Trino column types for the core Spark types") {
+    val server = StatementHttp.start(spark)
+    try {
+      val post = client.send(HttpRequest.newBuilder(URI.create(server.uri("/v1/statement")))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT CAST(1 AS bigint) a, CAST(1 AS int) b, 1.5 c, 'x' d, true e, current_timestamp f, CAST(1.5 AS decimal(10,2)) g"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      var node = mapper.readTree(post.body())
+      while (node.hasNonNull("nextUri") && !node.has("columns"))
+        node = mapper.readTree(client.send(HttpRequest.newBuilder(
+          URI.create(node.get("nextUri").asText())).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+      val types = (0 until node.get("columns").size())
+        .map(i => node.at(s"/columns/$i/type").asText())
+      assert(types === Seq("bigint", "integer", "decimal(2,1)", "varchar",
+        "boolean", "timestamp(3)", "decimal(10,2)"))
+      // timestamp data cell uses Trino's text rendering
+      val f = node.at("/data/0/5").asText()
+      assert(f.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{3}"))
+    } finally server.stop()
+  }
+
+  test("DELETE abandons a registered query; unknown ids 404") {
+    val server = StatementHttp.start(spark)
+    try {
+      val post = client.send(HttpRequest.newBuilder(URI.create(server.uri("/v1/statement")))
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val next = mapper.readTree(post.body()).get("nextUri").asText()
+      val del = client.send(HttpRequest.newBuilder(URI.create(next))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() === 204)
+      val after = client.send(HttpRequest.newBuilder(URI.create(next))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(after.statusCode() === 404)
+    } finally server.stop()
+  }
+}
