@@ -148,30 +148,47 @@ object Multimodal {
     })
   }
 
-  /** REAL image resize: decode, scale to fit `maxDim` (aspect preserved,
-    * never upscale), re-encode PNG. Undecodable blobs pass through
-    * unchanged — the resize pass must not destroy data it can't read. */
+  /** REAL image resize: decode, HONOR the EXIF orientation (tag 0x0112
+    * — [[applyOrientation]]; the JDK decoder returns raw sensor pixels,
+    * so skipping this ships sideways/mirrored thumbnails, the classic
+    * resize-pipeline bug), scale the UPRIGHT image to fit `maxDim`
+    * (aspect preserved, never upscale), re-encode PNG. An image that
+    * needs re-orienting is re-encoded even when it already fits —
+    * orientation is a correction, not an optimization. Undecodable
+    * blobs pass through unchanged — the resize pass must not destroy
+    * data it can't read. */
   def resizeImages(spark: SparkSession, media: DataFrame, maxDim: Int): DataFrame = {
     import spark.implicits._
     val resized = media.select("media_id", "media").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val out =
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            if (img == null || (img.getWidth <= maxDim && img.getHeight <= maxDim)) bytes
+            val raw = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (raw == null) bytes
             else {
-              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
-              val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
-                math.max(1, (img.getHeight * scale).toInt))
-              val dst = new java.awt.image.BufferedImage(
-                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              val g = dst.createGraphics()
-              try g.drawImage(img.getScaledInstance(
-                w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
-              finally g.dispose()
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(dst, "png", bos)
-              bos.toByteArray
+              val orientation = exifFields(bytes).map(_._2).getOrElse(1)
+              val img = applyOrientation(raw, orientation)
+              if (img.eq(raw) && img.getWidth <= maxDim && img.getHeight <= maxDim)
+                bytes
+              else {
+                val dst =
+                  if (img.getWidth <= maxDim && img.getHeight <= maxDim) img
+                  else {
+                    val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+                    val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                      math.max(1, (img.getHeight * scale).toInt))
+                    val scaled = new java.awt.image.BufferedImage(
+                      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    val g = scaled.createGraphics()
+                    try g.drawImage(img.getScaledInstance(
+                      w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+                    finally g.dispose()
+                    scaled
+                  }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", bos)
+                bos.toByteArray
+              }
             }
           } catch { case _: Exception => bytes }
         (id, out)
@@ -636,15 +653,22 @@ object Multimodal {
         img.setRGB(x, y, 0x808080); x += 1 }; y += 1 }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", bos)
-      val jpeg = bos.toByteArray
-      val tiff = exifTiff(id)
-      val payload = "Exif".getBytes("US-ASCII") ++
-        Array[Byte](0, 0) ++ tiff
-      val len = payload.length + 2
-      val app1 = Array(0xFF.toByte, 0xE1.toByte,
-        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
-      (id, jpeg.take(2) ++ app1 ++ jpeg.drop(2))
+      (id, spliceExif(bos.toByteArray, id))
     }).toDF("media_id", "media")
+  }
+
+  /** Splice the id-derived REAL EXIF APP1 segment after a JPEG's SOI —
+    * shared by the synthesizer and spec fixtures that need EXIF on a
+    * patterned (non-solid) image, e.g. the orientation-resize pin
+    * (orientation = 1 + id % 8, byte order by id parity). */
+  private[ext] def spliceExif(jpeg: Array[Byte], id: Long): Array[Byte] = {
+    val tiff = exifTiff(id)
+    val payload = "Exif".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ tiff
+    val len = payload.length + 2
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
   }
 
   /** REAL EXIF parse: JPEG segment walk → APP1 "Exif\0\0" → TIFF header
@@ -656,12 +680,25 @@ object Multimodal {
     * partition. Pure byte arithmetic, no imaging library. */
   def exifMeta(spark: SparkSession, media: DataFrame): Dataset[ExifMeta] = {
     import spark.implicits._
-    def fail(id: Long) = ExifMeta(id, exif_ok = false, "", 0, "", "")
     media.select("media_id", "media").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
-        try {
+        exifFields(b) match {
+          case Some((order, orientation, make, datetime)) =>
+            ExifMeta(id, exif_ok = true, order, orientation, make, datetime)
+          case None => ExifMeta(id, exif_ok = false, "", 0, "", "")
+        }
+      })
+  }
+
+  /** The per-blob EXIF walk behind [[exifMeta]] (and the orientation
+    * probe [[resizeImages]] honors): (byte order, orientation, make,
+    * datetime), None on any damage. */
+  private[ext] def exifFields(b: Array[Byte])
+      : Option[(String, Int, String, String)] = {
+    def fail = None
+    try {
           if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
-            fail(id)
+            fail
           else {
             // walk marker segments until APP1/Exif, SOS, or EOF
             var off = 2
@@ -681,7 +718,7 @@ object Multimodal {
               }
               off += 2 + len
             }
-            if (tiffStart < 0) fail(id)
+            if (tiffStart < 0) fail
             else {
               val order = new String(b, tiffStart, 2, "US-ASCII")
               require(order == "II" || order == "MM", s"bad byte order $order")
@@ -726,10 +763,45 @@ object Multimodal {
                 }
                 i += 1
               }
-              ExifMeta(id, exif_ok = true, order, orientation, make, datetime)
+              Some((order, orientation, make, datetime))
             }
           }
-        } catch { case _: Exception => fail(id) }
-      })
+    } catch { case _: Exception => fail }
+  }
+
+  /** Apply an EXIF orientation (JEITA CP-3451 tag 0x0112) to decoded
+    * pixels — the transform every resize/thumbnail pass must run or
+    * ship sideways images. Pure pixel remap, deterministic:
+    * 1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
+    * 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW. Unknown values
+    * (0, >8) are treated as 1 — damaged metadata must not fail the
+    * image it annotates. */
+  private[ext] def applyOrientation(img: java.awt.image.BufferedImage,
+      orientation: Int): java.awt.image.BufferedImage = {
+    if (orientation <= 1 || orientation > 8) return img
+    val (w, h) = (img.getWidth, img.getHeight)
+    val swap = orientation >= 5
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case 8 => (w - 1 - y, x)
+        }
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 }

@@ -242,4 +242,74 @@ class MultimodalSpec extends SparkSpec {
       .filter(_.media_id == 0L).map(_.exif_ok).sorted.toSeq
     assert(zeroRows == Seq(false, true))
   }
+
+  test("resizeImages honors EXIF orientation: rotated fixtures come out upright") {
+    import spark.implicits._
+    // an asymmetric 8x4 gradient JPEG with a REAL spliced EXIF segment;
+    // orientation = 1 + id % 8, so ids pin identity(0), mirror-H(1),
+    // rotate-180(2), rotate-90-CW(5), rotate-270-CW(7)
+    def jpegGradient(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 8) {
+        val l = x * 30 + y * 8
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val jpeg = jpegGradient()
+    // the reference pixels every orientation is compared against are the
+    // DECODED jpeg's (JPEG is lossy; the transform itself is exact)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    def px(img: java.awt.image.BufferedImage)(x: Int, y: Int) = img.getRGB(x, y)
+    val media = Seq(0L, 1L, 2L, 5L, 7L)
+      .map(id => (id, Multimodal.spliceExif(jpeg, id)))
+      .toDF("media_id", "media")
+    val out = Multimodal.resizeImages(spark, media, maxDim = 100)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def decoded(id: Long) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(id)))
+    // orientation 1 (id 0): already upright AND under maxDim → the blob
+    // passes through byte-identical (no needless re-encode)
+    assert(out(0L).sameElements(Multimodal.spliceExif(jpeg, 0L)))
+    // orientation 2 (id 1): mirror horizontal, dims kept
+    val m = decoded(1L)
+    assert(m.getWidth === 8 && m.getHeight === 4)
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(px(m)(x, y) === px(src)(7 - x, y), s"mirror-H at ($x,$y)")
+    // orientation 3 (id 2): rotate 180
+    val r180 = decoded(2L)
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(px(r180)(x, y) === px(src)(7 - x, 3 - y), s"rot180 at ($x,$y)")
+    // orientation 6 (id 5): rotate 90 CW — dims swap, top row becomes
+    // the right column
+    val r90 = decoded(5L)
+    assert(r90.getWidth === 4 && r90.getHeight === 8)
+    for (y <- 0 until 8; x <- 0 until 4)
+      assert(px(r90)(x, y) === px(src)(y, 3 - x), s"rot90 at ($x,$y)")
+    // orientation 8 (id 7): rotate 270 CW
+    val r270 = decoded(7L)
+    assert(r270.getWidth === 4 && r270.getHeight === 8)
+    for (y <- 0 until 8; x <- 0 until 4)
+      assert(px(r270)(x, y) === px(src)(7 - y, x), s"rot270 at ($x,$y)")
+  }
+
+  test("orientation composes with scaling: a sideways image scales to its UPRIGHT bound") {
+    import spark.implicits._
+    // 100x40 image, orientation 6 (id 5) → upright is 40x100; maxDim 50
+    // must scale against the UPRIGHT dims (50 tall), not the raw ones
+    val img = new java.awt.image.BufferedImage(
+      100, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 100)
+      img.setRGB(x, y, if (x < 50) 0xFFFFFF else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = Seq((5L, Multimodal.spliceExif(bos.toByteArray, 5L)))
+      .toDF("media_id", "media")
+    val out = Multimodal.resizeImages(spark, media, maxDim = 50)
+    val back = Multimodal.decodeImages(spark, out).collect().head
+    assert(back.decode_ok && back.width === 20 && back.height === 50)
+  }
 }
