@@ -177,4 +177,29 @@ final class ObjectStoreFileIO(visibilityLagMs: Long = 0L) extends FileIO {
       live.remove(key(path))
       Files.deleteIfExists(path)
     }
+
+  /** The object + its etag — the GET response shape a real store serves
+    * (and [[ObjectStoreHttp]] forwards as the `ETag` header). Subject
+    * to the same visibility lag as [[readBytes]]. */
+  def getWithEtag(path: Path): Option[(Array[Byte], String)] =
+    readBytes(path).map(b => (b, etag(b)))
+
+  /** Etag-conditional PUT — the exact `If-Match` / `If-None-Match: *`
+    * judgment S3 makes service-side, for callers (the HTTP front) that
+    * hold only the ETAG of their expected state, not its bytes.
+    * `expectedEtag = None` is create-only. Linearized on the same
+    * per-key monitor as [[putIfMatch]], judged against AUTHORITATIVE
+    * state (never the laggy read view). */
+  def putIfEtagMatch(path: Path, expectedEtag: Option[String],
+      bytes: Array[Byte]): Boolean =
+    monitor(path).synchronized {
+      val current = authoritative(path)
+      val matches = (current, expectedEtag) match {
+        case (None, None) => true
+        case (Some(c), Some(e)) => etag(c) == e
+        case _ => false
+      }
+      if (matches) writeAtomic(path, bytes)
+      matches
+    }
 }
