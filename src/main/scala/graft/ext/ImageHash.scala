@@ -220,6 +220,53 @@ object ImageHash {
       .distinct()
   }
 
+  /** All pairs at Hamming distance ≤ `maxDist` via COMPOUND block keys
+    * — the banded join's scale path. The simple band join buckets on
+    * one `64/bands`-bit slice, so its candidate volume grows as
+    * N²/2^width once N outruns the 2^width bucket space (measured: at
+    * 8-bit bands the degeneration is visible by N ≈ 10⁵). The standard
+    * fix (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07 — the simhash dedup paper) buckets on
+    * COMBINATIONS of blocks instead: split the 63-bit hash into
+    * `blocks` = 9 blocks of 7 bits and key on every `keySize`-subset.
+    * Pigeonhole: d flips hit ≤ d blocks, so ≥ blocks−d stay clean, and
+    * a pair is caught iff some keyed subset is fully clean —
+    * guarantee maxDist ≤ blocks − keySize. keySize 2 → 14-bit buckets
+    * (256× the key space) with the same d ≤ 7 contract; keySize 3 →
+    * 21-bit buckets for d ≤ 6 at the next decade. Same exact-Hamming
+    * verify tail; shuffle rows per image = C(blocks, keySize). */
+  def nearDupPairsBlocked(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, blocks: Int = 9, keySize: Int = 2): DataFrame = {
+    require(blocks >= 2 && blocks <= 63,
+      s"blocks must be in [2, 63], got $blocks")
+    require(keySize >= 1 && keySize < blocks,
+      s"keySize must be in [1, blocks), got $keySize")
+    require(maxDist <= blocks - keySize,
+      s"blocked recall guarantee needs maxDist <= blocks - keySize: " +
+        s"$maxDist > $blocks - $keySize")
+    val width = (63 + blocks - 1) / blocks
+    val mask = (1L << width) - 1
+    def blockVal(h: org.apache.spark.sql.Column, i: Int) =
+      call_function("shiftrightunsigned", h, lit(i * width)).bitwiseAND(lit(mask))
+    val combos = (0 until blocks).combinations(keySize).toSeq
+    def keyCols(h: org.apache.spark.sql.Column) = array(
+      combos.zipWithIndex.map { case (combo, ci) =>
+        combo.foldLeft(lit(ci.toLong): org.apache.spark.sql.Column)(
+          (acc, i) => acc * (mask + 1) + blockVal(h, i))
+      }: _*)
+    val keyed = hashes
+      .select(col(idCol), col(hashCol),
+        explode(keyCols(col(hashCol))).as("key"))
+    val a = keyed.select(col(idCol).as("id_a"), col(hashCol).as("ha"), col("key"))
+    val b = keyed.select(col(idCol).as("id_b"), col(hashCol).as("hb"), col("key"))
+    a.join(b, Seq("key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Near-dup pairs between a probe set and a stored corpus (the
     * serving shape): probe bands join the corpus's PRE-BANDED table —
     * clustered by (band, value) so each probe batch's candidates are

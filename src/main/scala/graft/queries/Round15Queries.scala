@@ -121,5 +121,23 @@ object Round15Queries {
             |SELECT probe_id, corpus_id, dist FROM p WHERE dist <= 7
             |ORDER BY probe_id, corpus_id""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q248, q249, q250)
+  /** Q251 (D17′, compound-block near-dup — the scale path): the same
+    * pairs as q249 through [[graft.ext.ImageHash.nearDupPairsBlocked]]
+    * — 9 blocks of 7 bits, pair keys (Manku et al. WWW'07), guarantee
+    * d ≤ 9−2 = 7 with 14-bit buckets where the simple band join has
+    * 8-bit ones (the N²/2^width degeneration PhashProbe measures).
+    * Same oracle as q249: the two candidate generators must converge
+    * on the identical exact-verified pair set. */
+  val q251 = GQuery("q251_phash_neardup_blocked", (s, d) => {
+    import graft.ext.ImageHash
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 48)
+    val h = ImageHash.hashes(s,
+      ImageHash.synthesizePatterned(s, ids, "doc_id")).toDF()
+      .where(col("decode_ok"))
+    ImageHash.nearDupPairsBlocked(h, "media_id", "phash",
+      maxDist = 7, blocks = 9, keySize = 2)
+      .orderBy("id_a", "id_b")
+  }, q249.oracle)
+
+  val all: Seq[GQuery] = Seq(q248, q249, q250, q251)
 }

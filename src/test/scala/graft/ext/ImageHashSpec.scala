@@ -79,6 +79,20 @@ class ImageHashSpec extends SparkSpec {
     assert(got === brute)
     assertThrows[IllegalArgumentException](
       ImageHash.nearDupPairs(df, "media_id", "phash", maxDist = 8, bands = 8))
+    // the compound-block scale path finds the same set (9 blocks of 7
+    // bits, pair keys: guarantee d <= 9-2 = 7) — and refuses a maxDist
+    // its pigeonhole cannot cover
+    val blocked = ImageHash.nearDupPairsBlocked(df, "media_id", "phash",
+      maxDist = 7, blocks = 9, keySize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === brute)
+    val tripleKey = ImageHash.nearDupPairsBlocked(df, "media_id", "phash",
+      maxDist = 6, blocks = 9, keySize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tripleKey === brute.filter(_._3 <= 6))
+    assertThrows[IllegalArgumentException](
+      ImageHash.nearDupPairsBlocked(df, "media_id", "phash",
+        maxDist = 8, blocks = 9, keySize = 2))
   }
 
   test("bundle append ≡ rebuild bit-identically; searchBundle matches the one-shot join") {
