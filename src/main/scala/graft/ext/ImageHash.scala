@@ -55,7 +55,7 @@ object ImageHash {
     * so its hash carries zero resample error). Exact-coverage area
     * averaging also makes k× pixel replication hash-IDENTICAL to the
     * original — the resize-invariance the spec pins. */
-  private[ext] def areaResample(src: Array[Double], w: Int, h: Int,
+  private[graft] def areaResample(src: Array[Double], w: Int, h: Int,
       ow: Int, oh: Int): Array[Double] = {
     if (w == ow && h == oh) return src
     val out = new Array[Double](ow * oh)
@@ -97,7 +97,7 @@ object ImageHash {
   /** 63-bit sign-rule pHash of a 32×32 luma plane. Separable DCT: one
     * 32→8 pass per row axis then per column axis (8·32·32 + 8·8·32
     * multiply-adds — partition-local, no shuffle anywhere near this). */
-  private[ext] def phashOf(luma32: Array[Double]): Long = {
+  private[graft] def phashOf(luma32: Array[Double]): Long = {
     val tmp = Array.ofDim[Double](8, N) // tmp(u)(y) = Σ_x L(x,y)·B_u(x)
     var u = 0
     while (u < 8) {

@@ -139,5 +139,64 @@ object Round15Queries {
       .orderBy("id_a", "id_b")
   }, q249.oracle)
 
-  val all: Seq[GQuery] = Seq(q248, q249, q250, q251)
+  /** Shared audio-oracle prelude: the tone fixture's closed-form
+    * per-(segment, frame) peak bins. The exact-bin construction in
+    * [[graft.ext.AudioFingerprint.synthesizeTones]] is what makes the
+    * engine's REAL decode→DFT→argmax land on these (zero spectral
+    * leakage at bin centers; own-bin magnitude² ≈ 2.3e12 vs 16-bit
+    * rounding noise). */
+  private val audioCte =
+    """ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 48),
+      |segs AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |frs AS (SELECT unnest(generate_series(0, 3)) AS fr),
+      |f AS (SELECT media_id, s, fr,
+      |    4 + ((media_id - media_id % 4) * 31 + s * 17) % 60
+      |      + CASE WHEN s < media_id % 4 THEN 1 ELSE 0 END AS bin
+      |  FROM ids, segs, frs)""".stripMargin
+
+  /** Q252 (M7, audio fingerprint): the per-frame spectral-peak sequence
+    * of every fixture WAV through the REAL RIFF decode + DFT path,
+    * hash-exact against the closed form (rendered as one '-'-joined
+    * string per file so the driver hashes a scalar column). */
+  val q252 = GQuery("q252_audio_fingerprint", (s, d) => {
+    import graft.ext.AudioFingerprint
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 48)
+    AudioFingerprint.peaks(s,
+      AudioFingerprint.synthesizeTones(s, ids, "doc_id")).toDF()
+      .select(col("media_id"), col("decode_ok"),
+        array_join(transform(col("peaks"), _.cast("string")), "-").as("sig"))
+      .orderBy("media_id")
+  },
+    Some(s"""WITH $audioCte
+            |SELECT media_id, true AS decode_ok,
+            |  string_agg(bin::VARCHAR, '-' ORDER BY s, fr) AS sig
+            |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin))
+
+  /** Q253 (D18, audio near-dup): all pairs sharing ≥ 20 of 32 (frame,
+    * peak) positions via the frame-indexed bucket join. The fixture's
+    * group/variant construction (variant v raises segments 0..v−1 by
+    * one bin) makes within-group pairs share exactly 4·(8−|Δv|) ≥ 20
+    * frames; the oracle recomputes EVERY pair's shared count from the
+    * closed-form bins, so candidate generation and the verify count
+    * both gate hash-exact. */
+  val q253 = GQuery("q253_audio_neardup", (s, d) => {
+    import graft.ext.AudioFingerprint
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 48)
+    val p = AudioFingerprint.peaks(s,
+      AudioFingerprint.synthesizeTones(s, ids, "doc_id")).toDF()
+      .where(col("decode_ok"))
+    AudioFingerprint.nearDupPairs(p, "media_id", "peaks", minShared = 20)
+      .orderBy("id_a", "id_b")
+  },
+    Some(s"""WITH $audioCte,
+            |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+            |        count(*)::BIGINT AS shared
+            |      FROM f a JOIN f b
+            |        ON a.s = b.s AND a.fr = b.fr AND a.bin = b.bin
+            |          AND a.media_id < b.media_id
+            |      GROUP BY 1, 2)
+            |SELECT id_a, id_b, shared FROM p WHERE shared >= 20
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q248, q249, q250, q251, q252, q253)
 }
