@@ -1193,6 +1193,11 @@ object IndexStore {
           .sortWithinPartitions(df.columns.head))),
       "ivf" -> Seq(
         "assignment" -> cluster(Seq("centroid_id"), Seq("centroid_id"))),
+      "phash" -> Seq(
+        "hashes" -> (df => df.repartitionByRange(col("media_id"))
+          .sortWithinPartitions("media_id")),
+        "bands" -> (df => df.repartition(col("band"))
+          .sortWithinPartitions("band", "value"))),
       "ivfbq" -> Seq(
         "rows" -> (df => df.repartition(col("centroid_id"))
           .sortWithinPartitions("centroid_id", df.columns(1))),

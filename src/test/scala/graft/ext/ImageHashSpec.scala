@@ -124,6 +124,15 @@ class ImageHashSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaBundle === oneShot)
     assert(viaBundle.nonEmpty)
+    // compaction folds the inc chain into one re-clustered file set and
+    // serving is unchanged
+    IndexStore.compact(spark, inc)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(inc, "inc")) ||
+      java.nio.file.Files.list(java.nio.file.Paths.get(inc, "inc")).count() === 0L)
+    val compacted = IndexStore.loadPhash(spark, inc)
+    val viaCompacted = ImageHash.searchBundle(spark, compacted, probes)
+      .collect().map(_.toSeq).toSet
+    assert(viaCompacted === oneShot)
   }
 
   test("corrupt blobs isolate as decode_ok=false rows, never task failures") {
