@@ -809,21 +809,31 @@ object Layout {
         throw new AssignConflictException(
           s"expected head $e is not head ${r.head}: assign conflict")
       }
-      val manifest = root.resolve(r.snapName(seq))
-      require(Files.exists(manifest),
-        s"$table has no committed snapshot $seq — cannot assign head")
-      // an untagged, non-head target is not gc-pinned: verify its data
-      // files survived any expiry that already won its own refs CAS
-      if (seq != r.head && !r.tags.values.exists(_ == seq)) {
-        val snap = Manifests.loadSnapshot(root, seq)
-        val missing = snap.files.map(_.path).filterNot(p => Files.exists(Paths.get(p)))
-        require(missing.isEmpty,
-          s"$table snapshot $seq was expired (${missing.size} data files " +
-            "reclaimed) — cannot assign head to an unreadable snapshot")
-      }
+      requireAssignable(root, r, seq, table, "head")
       r.copy(head = seq)
     }
     ()
+  }
+
+  /** The shared assign-target guard, run INSIDE a refs CAS closure
+    * (both assign verbs enforce the same safety invariant — one body,
+    * so a future change to the pin rule cannot drift them apart):
+    * the target must be a committed snapshot of THIS refs state, and an
+    * untagged, non-head target — which gc does not pin — must still
+    * have its data files (an expiry that already won its own refs CAS
+    * may have reclaimed them). */
+  private def requireAssignable(root: java.nio.file.Path, r: Manifests.Refs,
+      seq: Long, table: String, what: String): Unit = {
+    val manifest = root.resolve(r.snapName(seq))
+    require(Files.exists(manifest),
+      s"$table has no committed snapshot $seq — cannot assign $what")
+    if (seq != r.head && !r.tags.values.exists(_ == seq)) {
+      val snap = Manifests.loadSnapshot(root, seq)
+      val missing = snap.files.map(_.path).filterNot(p => Files.exists(Paths.get(p)))
+      require(missing.isEmpty,
+        s"$table snapshot $seq was expired (${missing.size} data files " +
+          s"reclaimed) — cannot assign $what to an unreadable snapshot")
+    }
   }
 
   /** L19′ — assign an existing TAG to a committed snapshot (Nessie's
@@ -843,16 +853,7 @@ object Layout {
         throw new AssignConflictException(
           s"expected seq $e is not tag $tag's seq $cur: assign conflict")
       }
-      val manifest = root.resolve(r.snapName(seq))
-      require(Files.exists(manifest),
-        s"$table has no committed snapshot $seq — cannot assign tag $tag")
-      if (seq != r.head && !r.tags.values.exists(_ == seq)) {
-        val snap = Manifests.loadSnapshot(root, seq)
-        val missing = snap.files.map(_.path).filterNot(p => Files.exists(Paths.get(p)))
-        require(missing.isEmpty,
-          s"$table snapshot $seq was expired (${missing.size} data files " +
-            s"reclaimed) — cannot assign tag $tag to an unreadable snapshot")
-      }
+      requireAssignable(root, r, seq, table, s"tag $tag")
       r.copy(tags = r.tags + (tag -> seq))
     }
     ()

@@ -76,6 +76,14 @@ object ObjectStoreHttp {
         val ifMatch = Option(exchange.getRequestHeaders.getFirst("If-Match"))
           .map(_.stripPrefix("\"").stripSuffix("\""))
         val ifNoneMatch = Option(exchange.getRequestHeaders.getFirst("If-None-Match"))
+        // only `If-None-Match: *` (create-only) is implemented; a
+        // conditional form this store does NOT honor must refuse, never
+        // fall through to an unconditional overwrite that silently
+        // clobbers the state the client's condition was protecting
+        if (ifNoneMatch.exists(_ != "*")) {
+          send(exchange, 501,
+            "only If-None-Match: * is supported".getBytes("UTF-8")); return
+        }
         val ok =
           if (ifMatch.isDefined) store.putIfEtagMatch(p, ifMatch, bytes)
           else if (ifNoneMatch.contains("*")) store.putIfEtagMatch(p, None, bytes)

@@ -40,8 +40,9 @@ import org.apache.spark.sql.types._
   * buffering a cluster-sized result on the driver — the wire protocol
   * is the interactive/BI plane; bulk delivery is
   * [[Lakehouse.deliverCsv]]'s distributed write. Query registry is
-  * in-memory per server (the engine is the coordinator); entries drop
-  * on the final page, DELETE, or failure.
+  * in-memory per server (the engine is the coordinator); completed
+  * entries stay retrievable (retried final-page GETs are idempotent)
+  * under a bounded retention, and drop on DELETE or eviction.
   */
 object StatementHttp {
 
@@ -54,14 +55,36 @@ object StatementHttp {
 
   private final case class QueryState(id: String, slug: String, sql: String,
       var rows: Array[Row] = null, var schema: StructType = null,
-      var failed: Option[Throwable] = None)
+      var failed: Option[Throwable] = None, var done: Boolean = false)
+
+  private val completed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Mark a query completed (idempotent — a RETRIED final-page GET must
+    * not re-enqueue it); evict the oldest completed entries past the
+    * retention bound (never an in-flight query). */
+  private def retire(q: QueryState,
+      queries: java.util.concurrent.ConcurrentHashMap[String, QueryState]): Unit =
+    q.synchronized {
+      if (!q.done) {
+        q.done = true
+        completed.add(q.id)
+        while (completed.size > keepCompleted)
+          Option(completed.poll()).foreach(queries.remove)
+      }
+    }
+
+  /** Completed (finished/failed) queries stay retrievable — a Trino
+    * client treats nextUri GETs as idempotent and RETRIES the last one
+    * after a lost response; evicting on the final page would 404 that
+    * retry and lose the result's tail. Retention is bounded: past
+    * `keepCompleted` completed entries the oldest drops. */
+  private val keepCompleted = 64
 
   def start(spark: SparkSession, port: Int = 0, pageSize: Int = 1000,
       maxRows: Int = 1000000): Server = {
     val queries = new java.util.concurrent.ConcurrentHashMap[String, QueryState]()
     val counter = new java.util.concurrent.atomic.AtomicLong(0L)
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    val server = Server(http, 0)
     http.createContext("/v1/statement", (exchange: HttpExchange) => {
       try route(spark, exchange, queries, counter, http.getAddress.getPort,
         pageSize, maxRows)
@@ -146,7 +169,7 @@ object StatementHttp {
         err.put("errorType", "USER_ERROR")
         n.set[ObjectNode]("error", err)
         stats(n, "FAILED", queued = false)
-        queries.remove(q.id)
+        retire(q, queries)
       case None =>
         n.set[ArrayNode]("columns", columnsJson(q.schema))
         val from = (token * pageSize).toInt.max(0)
@@ -172,7 +195,7 @@ object StatementHttp {
           stats(n, "RUNNING", queued = false)
         } else {
           stats(n, "FINISHED", queued = false)
-          queries.remove(q.id)
+          retire(q, queries)
         }
     }
     mapper.writeValueAsString(n)

@@ -66,38 +66,66 @@ object TrinoSql {
   }
 
   /** `UNNEST( <balanced> ) AS <alias>(<col>)` →
-    * `(SELECT explode(<balanced>) AS <col>) AS <alias>`. */
+    * `(SELECT explode(<balanced>) AS <col>) AS <alias>`.
+    * The scan is QUOTE-AWARE (an UNNEST inside a string literal is
+    * data, not syntax) and WORD-BOUNDED (`my_unnest_col`/`FUNNEST(`
+    * never trigger); an aliasless UNNEST is left alone and the scan
+    * continues past it, so later aliased ones still rewrite. */
   private def rewriteUnnest(s: String): String = {
-    val up = s.toUpperCase
-    val at = up.indexOf("UNNEST")
-    if (at < 0) return s
-    var i = at + "UNNEST".length
-    while (i < s.length && s.charAt(i).isWhitespace) i += 1
-    if (i >= s.length || s.charAt(i) != '(') return s
-    val open = i
-    var depth = 0
-    var inQuote = false
-    while (i < s.length && (depth > 0 || i == open)) {
-      val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else c match {
-        case '\'' => inQuote = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
+    var from = 0
+    while (from < s.length) {
+      val at = indexOfKeyword(s, "UNNEST", from)
+      if (at < 0) return s
+      var i = at + "UNNEST".length
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      if (i >= s.length || s.charAt(i) != '(') { from = at + 1 }
+      else {
+        val open = i
+        var depth = 0
+        var inQuote = false
+        while (i < s.length && (depth > 0 || i == open)) {
+          val c = s.charAt(i)
+          if (inQuote) { if (c == '\'') inQuote = false }
+          else c match {
+            case '\'' => inQuote = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val inner = s.substring(open + 1, i - 1)
+        val tail = s.substring(i)
+        val AliasRx = "(?is)^\\s*AS\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*\\(\\s*([A-Za-z_][A-Za-z_0-9]*)\\s*\\)".r
+        AliasRx.findFirstMatchIn(tail) match {
+          case Some(m) =>
+            val (alias, colName) = (m.group(1), m.group(2))
+            return rewriteUnnest(s.substring(0, at) +
+              s"(SELECT explode($inner) AS $colName) AS $alias" +
+              tail.substring(m.end))
+          case None => from = i // aliasless: skip it, keep scanning
+        }
       }
-      i += 1
     }
-    val inner = s.substring(open + 1, i - 1)
-    val tail = s.substring(i)
-    val AliasRx = "(?is)^\\s*AS\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*\\(\\s*([A-Za-z_][A-Za-z_0-9]*)\\s*\\)".r
-    AliasRx.findFirstMatchIn(tail) match {
-      case Some(m) =>
-        val (alias, colName) = (m.group(1), m.group(2))
-        val rest = tail.substring(m.end)
-        rewriteUnnest(s.substring(0, at) +
-          s"(SELECT explode($inner) AS $colName) AS $alias" + rest)
-      case None => s
+    s
+  }
+
+  /** Case-insensitive index of `word` at or after `from`, outside
+    * single-quoted literals and not embedded in a longer identifier. */
+  private def indexOfKeyword(s: String, word: String, from: Int): Int = {
+    var i = 0
+    var inQuote = false
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
+      else if (c == '\'') { inQuote = true; i += 1 }
+      else if (i >= from && s.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || !isIdent(s.charAt(i - 1))) &&
+        (i + word.length >= s.length || !isIdent(s.charAt(i + word.length)))) {
+        return i
+      } else i += 1
     }
+    -1
   }
 }

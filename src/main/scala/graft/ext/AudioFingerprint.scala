@@ -47,6 +47,10 @@ object AudioFingerprint {
         val id = new String(b, off, 4, "US-ASCII")
         val len = (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8) |
           ((b(off + 6) & 0xff) << 16) | ((b(off + 7) & 0xff) << 24)
+        // a corrupt negative chunk length would step `off` backwards (or
+        // by zero at len = -8/-9) and wedge the walk forever — damage
+        // must return None, never hang the executor
+        if (len < 0) return None
         if (id == "fmt ") {
           val channels = (b(off + 10) & 0xff) | ((b(off + 11) & 0xff) << 8)
           val bits = (b(off + 22) & 0xff) | ((b(off + 23) & 0xff) << 8)
@@ -63,6 +67,15 @@ object AudioFingerprint {
     } catch { case _: Exception => None }
   }
 
+  /** Twiddle tables: cos/sin of 2π·i/256 for i in [0, 256) — the DFT
+    * angle 2π·k·t/FRAME only depends on (k·t) mod FRAME, so one
+    * 256-entry table per JVM replaces ~2M trig calls per file (the
+    * [[ImageHash]] basis32 pattern). */
+  private lazy val cosT: Array[Double] =
+    Array.tabulate(FRAME)(i => math.cos(2.0 * math.Pi * i / FRAME))
+  private lazy val sinT: Array[Double] =
+    Array.tabulate(FRAME)(i => math.sin(2.0 * math.Pi * i / FRAME))
+
   /** Per-frame spectral peak: argmax over bins 1..127 of the DFT
     * magnitude² (bin 0 — DC/offset — excluded; ties take the lowest
     * bin, so the argmax is total and engine-independent). */
@@ -78,11 +91,13 @@ object AudioFingerprint {
         var re = 0.0
         var im = 0.0
         var t = 0
+        var idx = 0 // (k·t) mod FRAME, advanced by k per sample
         while (t < FRAME) {
-          val a = 2.0 * math.Pi * k * t / FRAME
           val s = samples(f * FRAME + t).toDouble
-          re += s * math.cos(a)
-          im -= s * math.sin(a)
+          re += s * cosT(idx)
+          im -= s * sinT(idx)
+          idx += k
+          if (idx >= FRAME) idx -= FRAME
           t += 1
         }
         val mag = re * re + im * im
@@ -130,7 +145,8 @@ object AudioFingerprint {
 
   /** Gate fixture: one REAL mono 16-bit WAV per id whose content is a
     * sequence of `segments` pure tones, each EXACTLY bin-aligned —
-    * segment s plays bin k(id, s) = 4 + (id·31 + s·17) mod 60 for
+    * segment s plays bin k(g, s) = 4 + (g·31 + s·17) mod 60 (g = the
+    * group anchor id − id mod 4) for
     * `framesPerSegment` whole frames, so every frame holds an integer
     * number of periods, the DFT energy lands entirely in bin k (zero
     * spectral leakage — the rectangular window is exact at bin
@@ -140,8 +156,10 @@ object AudioFingerprint {
     * (A·128)² ≈ 2.3e12 against 16-bit rounding noise orders below —
     * argmax is decided by construction. Variant structure for the
     * near-dup gate: ids in a group of 4 share tones; variant v = id%4
-    * RAISES the bin of segments 0..v−1 by one — so within-group pairs
-    * share exactly (segments − max(v_a, v_b)) segments. */
+    * RAISES the bin of segments 0..v−1 by one — variants v_a < v_b
+    * agree below v_a (both raised) AND from v_b up (both unraised), so
+    * within-group pairs share exactly (segments − |v_a − v_b|)
+    * segments. */
   def synthesizeTones(spark: SparkSession, ids: DataFrame, idCol: String,
       segments: Int = 8, framesPerSegment: Int = 4,
       amplitude: Double = 12000.0): DataFrame = {

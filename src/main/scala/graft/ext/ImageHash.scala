@@ -149,35 +149,53 @@ object ImageHash {
     hash
   }
 
+  /** Decode one blob to its luma plane: (luma, width, height), None on
+    * any damage. The ONE decode path every hash consumer shares —
+    * batch [[hashes]] and the streaming probe
+    * ([[graft.streaming.StreamImageDup]]) must produce identical
+    * hashes, so they must share this, not re-state it. */
+  private[graft] def decodeLuma(bytes: Array[Byte])
+      : Option[(Array[Double], Int, Int)] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val luma = new Array[Double](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            luma(y * w + x) = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((luma, w, h))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** 63-bit pHash straight from encoded bytes, None when undecodable. */
+  private[graft] def phashOfBytes(bytes: Array[Byte]): Option[Long] =
+    decodeLuma(bytes).map { case (luma, w, h) =>
+      phashOf(areaResample(luma, w, h, N, N))
+    }
+
   /** Decode + hash every blob: REAL JDK codec, partition-local, failed
     * decodes as ok=false rows (crawl-scale corrupt blobs are data). */
   def hashes(spark: SparkSession, media: DataFrame): Dataset[ImageHashes] = {
     import spark.implicits._
     media.select("media_id", "media").as[(Long, Array[Byte])].mapPartitions(_.map {
       case (id, bytes) =>
-        try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          if (img == null) ImageHashes(id, decode_ok = false, 0L, 0L)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val luma = new Array[Double](w * h)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                luma(y * w + x) = 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
+        decodeLuma(bytes) match {
+          case Some((luma, w, h)) =>
             ImageHashes(id, decode_ok = true,
               phashOf(areaResample(luma, w, h, N, N)),
               dhashOf(areaResample(luma, w, h, DW, DH)))
-          }
-        } catch {
-          case _: Exception => ImageHashes(id, decode_ok = false, 0L, 0L)
+          case None => ImageHashes(id, decode_ok = false, 0L, 0L)
         }
     })
   }

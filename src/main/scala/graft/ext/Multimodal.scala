@@ -243,6 +243,10 @@ object Multimodal {
             while (off + 8 <= b.length) {
               val ckId = new String(b, off, 4, "US-ASCII")
               val ckSize = le32(b, off + 4)
+              // corrupt negative chunk size: the walk would step back (or
+              // by zero at -8/-9) and spin forever — fail the row instead
+              if (ckSize < 0) throw new IllegalArgumentException(
+                s"negative RIFF chunk size $ckSize")
               if (ckId == "fmt ") {
                 channels = le16(b, off + 10); rate = le32(b, off + 12)
                 bits = le16(b, off + 22)

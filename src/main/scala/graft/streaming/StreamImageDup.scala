@@ -32,7 +32,9 @@ import graft.ext.ImageHash
 object StreamImageDup {
 
   /** Map-only stream-side hashing: (idCol, tsCol, phash) for decodable
-    * rows. */
+    * rows — THE batch decode path ([[ImageHash.phashOfBytes]]), shared
+    * so stream and batch hashes can never silently diverge (the
+    * stream ≡ batch spec contract depends on it). */
   private def hashStream(stream: DataFrame, idCol: String, mediaCol: String,
       tsCol: String): DataFrame = {
     val spark = stream.sparkSession
@@ -40,27 +42,7 @@ object StreamImageDup {
     stream.select(col(idCol).cast("long"), col(mediaCol), col(tsCol))
       .as[(Long, Array[Byte], java.sql.Timestamp)]
       .mapPartitions(_.flatMap { case (id, bytes, ts) =>
-        try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          if (img == null) None
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val luma = new Array[Double](w * h)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                luma(y * w + x) = 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            Some((id, ts, ImageHash.phashOf(
-              ImageHash.areaResample(luma, w, h, 32, 32))))
-          }
-        } catch { case _: Exception => None }
+        ImageHash.phashOfBytes(bytes).map(h => (id, ts, h))
       }).toDF(idCol, tsCol, "phash")
   }
 

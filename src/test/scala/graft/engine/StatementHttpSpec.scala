@@ -145,6 +145,33 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("dialect shim is quote-aware and word-bounded; final-page GETs are retriable") {
+    val server = StatementHttp.start(spark)
+    try {
+      // UNNEST inside a string literal is DATA — the rewrite must not
+      // touch it; an identifier merely containing the word never fires
+      val (_, rows, fin) = run(server,
+        "SELECT 'see UNNEST(x) AS t(n) docs' AS msg, 7 AS funnest_7")
+      assert(fin.at("/stats/state").asText() === "FINISHED")
+      assert(rows.head.head.asText() === "see UNNEST(x) AS t(n) docs")
+      // a finished query's last page stays retrievable: re-walk the
+      // SAME nextUri chain (a Trino client retries a lost response)
+      val post = client.send(HttpRequest.newBuilder(URI.create(server.uri("/v1/statement")))
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 42 AS x")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val next = mapper.readTree(post.body()).get("nextUri").asText()
+      val first = client.send(HttpRequest.newBuilder(URI.create(next)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(first.statusCode() === 200)
+      val retry = client.send(HttpRequest.newBuilder(URI.create(next)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(retry.statusCode() === 200, "retried final-page GET must not 404")
+      val body = mapper.readTree(retry.body())
+      assert(body.at("/data/0/0").asInt() === 42)
+      assert(body.at("/stats/state").asText() === "FINISHED")
+    } finally server.stop()
+  }
+
   test("DELETE abandons a registered query; unknown ids 404") {
     val server = StatementHttp.start(spark)
     try {

@@ -56,12 +56,18 @@ class AudioFingerprintSpec extends SparkSpec {
   test("corrupt/unsupported blobs isolate as decode_ok=false rows") {
     val tone = AudioFingerprint.synthesizeTones(spark, Seq(1L).toDF("doc_id"), "doc_id")
       .collect().head.getAs[Array[Byte]]("media")
+    // a NEGATIVE chunk length (bytes F8 FF FF FF = -8) would step the
+    // RIFF walk by zero and spin the executor forever if not refused
+    val negChunk = tone.clone()
+    negChunk(16) = 0xF8.toByte; negChunk(17) = 0xFF.toByte
+    negChunk(18) = 0xFF.toByte; negChunk(19) = 0xFF.toByte
     val media = Seq(
       (1L, "not a wav".getBytes("UTF-8")),
       (2L, tone.take(30)), // truncated header
-      (3L, tone)).toDF("media_id", "media")
+      (3L, tone),
+      (4L, negChunk)).toDF("media_id", "media")
     val ok = AudioFingerprint.peaks(spark, media).collect()
       .map(p => p.media_id -> p.decode_ok).toMap
-    assert(ok === Map(1L -> false, 2L -> false, 3L -> true))
+    assert(ok === Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
   }
 }
