@@ -217,6 +217,40 @@ object StreamBench {
         outDf, batches, termRows.length.toLong, mode = "update")
     }
 
+    // ---- ST19: streaming image near-dup vs a stored pHash bundle ----
+    // Ingest = per-batch waves of REAL 32×32 PNGs (patterned fixture,
+    // ids overlapping the indexed corpus so pairs genuinely fire);
+    // stateless pipeline (map-only hash + stream-static band join), so
+    // the measured rate is decode+DCT+join throughput, not state cost.
+    if (which("st19")) {
+      import graft.ext.{ImageHash, IndexStore}
+      val corpusN = 4000L
+      val waveN = 500
+      val dir = java.nio.file.Files.createTempDirectory("sb_phash").toString
+      IndexStore.writePhash(spark,
+        ImageHash.synthesizePatterned(spark,
+          spark.range(corpusN).select(col("id").as("doc_id")), "doc_id"),
+        dir, maxDist = 7, bands = 8)
+      val bundle = IndexStore.loadPhash(spark, dir)
+      val waves: IndexedSeq[Seq[(Long, Array[Byte])]] =
+        (0 until batches).map { b =>
+          ImageHash.synthesizePatterned(spark,
+            spark.range(b.toLong * waveN, (b + 1).toLong * waveN)
+              .select(col("id").as("doc_id")), "doc_id")
+            .collect().map(r => (r.getLong(0) + corpusN * 10, // disjoint probe ids
+              r.getAs[Array[Byte]](1))).toSeq
+        }
+      // probe CONTENT is fixture id k's pattern (k < corpusN for the
+      // early waves ⇒ every probe near-matches its group's 4 corpus
+      // images); only the media_id is shifted out of the corpus space
+      val mem = MemoryStream[(Long, Timestamp, Array[Byte])]
+      val outDf = graft.streaming.StreamImageDup.pairs(bundle,
+        mem.toDF().toDF("media_id", "ts", "media"), "media_id", "media", "ts")
+      drive("st19_image_neardup", spark, (b, ts) =>
+        mem.addData(waves(b).map { case (id, bytes) => (id, ts, bytes) }): Unit,
+        outDf, batches, waveN.toLong)
+    }
+
     spark.stop()
   }
 }
