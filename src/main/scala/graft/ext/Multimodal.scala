@@ -593,6 +593,40 @@ object Multimodal {
     }).toDF("media_id", "media")
   }
 
+  // ---------------------------------------- video near-dup (M8/D19)
+
+  /** M8 — video-content fingerprint over the REAL frame-decode path:
+    * one row per sampled frame carrying its QUANTIZED mean luma
+    * (round(luma/16) — 16 luma buckets). Quantization is what makes
+    * the signature decode-robust: MJPEG's DC quantizer moves a solid
+    * frame's decoded mean by ±2.5 (the q239 measured band), far inside
+    * a half-bucket of 8, so re-encodes land in the same bucket. Two
+    * captures of one video agree bucket-for-bucket; unrelated videos
+    * agree only by 1-in-16 chance per frame. */
+  def videoFingerprint(spark: SparkSession, media: DataFrame,
+      stride: Int = 1, maxFrames: Int = 8): DataFrame =
+    sampleAviFrames(spark, media, stride, maxFrames).toDF()
+      .where(col("decode_ok"))
+      .select(col("media_id"), col("frame_index"),
+        round(col("mean_luma") / 16.0, 0).cast("long").as("qluma"))
+
+  /** D19 — video-content near-dup: all pairs sharing ≥ `minShared`
+    * (frame index, luma bucket) positions — the q26 bucket join with
+    * the frame index as the band (the [[AudioFingerprint.nearDupPairs]]
+    * shape on the video plane). Shuffle = one fixed-width row per
+    * sampled FRAME; candidates scale with real content overlap. */
+  def videoNearDupPairs(fingerprint: DataFrame, minShared: Int): DataFrame = {
+    val a = fingerprint.select(col("media_id").as("id_a"),
+      col("frame_index"), col("qluma"))
+    val b = fingerprint.select(col("media_id").as("id_b"),
+      col("frame_index"), col("qluma"))
+    a.join(b, Seq("frame_index", "qluma"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   // ------------------------------------------------------------ EXIF (M5)
   //
   // The metadata plane of image curation: orientation (the tag every

@@ -198,5 +198,54 @@ object Round15Queries {
             |SELECT id_a, id_b, shared FROM p WHERE shared >= 20
             |ORDER BY id_a, id_b""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q248, q249, q250, q251, q252, q253)
+  /** Q254 (M8, video fingerprint): the quantized frame-luma signature
+    * of every fixture AVI through the REAL MJPEG frame decode —
+    * hash-exact because the fixture's frame luma is 16·(1 + (id+f) mod
+    * 13) (the q239 law), whose decoded value lands within ±2.5 (the DC
+    * quantizer band) of a bucket CENTER: round(luma/16) recovers the
+    * closed form exactly on any decoder inside that band. */
+  val q254 = GQuery("q254_video_fingerprint", (s, d) => {
+    import graft.ext.Multimodal
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 60)
+    Multimodal.videoFingerprint(s, Multimodal.synthesizeAvi(s, ids, "doc_id"))
+      .orderBy("media_id", "frame_index")
+  },
+    Some("""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+           |f AS (SELECT media_id,
+           |        unnest(generate_series(0, CAST(media_id % 4 AS BIGINT))) AS frame_index
+           |      FROM ids)
+           |SELECT media_id, frame_index,
+           |  CAST(1 + (media_id + frame_index) % 13 AS BIGINT) AS qluma
+           |FROM f ORDER BY media_id, frame_index""".stripMargin))
+
+  /** Q255 (D19, video near-dup): pairs sharing ≥ 1 (frame, bucket)
+    * position. Under the fixture law two videos share ANY frame iff
+    * id_a ≡ id_b (mod 13), and then share ALL min(n_a, n_b) sampled
+    * frames — so the pair set is the congruence classes and every
+    * shared count is a closed form DuckDB restates. */
+  val q255 = GQuery("q255_video_neardup", (s, d) => {
+    import graft.ext.Multimodal
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 60)
+    val fp = Multimodal.videoFingerprint(s,
+      Multimodal.synthesizeAvi(s, ids, "doc_id"))
+    Multimodal.videoNearDupPairs(fp, minShared = 1)
+      .orderBy("id_a", "id_b")
+  },
+    Some("""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+           |g AS (SELECT media_id,
+           |        unnest(generate_series(0, CAST(media_id % 4 AS BIGINT))) AS frame_index
+           |      FROM ids),
+           |f AS (SELECT media_id, frame_index,
+           |        CAST(1 + (media_id + frame_index) % 13 AS BIGINT) AS qluma
+           |      FROM g),
+           |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+           |        count(*)::BIGINT AS shared
+           |      FROM f a JOIN f b
+           |        ON a.frame_index = b.frame_index AND a.qluma = b.qluma
+           |          AND a.media_id < b.media_id
+           |      GROUP BY 1, 2)
+           |SELECT id_a, id_b, shared FROM p WHERE shared >= 1
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q248, q249, q250, q251, q252, q253, q254, q255)
 }

@@ -243,6 +243,27 @@ class MultimodalSpec extends SparkSpec {
     assert(zeroRows == Seq(false, true))
   }
 
+  test("video fingerprint recovers the frame-luma law; near-dup pairs are the congruence classes") {
+    import spark.implicits._
+    val ids = (0L until 26L).toDF("doc_id")
+    val fp = Multimodal.videoFingerprint(spark,
+      Multimodal.synthesizeAvi(spark, ids, "doc_id"))
+    val rows = fp.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (id <- 0L until 26L; f <- 0L to id % 4)
+      assert(rows((id, f)) === 1 + (id + f) % 13, s"($id, $f)")
+    // pairs fire iff id_a ≡ id_b (mod 13) — then every sampled frame of
+    // the shorter video matches, so shared = min(n_a, n_b)
+    val got = Multimodal.videoNearDupPairs(fp, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      a <- 0L until 26L; b <- 0L until 26L
+      if a < b && a % 13 == b % 13
+    } yield (a, b, math.min(1 + a % 4, 1 + b % 4))).toSet
+    assert(got === expected)
+    // spot pins: (0,13) shares min(1,2)=1; (2,15) shares min(3,4)=3
+    assert(got.contains((0L, 13L, 1L)) && got.contains((2L, 15L, 3L)))
+  }
+
   test("resizeImages honors EXIF orientation: rotated fixtures come out upright") {
     import spark.implicits._
     // an asymmetric 8x4 gradient JPEG with a REAL spliced EXIF segment;
