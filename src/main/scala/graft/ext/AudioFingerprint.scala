@@ -185,6 +185,33 @@ object AudioFingerprint {
     }).toDF("media_id", "media")
   }
 
+  /** A loaded audio-fingerprint bundle: the (frame, bin)-clustered
+    * print table probes bucket-join against, plus the match floor. */
+  final case class Bundle(prints: DataFrame, minShared: Int)
+
+  private val cache = Memo.unmanaged[Bundle]
+
+  /** Serving memo (lazy parquet reads — nothing cluster-side to
+    * release; the bound caps JVM state). */
+  def cached(key: String)(build: => Bundle): Bundle = cache(key)(build)
+
+  /** Near-dup pairs between probe AUDIO and the stored corpus: the
+    * probe side decodes + fingerprints itself (map-only), explodes to
+    * (frame, bin) rows and joins the corpus prints — candidate rows are
+    * row-group runs under the (frame, bin) clustering; the shared-count
+    * verify IS the join's aggregate, no second fetch. */
+  def searchBundle(spark: SparkSession, bundle: Bundle,
+      probeMedia: DataFrame): DataFrame = {
+    val p = peaks(spark, probeMedia).toDF().where(col("decode_ok"))
+      .select(col("media_id").as("probe_id"),
+        posexplode(col("peaks")).as(Seq("frame", "bin")))
+    p.join(bundle.prints, Seq("frame", "bin"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .groupBy("probe_id", "corpus_id")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= bundle.minShared)
+  }
+
   /** Minimal RIFF/WAVE writer: mono, 16-bit, little-endian PCM. */
   private[ext] def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2

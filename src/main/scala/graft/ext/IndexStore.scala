@@ -606,6 +606,52 @@ object IndexStore {
       "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
   }
 
+  // ---- audio fingerprints (N18) --------------------------------------
+
+  /** Durable audio-fingerprint bundle: ONE print table — (frame, bin,
+    * corpus_id) clustered by (frame, bin) so a probe's candidate
+    * buckets are row-group runs — plus the match floor in meta.
+    * Fingerprinting is per-row pure (no trained state): append ≡
+    * rebuild bit-identically by construction, the [[writePhash]]
+    * class. */
+  def writeAudioFp(spark: SparkSession, media: DataFrame, dir: String,
+      minShared: Int): Unit = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    audioPrints(spark, media)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/prints")
+    // meta LAST — the existence marker (see writeBq)
+    writeMeta(dir, "kind" -> "audiofp", "minShared" -> minShared)
+  }
+
+  private def audioPrints(spark: SparkSession, media: DataFrame): DataFrame =
+    AudioFingerprint.peaks(spark, media).toDF()
+      .where(col("decode_ok"))
+      .select(col("media_id").as("corpus_id"),
+        posexplode(col("peaks")).as(Seq("frame", "bin")))
+      .select(col("frame"), col("bin"), col("corpus_id"))
+      .repartition(col("frame"))
+      .sortWithinPartitions("frame", "bin")
+
+  def loadAudioFp(spark: SparkSession, dir: String): AudioFingerprint.Bundle = {
+    val m = requireKind(dir, "audiofp")
+    AudioFingerprint.Bundle(
+      spark.read.parquet(livePaths(dir, m, "prints"): _*),
+      m.get("minShared").asInt())
+  }
+
+  def appendAudioFp(spark: SparkSession, increment: DataFrame,
+      dir: String): Unit = {
+    val before = metaBytes(dir)
+    val m = requireKind(dir, "audiofp")
+    val token = newToken()
+    val stage = s"$dir/inc/$token"
+    audioPrints(spark, increment)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/prints")
+    commitAppend(dir, stage, before, (Seq[(String, Any)]("kind" -> "audiofp",
+      "minShared" -> m.get("minShared").asInt(),
+      "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
+  }
+
   // ---- IVF ----------------------------------------------------------
 
   def writeIvf(index: IvfIndex.Index, dir: String): Unit = {
@@ -1198,6 +1244,9 @@ object IndexStore {
           .sortWithinPartitions("media_id")),
         "bands" -> (df => df.repartition(col("band"))
           .sortWithinPartitions("band", "value"))),
+      "audiofp" -> Seq(
+        "prints" -> (df => df.repartition(col("frame"))
+          .sortWithinPartitions("frame", "bin"))),
       "ivfbq" -> Seq(
         "rows" -> (df => df.repartition(col("centroid_id"))
           .sortWithinPartitions("centroid_id", df.columns(1))),

@@ -247,5 +247,42 @@ object Round15Queries {
            |SELECT id_a, id_b, shared FROM p WHERE shared >= 1
            |ORDER BY id_a, id_b""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q248, q249, q250, q251, q252, q253, q254, q255)
+  /** Q256 (N18, stored audio-fingerprint serve): audio near-dup through
+    * the durable bundle — corpus <40 written, 40–47 APPENDED through
+    * the staged-token CAS (fingerprinting is per-row pure: append ≡
+    * rebuild by construction), probes 24–47 bucket-joined against the
+    * (frame, bin)-clustered print table, shared-count verify in the
+    * join's aggregate. Memoized per (session, dir); the oracle
+    * recomputes every probe×corpus shared count from the closed-form
+    * bins, so the append path, the stored clustering, and the serve
+    * join all gate together (the q250 discipline on the audio plane). */
+  val q256 = GQuery("q256_audio_bundle_search", (s, d) => {
+    import graft.ext.{AudioFingerprint, IndexStore}
+    val ids = t(s, d, "documents").select(col("doc_id"))
+    val b = AudioFingerprint.cached(s.sparkContext.applicationId + ":audiofp:" + d) {
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/audiofp_${Registry.pathKey(d)}"
+      IndexStore.writeAudioFp(s, AudioFingerprint.synthesizeTones(s,
+        ids.where(col("doc_id") < 40), "doc_id"), dir, minShared = 20)
+      IndexStore.appendAudioFp(s, AudioFingerprint.synthesizeTones(s,
+        ids.where(col("doc_id") >= 40 && col("doc_id") < 48), "doc_id"), dir)
+      IndexStore.loadAudioFp(s, dir)
+    }
+    val probes = AudioFingerprint.synthesizeTones(s,
+      ids.where(col("doc_id") >= 24 && col("doc_id") < 48), "doc_id")
+    AudioFingerprint.searchBundle(s, b, probes)
+      .orderBy("probe_id", "corpus_id")
+  },
+    Some(s"""WITH $audioCte,
+            |p AS (SELECT a.media_id AS probe_id, b.media_id AS corpus_id,
+            |        count(*)::BIGINT AS shared
+            |      FROM f a JOIN f b
+            |        ON a.s = b.s AND a.fr = b.fr AND a.bin = b.bin
+            |          AND a.media_id >= 24 AND b.media_id <> a.media_id
+            |      GROUP BY 1, 2)
+            |SELECT probe_id, corpus_id, shared FROM p WHERE shared >= 20
+            |ORDER BY probe_id, corpus_id""".stripMargin))
+
+  val all: Seq[GQuery] =
+    Seq(q248, q249, q250, q251, q252, q253, q254, q255, q256)
 }

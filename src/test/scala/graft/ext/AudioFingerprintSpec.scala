@@ -53,6 +53,42 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(got.contains((0L, 1L, 28L)) && got.contains((0L, 3L, 20L)))
   }
 
+  test("bundle append ≡ rebuild bit-identically; searchBundle ≡ in-plan pairs; compaction folds") {
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 32L).toDF("doc_id")
+    val media = AudioFingerprint.synthesizeTones(spark, ids, "doc_id")
+    val tmp = java.nio.file.Files.createTempDirectory("audiofp_spec").toString
+    IndexStore.writeAudioFp(spark, media, s"$tmp/full", minShared = 20)
+    IndexStore.writeAudioFp(spark,
+      media.where(col("media_id") < 20), s"$tmp/inc", minShared = 20)
+    IndexStore.appendAudioFp(spark,
+      media.where(col("media_id") >= 20), s"$tmp/inc")
+    val a = IndexStore.loadAudioFp(spark, s"$tmp/full")
+    val b = IndexStore.loadAudioFp(spark, s"$tmp/inc")
+    assert(a.prints.collect().map(_.toSeq).toSet === b.prints.collect().map(_.toSeq).toSet)
+    val probes = AudioFingerprint.synthesizeTones(spark, (8L until 16L).toDF("doc_id"), "doc_id")
+    val viaBundle = AudioFingerprint.searchBundle(spark, b, probes)
+      .collect().map(_.toSeq).toSet
+    // in-plan equivalent: ordered (probe, corpus) pairs with shared >= 20
+    val all = AudioFingerprint.peaks(spark, media).toDF().where(col("decode_ok"))
+    val probeP = AudioFingerprint.peaks(spark, probes).toDF().where(col("decode_ok"))
+    val exploded = all.select(col("media_id").as("corpus_id"),
+      posexplode(col("peaks")).as(Seq("frame", "bin")))
+    val pexp = probeP.select(col("media_id").as("probe_id"),
+      posexplode(col("peaks")).as(Seq("frame", "bin")))
+    val inPlan = pexp.join(exploded, Seq("frame", "bin"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .groupBy("probe_id", "corpus_id")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= 20)
+      .collect().map(_.toSeq).toSet
+    assert(viaBundle === inPlan && viaBundle.nonEmpty)
+    IndexStore.compact(spark, s"$tmp/inc")
+    val compacted = IndexStore.loadAudioFp(spark, s"$tmp/inc")
+    assert(AudioFingerprint.searchBundle(spark, compacted, probes)
+      .collect().map(_.toSeq).toSet === inPlan)
+  }
+
   test("corrupt/unsupported blobs isolate as decode_ok=false rows") {
     val tone = AudioFingerprint.synthesizeTones(spark, Seq(1L).toDF("doc_id"), "doc_id")
       .collect().head.getAs[Array[Byte]]("media")
