@@ -93,7 +93,7 @@ object Bench {
       "q187", "q177", "q191", "q208", "q228", "q232", "q233", "q234",
       "q235", "q236", "q237", "q190", "q220",
       // round-15 new/changed: pHash tier + the re-ranged script profile
-      "q244", "q248", "q249", "q250", "q251", "q252", "q253", "q254", "q255", "q256",
+      "q244", "q248", "q249", "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")

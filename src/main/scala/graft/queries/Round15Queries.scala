@@ -283,6 +283,60 @@ object Round15Queries {
             |SELECT probe_id, corpus_id, shared FROM p WHERE shared >= 20
             |ORDER BY probe_id, corpus_id""".stripMargin))
 
+  /** Q257 (D20, cross-modal dedup): corpus near-dup removal where
+    * duplicate-ness composes TRANSITIVELY across modalities — edges =
+    * text pairs (exact 3-shingle Jaccard ≥ 0.8, the q26 law) ∪ image
+    * pairs (pHash Hamming ≤ 7 over the closed-form fixture, the q249
+    * law) → one connected-components pass → min-id representative.
+    * Docs 0–95 carry fixture images (24 groups; the fixture's 7-class
+    * baseline mixer makes some groups share hashes — larger multi-group
+    * components that genuinely exercise the cross-modal closure);
+    * summarized per lang with an id-sum pinning the exact survivor
+    * set. The oracle recomputes BOTH edge sets (exhaustive Jaccard +
+    * bit-formula distances) and the recursive-CTE closure over their
+    * union — the q64 discipline across two modalities. */
+  val q257 = GQuery("q257_crossmodal_dedup", (s, d) => {
+    import graft.ext.{CrossModalDedup, ImageHash}
+    val docs = t(s, d, "documents").where(col("doc_id") < 96)
+    val media = ImageHash.synthesizePatterned(s,
+      docs.select(col("doc_id")), "doc_id")
+      .select(col("media_id").as("doc_id"), col("media"))
+    CrossModalDedup.dropNearDuplicates(s, docs, media, "doc_id", "text",
+      textThreshold = 0.8, imageMaxDist = 7)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+  },
+    Some(s"""WITH RECURSIVE ${PipelineQueries.duckShingles3},
+            |docs AS (SELECT * FROM documents WHERE doc_id < 96),
+            |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |       WHERE a.doc_id < 96 AND b.doc_id < 96
+            |         AND round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |               / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+            |ks AS (SELECT unnest(generate_series(0, 62)) AS k),
+            |bits AS (SELECT doc_id AS media_id, k,
+            |    ((((doc_id // 4) * 37 + k * 101) % 7 < 3) <> (k < doc_id % 4)) AS bit
+            |  FROM docs, ks),
+            |ip AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+            |       FROM bits a JOIN bits b
+            |         ON a.k = b.k AND a.media_id < b.media_id
+            |       GROUP BY 1, 2
+            |       HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 7),
+            |pe AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM ip),
+            |e AS (SELECT id_a AS src, id_b AS dst FROM pe
+            |      UNION SELECT id_b, id_a FROM pe),
+            |reach AS (
+            |  SELECT src AS node, src AS r FROM e
+            |  UNION
+            |  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node),
+            |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+            |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+            |FROM docs
+            |WHERE doc_id NOT IN (SELECT node FROM comp)
+            |   OR doc_id IN (SELECT node FROM comp WHERE node = component)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] =
-    Seq(q248, q249, q250, q251, q252, q253, q254, q255, q256)
+    Seq(q248, q249, q250, q251, q252, q253, q254, q255, q256, q257)
 }

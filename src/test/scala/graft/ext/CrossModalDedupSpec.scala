@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** D20 — cross-modal dedup: the defining case is a chain that crosses
+  * modalities (text a~b, image b~c) collapsing all three into one
+  * cluster; docs without images contribute no image edges. */
+class CrossModalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a text edge and an image edge chain into ONE cluster; min-id survives") {
+    // text: docs 1 and 2 share prose; doc 3's text is unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "totally different content about streams and indexes here"),
+      (4L, "another unrelated document with its own words entirely"))
+      .toDF("doc_id", "text")
+    // images: docs 2 and 3 carry the SAME fixture pattern (id 8 twice);
+    // docs 1 and 4 carry distant patterns
+    val pat = ImageHash.synthesizePatterned(spark,
+      Seq(8L, 8L, 0L, 20L).toDF("doc_id"), "doc_id")
+      .collect().map(_.getAs[Array[Byte]]("media"))
+    val media = Seq((2L, pat(0)), (3L, pat(1)), (1L, pat(2)), (4L, pat(3)))
+      .toDF("doc_id", "media")
+    val kept = CrossModalDedup.dropNearDuplicates(spark, docs, media,
+      "doc_id", "text", textThreshold = 0.5, imageMaxDist = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1~2 by text, 2~3 by image → {1,2,3} one cluster, min-id 1 kept;
+    // 4 is unclustered and passes through
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("docs without (or with corrupt) images still dedup by text alone") {
+    val docs = Seq(
+      (1L, "the same passage of words repeated across two documents here"),
+      (2L, "the same passage of words repeated across two documents here"),
+      (3L, "nothing like the others at all in any way whatsoever"))
+      .toDF("doc_id", "text")
+    val media = Seq((1L, "corrupt".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val kept = CrossModalDedup.dropNearDuplicates(spark, docs, media,
+      "doc_id", "text", textThreshold = 0.8, imageMaxDist = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+}
