@@ -20,18 +20,26 @@ import graft.ext.ImageHash
   *     rows per image; candidate count scales with real near-dup
   *     density, not N².
   *
-  * `PhashProbe [nHash] [nJoin] [passes]` — defaults 5000 / 200000 / 3.
+  * `PhashProbe [nHash] [nJoin] [passes] [legs]` — defaults
+  * 5000 / 200000 / 3 / hash,banded,blocked. `legs` subsets the runs:
+  * past ~4M hashes the banded leg IS the degeneration it measures
+  * (its candidate volume ~8·N²/2⁸ — 2e12 comparisons at 8M, hours) —
+  * measure `blocked` or `blocked3` (keySize 3, maxDist 6) alone there.
   */
 object PhashProbe {
   def main(args: Array[String]): Unit = {
     val nHash = args.lift(0).map(_.toInt).getOrElse(5000)
     val nJoin = args.lift(1).map(_.toInt).getOrElse(200000)
     val passes = args.lift(2).map(_.toInt).getOrElse(3)
+    val legs = args.lift(3)
+      .map(_.split(",").map(_.trim.toLowerCase).toSet)
+      .getOrElse(Set("hash", "banded", "blocked"))
     val spark = graft.GraftSession.local("phash-probe")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
     // ---- hash leg: real decode path over N patterned PNGs ----------
+    if (legs("hash")) {
     val ids = spark.range(nHash.toLong).select(col("id").as("doc_id"))
     val media = ImageHash.synthesizePatterned(spark, ids, "doc_id")
       .persist()
@@ -45,6 +53,7 @@ object PhashProbe {
         f"(${hashed / s}%.0f imgs/s)")
     }
     media.unpersist()
+    }
 
     // ---- join legs: near-dup over N planted hashes -----------------
     // per-group unique base (xxhash64 bits — no base collisions across
@@ -67,7 +76,7 @@ object PhashProbe {
         base.bitwiseXOR(flips).as("phash")
       }).persist()
     val nH = hashes.count()
-    (1 to passes).foreach { p =>
+    if (legs("banded")) (1 to passes).foreach { p =>
       val t0 = System.nanoTime()
       val pairs = ImageHash.nearDupPairs(hashes, "media_id", "phash",
         maxDist = 7, bands = 8).count()
@@ -75,12 +84,20 @@ object PhashProbe {
       println(f"[phash-probe] banded pass $p: $nH%d hashes -> $pairs%d pairs " +
         f"in $s%.2f s")
     }
-    (1 to passes).foreach { p =>
+    if (legs("blocked")) (1 to passes).foreach { p =>
       val t0 = System.nanoTime()
       val pairs = ImageHash.nearDupPairsBlocked(hashes, "media_id", "phash",
         maxDist = 7, blocks = 9, keySize = 2).count()
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[phash-probe] blocked pass $p: $nH%d hashes -> $pairs%d pairs " +
+        f"in $s%.2f s")
+    }
+    if (legs("blocked3")) (1 to passes).foreach { p =>
+      val t0 = System.nanoTime()
+      val pairs = ImageHash.nearDupPairsBlocked(hashes, "media_id", "phash",
+        maxDist = 6, blocks = 9, keySize = 3).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[phash-probe] blocked3 pass $p: $nH%d hashes -> $pairs%d pairs " +
         f"in $s%.2f s")
     }
     spark.stop()

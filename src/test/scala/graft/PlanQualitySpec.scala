@@ -432,4 +432,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.head.requiredSchema.fieldNames.toSet ===
       Set("o_orderpriority", "o_orderdate", "o_totalprice"))
   }
+
+  test("media near-dup candidate joins are equi-joins — never nested-loop/cartesian") {
+    // The scale contract of every near-dup path: candidates come from a
+    // bucket EQUI-join (band/block/frame keys), and the exact verify is
+    // a post-join filter. A refactor that turns any of these into a
+    // nested-loop or cartesian join silently reintroduces all-pairs —
+    // invisible at the gate SF, fatal at 10⁹ items. Checked over the
+    // image banded join, the compound-block join, the audio
+    // (frame, bin) join, the video (frame, bucket) join, and the
+    // cross-modal union closure's edge generators.
+    Seq("q249_phash_neardup", "q251_phash_neardup_blocked",
+      "q253_audio_neardup", "q255_video_neardup",
+      "q257_crossmodal_dedup").foreach { name =>
+      val plan = executed(run(name))
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$name must not nested-loop join:\n$plan")
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$name must not cartesian join:\n$plan")
+    }
+  }
 }
