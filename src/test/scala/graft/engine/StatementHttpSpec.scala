@@ -145,6 +145,36 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("Superset-shaped chart SQL drives the wire: raw table chart + agg chart (init_db.py:140-157)") {
+    // Superset's SQLAlchemy layer generates Trino SQL from form_data and
+    // POSTs it to this same /v1/statement surface — so the BI plane's
+    // wire-level loop is: seed over the wire, then run the SQL Superset
+    // emits for the reference's charts and check the seeded law.
+    val server = StatementHttp.start(spark)
+    try {
+      Seq(
+        "DROP TABLE IF EXISTS iceberg.demo.events;",
+        "CREATE TABLE iceberg.demo.events (id bigint, ts timestamp, event_type varchar, payload varchar, user_id bigint, amount double);",
+        "INSERT INTO iceberg.demo.events SELECT n AS id, current_timestamp - INTERVAL '1' DAY * (n % 30), CASE (n % 5) WHEN 0 THEN 'click' WHEN 1 THEN 'purchase' WHEN 2 THEN 'view' WHEN 3 THEN 'login' ELSE 'logout' END, 'Event ' || CAST(n AS varchar), (n % 50) + 1, (n * 10.5) + 100.0 FROM UNNEST(sequence(1, 200)) AS t(n);")
+        .foreach { stmt =>
+          assert(run(server, stmt)._3.at("/stats/state").asText() === "FINISHED", stmt)
+        }
+      // raw-mode table chart (query_mode=raw, all_columns, row_limit 100)
+      val (rawCols, rawRows, _) = run(server,
+        "SELECT id, ts, event_type, user_id, amount FROM iceberg.demo.events ORDER BY id LIMIT 100")
+      assert(rawCols === Seq("id", "ts", "event_type", "user_id", "amount"))
+      assert(rawRows.size === 100 && rawRows.head.head.asLong() === 1L)
+      // agg chart (groupby event_type, metric count, order_by count desc)
+      val (aggCols, aggRows, _) = run(server,
+        "SELECT event_type AS event_type, COUNT(*) AS count FROM iceberg.demo.events GROUP BY event_type ORDER BY count DESC, event_type LIMIT 10")
+      assert(aggCols === Seq("event_type", "count"))
+      // the seed law: 200 events, type = n % 5 → exactly 40 of each
+      assert(aggRows.map(r => (r(0).asText(), r(1).asLong())) === Seq(
+        "click" -> 40L, "login" -> 40L, "logout" -> 40L,
+        "purchase" -> 40L, "view" -> 40L))
+    } finally server.stop()
+  }
+
   test("dialect shim is quote-aware and word-bounded; final-page GETs are retriable") {
     val server = StatementHttp.start(spark)
     try {
