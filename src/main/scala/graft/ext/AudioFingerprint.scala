@@ -110,17 +110,23 @@ object AudioFingerprint {
     out
   }
 
+  /** Per-blob fingerprint: the peak sequence, None when undecodable —
+    * the ONE decode path batch [[peaks]] and the streaming probe
+    * ([[graft.streaming.StreamAudioDup]]) share (the
+    * [[ImageHash.phashOfBytes]] discipline: stream and batch
+    * fingerprints must never silently diverge). */
+  private[graft] def peaksOfBytes(bytes: Array[Byte]): Option[Array[Int]] =
+    pcmSamples(bytes).filter(_.length >= FRAME).map(framePeaks)
+
   /** Decode + fingerprint every blob: REAL RIFF walk, partition-local;
     * corrupt/unsupported blobs isolate as decode_ok=false rows. */
   def peaks(spark: SparkSession, media: DataFrame): Dataset[AudioPeaks] = {
     import spark.implicits._
     media.select("media_id", "media").as[(Long, Array[Byte])].mapPartitions(_.map {
       case (id, bytes) =>
-        pcmSamples(bytes) match {
-          case Some(s) if s.length >= FRAME =>
-            val p = framePeaks(s)
-            AudioPeaks(id, decode_ok = true, p.length, p)
-          case _ => AudioPeaks(id, decode_ok = false, 0, Array.empty)
+        peaksOfBytes(bytes) match {
+          case Some(p) => AudioPeaks(id, decode_ok = true, p.length, p)
+          case None => AudioPeaks(id, decode_ok = false, 0, Array.empty)
         }
     })
   }
