@@ -201,6 +201,20 @@ object AudioFingerprint {
     * release; the bound caps JVM state). */
   def cached(key: String)(build: => Bundle): Bundle = cache(key)(build)
 
+  /** The ONE candidate-join + shared-count tail every serving path uses
+    * (batch [[searchBundle]] and the streaming probe
+    * [[graft.streaming.StreamAudioDup]] — the match semantics must
+    * never silently diverge between them): probe (frame, bin) rows
+    * equi-join the corpus prints, self-pairs excluded, shared-count
+    * aggregate thresholded at `minShared`. */
+  private[graft] def sharedCountPairs(probePrints: DataFrame,
+      corpusPrints: DataFrame, minShared: Int): DataFrame =
+    probePrints.join(corpusPrints, Seq("frame", "bin"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .groupBy("probe_id", "corpus_id")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= minShared)
+
   /** Near-dup pairs between probe AUDIO and the stored corpus: the
     * probe side decodes + fingerprints itself (map-only), explodes to
     * (frame, bin) rows and joins the corpus prints — candidate rows are
@@ -211,11 +225,7 @@ object AudioFingerprint {
     val p = peaks(spark, probeMedia).toDF().where(col("decode_ok"))
       .select(col("media_id").as("probe_id"),
         posexplode(col("peaks")).as(Seq("frame", "bin")))
-    p.join(bundle.prints, Seq("frame", "bin"))
-      .where(col("probe_id") =!= col("corpus_id"))
-      .groupBy("probe_id", "corpus_id")
-      .agg(count(lit(1)).cast("long").as("shared"))
-      .where(col("shared") >= bundle.minShared)
+    sharedCountPairs(p, bundle.prints, bundle.minShared)
   }
 
   /** Minimal RIFF/WAVE writer: mono, 16-bit, little-endian PCM. */

@@ -20,9 +20,14 @@ import graft.ext.AudioFingerprint
   *     shared-count verify is the join's own aggregate, so unlike the
   *     text/image twins there is no second fetch to dedup in front of;
   *   - the aggregate (groupBy pair + count) is the only stateful
-  *     stage; with a watermark on the stream timestamp it runs in
-  *     append mode and each pair emits ONCE when its window closes
-  *     (update mode streams partial counts — the caller's choice).
+  *     stage, keyed on (probe, corpus) with NO event-time column — so
+  *     the query runs in UPDATE (or complete) mode, re-emitting a
+  *     pair's count as its frames accumulate across micro-batches (the
+  *     live-monitoring shape). Append mode is NOT available here:
+  *     Spark rejects a streaming aggregation whose keys carry no
+  *     event-time window; a once-per-pair append emission would need a
+  *     `window(ts, …)` grouping key and would change the law (counts
+  *     per window, not per stream).
   *
   * Undecodable stream blobs drop silently. */
 object StreamAudioDup {
@@ -42,15 +47,13 @@ object StreamAudioDup {
   }
 
   /** Near-dup pairs (probe_id, corpus_id, shared ≥ bundle.minShared) in
-    * UPDATE mode: counts re-emit as a pair's frames accumulate across
-    * micro-batches — the live-monitoring shape. */
+    * UPDATE mode — the verify tail is [[AudioFingerprint
+    * .sharedCountPairs]], THE batch path, shared so stream and batch
+    * match semantics can never silently diverge. */
   def pairs(bundle: AudioFingerprint.Bundle, stream: DataFrame,
       idCol: String, mediaCol: String, tsCol: String): DataFrame =
-    printStream(stream, idCol, mediaCol, tsCol)
-      .withColumnRenamed(idCol, "probe_id")
-      .join(bundle.prints, Seq("frame", "bin"))
-      .where(col("probe_id") =!= col("corpus_id"))
-      .groupBy("probe_id", "corpus_id")
-      .agg(count(lit(1)).cast("long").as("shared"))
-      .where(col("shared") >= bundle.minShared)
+    AudioFingerprint.sharedCountPairs(
+      printStream(stream, idCol, mediaCol, tsCol)
+        .withColumnRenamed(idCol, "probe_id"),
+      bundle.prints, bundle.minShared)
 }

@@ -58,7 +58,11 @@ object PhashProbe {
     // ---- join legs: near-dup over N planted hashes -----------------
     // per-group unique base (xxhash64 bits — no base collisions across
     // groups), variant v flips the v lowest of 3 spread-out bits:
-    // within-group distances ≤ 3, cross-group ~31
+    // within-group distances ≤ 3, cross-group ~31. Built ONLY when a
+    // join leg runs — a hash-only invocation at a 1e8 decade must not
+    // materialize 1e8 planted rows it never reads.
+    val joinLegs = legs("banded") || legs("blocked") || legs("blocked3")
+    if (joinLegs) {
     val hashes = spark.range(nJoin.toLong).select(
       col("id").as("media_id"),
       {
@@ -99,6 +103,7 @@ object PhashProbe {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[phash-probe] blocked3 pass $p: $nH%d hashes -> $pairs%d pairs " +
         f"in $s%.2f s")
+    }
     }
     spark.stop()
   }

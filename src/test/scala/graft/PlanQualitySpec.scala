@@ -440,17 +440,37 @@ class PlanQualitySpec extends SparkSpec {
     // nested-loop or cartesian join silently reintroduces all-pairs —
     // invisible at the gate SF, fatal at 10⁹ items. Checked over the
     // image banded join, the compound-block join, the audio
-    // (frame, bin) join, the video (frame, bucket) join, and the
-    // cross-modal union closure's edge generators.
-    Seq("q249_phash_neardup", "q251_phash_neardup_blocked",
-      "q253_audio_neardup", "q255_video_neardup",
-      "q257_crossmodal_dedup").foreach { name =>
-      val plan = executed(run(name))
+    // (frame, bin) join, and the video (frame, bucket) join.
+    def assertEqui(name: String, plan: SparkPlan): Unit = {
       assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
         s"$name must not nested-loop join:\n$plan")
       assert(plan.collect {
         case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
       }.isEmpty, s"$name must not cartesian join:\n$plan")
+    }
+    Seq("q249_phash_neardup", "q251_phash_neardup_blocked",
+      "q253_audio_neardup", "q255_video_neardup").foreach { name =>
+      assertEqui(name, executed(run(name)))
+    }
+    // q257's CC stage localCheckpoints its edge inputs (lineage
+    // truncated — asserting on the query's own plan would be VACUOUS
+    // for the edge generators), so the cross-modal EDGE plans are
+    // asserted directly, pre-checkpoint.
+    locally {
+      import graft.ext.{Dedup, ImageHash}
+      val docs = Tables.load(spark, sf0001, "documents")
+        .where(col("doc_id") < 96)
+      val textEdges = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        threshold = 0.8, shingleK = 3, numHashes = 128, bands = 32)
+        .select("id_a", "id_b")
+      val media = ImageHash.synthesizePatterned(spark,
+        docs.select(col("doc_id")), "doc_id")
+      val imageEdges = ImageHash.nearDupPairs(
+        ImageHash.hashes(spark, media).toDF().where(col("decode_ok")),
+        "media_id", "phash", maxDist = 7, bands = 8)
+        .select("id_a", "id_b")
+      assertEqui("q257 edges",
+        executed(textEdges.unionByName(imageEdges).distinct()))
     }
   }
 }
