@@ -94,6 +94,9 @@ object Bench {
       "q235", "q236", "q237", "q190", "q220",
       // round-15 new/changed: pHash tier + the re-ranged script profile
       "q244", "q248", "q249", "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257",
+      // round-16 new/changed: q244 localization family, quad cross-modal,
+      // SQL time travel
+      "q258", "q259", "q260", "q261",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")
@@ -381,6 +384,79 @@ object Bench {
       }
     }
     val canaryOk = badReadings.isEmpty || suspects.forall(retimed.contains)
+    // ---- PER-ENTRY DRIFT GATE (VERDICT r15 Next-round #2) ----------
+    // The canary detects WINDOW contention; this gate catches per-entry
+    // contamination the canary's sampling missed (round 15's artifact:
+    // q68 12.4 s vs 1.2 s in the same binary's clean run 90 minutes
+    // earlier — BOTH reps sat inside one contended span the canary never
+    // sampled, so min-of-two was helpless and the proof lived in a side
+    // file the driver never reads). Any entry whose min-of-passes
+    // exceeds `driftLimit`× its last clean time (bench_history, same SF)
+    // by a real absolute margin is re-timed — but only inside a
+    // CANARY-VERIFIED quiet window (a fresh canary reading ≤ 2× floor;
+    // re-timing inside the noise proves nothing) and inside the wall
+    // budget. Entries still over the limit after the retry are emitted
+    // under "drift_suspects" WITH the evidence (last clean, min now,
+    // ratio) — a suspect is "could not reproduce the historical time
+    // this run", visible in the artifact instead of silently polluting
+    // "queries". Tiny entries are exempt via the absolute floor: a
+    // 0.05 s → 0.2 s wobble is scheduler noise, not contamination.
+    val driftLimit =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_LIMIT", "3.0").toDouble
+    def entryMin(n: String): Double = {
+      val ok = timedBuf(n).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    def driftRatio(n: String): Option[Double] = lastTimes.get(n).flatMap { prev =>
+      val now = entryMin(n)
+      if (now > 0 && prev > 0 && now - prev > 0.4) Some(now / prev) else None
+    }
+    def drifted(n: String): Boolean = driftRatio(n).exists(_ > driftLimit)
+    val driftFlagged = timedBuf.keys.toSeq.filter(drifted)
+    val driftRetimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (driftFlagged.nonEmpty) {
+      val maxWall3 =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WALL_DRIFT", "720").toDouble
+      def elapsed = (System.nanoTime() - wallT0) / 1e9
+      System.err.println(f"[bench] drift gate: ${driftFlagged.size} entries " +
+        f"exceed ${driftLimit}%.1f× their last clean time " +
+        f"(${driftFlagged.mkString(",")}) — re-timing in quiet windows " +
+        f"(wall budget $maxWall3%.0f, elapsed $elapsed%.0f)")
+      val warmCost = warmed.toMap
+      driftFlagged.sortBy(entryMin).foreach { n =>
+        val est = warmCost.getOrElse(n, 0.0) + entryMin(n) * 1.5
+        if (elapsed + est > maxWall3)
+          System.err.println(f"[bench] drift retime SKIPPED $n " +
+            f"(est $est%.1f s would cross wall budget $maxWall3%.0f)")
+        else {
+          runCanary()
+          val quiet = canaryFloor > 0 && canary.last <= 2.0 * canaryFloor
+          if (!quiet)
+            System.err.println(f"[bench] drift retime DEFERRED $n — host " +
+              f"not quiet (canary ${canary.last}%.2f vs floor $canaryFloor%.2f)")
+          else {
+            if (groupOf.contains(n)) {
+              // re-warm the entry's memo family so the retime prices
+              // steady-state serving, then release after
+              try fnOf(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] drift warm $n failed: $e") }
+            }
+            val t = timeOnce(n, fnOf(n))
+            timedBuf(n) = timedBuf(n) :+ t
+            if (t >= 0) driftRetimed += n
+            if (groupOf.contains(n)) graft.ext.Memo.clearAllRegistered()
+          }
+        }
+      }
+    }
+    // recompute with the appended retimes: an entry leaves the suspect
+    // list iff its (possibly repaired) min is back inside the limit
+    val driftSuspects = driftFlagged.filter(drifted)
+    val driftSuspectsJson = driftSuspects.map { n =>
+      "\"" + n + "\":" + f"""{"last":${lastTimes(n)}%.3f,"min":${entryMin(n)}%.3f,"ratio":${driftRatio(n).getOrElse(0.0)}%.2f,"retimed":${driftRetimed.contains(n)}}"""
+    }.mkString("{", ",", "}")
+    val driftGateOk = driftSuspects.isEmpty
     val timed: Seq[(String, Seq[Double])] = timedBuf.toSeq
     val results = timed.map { case (name, ts) =>
       // an entry is an error only when EVERY rep failed — a failed
@@ -436,7 +512,7 @@ object Bench {
     val driftJson =
       s"""{"n_compared":${deltaPairs.size},"worst":$driftWorst}"""
     val wallS = (System.nanoTime() - wallT0) / 1e9
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"warm_groups":$residentJson,"resident_families":$residentOfJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"delta_vs_last_run":$deltas,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"warm_groups":$residentJson,"resident_families":$residentOfJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"delta_vs_last_run":$deltas,"drift_suspects":$driftSuspectsJson,"drift_gate_ok":$driftGateOk,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; at 230 entries the full
     // per-query line is ~10 KB and the tail has truncated it mid-map two
     // rounds running (BENCH_r08/r09 `parsed: null`). Persist the full line
@@ -459,7 +535,7 @@ object Bench {
       "q24_cosine_topk")
     val hq = results.filter(r => headlines.contains(r._1))
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"drift":$driftJson,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"drift":$driftJson,"drift_suspects":$driftSuspectsJson,"drift_gate_ok":$driftGateOk,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
     // Stop Spark BEFORE the final prints: the driver parses the LAST stdout
     // line as JSON, and shutdown must not be able to interleave output
     // after it (build.sbt already strips sbt's own [info]/[success] noise).

@@ -50,8 +50,11 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $fqName")
 
   /** Ad-hoc SQL entry point (README.md:49-50, §3.3) — the full statement
-    * surface is whatever Spark SQL parses. */
-  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
+    * surface is whatever Spark SQL parses, plus the ref-addressed
+    * time-travel spellings ([[TimeTravel.rewrite]]: `FOR VERSION AS OF
+    * 'tag'` → [[Layout.readAt]], `"table@branch"` → the branch fork). */
+  def sql(spark: SparkSession, text: String): DataFrame =
+    spark.sql(TimeTravel.rewrite(spark, text))
 
   /** Result delivery as CSV-with-header — the Trino-CLI `--output-format
     * CSV` shape (seed.sh:9, S12). Distributed write; callers coalesce(1)

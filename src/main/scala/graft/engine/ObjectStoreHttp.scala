@@ -41,10 +41,21 @@ object ObjectStoreHttp {
     def uri: String = s"http://127.0.0.1:$port"
   }
 
-  def start(store: ObjectStoreFileIO, port: Int = 0): Server = {
+  /** `root`: BUCKET confinement — a real object store roots every key
+    * in a bucket; loopback binding alone does not protect against other
+    * local processes/users reaching the port (round-15 advisor). When
+    * set, a request path that does not NORMALIZE under `root` (so
+    * `/bucket/../etc/passwd` is caught after `..` resolution) is
+    * refused with 403 before any filesystem access. `None` keeps the
+    * unconfined shape for multi-root test topologies (the Layout
+    * lifecycle spec spans warehouse + temp dirs) — production wiring
+    * should always pass a root. */
+  def start(store: ObjectStoreFileIO, port: Int = 0,
+      root: Option[Path] = None): Server = {
+    val normRoot = root.map(_.toAbsolutePath.normalize)
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     http.createContext("/", (exchange: HttpExchange) => {
-      try route(store, exchange)
+      try route(store, exchange, normRoot)
       catch {
         case scala.util.control.NonFatal(e) =>
           send(exchange, 500,
@@ -56,13 +67,19 @@ object ObjectStoreHttp {
   }
 
   /** Object key ↔ backing path: keys are the absolute path, URL-encoded
-    * per segment by the client; the raw decoded request path IS the
-    * filesystem path (the store roots objects on the real FS already). */
+    * per segment by the client; the decoded request path NORMALIZED is
+    * the filesystem path (the store roots objects on the real FS
+    * already). */
   private def pathOf(exchange: HttpExchange): Path =
-    Paths.get(exchange.getRequestURI.getPath)
+    Paths.get(exchange.getRequestURI.getPath).normalize
 
-  private def route(store: ObjectStoreFileIO, exchange: HttpExchange): Unit = {
+  private def route(store: ObjectStoreFileIO, exchange: HttpExchange,
+      root: Option[Path]): Unit = {
     val p = pathOf(exchange)
+    if (root.exists(r => !p.startsWith(r))) {
+      send(exchange, 403,
+        s"key outside the store root: $p".getBytes("UTF-8")); return
+    }
     exchange.getRequestMethod match {
       case "GET" =>
         store.getWithEtag(p) match {

@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface time travel (VERDICT r15 #4): the Nessie-versioned
+  * catalog the reference configures (`/root/reference/compose/trino/
+  * catalog/iceberg.properties:6`, `iceberg.nessie-catalog.ref=main`)
+  * implies two ref-addressed read spellings a Trino/SQL-Lab user types:
+  *
+  *   - `SELECT ... FROM tbl FOR VERSION AS OF 'tag'` — Trino's Iceberg
+  *     time-travel clause; resolves through [[Layout.readAt]] (manifest
+  *     file list + schema — no live-catalog dependency), registered as
+  *     a temp view and substituted into the statement, so the rest of
+  *     the query plans over the pinned snapshot like any relation.
+  *   - `FROM "tbl@branch"` — the Nessie ref-qualified identifier;
+  *     rewrites to the branch's writable fork table
+  *     (`tbl__branch_branch`, [[Layout.createBranch]]'s registration).
+  *
+  * Both rewrites are QUOTE-AWARE (occurrences inside single-quoted
+  * string literals are data, not syntax) and strict: an unknown table
+  * or tag fails loudly in [[Layout.readAt]] — never a silent fallback
+  * to the live table, which would hand a user CURRENT rows while they
+  * asked for pinned ones. Statements without either spelling pass
+  * through untouched (two regex probes). Plumbed into
+  * [[Lakehouse.sql]], so the API plane AND the wire front
+  * ([[StatementHttp]] routes through Lakehouse.sql) share one path. */
+object TimeTravel {
+
+  private val VersionRx =
+    "(?i)([A-Za-z_][A-Za-z_0-9.]*)\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+'([^']*)'".r
+  private val BranchRx =
+    "\"([A-Za-z_][A-Za-z_0-9.]*)@([A-Za-z_][A-Za-z_0-9]*)\"".r
+
+  /** True when `pos` sits inside a single-quoted SQL literal of `s`
+    * (Trino/Spark escape a quote by doubling it — `''` stays inside). */
+  private def insideQuote(s: String, pos: Int): Boolean = {
+    var i = 0
+    var in = false
+    while (i < pos && i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (in && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+        else in = !in
+      }
+      i += 1
+    }
+    in
+  }
+
+  private def replaceOutsideQuotes(s: String, rx: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val out = new StringBuilder
+    var last = 0
+    rx.findAllMatchIn(s).foreach { m =>
+      if (m.start >= last && !insideQuote(s, m.start)) {
+        out ++= s.substring(last, m.start)
+        out ++= f(m)
+        last = m.end
+      }
+    }
+    out ++= s.substring(last)
+    out.toString
+  }
+
+  /** Rewrite both ref-addressed spellings; a no-op (same string) for
+    * statements containing neither. Tagged reads materialize as temp
+    * views named `__tt_<table>_<tag>` — deterministic, so repeated
+    * reads of one tag reuse the registration. */
+  def rewrite(spark: SparkSession, sql: String): String = {
+    var s = sql
+    if (s.indexOf('@') >= 0)
+      s = replaceOutsideQuotes(s, BranchRx) { m =>
+        s"${m.group(1)}__branch_${m.group(2)}"
+      }
+    if (VersionRx.findFirstIn(s).isDefined)
+      s = replaceOutsideQuotes(s, VersionRx) { m =>
+        val (table, tag) = (m.group(1), m.group(2))
+        val view = ("__tt_" + table + "_" + tag).replaceAll("[^A-Za-z0-9_]", "_")
+        Layout.readAt(spark, table, tag).createOrReplaceTempView(view)
+        view
+      }
+    s
+  }
+}

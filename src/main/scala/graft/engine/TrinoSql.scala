@@ -40,23 +40,27 @@ object TrinoSql {
     s
   }
 
-  /** Apply `f` to the segments of `s` OUTSIDE single-quoted literals
-    * (Trino escapes a quote by doubling it — `''` stays inside). */
+  /** Apply `f` to the segments of `s` OUTSIDE single-quoted literals AND
+    * double-quoted identifiers (both escape their quote by doubling —
+    * `''` / `""` stay inside). Double-quoted spans are opaque because
+    * they are IDENTIFIERS: rewriting inside one mangles a column
+    * literally named `varchar` to STRING or strips a `"iceberg.x"`
+    * name's "prefix" — round-15 advisor. */
   private def mapOutsideQuotes(s: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
     var i = 0
-    var inQuote = false
+    var quote: Char = 0 // 0 = outside; otherwise the active quote char
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!inQuote && c == '\'') {
+      if (quote == 0 && (c == '\'' || c == '"')) {
         out ++= f(seg.toString); seg.clear()
-        out += c; inQuote = true; i += 1
-      } else if (inQuote) {
+        out += c; quote = c; i += 1
+      } else if (quote != 0) {
         out += c
-        if (c == '\'') {
-          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out += '\''; i += 1 }
-          else inQuote = false
+        if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) { out += quote; i += 1 }
+          else quote = 0
         }
         i += 1
       } else { seg += c; i += 1 }

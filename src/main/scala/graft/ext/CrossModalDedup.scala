@@ -37,13 +37,52 @@ object CrossModalDedup {
     val textPairs = Dedup.minHashLshPairs(docs, idCol, textCol,
       textThreshold, shingleK, numHashes, textBands)
       .select("id_a", "id_b")
+    val imagePairs = imageEdges(spark, media, idCol, imageMaxDist, imageBands)
+    dropNearDuplicatesMulti(docs, idCol, Seq(textPairs, imagePairs))
+  }
+
+  /** Image-plane edge generator: decode → pHash → banded Hamming join
+    * ([[ImageHash.nearDupPairs]]); corrupt blobs contribute no edges. */
+  def imageEdges(spark: SparkSession, media: DataFrame, idCol: String,
+      maxDist: Int, bands: Int = 8): DataFrame = {
     val hashes = ImageHash.hashes(spark,
       media.select(col(idCol).as("media_id"), col("media"))).toDF()
       .where(col("decode_ok"))
-    val imagePairs = ImageHash.nearDupPairs(hashes, "media_id", "phash",
-      imageMaxDist, imageBands)
+    ImageHash.nearDupPairs(hashes, "media_id", "phash", maxDist, bands)
       .select("id_a", "id_b")
-    val edges = textPairs.unionByName(imagePairs).distinct()
+  }
+
+  /** Audio-plane edge generator: RIFF decode → framed DFT peaks →
+    * (frame, bin) bucket join ([[AudioFingerprint.nearDupPairs]]). */
+  def audioEdges(spark: SparkSession, media: DataFrame, idCol: String,
+      minShared: Int): DataFrame = {
+    val p = AudioFingerprint.peaks(spark,
+      media.select(col(idCol).as("media_id"), col("media"))).toDF()
+      .where(col("decode_ok"))
+    AudioFingerprint.nearDupPairs(p, "media_id", "peaks", minShared)
+      .select("id_a", "id_b")
+  }
+
+  /** Video-plane edge generator: MJPEG frame decode → quantized luma →
+    * (frame, bucket) bucket join ([[Multimodal.videoNearDupPairs]]). */
+  def videoEdges(spark: SparkSession, media: DataFrame, idCol: String,
+      minShared: Int): DataFrame = {
+    val fp = Multimodal.videoFingerprint(spark,
+      media.select(col(idCol).as("media_id"), col("media")))
+    Multimodal.videoNearDupPairs(fp, minShared).select("id_a", "id_b")
+  }
+
+  /** The closure over ANY set of modality edge generators (D20 widened
+    * to the full quadruple, VERDICT r15 #5): union the per-modality
+    * (id_a, id_b) pair sets, ONE connected-components pass, keep the
+    * min-id representative per cluster plus every unclustered doc.
+    * Each added modality costs one `unionByName` over an
+    * edge-count-sized relation — never a new corpus-wide pass. */
+  def dropNearDuplicatesMulti(docs: DataFrame, idCol: String,
+      edgeSets: Seq[DataFrame]): DataFrame = {
+    require(edgeSets.nonEmpty, "need at least one modality edge set")
+    val edges = edgeSets.map(_.select("id_a", "id_b")).reduce(_ unionByName _)
+      .distinct()
     val comps = Clustering.connectedComponents(edges, "id_a", "id_b")
       .withColumnRenamed("node", idCol)
     docs.join(comps, Seq(idCol), "left")

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-16 declared queries: the q244 localization companion (fixed
+  * literal corpus — data-independence split), the cross-modal dedup
+  * closure widened to all four modalities (VERDICT r15 #5), and the
+  * SQL-surface time-travel plane (VERDICT r15 #4 — `FOR VERSION AS OF`
+  * and `"table@branch"` reaching [[graft.engine.Layout]] from SQL text,
+  * the Nessie-versioned-catalog surface the reference stack advertises
+  * via `compose/trino/catalog/iceberg.properties:6`). */
+object Round16Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Q258 (T24′, script profile over a FIXED literal corpus): the q244
+    * family's data-independence split (VERDICT r15 #1d). The corpus is
+    * seven VALUES-inlined rows, each isolating one regime — pure ASCII,
+    * pure Han, mixed-script, symbol-only, Latin-extended (ü/ß), empty
+    * string, and control-whitespace (tab/newline) — so a driver
+    * mismatch here names the EXPRESSION regime that diverges, while a
+    * green q258 next to a red q244 proves the divergence is
+    * data-dependent (lives in the parquet corpus, not the regex
+    * semantics). Wide shape keeps the dominant-script/mixed derivation
+    * gated (q244's long form dropped it). Non-ASCII codepoints enter
+    * the twin via `chr()` — immune to any serialization layer between
+    * the oracle dump and DuckDB. No aggregation on either side: no
+    * HUGEINT anywhere. */
+  val q258 = GQuery("q258_script_profile_fixed", (s, d) => {
+    import s.implicits._
+    import graft.ext.TextAnalysis
+    val corpus = Seq(
+      (1L, "en", "hello world 123"),
+      (2L, "zh", "世界你好"),
+      (3L, "mx", "abc 世界 12"),
+      (4L, "xx", "!!! ???"),
+      (5L, "de", "Grüße 7"),
+      (6L, "zz", ""),
+      (7L, "ws", "a\tb\nc")).toDF("doc_id", "lang", "text")
+    val prof = TextAnalysis.scriptProfile(col("text"))
+    corpus.select(col("doc_id") +: col("lang") +:
+      prof.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  },
+    Some("""WITH docs(doc_id, lang, text) AS (VALUES
+           |    (1::BIGINT, 'en', 'hello world 123'),
+           |    (2::BIGINT, 'zh', chr(19990)||chr(30028)||chr(20320)||chr(22909)),
+           |    (3::BIGINT, 'mx', 'abc '||chr(19990)||chr(30028)||' 12'),
+           |    (4::BIGINT, 'xx', '!!! ???'),
+           |    (5::BIGINT, 'de', 'Gr'||chr(252)||chr(223)||'e 7'),
+           |    (6::BIGINT, 'zz', ''),
+           |    (7::BIGINT, 'ws', 'a'||chr(9)||'b'||chr(10)||'c')),
+           |p AS (SELECT doc_id, lang,
+           |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{02AF}\x{1E00}-\x{1EFF}]'))::BIGINT AS latin_cnt,
+           |    len(regexp_extract_all(text, '[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAD9}]'))::BIGINT AS han_cnt,
+           |    len(regexp_extract_all(text, '[0-9]'))::BIGINT AS digit_cnt,
+           |    len(regexp_extract_all(text, '[ \t\n\r\f]'))::BIGINT AS space_cnt,
+           |    length(text)::BIGINT AS n FROM docs)
+           |SELECT doc_id, lang, latin_cnt, han_cnt, digit_cnt, space_cnt,
+           |  n - latin_cnt - han_cnt - digit_cnt - space_cnt AS other_cnt,
+           |  CASE WHEN latin_cnt = 0 AND han_cnt = 0 THEN 'none'
+           |       WHEN han_cnt > latin_cnt THEN 'han'
+           |       ELSE 'latin' END AS script,
+           |  latin_cnt > 0 AND han_cnt > 0 AS mixed
+           |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** Q259 (D20′, QUADRUPLE cross-modal dedup): the q257 closure widened
+    * to all four modalities — edges = text near-dup (exact 3-shingle
+    * Jaccard ≥ 0.8, the q26 law) ∪ image (pHash Hamming ≤ 7, the q249
+    * law) ∪ audio (≥ 20 shared (frame, bin) peaks, the q253 law) ∪
+    * video (≥ 2 shared (frame, luma-bucket) positions, the q255 law) →
+    * ONE connected-components pass → min-id representative. Modality
+    * coverage is PARTIAL by construction (images on ids < 48, audio on
+    * 24–71, video on 48–95 — real corpora never carry every modality on
+    * every doc; a doc without a plane contributes no edges there), and
+    * the windows OVERLAP so duplicate-ness must chain ACROSS modalities
+    * — an all-modalities-everywhere fixture collapses to one component
+    * and gates nothing. Each modality is the measured bucket-join
+    * generator; composing all four costs three unions over
+    * edge-count-sized relations, never another corpus pass. The oracle
+    * recomputes ALL FOUR edge laws exhaustively (windows included) plus
+    * the recursive-CTE closure over their union; the per-lang id_sum
+    * pins the exact survivor set. */
+  val q259 = GQuery("q259_crossmodal_quad", (s, d) => {
+    import graft.ext.{AudioFingerprint, CrossModalDedup, Dedup, ImageHash, Multimodal}
+    val docs = t(s, d, "documents").where(col("doc_id") < 96)
+    val ids = docs.select(col("doc_id"))
+    val text = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b")
+    val image = CrossModalDedup.imageEdges(s,
+      ImageHash.synthesizePatterned(s, ids.where(col("doc_id") < 48),
+        "doc_id"), "media_id", maxDist = 7)
+    val audio = CrossModalDedup.audioEdges(s,
+      AudioFingerprint.synthesizeTones(s,
+        ids.where(col("doc_id") >= 24 && col("doc_id") < 72), "doc_id"),
+      "media_id", minShared = 20)
+    val video = CrossModalDedup.videoEdges(s,
+      Multimodal.synthesizeAvi(s, ids.where(col("doc_id") >= 48), "doc_id"),
+      "media_id", minShared = 2)
+    CrossModalDedup.dropNearDuplicatesMulti(docs, "doc_id",
+      Seq(text, image, audio, video))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+  },
+    Some(s"""WITH RECURSIVE ${PipelineQueries.duckShingles3},
+            |docs AS (SELECT * FROM documents WHERE doc_id < 96),
+            |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+            |       WHERE a.doc_id < 96 AND b.doc_id < 96
+            |         AND round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            |               / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8),
+            |ks AS (SELECT unnest(generate_series(0, 62)) AS k),
+            |bits AS (SELECT doc_id AS media_id, k,
+            |    ((((doc_id // 4) * 37 + k * 101) % 7 < 3) <> (k < doc_id % 4)) AS bit
+            |  FROM docs, ks WHERE doc_id < 48),
+            |ip AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+            |       FROM bits a JOIN bits b
+            |         ON a.k = b.k AND a.media_id < b.media_id
+            |       GROUP BY 1, 2
+            |       HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 7),
+            |sg AS (SELECT unnest(generate_series(0, 7)) AS seg),
+            |frx AS (SELECT unnest(generate_series(0, 3)) AS fr),
+            |af AS (SELECT doc_id AS media_id, seg, fr,
+            |    4 + ((doc_id - doc_id % 4) * 31 + seg * 17) % 60
+            |      + CASE WHEN seg < doc_id % 4 THEN 1 ELSE 0 END AS bin
+            |  FROM docs, sg, frx WHERE doc_id >= 24 AND doc_id < 72),
+            |ap AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+            |       FROM af a JOIN af b
+            |         ON a.seg = b.seg AND a.fr = b.fr AND a.bin = b.bin
+            |           AND a.media_id < b.media_id
+            |       GROUP BY 1, 2 HAVING count(*) >= 20),
+            |vg AS (SELECT doc_id AS media_id,
+            |        unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) AS fi
+            |      FROM docs WHERE doc_id >= 48),
+            |vf AS (SELECT media_id, fi, 1 + (media_id + fi) % 13 AS qluma FROM vg),
+            |vp AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+            |       FROM vf a JOIN vf b
+            |         ON a.fi = b.fi AND a.qluma = b.qluma
+            |           AND a.media_id < b.media_id
+            |       GROUP BY 1, 2 HAVING count(*) >= 2),
+            |pe AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM ip
+            |       UNION SELECT id_a, id_b FROM ap UNION SELECT id_a, id_b FROM vp),
+            |e AS (SELECT id_a AS src, id_b AS dst FROM pe
+            |      UNION SELECT id_b, id_a FROM pe),
+            |reach AS (
+            |  SELECT src AS node, src AS r FROM e
+            |  UNION
+            |  SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node),
+            |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+            |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+            |FROM docs
+            |WHERE doc_id NOT IN (SELECT node FROM comp)
+            |   OR doc_id IN (SELECT node FROM comp WHERE node = component)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Q260 (L21, SQL-surface time travel): Trino's `FOR VERSION AS OF`
+    * syntax reaching [[graft.engine.Layout.readAt]] from the SQL TEXT
+    * plane ([[graft.engine.Lakehouse.sql]] rewrites it; the wire front
+    * inherits the same path through its Lakehouse.sql call). The gate:
+    * write events < 300, tag `v1`, append 300–599 to the LIVE table,
+    * tag `v2` — then a pure-SQL aggregate over `FOR VERSION AS OF 'v1'`
+    * must reproduce exactly the pre-append rows (the oracle recomputes
+    * them from the raw table), proving the tagged manifest, not the
+    * live file listing, feeds the SQL scan. */
+  val q260 = GQuery("q260_timetravel_sql", (s, d) => {
+    import graft.engine.{Lakehouse, Layout}
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"ttsql_$run"
+    val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+    ev.where(col("event_id") < 300).write.saveAsTable(table)
+    Layout.snapshot(s, table, "v1")
+    ev.where(col("event_id") >= 300 && col("event_id") < 600)
+      .write.mode("append").saveAsTable(table)
+    Layout.snapshot(s, table, "v2")
+    Lakehouse.sql(s,
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |  round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
+         |FROM $table FOR VERSION AS OF 'v1'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+  },
+    Some("""SELECT event_type, count(*)::BIGINT AS n,
+           |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+           |FROM events WHERE event_id < 300
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Q261 (L22, branch-qualified SQL read): Nessie's ref-qualified
+    * table spelling — `"table@branch"` — resolving to the branch's
+    * writable fork from SQL text. The gate reads BOTH refs in one
+    * result: `main` must still see only the pre-fork rows (< 300) after
+    * the branch ingested 300–499 (isolation), and `@etl` must see the
+    * fork plus its own appends — each side recomputed by the oracle
+    * from the raw table. */
+  val q261 = GQuery("q261_branch_read_sql", (s, d) => {
+    import graft.engine.{Lakehouse, Layout}
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"brsql_$run"
+    val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+    ev.where(col("event_id") < 300).write.saveAsTable(table)
+    val bt = Layout.createBranch(s, table, "etl")
+    ev.where(col("event_id") >= 300 && col("event_id") < 500)
+      .write.mode("append").saveAsTable(bt)
+    def agg(ref: String, from: String) = Lakehouse.sql(s,
+      s"""SELECT '$ref' AS ref, event_type, count(*) AS n,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM $from GROUP BY event_type""".stripMargin)
+    agg("main", table).unionByName(agg("etl", "\"" + table + "@etl\""))
+      .orderBy("ref", "event_type")
+  },
+    Some("""WITH m AS (SELECT 'main' AS ref, event_type, count(*)::BIGINT AS n,
+           |         CAST(sum(event_id) AS BIGINT) AS id_sum
+           |       FROM events WHERE event_id < 300 GROUP BY event_type),
+           |b AS (SELECT 'etl' AS ref, event_type, count(*)::BIGINT AS n,
+           |         CAST(sum(event_id) AS BIGINT) AS id_sum
+           |       FROM events WHERE event_id < 500 GROUP BY event_type)
+           |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM b)
+           |ORDER BY ref, event_type""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q258, q259, q260, q261)
+}

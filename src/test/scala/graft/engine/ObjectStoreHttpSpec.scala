@@ -119,6 +119,36 @@ class ObjectStoreHttpSpec extends SparkSpec {
     }
   }
 
+  test("bucket confinement: keys outside the configured root refuse with 403") {
+    val rootDir = Files.createTempDirectory("oshttp-root")
+    val server = ObjectStoreHttp.start(new ObjectStoreFileIO(), root = Some(rootDir))
+    try {
+      val io = new HttpFileIO(server.uri)
+      val inside = rootDir.resolve("bucket/refs.json")
+      assert(io.putIfMatch(inside, None, "v1".getBytes))
+      assert(io.readBytes(inside).map(new String(_)) === Some("v1"))
+      // an absolute key outside the root refuses before any FS access —
+      // and the client surfaces the refusal as an ERROR, never as
+      // "absent" (a 403 treated like 404 would read as a missing object)
+      val refused = intercept[IllegalStateException] {
+        io.readBytes(Path.of("/etc/passwd"))
+      }
+      assert(refused.getMessage.contains("403"))
+      val raw = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(server.uri + "/etc/passwd")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(raw.statusCode() === 403)
+      // ..-traversal normalizes OUT of the root and refuses too
+      val trav = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(server.uri + rootDir.toString + "/../../etc/passwd"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(trav.statusCode() === 403)
+    } finally server.stop()
+  }
+
   test("visibility lag over the wire: stale GET, authoritative CAS") {
     withServer(lagMs = 300L) { (io, _) =>
       val dir = Files.createTempDirectory("oshttp-lag")

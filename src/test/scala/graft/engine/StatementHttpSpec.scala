@@ -202,6 +202,133 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  /** run() with client headers (the Trino CLI/SQLAlchemy shape: user +
+    * accumulated session map), returning the final node plus any
+    * session headers the server answered. */
+  private def runWithHeaders(server: StatementHttp.Server, sql: String,
+      user: Option[String] = None, session: Map[String, String] = Map.empty)
+      : (Seq[Seq[JsonNode]], JsonNode, Map[String, String], Option[String]) = {
+    def withHdrs(b: HttpRequest.Builder): HttpRequest.Builder = {
+      val b1 = user.fold(b)(u => b.header("X-Trino-User", u))
+      if (session.isEmpty) b1
+      else b1.header("X-Trino-Session", session.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString(","))
+    }
+    val post = client.send(withHdrs(HttpRequest.newBuilder(
+      URI.create(server.uri("/v1/statement"))))
+      .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(post.statusCode() === 200)
+    var node = mapper.readTree(post.body())
+    val rows = Seq.newBuilder[Seq[JsonNode]]
+    var setSession = Map.empty[String, String]
+    var resetSession: Option[String] = None
+    while (node.hasNonNull("nextUri")) {
+      val r = client.send(withHdrs(HttpRequest.newBuilder(
+        URI.create(node.get("nextUri").asText()))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      Option(r.headers().firstValue("X-Trino-Set-Session").orElse(null))
+        .foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          setSession += k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }
+      Option(r.headers().firstValue("X-Trino-Reset-Session").orElse(null))
+        .foreach(k => resetSession = Some(k))
+      node = mapper.readTree(r.body())
+      if (node.has("data"))
+        (0 until node.get("data").size()).foreach { i =>
+          val row = node.at(s"/data/$i")
+          rows += (0 until row.size()).map(row.get)
+        }
+    }
+    (rows.result(), node, setSession, resetSession)
+  }
+
+  test("X-Trino-User attribution round-trips in stats and error payloads") {
+    val server = StatementHttp.start(spark)
+    try {
+      // the reference's Superset URI connects as user `trino`
+      // (compose/superset/init_db.py:9)
+      val (rows, fin, _, _) = runWithHeaders(server, "SELECT 1", user = Some("trino"))
+      assert(rows === Seq(Seq(mapper.getNodeFactory.numberNode(1))) ||
+        rows.map(_.map(_.asInt())) === Seq(Seq(1)))
+      assert(fin.at("/stats/state").asText() === "FINISHED")
+      assert(fin.at("/stats/user").asText() === "trino")
+      val (_, fail, _, _) = runWithHeaders(server, "SELECT FROM nowhere WHERE",
+        user = Some("trino"))
+      assert(fail.at("/stats/state").asText() === "FAILED")
+      assert(fail.at("/error/user").asText() === "trino")
+      // no header → anonymous, never an empty/missing attribution
+      val (_, anon, _, _) = runWithHeaders(server, "SELECT 1")
+      assert(anon.at("/stats/user").asText() === "anonymous")
+    } finally server.stop()
+  }
+
+  test("SET SESSION answers X-Trino-Set-Session; the echoed map applies to later statements and restores after") {
+    val server = StatementHttp.start(spark)
+    try {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      // 1. SET SESSION → protocol header + boolean result page
+      val (rows, fin, set, _) = runWithHeaders(server,
+        "SET SESSION spark.sql.shuffle.partitions = '7'")
+      assert(fin.at("/stats/state").asText() === "FINISHED")
+      assert(rows.map(_.map(_.asBoolean())) === Seq(Seq(true)))
+      assert(set === Map("spark.sql.shuffle.partitions" -> "7"))
+      // 2. the client echoes the accumulated map; a dependent statement
+      //    sees the override IN FLIGHT (Spark's read-only `SET key` form)
+      val (got, fin2, _, _) = runWithHeaders(server,
+        "SET spark.sql.shuffle.partitions", session = set)
+      assert(fin2.at("/stats/state").asText() === "FINISHED")
+      assert(got.head.map(_.asText()) === Seq("spark.sql.shuffle.partitions", "7"))
+      // 3. ...and the server restored the session conf afterwards
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+      // 4. RESET SESSION answers the reset header
+      val (_, fin3, _, reset) = runWithHeaders(server,
+        "RESET SESSION spark.sql.shuffle.partitions")
+      assert(fin3.at("/stats/state").asText() === "FINISHED")
+      assert(reset === Some("spark.sql.shuffle.partitions"))
+      // 5. a property with no Spark equivalent is accepted + echoed,
+      //    never applied: the statement still runs
+      val (_, fin4, set4, _) = runWithHeaders(server,
+        "SET SESSION query_max_stage_count = '200'")
+      assert(fin4.at("/stats/state").asText() === "FINISHED")
+      assert(set4 === Map("query_max_stage_count" -> "200"))
+      val (one, fin5, _, _) = runWithHeaders(server, "SELECT 1", session = set4)
+      assert(fin5.at("/stats/state").asText() === "FINISHED")
+      assert(one.map(_.map(_.asInt())) === Seq(Seq(1)))
+      // 6. join_distribution_type maps to the broadcast gate and restores
+      val gateBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (gate, fin6, _, _) = runWithHeaders(server,
+        "SET spark.sql.autoBroadcastJoinThreshold",
+        session = Map("join_distribution_type" -> "PARTITIONED"))
+      assert(fin6.at("/stats/state").asText() === "FINISHED")
+      assert(gate.head.map(_.asText())
+        === Seq("spark.sql.autoBroadcastJoinThreshold", "-1"))
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === gateBefore)
+    } finally server.stop()
+  }
+
+  test("time travel reaches the wire: FOR VERSION AS OF over /v1/statement") {
+    val server = StatementHttp.start(spark)
+    try {
+      val t = "wire_tt_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      Seq(
+        s"CREATE TABLE $t (id bigint, v varchar);",
+        s"INSERT INTO $t VALUES (1, 'a'), (2, 'b');")
+        .foreach(stmt => assert(run(server, stmt)._3.at("/stats/state").asText()
+          === "FINISHED", stmt))
+      Layout.snapshot(spark, t, "v1")
+      assert(run(server, s"INSERT INTO $t VALUES (3, 'c');")
+        ._3.at("/stats/state").asText() === "FINISHED")
+      val (_, pinned, _) = run(server,
+        s"SELECT count(*) AS n FROM $t FOR VERSION AS OF 'v1'")
+      assert(pinned.map(_.head.asLong()) === Seq(2L))
+      val (_, live, _) = run(server, s"SELECT count(*) AS n FROM $t")
+      assert(live.map(_.head.asLong()) === Seq(3L))
+    } finally server.stop()
+  }
+
   test("DELETE abandons a registered query; unknown ids 404") {
     val server = StatementHttp.start(spark)
     try {

@@ -1,0 +1,73 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** L21/L22 — ref-addressed SQL reads: `FOR VERSION AS OF 'tag'` resolves
+  * through the tagged manifest (not the live file listing), and
+  * `"table@branch"` resolves to the branch fork — both from pure SQL
+  * text via [[Lakehouse.sql]]. */
+class TimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshName(p: String) =
+    p + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  test("FOR VERSION AS OF reads the pinned snapshot after live appends") {
+    val t = freshName("tt_tag_")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "v1")
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    val pinned = Lakehouse.sql(spark,
+      s"SELECT id, v FROM $t FOR VERSION AS OF 'v1' ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(pinned === Seq((1L, "a"), (2L, "b")))
+    val live = Lakehouse.sql(spark, s"SELECT count(*) FROM $t")
+      .collect().head.getLong(0)
+    assert(live === 3L)
+  }
+
+  test("time-travelled relation composes with joins/aggregates in the statement") {
+    val t = freshName("tt_join_")
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "x").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "base")
+    Seq((1L, 99L)).toDF("id", "x").write.mode("append").saveAsTable(t)
+    val got = Lakehouse.sql(spark,
+      s"""SELECT a.id, a.x + b.x AS both FROM $t FOR VERSION AS OF 'base' a
+         |JOIN $t FOR VERSION AS OF 'base' b ON a.id = b.id
+         |ORDER BY a.id""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 20L), (2L, 40L)))
+  }
+
+  test("\"table@branch\" reads the fork; main stays isolated") {
+    val t = freshName("tt_br_")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+    val bt = Layout.createBranch(spark, t, "etl")
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(bt)
+    val branch = Lakehouse.sql(spark,
+      s"""SELECT id FROM "$t@etl" ORDER BY id""")
+      .as[Long].collect().toSeq
+    assert(branch === Seq(1L, 2L))
+    val main = Lakehouse.sql(spark, s"SELECT id FROM $t").as[Long].collect().toSeq
+    assert(main === Seq(1L))
+  }
+
+  test("spellings inside string literals are data, not syntax") {
+    val s1 = "SELECT 'x FOR VERSION AS OF ''v9''' AS lit1, '\"a@b\"' AS lit2"
+    assert(TimeTravel.rewrite(spark, s1) === s1)
+    val got = Lakehouse.sql(spark, s1).collect().head
+    assert(got.getString(0) === "x FOR VERSION AS OF 'v9'")
+    assert(got.getString(1) === "\"a@b\"")
+  }
+
+  test("unknown tag fails loudly — never a silent fallback to live rows") {
+    val t = freshName("tt_bad_")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "v1")
+    val e = intercept[Exception] {
+      Lakehouse.sql(spark, s"SELECT * FROM $t FOR VERSION AS OF 'nope'")
+    }
+    assert(e.getMessage.contains("unknown snapshot tag"))
+  }
+}

@@ -32,6 +32,41 @@ class CrossModalDedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("a chain crossing ALL FOUR modalities collapses into one cluster") {
+    // text 1~2, image 2~3, audio 3~4, video 4~5 → {1..5} one component,
+    // min-id 1 survives; 6 is untouched. Each plane covers only the docs
+    // that carry that medium (partial coverage, the q259 shape).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "totally different content about streams and indexes here"),
+      (4L, "another unrelated document with its own words entirely"),
+      (5L, "fifth document text completely distinct from all the rest"),
+      (6L, "sixth standalone document that matches nothing anywhere else"))
+      .toDF("doc_id", "text")
+    val img = ImageHash.synthesizePatterned(spark,
+      Seq(8L, 8L).toDF("doc_id"), "doc_id")
+      .collect().map(_.getAs[Array[Byte]]("media"))
+    val images = Seq((2L, img(0)), (3L, img(1))).toDF("doc_id", "media")
+    val wav = AudioFingerprint.synthesizeTones(spark,
+      Seq(40L, 40L).toDF("doc_id"), "doc_id")
+      .collect().map(_.getAs[Array[Byte]]("media"))
+    val audios = Seq((3L, wav(0)), (4L, wav(1))).toDF("doc_id", "media")
+    val avi = Multimodal.synthesizeAvi(spark,
+      Seq(9L, 9L).toDF("doc_id"), "doc_id")
+      .collect().map(_.getAs[Array[Byte]]("media"))
+    val videos = Seq((4L, avi(0)), (5L, avi(1))).toDF("doc_id", "media")
+    val text = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b")
+    val kept = CrossModalDedup.dropNearDuplicatesMulti(docs, "doc_id", Seq(
+      text,
+      CrossModalDedup.imageEdges(spark, images, "doc_id", maxDist = 7),
+      CrossModalDedup.audioEdges(spark, audios, "doc_id", minShared = 20),
+      CrossModalDedup.videoEdges(spark, videos, "doc_id", minShared = 2)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 6L))
+  }
+
   test("docs without (or with corrupt) images still dedup by text alone") {
     val docs = Seq(
       (1L, "the same passage of words repeated across two documents here"),
