@@ -95,8 +95,8 @@ object Bench {
       // round-15 new/changed: pHash tier + the re-ranged script profile
       "q244", "q248", "q249", "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257",
       // round-16 new/changed: q244 localization family, quad cross-modal,
-      // SQL time travel
-      "q258", "q259", "q260", "q261",
+      // SQL time travel, video bundle serve
+      "q258", "q259", "q260", "q261", "q262",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")
@@ -153,7 +153,7 @@ object Bench {
       Seq("q193"), Seq("q194"), Seq("q208", "q234"), Seq("q215"),
       Seq("q219", "q223"), Seq("q225"), Seq("q226"), Seq("q227"),
       Seq("q228", "q232"), Seq("q229"), Seq("q242"), Seq("q245"),
-      Seq("q250"), Seq("q256"))
+      Seq("q250"), Seq("q256"), Seq("q262"))
     val warmPrefixes = warmGroups.flatten
     val warmed = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // Previous per-entry times (most recent bench_history run containing

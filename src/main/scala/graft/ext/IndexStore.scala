@@ -652,6 +652,50 @@ object IndexStore {
       "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
   }
 
+  // ---- video fingerprints (N19) ---------------------------------------
+
+  /** Durable video-fingerprint bundle: ONE print table — (frame_index,
+    * qluma, corpus_id) clustered by (frame_index, qluma) so a probe's
+    * candidate buckets are row-group runs — plus the match floor in
+    * meta. Fingerprinting is per-row pure (real MJPEG decode + the
+    * shared luma quantizer, no trained state): append ≡ rebuild
+    * bit-identically by construction, the [[writeAudioFp]] class. */
+  def writeVideoFp(spark: SparkSession, media: DataFrame, dir: String,
+      minShared: Int): Unit = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    videoPrints(spark, media)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/prints")
+    // meta LAST — the existence marker (see writeBq)
+    writeMeta(dir, "kind" -> "videofp", "minShared" -> minShared)
+  }
+
+  private def videoPrints(spark: SparkSession, media: DataFrame): DataFrame =
+    Multimodal.videoFingerprint(spark, media)
+      .select(col("frame_index"), col("qluma"),
+        col("media_id").as("corpus_id"))
+      .repartition(col("frame_index"))
+      .sortWithinPartitions("frame_index", "qluma")
+
+  def loadVideoFp(spark: SparkSession, dir: String): Multimodal.VideoBundle = {
+    val m = requireKind(dir, "videofp")
+    Multimodal.VideoBundle(
+      spark.read.parquet(livePaths(dir, m, "prints"): _*),
+      m.get("minShared").asInt())
+  }
+
+  def appendVideoFp(spark: SparkSession, increment: DataFrame,
+      dir: String): Unit = {
+    val before = metaBytes(dir)
+    val m = requireKind(dir, "videofp")
+    val token = newToken()
+    val stage = s"$dir/inc/$token"
+    videoPrints(spark, increment)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/prints")
+    commitAppend(dir, stage, before, (Seq[(String, Any)]("kind" -> "videofp",
+      "minShared" -> m.get("minShared").asInt(),
+      "incs" -> (incTokens(m) :+ token)) ++ dirPointers(m)): _*)
+  }
+
   // ---- IVF ----------------------------------------------------------
 
   def writeIvf(index: IvfIndex.Index, dir: String): Unit = {
@@ -1247,6 +1291,9 @@ object IndexStore {
       "audiofp" -> Seq(
         "prints" -> (df => df.repartition(col("frame"))
           .sortWithinPartitions("frame", "bin"))),
+      "videofp" -> Seq(
+        "prints" -> (df => df.repartition(col("frame_index"))
+          .sortWithinPartitions("frame_index", "qluma"))),
       "ivfbq" -> Seq(
         "rows" -> (df => df.repartition(col("centroid_id"))
           .sortWithinPartitions("centroid_id", df.columns(1))),

@@ -451,45 +451,57 @@ object Multimodal {
     require(stride >= 1 && maxFrames >= 1, "stride/maxFrames must be >= 1")
     media.select("media_id", "media").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        try {
-          if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
-            new String(b, 8, 4, "US-ASCII") != "AVI ")
-            throw new IllegalArgumentException("not an AVI")
-          val top = riffChunks(b, 12, b.length)
-          val (ms, me) = riffList(b, top, "movi")
-            .getOrElse(throw new IllegalArgumentException("no movi"))
-          riffChunks(b, ms, me).iterator
-            .filter(c => c._1 == "00dc" || c._1 == "00db")
-            .zipWithIndex
-            .filter { case (_, i) => i % stride == 0 }
-            .take(maxFrames)
-            .map { case ((_, s, e), i) =>
-              try {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(b, s, e - s))
-                if (img == null) AviFrame(id, decode_ok = false, i.toLong, 0L, 0L, 0.0)
-                else {
-                  val (w, h) = (img.getWidth, img.getHeight)
-                  var sum = 0.0
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) { sum += lumaOf(img.getRGB(x, y)); x += 1 }
-                    y += 1
-                  }
-                  AviFrame(id, decode_ok = true, i.toLong, w.toLong, h.toLong,
-                    sum / (w * h))
-                }
-              } catch {
-                case _: Exception => AviFrame(id, decode_ok = false, i.toLong, 0L, 0L, 0.0)
-              }
-            }.toList
-        } catch {
-          case _: Exception =>
-            List(AviFrame(id, decode_ok = false, -1L, 0L, 0L, 0.0))
-        }
+        aviFrameFeatures(id, b, stride, maxFrames)
       })
   }
+
+  /** The ONE per-blob frame-decode path every video surface uses (batch
+    * [[sampleAviFrames]]/[[videoFingerprint]] and the streaming probe
+    * [[graft.streaming.StreamVideoDup]] — stream and batch features
+    * must never silently diverge): RIFF walk to 'movi', every
+    * `stride`-th video chunk through the REAL JDK decoder, per-frame
+    * dimensions + mean luma; frame-level corruption yields that frame's
+    * row with decode_ok=false, container-level corruption one sentinel
+    * row. */
+  private[graft] def aviFrameFeatures(id: Long, b: Array[Byte],
+      stride: Int, maxFrames: Int): List[AviFrame] =
+    try {
+      if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "AVI ")
+        throw new IllegalArgumentException("not an AVI")
+      val top = riffChunks(b, 12, b.length)
+      val (ms, me) = riffList(b, top, "movi")
+        .getOrElse(throw new IllegalArgumentException("no movi"))
+      riffChunks(b, ms, me).iterator
+        .filter(c => c._1 == "00dc" || c._1 == "00db")
+        .zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .take(maxFrames)
+        .map { case ((_, s, e), i) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b, s, e - s))
+            if (img == null) AviFrame(id, decode_ok = false, i.toLong, 0L, 0L, 0.0)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += lumaOf(img.getRGB(x, y)); x += 1 }
+                y += 1
+              }
+              AviFrame(id, decode_ok = true, i.toLong, w.toLong, h.toLong,
+                sum / (w * h))
+            }
+          } catch {
+            case _: Exception => AviFrame(id, decode_ok = false, i.toLong, 0L, 0L, 0.0)
+          }
+        }.toList
+    } catch {
+      case _: Exception =>
+        List(AviFrame(id, decode_ok = false, -1L, 0L, 0L, 0.0))
+    }
 
   private def leBytes32(v: Long): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -603,12 +615,17 @@ object Multimodal {
     * a half-bucket of 8, so re-encodes land in the same bucket. Two
     * captures of one video agree bucket-for-bucket; unrelated videos
     * agree only by 1-in-16 chance per frame. */
+  /** The ONE luma quantizer every video surface shares (batch
+    * fingerprint, bundle prints, streaming probe). */
+  private[graft] def qlumaCol(meanLuma: Column): Column =
+    round(meanLuma / 16.0, 0).cast("long")
+
   def videoFingerprint(spark: SparkSession, media: DataFrame,
       stride: Int = 1, maxFrames: Int = 8): DataFrame =
     sampleAviFrames(spark, media, stride, maxFrames).toDF()
       .where(col("decode_ok"))
       .select(col("media_id"), col("frame_index"),
-        round(col("mean_luma") / 16.0, 0).cast("long").as("qluma"))
+        qlumaCol(col("mean_luma")).as("qluma"))
 
   /** D19 — video-content near-dup: all pairs sharing ≥ `minShared`
     * (frame index, luma bucket) positions — the q26 bucket join with
@@ -626,6 +643,43 @@ object Multimodal {
       .agg(count(lit(1)).cast("long").as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  /** A loaded video-fingerprint bundle: the (frame_index, qluma)-
+    * clustered print table probes bucket-join against, plus the match
+    * floor ([[AudioFingerprint.Bundle]]'s shape on the video plane). */
+  final case class VideoBundle(prints: DataFrame, minShared: Int)
+
+  private val videoCache = Memo.unmanaged[VideoBundle]
+
+  /** Serving memo for video bundles (lazy parquet reads — nothing
+    * cluster-side to release; the bound caps JVM state). */
+  def cachedVideo(key: String)(build: => VideoBundle): VideoBundle =
+    videoCache(key)(build)
+
+  /** The ONE candidate-join + shared-count tail every video serving
+    * path uses (batch [[searchVideoBundle]] and the streaming probe
+    * [[graft.streaming.StreamVideoDup]]): probe (frame_index, qluma)
+    * rows equi-join the corpus prints, self-pairs excluded,
+    * shared-count aggregate thresholded at `minShared`. */
+  private[graft] def videoSharedCountPairs(probePrints: DataFrame,
+      corpusPrints: DataFrame, minShared: Int): DataFrame =
+    probePrints.join(corpusPrints, Seq("frame_index", "qluma"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .groupBy("probe_id", "corpus_id")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= minShared)
+
+  /** Near-dup pairs between probe VIDEOS and the stored corpus: the
+    * probe side decodes + fingerprints itself (map-only), and joins the
+    * corpus prints — candidate rows are row-group runs under the
+    * (frame_index, qluma) clustering; the shared-count verify IS the
+    * join's aggregate, no second fetch. */
+  def searchVideoBundle(spark: SparkSession, bundle: VideoBundle,
+      probeMedia: DataFrame): DataFrame =
+    videoSharedCountPairs(
+      videoFingerprint(spark, probeMedia)
+        .withColumnRenamed("media_id", "probe_id"),
+      bundle.prints, bundle.minShared)
 
   // ------------------------------------------------------------ EXIF (M5)
   //

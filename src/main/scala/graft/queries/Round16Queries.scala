@@ -222,5 +222,47 @@ object Round16Queries {
            |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM b)
            |ORDER BY ref, event_type""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q258, q259, q260, q261)
+  /** Q262 (N19, stored video-fingerprint serve): video near-dup through
+    * the durable bundle — corpus <40 written, 40–47 APPENDED through
+    * the staged-token CAS (fingerprinting is per-row pure: append ≡
+    * rebuild by construction), probes 24–47 bucket-joined against the
+    * (frame_index, qluma)-clustered print table, shared-count verify in
+    * the join's aggregate. Memoized per (session, dir); the oracle
+    * recomputes every probe×corpus shared count from the closed-form
+    * luma law (the q250/q256 discipline on the video plane — the store,
+    * the append path, and the serve join all gate together). */
+  val q262 = GQuery("q262_video_bundle_search", (s, d) => {
+    import graft.ext.{IndexStore, Multimodal}
+    val ids = t(s, d, "documents").select(col("doc_id"))
+    val b = Multimodal.cachedVideo(s.sparkContext.applicationId + ":videofp:" + d) {
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_idx/videofp_${Registry.pathKey(d)}"
+      IndexStore.writeVideoFp(s, Multimodal.synthesizeAvi(s,
+        ids.where(col("doc_id") < 40), "doc_id"), dir, minShared = 1)
+      IndexStore.appendVideoFp(s, Multimodal.synthesizeAvi(s,
+        ids.where(col("doc_id") >= 40 && col("doc_id") < 48), "doc_id"), dir)
+      IndexStore.loadVideoFp(s, dir)
+    }
+    val probes = Multimodal.synthesizeAvi(s,
+      ids.where(col("doc_id") >= 24 && col("doc_id") < 48), "doc_id")
+    Multimodal.searchVideoBundle(s, b, probes)
+      .orderBy("probe_id", "corpus_id")
+  },
+    Some("""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 48),
+           |g AS (SELECT media_id,
+           |        unnest(generate_series(0, CAST(media_id % 4 AS BIGINT))) AS fi
+           |      FROM ids),
+           |f AS (SELECT media_id, fi,
+           |        CAST(1 + (media_id + fi) % 13 AS BIGINT) AS qluma
+           |      FROM g),
+           |p AS (SELECT a.media_id AS probe_id, b.media_id AS corpus_id,
+           |        count(*)::BIGINT AS shared
+           |      FROM f a JOIN f b
+           |        ON a.fi = b.fi AND a.qluma = b.qluma
+           |          AND a.media_id >= 24 AND b.media_id <> a.media_id
+           |      GROUP BY 1, 2)
+           |SELECT probe_id, corpus_id, shared FROM p WHERE shared >= 1
+           |ORDER BY probe_id, corpus_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q258, q259, q260, q261, q262)
 }
