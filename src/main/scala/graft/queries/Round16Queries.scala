@@ -264,5 +264,41 @@ object Round16Queries {
            |SELECT probe_id, corpus_id, shared FROM p WHERE shared >= 1
            |ORDER BY probe_id, corpus_id""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q258, q259, q260, q261, q262)
+  /** Q263 (L23, wall-clock time travel): Trino's `FOR TIMESTAMP AS OF`
+    * resolving the LATEST snapshot at or before the instant
+    * ([[graft.engine.Layout.readAsOf]] — the Iceberg snapshot-log rule)
+    * from pure SQL text. The gate pins the resolution rule itself: the
+    * probe instant is the v1 commit's own createdMs, taken AFTER a
+    * later commit moved the table — so the read must return exactly
+    * the pre-append rows the oracle recomputes from the raw table (an
+    * off-by-one to the next snapshot would surface 300 extra ids). The
+    * 30 ms sleep guarantees the second commit's createdMs is strictly
+    * later (same-millisecond ties break to the HIGHER seq by the
+    * documented rule, which would flip the result). */
+  val q263 = GQuery("q263_timestamp_travel_sql", (s, d) => {
+    import graft.engine.{Lakehouse, Layout, Manifests}
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"tssql_$run"
+    val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+    ev.where(col("event_id") < 300).write.saveAsTable(table)
+    Layout.snapshot(s, table, "v1")
+    Thread.sleep(30)
+    ev.where(col("event_id") >= 300 && col("event_id") < 600)
+      .write.mode("append").saveAsTable(table)
+    Layout.snapshot(s, table, "v2")
+    val root = Manifests.root(s, table)
+    val ms1 = Manifests.loadSnapshot(root,
+      Manifests.loadRefs(root).tags("v1")).createdMs
+    Lakehouse.sql(s,
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM $table FOR TIMESTAMP AS OF '$ms1'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  },
+    Some("""SELECT event_type, count(*)::BIGINT AS n,
+           |  CAST(sum(event_id) AS BIGINT) AS id_sum
+           |FROM events WHERE event_id < 300
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q258, q259, q260, q261, q262, q263)
 }

@@ -449,28 +449,35 @@ class PlanQualitySpec extends SparkSpec {
       }.isEmpty, s"$name must not cartesian join:\n$plan")
     }
     Seq("q249_phash_neardup", "q251_phash_neardup_blocked",
-      "q253_audio_neardup", "q255_video_neardup").foreach { name =>
+      "q253_audio_neardup", "q255_video_neardup",
+      "q262_video_bundle_search").foreach { name =>
       assertEqui(name, executed(run(name)))
     }
-    // q257's CC stage localCheckpoints its edge inputs (lineage
+    // q257/q259's CC stage localCheckpoints its edge inputs (lineage
     // truncated — asserting on the query's own plan would be VACUOUS
     // for the edge generators), so the cross-modal EDGE plans are
-    // asserted directly, pre-checkpoint.
+    // asserted directly, pre-checkpoint — for q259 over all four
+    // modality generators unioned.
     locally {
-      import graft.ext.{Dedup, ImageHash}
+      import graft.ext.{AudioFingerprint, CrossModalDedup, Dedup, ImageHash, Multimodal}
       val docs = Tables.load(spark, sf0001, "documents")
         .where(col("doc_id") < 96)
+      val ids = docs.select(col("doc_id"))
       val textEdges = Dedup.minHashLshPairs(docs, "doc_id", "text",
         threshold = 0.8, shingleK = 3, numHashes = 128, bands = 32)
         .select("id_a", "id_b")
-      val media = ImageHash.synthesizePatterned(spark,
-        docs.select(col("doc_id")), "doc_id")
-      val imageEdges = ImageHash.nearDupPairs(
-        ImageHash.hashes(spark, media).toDF().where(col("decode_ok")),
-        "media_id", "phash", maxDist = 7, bands = 8)
-        .select("id_a", "id_b")
-      assertEqui("q257 edges",
-        executed(textEdges.unionByName(imageEdges).distinct()))
+      val imageEdges = CrossModalDedup.imageEdges(spark,
+        ImageHash.synthesizePatterned(spark, ids, "doc_id"), "media_id",
+        maxDist = 7)
+      val audioEdges = CrossModalDedup.audioEdges(spark,
+        AudioFingerprint.synthesizeTones(spark,
+          ids.where(col("doc_id") < 24), "doc_id"), "media_id", minShared = 20)
+      val videoEdges = CrossModalDedup.videoEdges(spark,
+        Multimodal.synthesizeAvi(spark,
+          ids.where(col("doc_id") < 24), "doc_id"), "media_id", minShared = 2)
+      assertEqui("q257/q259 edges",
+        executed(Seq(textEdges, imageEdges, audioEdges, videoEdges)
+          .reduce(_ unionByName _).distinct()))
     }
   }
 }

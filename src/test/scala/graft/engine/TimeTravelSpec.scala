@@ -53,6 +53,39 @@ class TimeTravelSpec extends SparkSpec {
     assert(main === Seq(1L))
   }
 
+  test("FOR TIMESTAMP AS OF resolves the latest snapshot at or before the instant") {
+    val t = freshName("tt_ts_")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "s1")
+    Thread.sleep(30) // strictly later createdMs for the second commit
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "s2")
+    val root = Manifests.root(spark, t)
+    val refs = Manifests.loadRefs(root)
+    val ms1 = Manifests.loadSnapshot(root, refs.tags("s1")).createdMs
+    val ms2 = Manifests.loadSnapshot(root, refs.tags("s2")).createdMs
+    // epoch-millis literal, BETWEEN the two commits → snapshot 1
+    val between = (ms1 + ms2) / 2
+    val got = Lakehouse.sql(spark,
+      s"SELECT id FROM $t FOR TIMESTAMP AS OF '$between' ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L))
+    // datetime literal AFTER the second commit → snapshot 2 (UTC parse)
+    val after = java.time.Instant.ofEpochMilli(ms2 + 1000)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val got2 = Lakehouse.sql(spark,
+      s"SELECT id FROM $t FOR TIMESTAMP AS OF '$after' ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(got2 === Seq(1L, 2L))
+    // an instant before the first commit fails loudly
+    val e = intercept[Exception] {
+      Lakehouse.sql(spark, s"SELECT * FROM $t FOR TIMESTAMP AS OF '${ms1 - 100000}'")
+    }
+    assert(e.getMessage.contains("at or before epoch-ms"))
+  }
+
   test("spellings inside string literals are data, not syntax") {
     val s1 = "SELECT 'x FOR VERSION AS OF ''v9''' AS lit1, '\"a@b\"' AS lit2"
     assert(TimeTravel.rewrite(spark, s1) === s1)
