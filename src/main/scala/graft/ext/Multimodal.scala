@@ -644,6 +644,50 @@ object Multimodal {
       .where(col("shared") >= minShared)
   }
 
+  /** D19′ — the [[videoNearDupPairs]] SCALE path (the q251/Manku move
+    * on the video plane): the per-frame join's bucket key is
+    * (frame_index, qluma) — with ≤ `maxFrames` sampled positions and 16
+    * luma buckets that is ~10² distinct keys TOTAL, so its candidate
+    * volume degenerates as N²/10² almost immediately (the 8-bit-band
+    * failure mode, only coarser). Candidates here come from CONSECUTIVE
+    * luma BIGRAMS instead — key (frame_index, qluma_f, qluma_f+1), ~16×
+    * the key space per position — followed by the SAME exact
+    * shared-count verify over the full fingerprints, so emitted counts
+    * are identical to the per-frame generator's. Recall contract
+    * (explicit, the keySize-3 style trade): a pair is found iff it
+    * shares ≥ 2 CONSECUTIVE positions — hence `minShared >= 2` is
+    * required, and a pair whose ≥ minShared shared positions are all
+    * isolated (no two adjacent) is missed. For re-encode/trim near-dups
+    * — the operator's target — shared positions come in runs, so the
+    * consecutive-pair witness exists whenever minShared ≥ 2 does. */
+  def videoNearDupPairsBigram(fingerprint: DataFrame,
+      minShared: Int): DataFrame = {
+    require(minShared >= 2,
+      "bigram recall guarantee needs minShared >= 2 " +
+        "(candidates are witnessed by shared CONSECUTIVE positions)")
+    val f = fingerprint.select(col("media_id"), col("frame_index"), col("qluma"))
+    val nxt = f.select(col("media_id"),
+      (col("frame_index") - 1).as("frame_index"), col("qluma").as("q1"))
+    val bi = f.join(nxt, Seq("media_id", "frame_index"))
+      .select(col("media_id"), col("frame_index"),
+        col("qluma").as("q0"), col("q1"))
+    val candidates = bi.select(col("media_id").as("id_a"),
+        col("frame_index"), col("q0"), col("q1"))
+      .join(bi.select(col("media_id").as("id_b"),
+        col("frame_index"), col("q0"), col("q1")),
+        Seq("frame_index", "q0", "q1"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(f.select(col("media_id").as("id_a"),
+        col("frame_index"), col("qluma")), Seq("id_a"))
+      .join(f.select(col("media_id").as("id_b"),
+        col("frame_index"), col("qluma")), Seq("id_b", "frame_index", "qluma"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** A loaded video-fingerprint bundle: the (frame_index, qluma)-
     * clustered print table probes bucket-join against, plus the match
     * floor ([[AudioFingerprint.Bundle]]'s shape on the video plane). */

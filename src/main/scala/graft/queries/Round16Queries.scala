@@ -300,5 +300,38 @@ object Round16Queries {
            |FROM events WHERE event_id < 300
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q258, q259, q260, q261, q262, q263)
+  /** Q264 (D19′, bigram video near-dup — the scale path): the q255
+    * pair set at minShared = 2 through the CONSECUTIVE-bigram candidate
+    * generator ([[graft.ext.Multimodal.videoNearDupPairsBigram]] — the
+    * q251 "blocked ≡ banded on the identical oracle" discipline on the
+    * video plane). Under the fixture law congruent videos share a
+    * PREFIX of positions (always consecutive), so the bigram witness
+    * exists for every pair with shared ≥ 2 and the two generators must
+    * converge on the identical exact-verified set; the oracle
+    * recomputes it exhaustively from the luma law. */
+  val q264 = GQuery("q264_video_neardup_bigram", (s, d) => {
+    import graft.ext.Multimodal
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 60)
+    val fp = Multimodal.videoFingerprint(s,
+      Multimodal.synthesizeAvi(s, ids, "doc_id"))
+    Multimodal.videoNearDupPairsBigram(fp, minShared = 2)
+      .orderBy("id_a", "id_b")
+  },
+    Some("""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+           |g AS (SELECT media_id,
+           |        unnest(generate_series(0, CAST(media_id % 4 AS BIGINT))) AS frame_index
+           |      FROM ids),
+           |f AS (SELECT media_id, frame_index,
+           |        CAST(1 + (media_id + frame_index) % 13 AS BIGINT) AS qluma
+           |      FROM g),
+           |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+           |        count(*)::BIGINT AS shared
+           |      FROM f a JOIN f b
+           |        ON a.frame_index = b.frame_index AND a.qluma = b.qluma
+           |          AND a.media_id < b.media_id
+           |      GROUP BY 1, 2)
+           |SELECT id_a, id_b, shared FROM p WHERE shared >= 2
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q258, q259, q260, q261, q262, q263, q264)
 }

@@ -264,6 +264,36 @@ class MultimodalSpec extends SparkSpec {
     assert(got.contains((0L, 13L, 1L)) && got.contains((2L, 15L, 3L)))
   }
 
+  test("bigram near-dup equals the per-frame generator where runs exist; isolated positions are the documented miss") {
+    import spark.implicits._
+    // on the AVI fixture every shared set is a prefix (consecutive), so
+    // the two generators must converge exactly at minShared = 2
+    val ids = (0L until 26L).toDF("doc_id")
+    val fp = Multimodal.videoFingerprint(spark,
+      Multimodal.synthesizeAvi(spark, ids, "doc_id"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(collect(Multimodal.videoNearDupPairsBigram(fp, minShared = 2))
+      === collect(Multimodal.videoNearDupPairs(fp, minShared = 2)))
+    // hand-built fingerprints: A~B share positions 0 and 2 (ISOLATED —
+    // no adjacent pair), A~C share the run 0,1,2. The bigram generator
+    // finds A~C with the exact count and — by the documented recall
+    // contract — misses A~B; the per-frame generator finds both.
+    val hand = Seq(
+      (1L, 0L, 5L), (1L, 1L, 1L), (1L, 2L, 6L), (1L, 3L, 2L),
+      (2L, 0L, 5L), (2L, 1L, 9L), (2L, 2L, 6L), (2L, 3L, 8L),
+      (3L, 0L, 5L), (3L, 1L, 1L), (3L, 2L, 6L), (3L, 3L, 7L))
+      .toDF("media_id", "frame_index", "qluma")
+    assert(collect(Multimodal.videoNearDupPairs(hand, minShared = 2))
+      === Set((1L, 2L, 2L), (1L, 3L, 3L), (2L, 3L, 2L)))
+    assert(collect(Multimodal.videoNearDupPairsBigram(hand, minShared = 2))
+      === Set((1L, 3L, 3L)))
+    // minShared < 2 has no bigram witness — refused loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairsBigram(hand, minShared = 1)
+    }
+  }
+
   test("resizeImages honors EXIF orientation: rotated fixtures come out upright") {
     import spark.implicits._
     // an asymmetric 8x4 gradient JPEG with a REAL spliced EXIF segment;
