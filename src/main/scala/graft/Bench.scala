@@ -430,10 +430,16 @@ object Bench {
             f"(est $est%.1f s would cross wall budget $maxWall3%.0f)")
         else {
           runCanary()
-          val quiet = canaryFloor > 0 && canary.last <= 2.0 * canaryFloor
+          // canary can be EMPTY here (canary query missing or every
+          // reading failed) — a log interpolation of canary.last would
+          // crash the bench after all timing is done and lose the
+          // artifact; an unverifiable window counts as not-quiet
+          val lastReading = canary.lastOption.getOrElse(-1.0)
+          val quiet = canaryFloor > 0 && canary.nonEmpty &&
+            lastReading <= 2.0 * canaryFloor
           if (!quiet)
             System.err.println(f"[bench] drift retime DEFERRED $n — host " +
-              f"not quiet (canary ${canary.last}%.2f vs floor $canaryFloor%.2f)")
+              f"not quiet (canary $lastReading%.2f vs floor $canaryFloor%.2f)")
           else {
             if (groupOf.contains(n)) {
               // re-warm the entry's memo family so the retime prices

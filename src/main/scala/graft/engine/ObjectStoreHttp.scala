@@ -73,10 +73,26 @@ object ObjectStoreHttp {
   private def pathOf(exchange: HttpExchange): Path =
     Paths.get(exchange.getRequestURI.getPath).normalize
 
+  /** Filesystem-resolved containment: textual normalize+startsWith
+    * alone lets a SYMLINK inside the root escape it (root/link → /;
+    * GET root/link/etc/passwd normalizes under root but resolves
+    * outside — round-16 review). The deepest EXISTING ancestor of the
+    * already-normalized key resolves through `toRealPath` (symlinks
+    * followed); the non-existent suffix cannot contain links or `..`
+    * (normalized), so ancestor containment is containment. */
+  private def containedIn(p: Path, root: Path): Boolean =
+    try {
+      val realRoot = root.toRealPath()
+      var anc = p
+      while (anc != null && !java.nio.file.Files.exists(anc,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) anc = anc.getParent
+      anc != null && anc.toRealPath().startsWith(realRoot)
+    } catch { case _: Exception => false } // unresolvable ⇒ refuse
+
   private def route(store: ObjectStoreFileIO, exchange: HttpExchange,
       root: Option[Path]): Unit = {
     val p = pathOf(exchange)
-    if (root.exists(r => !p.startsWith(r))) {
+    if (root.exists(r => !containedIn(p, r))) {
       send(exchange, 403,
         s"key outside the store root: $p".getBytes("UTF-8")); return
     }

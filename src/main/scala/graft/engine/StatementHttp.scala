@@ -87,6 +87,15 @@ object StatementHttp {
     val queries = new java.util.concurrent.ConcurrentHashMap[String, QueryState]()
     val completed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** Conf-override isolation for THIS server's statements: plain
+      * statements share the read side; a session-conf apply + run +
+      * restore holds the write side. Per-server (a JVM-global lock
+      * would serialize unrelated servers over different sessions for
+      * no isolation benefit). Honest limit: Spark session confs are
+      * session-global, so the lock isolates wire-vs-wire only — work
+      * submitted on the same SparkSession OUTSIDE this server during a
+      * conf window still sees the override. */
+    val execLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
   }
 
   /** Mark a query completed (idempotent — a RETRIED final-page GET must
@@ -227,9 +236,6 @@ object StatementHttp {
       case (k, None) => spark.conf.unset(k)
     }
 
-  /** Conf-override isolation: plain statements share the read side;
-    * a session-conf apply + run + restore holds the write side. */
-  private val execLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   /** One paging step. Token 0 EXECUTES the statement (synchronously —
     * the engine is its own coordinator; clients see QUEUED only on the
@@ -270,14 +276,14 @@ object StatementHttp {
             // write side so its temporary confs can never leak into a
             // concurrently-executing plain statement
             if (confs.isEmpty) {
-              execLock.readLock().lock()
-              try run() finally execLock.readLock().unlock()
+              reg.execLock.readLock().lock()
+              try run() finally reg.execLock.readLock().unlock()
             } else {
-              execLock.writeLock().lock()
+              reg.execLock.writeLock().lock()
               try {
                 val saved = applySession(spark, confs)
                 try run() finally restoreSession(spark, saved)
-              } finally execLock.writeLock().unlock()
+              } finally reg.execLock.writeLock().unlock()
             }
         }
       } catch { case scala.util.control.NonFatal(e) => q.failed = Some(e) }

@@ -23,6 +23,12 @@ package graft.engine
   *  5. `SHOW CATALOGS` → a literal relation listing `iceberg` — the
   *     alias this front serves the session catalog under (the readiness
   *     probe at seed.sh:49 greps for it) — plus `spark_catalog`.
+  *  6. double-quoted identifiers → backticks: Trino's `"name"` is
+  *     ALWAYS an identifier, Spark's default dialect parses it as a
+  *     STRING LITERAL — verbatim pass-through would hand a client
+  *     quoting a column a constant string instead of the column
+  *     (`""` → literal `"` in the name; backticks double on the way
+  *     out; a quoted `"iceberg"` catalog leg strips like the bare one).
   */
 object TrinoSql {
 
@@ -34,10 +40,56 @@ object TrinoSql {
       seg.replaceAll("(?i)\\biceberg\\.", "")
         .replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "STRING")
     }
+    s = requoteIdentifiers(s)
+    // a client quoting the catalog leg ("iceberg"."demo"."events")
+    // still names THIS catalog: strip the backticked prefix like the
+    // bare one
+    s = s.replace("`iceberg`.", "")
     s = rewriteUnnest(s)
     if (s.toUpperCase.startsWith("CREATE SCHEMA"))
       s = s.replaceAll("(?is)\\s+WITH\\s*\\(.*\\)\\s*$", "")
     s
+  }
+
+  /** Trino `"identifier"` → Spark `` `identifier` ``. In Trino a
+    * double-quoted span is ALWAYS an identifier; in Spark's default
+    * dialect it parses as a STRING LITERAL — leaving it verbatim hands
+    * a client that quotes a column name a constant string instead of
+    * the column, silently (round-16 review). `""` unescapes to a
+    * literal `"` inside the name; a backtick inside the name escapes by
+    * doubling (Spark's rule). Single-quoted literals pass through
+    * untouched. */
+  private def requoteIdentifiers(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out += '\''; i += 1 }
+          else inStr = false
+        }
+        i += 1
+      } else if (c == '\'') { out += c; inStr = true; i += 1 }
+      else if (c == '"') {
+        val name = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          val d = s.charAt(i)
+          if (d == '"') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '"') { name += '"'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { name += d; i += 1 }
+        }
+        out += '`'
+        out ++= name.toString.replace("`", "``")
+        out += '`'
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** Apply `f` to the segments of `s` OUTSIDE single-quoted literals AND

@@ -252,7 +252,23 @@ object ImageHash {
     * guarantee maxDist ≤ blocks − keySize. keySize 2 → 14-bit buckets
     * (256× the key space) with the same d ≤ 7 contract; keySize 3 →
     * 21-bit buckets for d ≤ 6 at the next decade. Same exact-Hamming
-    * verify tail; shuffle rows per image = C(blocks, keySize). */
+    * verify tail; shuffle rows per image = C(blocks, keySize).
+    *
+    * MEASURED switch rule (PhashProbe decade table, BASELINE §Round 16;
+    * per local[32] node at the fixture's real-pair density):
+    *   - N ≲ 10⁵: the simple band join ([[nearDupPairs]]) suffices —
+    *     8 rows/hash vs 36, both sub-5 s.
+    *   - 10⁵ ≲ N: keySize 2 (this default) — 2.8 s at 2×10⁶, 136 s at
+    *     8×10⁶, 756 s at 2×10⁷ (its N²/2¹⁴ term is quadratic by 2×10⁷
+    *     but still completes).
+    *   - keySize 3 is a CLUSTER lever, not a single-node one: its
+    *     C(9,3)=84 rows/hash explode (1.7×10⁹ keyed rows at 2×10⁷)
+    *     exhausted >200 GB of spill disk and DIED on one node at the
+    *     same point where keySize 2 finished — choose it only where
+    *     the explode distributes (≥ 10⁸ items on a multi-executor
+    *     cluster, where keySize 2's collision term ~N²/2¹⁴ ≈ 6×10¹¹
+    *     candidates dwarfs 84·N explode rows and per-node spill is
+    *     1/executors of the total). */
   def nearDupPairsBlocked(hashes: DataFrame, idCol: String, hashCol: String,
       maxDist: Int, blocks: Int = 9, keySize: Int = 2): DataFrame = {
     require(blocks >= 2 && blocks <= 63,

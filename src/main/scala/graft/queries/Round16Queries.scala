@@ -191,12 +191,13 @@ object Round16Queries {
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   /** Q261 (L22, branch-qualified SQL read): Nessie's ref-qualified
-    * table spelling — `"table@branch"` — resolving to the branch's
-    * writable fork from SQL text. The gate reads BOTH refs in one
-    * result: `main` must still see only the pre-fork rows (< 300) after
-    * the branch ingested 300–499 (isolation), and `@etl` must see the
-    * fork plus its own appends — each side recomputed by the oracle
-    * from the raw table. */
+    * table spelling — `` `table@branch` `` in Spark-dialect text (the
+    * wire's Trino `"table@branch"` requotes to this) — resolving to
+    * the branch's writable fork from SQL text. The gate reads BOTH
+    * refs in one result: `main` must still see only the pre-fork rows
+    * (< 300) after the branch ingested 300–499 (isolation), and `@etl`
+    * must see the fork plus its own appends — each side recomputed by
+    * the oracle from the raw table. */
   val q261 = GQuery("q261_branch_read_sql", (s, d) => {
     import graft.engine.{Lakehouse, Layout}
     val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
@@ -210,7 +211,7 @@ object Round16Queries {
       s"""SELECT '$ref' AS ref, event_type, count(*) AS n,
          |  CAST(sum(event_id) AS BIGINT) AS id_sum
          |FROM $from GROUP BY event_type""".stripMargin)
-    agg("main", table).unionByName(agg("etl", "\"" + table + "@etl\""))
+    agg("main", table).unionByName(agg("etl", s"`$table@etl`"))
       .orderBy("ref", "event_type")
   },
     Some("""WITH m AS (SELECT 'main' AS ref, event_type, count(*)::BIGINT AS n,

@@ -146,6 +146,16 @@ class ObjectStoreHttpSpec extends SparkSpec {
           .GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(trav.statusCode() === 403)
+      // a SYMLINK inside the root must not escape it (textual
+      // normalize+startsWith alone would pass this request through)
+      java.nio.file.Files.createSymbolicLink(
+        rootDir.resolve("link"), Path.of("/"))
+      val viaLink = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(server.uri + rootDir.toString + "/link/etc/passwd"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(viaLink.statusCode() === 403)
     } finally server.stop()
   }
 

@@ -326,6 +326,12 @@ class StatementHttpSpec extends SparkSpec {
       assert(pinned.map(_.head.asLong()) === Seq(2L))
       val (_, live, _) = run(server, s"SELECT count(*) AS n FROM $t")
       assert(live.map(_.head.asLong()) === Seq(3L))
+      // branch-qualified read in TRINO spelling — the double-quoted
+      // identifier requotes to backticks and resolves to the fork
+      Layout.createBranch(spark, t, "etl")
+      val (_, br, _) = run(server,
+        s"""SELECT count(*) AS n FROM "$t@etl"""")
+      assert(br.map(_.head.asLong()) === Seq(3L))
     } finally server.stop()
   }
 

@@ -40,17 +40,33 @@ class TimeTravelSpec extends SparkSpec {
     assert(got === Seq((1L, 20L), (2L, 40L)))
   }
 
-  test("\"table@branch\" reads the fork; main stays isolated") {
+  test("`table@branch` reads the fork; main stays isolated") {
     val t = freshName("tt_br_")
     Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
     val bt = Layout.createBranch(spark, t, "etl")
     Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(bt)
+    // Spark-dialect spelling is the backticked identifier (a
+    // double-quoted "t@etl" is a STRING LITERAL in Spark); the wire
+    // plane's Trino "t@etl" arrives as this via TrinoSql requoting
     val branch = Lakehouse.sql(spark,
-      s"""SELECT id FROM "$t@etl" ORDER BY id""")
+      s"SELECT id FROM `$t@etl` ORDER BY id")
       .as[Long].collect().toSeq
     assert(branch === Seq(1L, 2L))
     val main = Lakehouse.sql(spark, s"SELECT id FROM $t").as[Long].collect().toSeq
     assert(main === Seq(1L))
+  }
+
+  test("two different pinned reads of one table in ONE statement stay distinct") {
+    val t = freshName("tt_two_")
+    Seq((1L, 10L)).toDF("id", "x").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "v.1") // sanitizes to the same stem as v_1
+    Seq((2L, 20L)).toDF("id", "x").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "v_1")
+    val got = Lakehouse.sql(spark,
+      s"""SELECT (SELECT count(*) FROM $t FOR VERSION AS OF 'v.1') AS a,
+         |       (SELECT count(*) FROM $t FOR VERSION AS OF 'v_1') AS b""".stripMargin)
+      .as[(Long, Long)].collect().head
+    assert(got === ((1L, 2L)), "name sanitization must not alias distinct tags")
   }
 
   test("FOR TIMESTAMP AS OF resolves the latest snapshot at or before the instant") {
@@ -87,11 +103,17 @@ class TimeTravelSpec extends SparkSpec {
   }
 
   test("spellings inside string literals are data, not syntax") {
-    val s1 = "SELECT 'x FOR VERSION AS OF ''v9''' AS lit1, '\"a@b\"' AS lit2"
+    val s1 = "SELECT 'x FOR VERSION AS OF ''v9''' AS lit1, '`a@b`' AS lit2"
     assert(TimeTravel.rewrite(spark, s1) === s1)
     val got = Lakehouse.sql(spark, s1).collect().head
     assert(got.getString(0) === "x FOR VERSION AS OF 'v9'")
-    assert(got.getString(1) === "\"a@b\"")
+    assert(got.getString(1) === "`a@b`")
+    // a DOUBLE-quoted Spark string literal containing name@name is
+    // data too (round-16 review: the single-quote-only walker rewrote
+    // it into a branch-table identifier and broke the statement)
+    val s2 = "SELECT \"bob@gmail\" AS email"
+    assert(TimeTravel.rewrite(spark, s2) === s2)
+    assert(Lakehouse.sql(spark, s2).collect().head.getString(0) === "bob@gmail")
   }
 
   test("unknown tag fails loudly — never a silent fallback to live rows") {

@@ -20,15 +20,31 @@ class TrinoSqlSpec extends AnyFunSuite {
     assert(TrinoSql.toSpark(s) === s)
   }
 
-  test("double-quoted identifiers are opaque: no prefix strip, no type map") {
+  test("double-quoted identifiers map to backticks: no prefix strip, no type map inside") {
+    // Trino "name" is an IDENTIFIER; Spark's default dialect would
+    // parse it as a string literal — so the shim requotes to backticks
     assert(TrinoSql.toSpark("""SELECT "iceberg.x", "varchar" FROM t""")
-      === """SELECT "iceberg.x", "varchar" FROM t""")
-    // doubled "" stays inside the identifier span
+      === "SELECT `iceberg.x`, `varchar` FROM t")
+    // doubled "" unescapes to a literal " inside the identifier
     assert(TrinoSql.toSpark("""SELECT "a""iceberg.b" FROM t""")
-      === """SELECT "a""iceberg.b" FROM t""")
+      === "SELECT `a\"iceberg.b` FROM t")
     // ...while the same tokens outside quotes still rewrite in one
     // statement mixing both
     assert(TrinoSql.toSpark("""SELECT "varchar", CAST(x AS varchar) FROM iceberg.t""")
-      === """SELECT "varchar", CAST(x AS STRING) FROM t""")
+      === "SELECT `varchar`, CAST(x AS STRING) FROM t")
+    // a quoted catalog leg strips like the bare one
+    assert(TrinoSql.toSpark("""SELECT * FROM "iceberg"."demo"."events"""")
+      === "SELECT * FROM `demo`.`events`")
+  }
+
+  test("a quoted identifier genuinely resolves the COLUMN through Spark, not a string literal") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    Seq((1L, "row1")).toDF("id", "value")
+      .createOrReplaceTempView("trinosql_requote")
+    val got = Lakehouse.sql(spark,
+      TrinoSql.toSpark("""SELECT "value" FROM trinosql_requote"""))
+      .collect().head.getString(0)
+    assert(got === "row1") // verbatim pass-through would return 'value'
   }
 }
