@@ -96,7 +96,7 @@ object Bench {
       "q244", "q248", "q249", "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257",
       // round-16 new/changed: q244 localization family, quad cross-modal,
       // SQL time travel, video bundle serve
-      "q258", "q259", "q260", "q261", "q262", "q263", "q264",
+      "q258", "q259", "q260", "q261", "q262", "q263", "q264", "q265",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")

@@ -631,7 +631,12 @@ object Multimodal {
     * (frame index, luma bucket) positions — the q26 bucket join with
     * the frame index as the band (the [[AudioFingerprint.nearDupPairs]]
     * shape on the video plane). Shuffle = one fixed-width row per
-    * sampled FRAME; candidates scale with real content overlap. */
+    * sampled FRAME; candidates scale with real content overlap — BUT
+    * the key space is tiny (≤ maxFrames × 16 buckets ≈ 10² keys), so
+    * cross-video collisions make the candidate stage N²-driven by
+    * ~10⁴–10⁵ items (VideoProbe, BASELINE §Round 16: 104 s at 5×10⁴
+    * vs [[videoNearDupPairsBigram]]'s 42 s, slopes 20× vs 4× per
+    * 2.5× N). Past ~10⁴ corpus items use the bigram generator. */
   def videoNearDupPairs(fingerprint: DataFrame, minShared: Int): DataFrame = {
     val a = fingerprint.select(col("media_id").as("id_a"),
       col("frame_index"), col("qluma"))
@@ -683,6 +688,86 @@ object Multimodal {
         col("frame_index"), col("qluma")), Seq("id_a"))
       .join(f.select(col("media_id").as("id_b"),
         col("frame_index"), col("qluma")), Seq("id_b", "frame_index", "qluma"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** D19″ — keyframe-pHash video fingerprint: one 63-bit perceptual
+    * hash PER SAMPLED FRAME through the real MJPEG decode
+    * ([[ImageHash.phashOfBytes]] on each '00dc' chunk — MJPEG frames
+    * ARE baseline JPEGs). This is the decade fingerprint the luma tier
+    * is not: 2⁶³ values per frame where [[videoFingerprint]] has 16,
+    * so the candidate join below stays collision-driven instead of
+    * going quadratic at 10⁵ (VideoProbe, BASELINE §Round 16 — the
+    * measured ceiling of ANY join over the coarse signature). */
+  def videoKeyframePhashes(spark: SparkSession, media: DataFrame,
+      stride: Int = 1, maxFrames: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1 && maxFrames >= 1, "stride/maxFrames must be >= 1")
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        try {
+          if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+            new String(b, 8, 4, "US-ASCII") != "AVI ")
+            throw new IllegalArgumentException("not an AVI")
+          val top = riffChunks(b, 12, b.length)
+          val (ms, me) = riffList(b, top, "movi")
+            .getOrElse(throw new IllegalArgumentException("no movi"))
+          riffChunks(b, ms, me).iterator
+            .filter(c => c._1 == "00dc" || c._1 == "00db")
+            .zipWithIndex
+            .filter { case (_, i) => i % stride == 0 }
+            .take(maxFrames)
+            .flatMap { case ((_, s, e), i) =>
+              ImageHash.phashOfBytes(java.util.Arrays.copyOfRange(b, s, e))
+                .map(h => (id, i.toLong, h))
+            }.toList
+        } catch { case _: Exception => Nil } // corrupt container: no prints
+      }).toDF("media_id", "frame_index", "phash")
+  }
+
+  /** D19″ — video near-dup over keyframe pHashes: pairs sharing ≥
+    * `minShared` frame positions whose per-frame hashes sit within
+    * Hamming `maxDist`. Candidates come from COMPOUND BLOCK KEYS per
+    * frame ([[ImageHash.nearDupPairsBlocked]]'s Manku WWW'07 keys with
+    * the frame index joined alongside — pigeonhole per frame: any
+    * frame pair within d ≤ blocks−keySize collides in ≥ 1 key, so the
+    * frame-match relation is EXACT, never sampled); the verify joins
+    * the full per-frame hashes and counts matching positions. This is
+    * the composition the measured decade tables justify end-to-end:
+    * per-frame keys measured to 2×10⁷ hashes (BASELINE §Round 16
+    * pHash), frame_index as the band (the q253/q255 shape). */
+  def videoNearDupPairsKeyframe(keyframes: DataFrame, maxDist: Int = 7,
+      minShared: Int = 1, blocks: Int = 9, keySize: Int = 2): DataFrame = {
+    require(maxDist <= blocks - keySize,
+      s"blocked recall guarantee needs maxDist <= blocks - keySize: " +
+        s"$maxDist > $blocks - $keySize")
+    val width = (63 + blocks - 1) / blocks
+    val mask = (1L << width) - 1
+    def blockVal(h: org.apache.spark.sql.Column, i: Int) =
+      call_function("shiftrightunsigned", h, lit(i * width)).bitwiseAND(lit(mask))
+    val combos = (0 until blocks).combinations(keySize).toSeq
+    def keyCols(h: org.apache.spark.sql.Column) = array(
+      combos.zipWithIndex.map { case (combo, ci) =>
+        combo.foldLeft(lit(ci.toLong): org.apache.spark.sql.Column)(
+          (acc, i) => acc * (mask + 1) + blockVal(h, i))
+      }: _*)
+    val keyed = keyframes.select(col("media_id"), col("frame_index"),
+      explode(keyCols(col("phash"))).as("key"))
+    val candidates = keyed.select(col("media_id").as("id_a"),
+        col("frame_index"), col("key"))
+      .join(keyed.select(col("media_id").as("id_b"),
+        col("frame_index"), col("key")), Seq("frame_index", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val f = keyframes
+    candidates
+      .join(f.select(col("media_id").as("id_a"),
+        col("frame_index"), col("phash").as("ha")), Seq("id_a"))
+      .join(f.select(col("media_id").as("id_b"),
+        col("frame_index"), col("phash").as("hb")), Seq("id_b", "frame_index"))
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("long").as("shared"))
       .where(col("shared") >= minShared)

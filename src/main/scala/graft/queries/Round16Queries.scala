@@ -334,5 +334,50 @@ object Round16Queries {
            |SELECT id_a, id_b, shared FROM p WHERE shared >= 2
            |ORDER BY id_a, id_b""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q258, q259, q260, q261, q262, q263, q264)
+  /** Q265 (D19″, keyframe-pHash video near-dup): the decade composition
+    * for video — per-frame 63-bit pHashes through the Manku
+    * compound-block candidate join with frame_index alongside the key,
+    * exact per-frame Hamming verify, shared-count floor
+    * ([[graft.ext.Multimodal.videoNearDupPairsKeyframe]]). Hashes here
+    * are PLANTED from a closed-form bit law (the probe discipline: the
+    * decode→hash plane is already gated through real codecs by
+    * q248/q254; THIS gate pins the composition's join machinery
+    * hash-exact, including the cross-group collisions the weak mod-7
+    * mixer plants — groups g ≡ g′ (mod 7) genuinely collide and the
+    * oracle recomputes them). */
+  val q265 = GQuery("q265_video_neardup_keyframe", (s, d) => {
+    import graft.ext.Multimodal
+    val ids = t(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 48)
+    val g = ((col("media_id") - pmod(col("media_id"), lit(4))) / 4).cast("long")
+    val v = pmod(col("media_id"), lit(4))
+    val hash = (0 until 63).map { k =>
+      val baseBit = pmod(g * 37 + col("frame_index") * 53 + lit(k * 101), lit(7)) < 3
+      when(baseBit =!= (lit(k) < v), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fp = ids.select(col("doc_id").as("media_id"),
+        explode(sequence(lit(0L), pmod(col("doc_id"), lit(4)))).as("frame_index"))
+      .withColumn("phash", hash)
+    Multimodal.videoNearDupPairsKeyframe(fp, maxDist = 7, minShared = 1)
+      .orderBy("id_a", "id_b")
+  },
+    Some("""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 48),
+           |fr AS (SELECT media_id,
+           |        unnest(generate_series(0, CAST(media_id % 4 AS BIGINT))) AS fi
+           |      FROM ids),
+           |ks AS (SELECT unnest(generate_series(0, 62)) AS k),
+           |bits AS (SELECT media_id, fi, k,
+           |    ((((media_id // 4) * 37 + fi * 53 + k * 101) % 7 < 3)
+           |      <> (k < media_id % 4)) AS bit
+           |  FROM fr, ks),
+           |d AS (SELECT a.media_id AS id_a, b.media_id AS id_b, a.fi,
+           |        sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS dist
+           |      FROM bits a JOIN bits b
+           |        ON a.k = b.k AND a.fi = b.fi AND a.media_id < b.media_id
+           |      GROUP BY 1, 2, 3),
+           |p AS (SELECT id_a, id_b, count(*)::BIGINT AS shared
+           |      FROM d WHERE dist <= 7 GROUP BY 1, 2)
+           |SELECT id_a, id_b, shared FROM p WHERE shared >= 1
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q258, q259, q260, q261, q262, q263, q264, q265)
 }

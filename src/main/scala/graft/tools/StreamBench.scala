@@ -251,6 +251,38 @@ object StreamBench {
         outDf, batches, waveN.toLong)
     }
 
+    // ---- ST21: streaming video near-dup vs a stored videofp bundle ----
+    // The st19 shape on the video plane: per-batch waves of REAL MJPEG
+    // AVIs (fixture ids overlapping the indexed corpus so congruence
+    // pairs genuinely fire), map-only decode+quantize, ONE stream-static
+    // (frame_index, qluma) join whose shared-count aggregate is the only
+    // stateful stage (update mode — the ST20 protocol).
+    if (which("st21")) {
+      import graft.ext.{IndexStore, Multimodal}
+      val corpusN = 4000L
+      val waveN = 500
+      val dir = java.nio.file.Files.createTempDirectory("sb_videofp").toString
+      IndexStore.writeVideoFp(spark,
+        Multimodal.synthesizeAvi(spark,
+          spark.range(corpusN).select(col("id").as("doc_id")), "doc_id"),
+        dir, minShared = 2)
+      val bundle = IndexStore.loadVideoFp(spark, dir)
+      val waves: IndexedSeq[Seq[(Long, Array[Byte])]] =
+        (0 until batches).map { b =>
+          Multimodal.synthesizeAvi(spark,
+            spark.range(b.toLong * waveN, (b + 1).toLong * waveN)
+              .select(col("id").as("doc_id")), "doc_id")
+            .collect().map(r => (r.getLong(0) + corpusN * 10, // disjoint probe ids
+              r.getAs[Array[Byte]](1))).toSeq
+        }
+      val mem = MemoryStream[(Long, Timestamp, Array[Byte])]
+      val outDf = graft.streaming.StreamVideoDup.pairs(bundle,
+        mem.toDF().toDF("media_id", "ts", "media"), "media_id", "media", "ts")
+      drive("st21_video_neardup", spark, (b, ts) =>
+        mem.addData(waves(b).map { case (id, bytes) => (id, ts, bytes) }): Unit,
+        outDf, batches, waveN.toLong, mode = "update")
+    }
+
     spark.stop()
   }
 }

@@ -450,7 +450,8 @@ class PlanQualitySpec extends SparkSpec {
     }
     Seq("q249_phash_neardup", "q251_phash_neardup_blocked",
       "q253_audio_neardup", "q255_video_neardup",
-      "q262_video_bundle_search", "q264_video_neardup_bigram").foreach { name =>
+      "q262_video_bundle_search", "q264_video_neardup_bigram",
+      "q265_video_neardup_keyframe").foreach { name =>
       assertEqui(name, executed(run(name)))
     }
     // q257/q259's CC stage localCheckpoints its edge inputs (lineage

@@ -294,6 +294,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("keyframe pHashes: one hash per sampled frame through the real decode; corrupt containers contribute nothing") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("doc_id")
+    val kf = Multimodal.videoKeyframePhashes(spark,
+      Multimodal.synthesizeAvi(spark, ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one row per (id, frame) — frames = 1 + id % 4, every frame decodes
+    val expected = (for (id <- 0L until 12L; f <- 0L to id % 4) yield (id, f)).toSet
+    assert(kf === expected)
+    val corrupt = Seq((99L, "not an avi".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    assert(Multimodal.videoKeyframePhashes(spark, corrupt).count() === 0L)
+  }
+
+  test("keyframe near-dup: compound-block candidates + exact verify equal brute force on planted hashes") {
+    import spark.implicits._
+    // groups of 3 share per-frame base hashes; variant flips v low bits
+    // (distance ≤ 2 ≤ 7 at every frame); cross-group bases are xxhash
+    // bits (~31 apart). 60 videos × 4 frames.
+    def baseHash(g: Long, f: Long): Long = {
+      var h = 0L
+      for (k <- 0 until 63)
+        if (((g * 2654435761L + f * 40503L + k * 69427L) >>> 7) % 2 == 0)
+          h |= 1L << k
+      h
+    }
+    val rows = for {
+      id <- 0L until 60L; f <- 0L until 4L
+    } yield (id, f, baseHash(id / 3, f) ^ ((1L << (id % 3).toInt) - 1L))
+    val fp = rows.toDF("media_id", "frame_index", "phash")
+    val got = Multimodal.videoNearDupPairsKeyframe(fp, maxDist = 7, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same planted hashes
+    val byId = rows.groupBy(_._1)
+    val expected2 = (for {
+      a <- 0L until 60L; b <- 0L until 60L if a < b
+    } yield {
+      val ha = byId(a).map(r => r._2 -> r._3).toMap
+      val hb = byId(b).map(r => r._2 -> r._3).toMap
+      val shared = ha.keys.count(f => hb.get(f).exists(h =>
+        java.lang.Long.bitCount(ha(f) ^ h) <= 7))
+      (a, b, shared.toLong)
+    }).filter(_._3 >= 2).toSet
+    assert(got === expected2)
+    assert(got.nonEmpty)
+  }
+
   test("resizeImages honors EXIF orientation: rotated fixtures come out upright") {
     import spark.implicits._
     // an asymmetric 8x4 gradient JPEG with a REAL spliced EXIF segment;
