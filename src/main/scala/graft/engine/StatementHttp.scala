@@ -53,6 +53,12 @@ import org.apache.spark.sql.types._
   *     `spark.`-prefixed key → session conf, set and RESTORED around
   *     the run) and echoed otherwise — a property the engine cannot
   *     honor never silently changes semantics.
+  *   - `USE [catalog.]schema` answers `X-Trino-Set-Catalog` +
+  *     `X-Trino-Set-Schema` (unknown catalog/schema refuses — Trino's
+  *     NOT_FOUND, never a silent accept); the client's echoed
+  *     `X-Trino-Schema` scopes that statement's unqualified table
+  *     names (current-database set + RESTORED around the run, under
+  *     the same write-side isolation as conf overrides).
   *
   * Scale discipline: results are paged (`pageSize` rows per GET), and a
   * statement whose result exceeds `maxRows` FAILS loudly instead of
@@ -73,10 +79,12 @@ object StatementHttp {
 
   private final case class QueryState(id: String, slug: String, sql: String,
       user: String, session: Map[String, String],
+      defaultSchema: Option[String],
       var rows: Array[Row] = null, var schema: StructType = null,
       var failed: Option[Throwable] = None, var done: Boolean = false,
       var setSession: Option[(String, String)] = None,
-      var resetSession: Option[String] = None)
+      var resetSession: Option[String] = None,
+      var setSchema: Option[String] = None)
 
   /** Per-server registry: the queries map plus its completed-retention
     * queue — PAIRED, so eviction order is always the order THIS server
@@ -139,6 +147,7 @@ object StatementHttp {
   private val ExecPath = "/v1/statement/executing/([^/]+)/([^/]+)/(\\d+)".r
   private val SetSessionRx = "(?is)^SET\\s+SESSION\\s+([A-Za-z_][\\w.]*)\\s*=\\s*(.+)$".r
   private val ResetSessionRx = "(?is)^RESET\\s+SESSION\\s+([A-Za-z_][\\w.]*)\\s*$".r
+  private val UseRx = "(?is)^USE\\s+(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*;?\\s*$".r
 
   /** Parse the `X-Trino-Session` header (comma-separated `k=v` pairs,
     * values possibly URL-encoded — the client echoes what
@@ -163,9 +172,11 @@ object StatementHttp {
           .filter(_.nonEmpty).getOrElse("anonymous")
         val session = Option(exchange.getRequestHeaders.getFirst("X-Trino-Session"))
           .map(parseSession).getOrElse(Map.empty)
+        val defaultSchema = Option(exchange.getRequestHeaders
+          .getFirst("X-Trino-Schema")).filter(_.nonEmpty)
         val id = f"graft_${System.currentTimeMillis()}%d_${reg.counter.incrementAndGet()}%05d"
         val slug = java.util.UUID.randomUUID().toString.take(8)
-        reg.queries.put(id, QueryState(id, slug, sql, user, session))
+        reg.queries.put(id, QueryState(id, slug, sql, user, session, defaultSchema))
         val n = mapper.createObjectNode()
         n.put("id", id)
         n.put("infoUri", s"http://127.0.0.1:$port/ui/query/$id")
@@ -186,6 +197,10 @@ object StatementHttp {
         }
         q.resetSession.foreach(k =>
           exchange.getResponseHeaders.set("X-Trino-Reset-Session", k))
+        q.setSchema.foreach { sch =>
+          exchange.getResponseHeaders.set("X-Trino-Set-Catalog", "iceberg")
+          exchange.getResponseHeaders.set("X-Trino-Set-Schema", sch)
+        }
         send(exchange, 200, body)
       case ("DELETE", ExecPath(id, slug, _)) =>
         val q = reg.queries.get(id)
@@ -259,6 +274,20 @@ object StatementHttp {
             q.resetSession = Some(k)
             q.rows = Array(Row(true))
             q.schema = StructType(Seq(StructField("result", BooleanType)))
+          case UseRx(cat, sch) =>
+            // Trino's USE answers X-Trino-Set-Catalog/-Schema response
+            // headers; the client carries them back as X-Trino-Schema.
+            // The engine serves ONE catalog (aliased `iceberg`) — an
+            // unknown catalog or schema refuses like Trino's
+            // CATALOG/SCHEMA_NOT_FOUND, never a silent accept that
+            // would make later unqualified reads resolve elsewhere.
+            if (cat != null && cat != "iceberg" && cat != "spark_catalog")
+              throw new IllegalArgumentException(s"catalog not found: $cat")
+            if (!spark.catalog.databaseExists(sch))
+              throw new IllegalArgumentException(s"schema not found: $sch")
+            q.setSchema = Some(sch)
+            q.rows = Array(Row(true))
+            q.schema = StructType(Seq(StructField("result", BooleanType)))
           case _ =>
             def run(): Unit = {
               val df = Lakehouse.sql(spark, TrinoSql.toSpark(q.sql))
@@ -272,17 +301,25 @@ object StatementHttp {
             }
             val confs = sessionConfs(q.session)
             // override-free statements run concurrently (read side);
-            // a conf-mutating apply+run+restore takes the exclusive
-            // write side so its temporary confs can never leak into a
-            // concurrently-executing plain statement
-            if (confs.isEmpty) {
+            // a conf- or schema-mutating apply+run+restore takes the
+            // exclusive write side so its temporary session state can
+            // never leak into a concurrently-executing plain statement
+            if (confs.isEmpty && q.defaultSchema.isEmpty) {
               reg.execLock.readLock().lock()
               try run() finally reg.execLock.readLock().unlock()
             } else {
               reg.execLock.writeLock().lock()
               try {
                 val saved = applySession(spark, confs)
-                try run() finally restoreSession(spark, saved)
+                val savedDb = q.defaultSchema.map(_ =>
+                  spark.catalog.currentDatabase)
+                try {
+                  q.defaultSchema.foreach(spark.catalog.setCurrentDatabase)
+                  run()
+                } finally {
+                  savedDb.foreach(spark.catalog.setCurrentDatabase)
+                  restoreSession(spark, saved)
+                }
               } finally reg.execLock.writeLock().unlock()
             }
         }

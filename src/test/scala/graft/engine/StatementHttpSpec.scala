@@ -206,10 +206,13 @@ class StatementHttpSpec extends SparkSpec {
     * accumulated session map), returning the final node plus any
     * session headers the server answered. */
   private def runWithHeaders(server: StatementHttp.Server, sql: String,
-      user: Option[String] = None, session: Map[String, String] = Map.empty)
-      : (Seq[Seq[JsonNode]], JsonNode, Map[String, String], Option[String]) = {
+      user: Option[String] = None, session: Map[String, String] = Map.empty,
+      schema: Option[String] = None)
+      : (Seq[Seq[JsonNode]], JsonNode, Map[String, String], Option[String],
+        Option[String]) = {
     def withHdrs(b: HttpRequest.Builder): HttpRequest.Builder = {
-      val b1 = user.fold(b)(u => b.header("X-Trino-User", u))
+      val b0 = schema.fold(b)(s => b.header("X-Trino-Schema", s))
+      val b1 = user.fold(b0)(u => b0.header("X-Trino-User", u))
       if (session.isEmpty) b1
       else b1.header("X-Trino-Session", session.map { case (k, v) =>
         k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString(","))
@@ -223,6 +226,7 @@ class StatementHttpSpec extends SparkSpec {
     val rows = Seq.newBuilder[Seq[JsonNode]]
     var setSession = Map.empty[String, String]
     var resetSession: Option[String] = None
+    var setSchema: Option[String] = None
     while (node.hasNonNull("nextUri")) {
       val r = client.send(withHdrs(HttpRequest.newBuilder(
         URI.create(node.get("nextUri").asText()))).GET().build(),
@@ -235,6 +239,8 @@ class StatementHttpSpec extends SparkSpec {
         }
       Option(r.headers().firstValue("X-Trino-Reset-Session").orElse(null))
         .foreach(k => resetSession = Some(k))
+      Option(r.headers().firstValue("X-Trino-Set-Schema").orElse(null))
+        .foreach(s => setSchema = Some(s))
       node = mapper.readTree(r.body())
       if (node.has("data"))
         (0 until node.get("data").size()).foreach { i =>
@@ -242,7 +248,39 @@ class StatementHttpSpec extends SparkSpec {
           rows += (0 until row.size()).map(row.get)
         }
     }
-    (rows.result(), node, setSession, resetSession)
+    (rows.result(), node, setSession, resetSession, setSchema)
+  }
+
+  test("USE answers set-schema headers; the echoed X-Trino-Schema scopes unqualified names and restores after") {
+    val server = StatementHttp.start(spark)
+    try {
+      Seq(
+        "CREATE SCHEMA IF NOT EXISTS iceberg.usedemo;",
+        "DROP TABLE IF EXISTS iceberg.usedemo.use_t;",
+        "CREATE TABLE iceberg.usedemo.use_t (id bigint);",
+        "INSERT INTO iceberg.usedemo.use_t VALUES (1), (2), (3);")
+        .foreach(stmt => assert(run(server, stmt)._3.at("/stats/state").asText()
+          === "FINISHED", stmt))
+      val dbBefore = spark.catalog.currentDatabase
+      // USE → protocol headers (catalog echo + schema)
+      val (_, fin, _, _, setSchema) = runWithHeaders(server, "USE iceberg.usedemo")
+      assert(fin.at("/stats/state").asText() === "FINISHED")
+      assert(setSchema === Some("usedemo"))
+      // the client echoes the schema; an UNQUALIFIED name resolves in it
+      val (n, fin2, _, _, _) = runWithHeaders(server,
+        "SELECT count(*) AS n FROM use_t", schema = Some("usedemo"))
+      assert(fin2.at("/stats/state").asText() === "FINISHED")
+      assert(n.map(_.head.asLong()) === Seq(3L))
+      // ...and the server's current database is RESTORED afterwards
+      assert(spark.catalog.currentDatabase === dbBefore)
+      // unknown schema/catalog refuse like Trino's NOT_FOUND
+      val (_, bad, _, _, _) = runWithHeaders(server, "USE nope_schema")
+      assert(bad.at("/stats/state").asText() === "FAILED")
+      assert(bad.at("/error/message").asText().contains("schema not found"))
+      val (_, badCat, _, _, _) = runWithHeaders(server, "USE hive.usedemo")
+      assert(badCat.at("/stats/state").asText() === "FAILED")
+      assert(badCat.at("/error/message").asText().contains("catalog not found"))
+    } finally server.stop()
   }
 
   test("X-Trino-User attribution round-trips in stats and error payloads") {
@@ -250,17 +288,17 @@ class StatementHttpSpec extends SparkSpec {
     try {
       // the reference's Superset URI connects as user `trino`
       // (compose/superset/init_db.py:9)
-      val (rows, fin, _, _) = runWithHeaders(server, "SELECT 1", user = Some("trino"))
+      val (rows, fin, _, _, _) = runWithHeaders(server, "SELECT 1", user = Some("trino"))
       assert(rows === Seq(Seq(mapper.getNodeFactory.numberNode(1))) ||
         rows.map(_.map(_.asInt())) === Seq(Seq(1)))
       assert(fin.at("/stats/state").asText() === "FINISHED")
       assert(fin.at("/stats/user").asText() === "trino")
-      val (_, fail, _, _) = runWithHeaders(server, "SELECT FROM nowhere WHERE",
+      val (_, fail, _, _, _) = runWithHeaders(server, "SELECT FROM nowhere WHERE",
         user = Some("trino"))
       assert(fail.at("/stats/state").asText() === "FAILED")
       assert(fail.at("/error/user").asText() === "trino")
       // no header → anonymous, never an empty/missing attribution
-      val (_, anon, _, _) = runWithHeaders(server, "SELECT 1")
+      val (_, anon, _, _, _) = runWithHeaders(server, "SELECT 1")
       assert(anon.at("/stats/user").asText() === "anonymous")
     } finally server.stop()
   }
@@ -270,36 +308,36 @@ class StatementHttpSpec extends SparkSpec {
     try {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       // 1. SET SESSION → protocol header + boolean result page
-      val (rows, fin, set, _) = runWithHeaders(server,
+      val (rows, fin, set, _, _) = runWithHeaders(server,
         "SET SESSION spark.sql.shuffle.partitions = '7'")
       assert(fin.at("/stats/state").asText() === "FINISHED")
       assert(rows.map(_.map(_.asBoolean())) === Seq(Seq(true)))
       assert(set === Map("spark.sql.shuffle.partitions" -> "7"))
       // 2. the client echoes the accumulated map; a dependent statement
       //    sees the override IN FLIGHT (Spark's read-only `SET key` form)
-      val (got, fin2, _, _) = runWithHeaders(server,
+      val (got, fin2, _, _, _) = runWithHeaders(server,
         "SET spark.sql.shuffle.partitions", session = set)
       assert(fin2.at("/stats/state").asText() === "FINISHED")
       assert(got.head.map(_.asText()) === Seq("spark.sql.shuffle.partitions", "7"))
       // 3. ...and the server restored the session conf afterwards
       assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
       // 4. RESET SESSION answers the reset header
-      val (_, fin3, _, reset) = runWithHeaders(server,
+      val (_, fin3, _, reset, _) = runWithHeaders(server,
         "RESET SESSION spark.sql.shuffle.partitions")
       assert(fin3.at("/stats/state").asText() === "FINISHED")
       assert(reset === Some("spark.sql.shuffle.partitions"))
       // 5. a property with no Spark equivalent is accepted + echoed,
       //    never applied: the statement still runs
-      val (_, fin4, set4, _) = runWithHeaders(server,
+      val (_, fin4, set4, _, _) = runWithHeaders(server,
         "SET SESSION query_max_stage_count = '200'")
       assert(fin4.at("/stats/state").asText() === "FINISHED")
       assert(set4 === Map("query_max_stage_count" -> "200"))
-      val (one, fin5, _, _) = runWithHeaders(server, "SELECT 1", session = set4)
+      val (one, fin5, _, _, _) = runWithHeaders(server, "SELECT 1", session = set4)
       assert(fin5.at("/stats/state").asText() === "FINISHED")
       assert(one.map(_.map(_.asInt())) === Seq(Seq(1)))
       // 6. join_distribution_type maps to the broadcast gate and restores
       val gateBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val (gate, fin6, _, _) = runWithHeaders(server,
+      val (gate, fin6, _, _, _) = runWithHeaders(server,
         "SET spark.sql.autoBroadcastJoinThreshold",
         session = Map("join_distribution_type" -> "PARTITIONED"))
       assert(fin6.at("/stats/state").asText() === "FINISHED")
