@@ -59,6 +59,14 @@ import org.apache.spark.sql.types._
   *     `X-Trino-Schema` scopes that statement's unqualified table
   *     names (current-database set + RESTORED around the run, under
   *     the same write-side isolation as conf overrides).
+  *   - `PREPARE name FROM <sql>` answers `X-Trino-Added-Prepare:
+  *     name=urlencoded_sql` (`DEALLOCATE PREPARE` → the deallocate
+  *     header); the client echoes its prepared map back via
+  *     `X-Trino-Prepared-Statement`, and `EXECUTE name [USING exprs]`
+  *     binds `?` markers positionally (quote-aware, count-checked)
+  *     before running the bound text through the normal path — the
+  *     JDBC driver's parameterized-query loop, stateless server-side
+  *     like the rest of the session surface.
   *
   * Scale discipline: results are paged (`pageSize` rows per GET), and a
   * statement whose result exceeds `maxRows` FAILS loudly instead of
@@ -80,11 +88,14 @@ object StatementHttp {
   private final case class QueryState(id: String, slug: String, sql: String,
       user: String, session: Map[String, String],
       defaultSchema: Option[String],
+      prepared: Map[String, String] = Map.empty,
       var rows: Array[Row] = null, var schema: StructType = null,
       var failed: Option[Throwable] = None, var done: Boolean = false,
       var setSession: Option[(String, String)] = None,
       var resetSession: Option[String] = None,
-      var setSchema: Option[String] = None)
+      var setSchema: Option[String] = None,
+      var addedPrepare: Option[(String, String)] = None,
+      var deallocatedPrepare: Option[String] = None)
 
   /** Per-server registry: the queries map plus its completed-retention
     * queue — PAIRED, so eviction order is always the order THIS server
@@ -148,6 +159,71 @@ object StatementHttp {
   private val SetSessionRx = "(?is)^SET\\s+SESSION\\s+([A-Za-z_][\\w.]*)\\s*=\\s*(.+)$".r
   private val ResetSessionRx = "(?is)^RESET\\s+SESSION\\s+([A-Za-z_][\\w.]*)\\s*$".r
   private val UseRx = "(?is)^USE\\s+(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  private val PrepareRx = "(?is)^PREPARE\\s+([A-Za-z_]\\w*)\\s+FROM\\s+(.+)$".r
+  private val ExecuteRx = "(?is)^EXECUTE\\s+([A-Za-z_]\\w*)(?:\\s+USING\\s+(.+))?\\s*;?\\s*$".r
+  private val DeallocateRx = "(?is)^DEALLOCATE\\s+PREPARE\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+
+  /** Substitute `?` parameter markers OUTSIDE quoted spans with the
+    * USING expressions, positionally — Trino's EXECUTE parameter
+    * binding. Marker/argument count mismatch refuses loudly. */
+  private[engine] def bindParameters(text: String, args: Seq[String]): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var next = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != 0) {
+        out += c
+        if (c == quote) {
+          if (i + 1 < text.length && text.charAt(i + 1) == quote) {
+            out += quote; i += 1
+          } else quote = 0
+        }
+      } else if (c == '\'' || c == '"' || c == '`') { out += c; quote = c }
+      else if (c == '?') {
+        if (next >= args.length)
+          throw new IllegalArgumentException(
+            s"too few parameters: marker ${next + 1} has no USING argument")
+        out ++= args(next); next += 1
+      } else out += c
+      i += 1
+    }
+    if (next < args.length)
+      throw new IllegalArgumentException(
+        s"too many parameters: ${args.length} supplied, $next markers")
+    out.toString
+  }
+
+  /** Split a USING argument list on TOP-LEVEL commas (quote- and
+    * paren-aware — `EXECUTE q USING 'a,b', (1+2)` is two args). */
+  private[engine] def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) { cur += quote; i += 1 }
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => cur += c; quote = c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
 
   /** Parse the `X-Trino-Session` header (comma-separated `k=v` pairs,
     * values possibly URL-encoded — the client echoes what
@@ -174,9 +250,18 @@ object StatementHttp {
           .map(parseSession).getOrElse(Map.empty)
         val defaultSchema = Option(exchange.getRequestHeaders
           .getFirst("X-Trino-Schema")).filter(_.nonEmpty)
+        // the client echoes every prepared statement the server has
+        // X-Trino-Added-Prepare'd — possibly several values of this
+        // header, each a comma-separated name=urlencoded_sql list
+        val prepared = Option(exchange.getRequestHeaders
+          .get("X-Trino-Prepared-Statement"))
+          .map(hs => scala.jdk.CollectionConverters.ListHasAsScala(hs)
+            .asScala.flatMap(parseSession).toMap)
+          .getOrElse(Map.empty)
         val id = f"graft_${System.currentTimeMillis()}%d_${reg.counter.incrementAndGet()}%05d"
         val slug = java.util.UUID.randomUUID().toString.take(8)
-        reg.queries.put(id, QueryState(id, slug, sql, user, session, defaultSchema))
+        reg.queries.put(id,
+          QueryState(id, slug, sql, user, session, defaultSchema, prepared))
         val n = mapper.createObjectNode()
         n.put("id", id)
         n.put("infoUri", s"http://127.0.0.1:$port/ui/query/$id")
@@ -201,6 +286,12 @@ object StatementHttp {
           exchange.getResponseHeaders.set("X-Trino-Set-Catalog", "iceberg")
           exchange.getResponseHeaders.set("X-Trino-Set-Schema", sch)
         }
+        q.addedPrepare.foreach { case (name, text) =>
+          exchange.getResponseHeaders.set("X-Trino-Added-Prepare",
+            name + "=" + java.net.URLEncoder.encode(text, "UTF-8"))
+        }
+        q.deallocatedPrepare.foreach(name =>
+          exchange.getResponseHeaders.set("X-Trino-Deallocated-Prepare", name))
         send(exchange, 200, body)
       case ("DELETE", ExecPath(id, slug, _)) =>
         val q = reg.queries.get(id)
@@ -252,6 +343,44 @@ object StatementHttp {
     }
 
 
+  /** Execute one statement's SQL text (the query's own, or a prepared
+    * statement's bound text) under the session-override discipline:
+    * override-free statements run concurrently (read side); a conf- or
+    * schema-mutating apply+run+restore takes the exclusive write side
+    * so its temporary session state can never leak into a
+    * concurrently-executing plain statement. */
+  private def runStatement(spark: SparkSession, q: QueryState,
+      sqlText: String, maxRows: Int, reg: Registry): Unit = {
+    def run(): Unit = {
+      val df = Lakehouse.sql(spark, TrinoSql.toSpark(sqlText))
+      val collected = df.limit(maxRows + 1).collect()
+      if (collected.length > maxRows)
+        throw new IllegalStateException(
+          s"result exceeds the wire-protocol bound ($maxRows rows) — " +
+            "use the CSV delivery plane for bulk results")
+      q.rows = collected
+      q.schema = df.schema
+    }
+    val confs = sessionConfs(q.session)
+    if (confs.isEmpty && q.defaultSchema.isEmpty) {
+      reg.execLock.readLock().lock()
+      try run() finally reg.execLock.readLock().unlock()
+    } else {
+      reg.execLock.writeLock().lock()
+      try {
+        val saved = applySession(spark, confs)
+        val savedDb = q.defaultSchema.map(_ => spark.catalog.currentDatabase)
+        try {
+          q.defaultSchema.foreach(spark.catalog.setCurrentDatabase)
+          run()
+        } finally {
+          savedDb.foreach(spark.catalog.setCurrentDatabase)
+          restoreSession(spark, saved)
+        }
+      } finally reg.execLock.writeLock().unlock()
+    }
+  }
+
   /** One paging step. Token 0 EXECUTES the statement (synchronously —
     * the engine is its own coordinator; clients see QUEUED only on the
     * POST echo, matching a fast-coordinator Trino) and serves the first
@@ -274,6 +403,25 @@ object StatementHttp {
             q.resetSession = Some(k)
             q.rows = Array(Row(true))
             q.schema = StructType(Seq(StructField("result", BooleanType)))
+          case PrepareRx(name, text) =>
+            // Trino's PREPARE is pure session bookkeeping: the server
+            // answers X-Trino-Added-Prepare and the CLIENT carries the
+            // statement back on later requests — stateless server-side,
+            // like SET SESSION. Text is stored verbatim (dialect
+            // mapping happens at EXECUTE time, on the bound text).
+            q.addedPrepare = Some(name -> text.trim.stripSuffix(";").trim)
+            q.rows = Array(Row(true))
+            q.schema = StructType(Seq(StructField("result", BooleanType)))
+          case DeallocateRx(name) =>
+            q.deallocatedPrepare = Some(name)
+            q.rows = Array(Row(true))
+            q.schema = StructType(Seq(StructField("result", BooleanType)))
+          case ExecuteRx(name, usingRaw) =>
+            val text = q.prepared.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"prepared statement not found: $name"))
+            val args = Option(usingRaw).map(splitArgs).getOrElse(Seq.empty)
+            runStatement(spark, q, bindParameters(text, args), maxRows, reg)
           case UseRx(cat, sch) =>
             // Trino's USE answers X-Trino-Set-Catalog/-Schema response
             // headers; the client carries them back as X-Trino-Schema.
@@ -288,40 +436,7 @@ object StatementHttp {
             q.setSchema = Some(sch)
             q.rows = Array(Row(true))
             q.schema = StructType(Seq(StructField("result", BooleanType)))
-          case _ =>
-            def run(): Unit = {
-              val df = Lakehouse.sql(spark, TrinoSql.toSpark(q.sql))
-              val collected = df.limit(maxRows + 1).collect()
-              if (collected.length > maxRows)
-                throw new IllegalStateException(
-                  s"result exceeds the wire-protocol bound ($maxRows rows) — " +
-                    "use the CSV delivery plane for bulk results")
-              q.rows = collected
-              q.schema = df.schema
-            }
-            val confs = sessionConfs(q.session)
-            // override-free statements run concurrently (read side);
-            // a conf- or schema-mutating apply+run+restore takes the
-            // exclusive write side so its temporary session state can
-            // never leak into a concurrently-executing plain statement
-            if (confs.isEmpty && q.defaultSchema.isEmpty) {
-              reg.execLock.readLock().lock()
-              try run() finally reg.execLock.readLock().unlock()
-            } else {
-              reg.execLock.writeLock().lock()
-              try {
-                val saved = applySession(spark, confs)
-                val savedDb = q.defaultSchema.map(_ =>
-                  spark.catalog.currentDatabase)
-                try {
-                  q.defaultSchema.foreach(spark.catalog.setCurrentDatabase)
-                  run()
-                } finally {
-                  savedDb.foreach(spark.catalog.setCurrentDatabase)
-                  restoreSession(spark, saved)
-                }
-              } finally reg.execLock.writeLock().unlock()
-            }
+          case _ => runStatement(spark, q, q.sql, maxRows, reg)
         }
       } catch { case scala.util.control.NonFatal(e) => q.failed = Some(e) }
     }

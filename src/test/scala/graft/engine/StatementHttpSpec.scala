@@ -283,6 +283,85 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  /** runWithHeaders plus the prepared-statement echo (what a JDBC
+    * client does after X-Trino-Added-Prepare). */
+  private def runPrepared(server: StatementHttp.Server, sql: String,
+      prepared: Map[String, String])
+      : (Seq[Seq[JsonNode]], JsonNode, Option[(String, String)], Option[String]) = {
+    val hdr = prepared.map { case (k, v) =>
+      k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString(",")
+    def withHdrs(b: HttpRequest.Builder): HttpRequest.Builder =
+      if (prepared.isEmpty) b else b.header("X-Trino-Prepared-Statement", hdr)
+    val post = client.send(withHdrs(HttpRequest.newBuilder(
+      URI.create(server.uri("/v1/statement"))))
+      .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(post.statusCode() === 200)
+    var node = mapper.readTree(post.body())
+    val rows = Seq.newBuilder[Seq[JsonNode]]
+    var added: Option[(String, String)] = None
+    var dealloc: Option[String] = None
+    while (node.hasNonNull("nextUri")) {
+      val r = client.send(withHdrs(HttpRequest.newBuilder(
+        URI.create(node.get("nextUri").asText()))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      Option(r.headers().firstValue("X-Trino-Added-Prepare").orElse(null))
+        .foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          added = Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        }
+      Option(r.headers().firstValue("X-Trino-Deallocated-Prepare").orElse(null))
+        .foreach(k => dealloc = Some(k))
+      node = mapper.readTree(r.body())
+      if (node.has("data"))
+        (0 until node.get("data").size()).foreach { i =>
+          val row = node.at(s"/data/$i")
+          rows += (0 until row.size()).map(row.get)
+        }
+    }
+    (rows.result(), node, added, dealloc)
+  }
+
+  test("PREPARE/EXECUTE USING/DEALLOCATE: the JDBC parameterized-query loop over the wire") {
+    val server = StatementHttp.start(spark)
+    try {
+      // PREPARE answers the added-prepare header; the server stays
+      // stateless — the CLIENT carries the statement
+      val text = "SELECT ? + n AS s, '?' AS lit FROM UNNEST(sequence(1, ?)) AS t(n) ORDER BY n"
+      val (pr, fin, added, _) = runPrepared(server, s"PREPARE q1 FROM $text",
+        Map.empty)
+      assert(fin.at("/stats/state").asText() === "FINISHED")
+      assert(pr.map(_.map(_.asBoolean())) === Seq(Seq(true)))
+      assert(added === Some("q1" -> text))
+      // EXECUTE with the echoed map binds ? markers positionally —
+      // the ? inside the string literal is DATA, untouched
+      val echo = Map(added.get._1 -> added.get._2)
+      val (got, fin2, _, _) = runPrepared(server,
+        "EXECUTE q1 USING 10, 3", echo)
+      assert(fin2.at("/stats/state").asText() === "FINISHED")
+      assert(got.map(r => (r(0).asLong(), r(1).asText()))
+        === Seq((11L, "?"), (12L, "?"), (13L, "?")))
+      // parameter-count mismatches refuse loudly, both directions
+      val (_, few, _, _) = runPrepared(server, "EXECUTE q1 USING 10", echo)
+      assert(few.at("/stats/state").asText() === "FAILED")
+      assert(few.at("/error/message").asText().contains("too few parameters"))
+      val (_, many, _, _) = runPrepared(server, "EXECUTE q1 USING 1, 2, 3", echo)
+      assert(many.at("/stats/state").asText() === "FAILED")
+      assert(many.at("/error/message").asText().contains("too many parameters"))
+      // EXECUTE of a statement the client never carried refuses
+      val (_, unknown, _, _) = runPrepared(server, "EXECUTE nope", Map.empty)
+      assert(unknown.at("/stats/state").asText() === "FAILED")
+      assert(unknown.at("/error/message").asText()
+        .contains("prepared statement not found"))
+      // DEALLOCATE answers its header
+      val (_, fin3, _, dealloc) = runPrepared(server,
+        "DEALLOCATE PREPARE q1", echo)
+      assert(fin3.at("/stats/state").asText() === "FINISHED")
+      assert(dealloc === Some("q1"))
+    } finally server.stop()
+  }
+
   test("X-Trino-User attribution round-trips in stats and error payloads") {
     val server = StatementHttp.start(spark)
     try {
