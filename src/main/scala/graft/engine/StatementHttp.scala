@@ -89,6 +89,7 @@ object StatementHttp {
       user: String, session: Map[String, String],
       defaultSchema: Option[String],
       prepared: Map[String, String] = Map.empty,
+      timeZone: Option[java.time.ZoneId] = None,
       var rows: Array[Row] = null, var schema: StructType = null,
       var failed: Option[Throwable] = None, var done: Boolean = false,
       var setSession: Option[(String, String)] = None,
@@ -150,6 +151,21 @@ object StatementHttp {
           n.put("message", s"${e.getClass.getSimpleName}: ${e.getMessage}")
           send(exchange, 500, mapper.writeValueAsString(n))
       }
+    })
+    // the HANDSHAKE probe: trino-python-client / JDBC GET /v1/info
+    // before the first statement and refuse to proceed while
+    // `starting` — serving it makes the engine reachable by an
+    // unmodified client from its very first request
+    http.createContext("/v1/info", (exchange: HttpExchange) => {
+      val n = mapper.createObjectNode()
+      val ver = mapper.createObjectNode()
+      ver.put("version", "448-graft") // a Trino-shaped version string
+      n.set[ObjectNode]("nodeVersion", ver)
+      n.put("environment", "graft")
+      n.put("coordinator", true)
+      n.put("starting", false)
+      n.put("uptime", "1.00m")
+      send(exchange, 200, mapper.writeValueAsString(n))
     })
     http.start()
     Server(http, http.getAddress.getPort)
@@ -258,10 +274,21 @@ object StatementHttp {
           .map(hs => scala.jdk.CollectionConverters.ListHasAsScala(hs)
             .asScala.flatMap(parseSession).toMap)
           .getOrElse(Map.empty)
+        // client zone for timestamp TEXT rendering (X-Trino-Time-Zone);
+        // an unparseable zone refuses at registration, like Trino
+        val timeZone =
+          try Option(exchange.getRequestHeaders.getFirst("X-Trino-Time-Zone"))
+            .filter(_.nonEmpty).map(java.time.ZoneId.of)
+          catch {
+            case e: java.time.DateTimeException =>
+              sendErr(exchange, 400, s"invalid X-Trino-Time-Zone: ${e.getMessage}")
+              return
+          }
         val id = f"graft_${System.currentTimeMillis()}%d_${reg.counter.incrementAndGet()}%05d"
         val slug = java.util.UUID.randomUUID().toString.take(8)
         reg.queries.put(id,
-          QueryState(id, slug, sql, user, session, defaultSchema, prepared))
+          QueryState(id, slug, sql, user, session, defaultSchema, prepared,
+            timeZone))
         val n = mapper.createObjectNode()
         n.put("id", id)
         n.put("infoUri", s"http://127.0.0.1:$port/ui/query/$id")
@@ -440,6 +467,7 @@ object StatementHttp {
         }
       } catch { case scala.util.control.NonFatal(e) => q.failed = Some(e) }
     }
+    val zone = q.timeZone.getOrElse(java.time.ZoneOffset.UTC)
     val n = mapper.createObjectNode()
     n.put("id", q.id)
     n.put("infoUri", s"http://127.0.0.1:$port/ui/query/${q.id}")
@@ -466,7 +494,7 @@ object StatementHttp {
             val row = q.rows(i)
             var c = 0
             while (c < q.schema.length) {
-              appendValue(r, row.get(c), q.schema(c).dataType); c += 1
+              appendValue(r, row.get(c), q.schema(c).dataType, zone); c += 1
             }
             data.add(r)
             i += 1
@@ -537,11 +565,13 @@ object StatementHttp {
     * (`toPlainString` — the Trino protocol's decimal serialization; a
     * JSON number would round-trip through client doubles and lose
     * precision), timestamps in Trino's `yyyy-MM-dd HH:mm:ss.SSS` text
-    * form rendered in UTC — the session zone this engine fixes
+    * form rendered in the CLIENT's `X-Trino-Time-Zone` when sent, else
+    * UTC — the session zone this engine fixes
     * (`spark.sql.session.timeZone=UTC` everywhere) — never the JVM
     * default zone, which would shift wall-clock text on a server whose
     * OS zone differs. Everything stays CSV-compatible. */
-  private def appendValue(arr: ArrayNode, v: Any, dt: DataType): Unit = {
+  private def appendValue(arr: ArrayNode, v: Any, dt: DataType,
+      zone: java.time.ZoneId): Unit = {
     if (v == null) { arr.addNull(); return }
     (dt, v) match {
       case (LongType, x: java.lang.Long) => arr.add(x.longValue())
@@ -553,13 +583,12 @@ object StatementHttp {
       case (BooleanType, x: java.lang.Boolean) => arr.add(x.booleanValue())
       case (StringType, x: String) => arr.add(x)
       case (_: TimestampType, x: java.sql.Timestamp) =>
-        arr.add(tsFmt.format(
-          x.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime))
+        arr.add(tsFmt.format(x.toInstant.atZone(zone).toLocalDateTime))
       case (DateType, x: java.sql.Date) => arr.add(x.toString)
       case (_: DecimalType, x: java.math.BigDecimal) => arr.add(x.toPlainString)
       case (at: ArrayType, x: scala.collection.Seq[_]) =>
         val inner = mapper.createArrayNode()
-        x.foreach(e => appendValue(inner, e, at.elementType))
+        x.foreach(e => appendValue(inner, e, at.elementType, zone))
         arr.add(inner)
       case (_, x) => arr.add(String.valueOf(x))
     }

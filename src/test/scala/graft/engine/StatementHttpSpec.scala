@@ -452,6 +452,55 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GET /v1/info answers the client handshake; X-Trino-Time-Zone renders timestamp cells in the client zone") {
+    val server = StatementHttp.start(spark)
+    try {
+      // the trino-python-client/JDBC handshake: GET /v1/info, refuse
+      // to proceed while `starting`
+      val info = client.send(HttpRequest.newBuilder(
+        URI.create(server.uri("/v1/info"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(info.statusCode() === 200)
+      val n = mapper.readTree(info.body())
+      assert(n.at("/coordinator").asBoolean())
+      assert(!n.at("/starting").asBoolean())
+      assert(n.at("/nodeVersion/version").asText().nonEmpty)
+      // one instant, rendered per-client: UTC default vs +09:00 header
+      val sql = "SELECT CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS ts"
+      val utcPost = client.send(HttpRequest.newBuilder(
+        URI.create(server.uri("/v1/statement")))
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      var node = mapper.readTree(utcPost.body())
+      while (node.hasNonNull("nextUri") && !node.has("data"))
+        node = mapper.readTree(client.send(HttpRequest.newBuilder(
+          URI.create(node.get("nextUri").asText())).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+      assert(node.at("/data/0/0").asText() === "2026-01-01 00:00:00.000")
+      val tokyoPost = client.send(HttpRequest.newBuilder(
+        URI.create(server.uri("/v1/statement")))
+        .header("X-Trino-Time-Zone", "Asia/Tokyo")
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      var node2 = mapper.readTree(tokyoPost.body())
+      while (node2.hasNonNull("nextUri") && !node2.has("data"))
+        node2 = mapper.readTree(client.send(HttpRequest.newBuilder(
+          URI.create(node2.get("nextUri").asText()))
+          .header("X-Trino-Time-Zone", "Asia/Tokyo").GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+      // session zone is UTC, so the stored instant is 2026-01-01T00:00Z
+      // → 09:00 wall-clock in Tokyo
+      assert(node2.at("/data/0/0").asText() === "2026-01-01 09:00:00.000")
+      // an unparseable zone refuses at registration
+      val bad = client.send(HttpRequest.newBuilder(
+        URI.create(server.uri("/v1/statement")))
+        .header("X-Trino-Time-Zone", "Not/AZone")
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 400)
+    } finally server.stop()
+  }
+
   test("DELETE abandons a registered query; unknown ids 404") {
     val server = StatementHttp.start(spark)
     try {
