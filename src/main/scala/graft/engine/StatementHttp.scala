@@ -174,7 +174,13 @@ object StatementHttp {
   private val ExecPath = "/v1/statement/executing/([^/]+)/([^/]+)/(\\d+)".r
   private val SetSessionRx = "(?is)^SET\\s+SESSION\\s+([A-Za-z_][\\w.]*)\\s*=\\s*(.+)$".r
   private val ResetSessionRx = "(?is)^RESET\\s+SESSION\\s+([A-Za-z_][\\w.]*)\\s*$".r
-  private val UseRx = "(?is)^USE\\s+(?:([A-Za-z_]\\w*)\\.)?([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  // identifier legs accept Trino's double-quoted spelling too ("demo",
+  // "iceberg"."demo") — a quoted USE slipping past this match would
+  // fall through to Spark's own USE, which mutates the session's
+  // current database GLOBALLY with no restore (round-16 review);
+  // [[runStatement]] additionally refuses any USE that reaches it
+  private val UseRx =
+    "(?is)^USE\\s+(?:\"?([A-Za-z_]\\w*)\"?\\.)?\"?([A-Za-z_]\\w*)\"?\\s*;?\\s*$".r
   private val PrepareRx = "(?is)^PREPARE\\s+([A-Za-z_]\\w*)\\s+FROM\\s+(.+)$".r
   private val ExecuteRx = "(?is)^EXECUTE\\s+([A-Za-z_]\\w*)(?:\\s+USING\\s+(.+))?\\s*;?\\s*$".r
   private val DeallocateRx = "(?is)^DEALLOCATE\\s+PREPARE\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
@@ -211,8 +217,9 @@ object StatementHttp {
     out.toString
   }
 
-  /** Split a USING argument list on TOP-LEVEL commas (quote- and
-    * paren-aware — `EXECUTE q USING 'a,b', (1+2)` is two args). */
+  /** Split a USING argument list on TOP-LEVEL commas (quote-, paren-
+    * and bracket-aware — `EXECUTE q USING 'a,b', (1+2), ARRAY[1,2]`
+    * is three args). */
   private[engine] def splitArgs(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -229,8 +236,8 @@ object StatementHttp {
         }
       } else c match {
         case '\'' | '"' | '`' => cur += c; quote = c
-        case '(' => depth += 1; cur += c
-        case ')' => depth -= 1; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
         case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
         case _ => cur += c
       }
@@ -274,8 +281,14 @@ object StatementHttp {
           .map(hs => scala.jdk.CollectionConverters.ListHasAsScala(hs)
             .asScala.flatMap(parseSession).toMap)
           .getOrElse(Map.empty)
-        // client zone for timestamp TEXT rendering (X-Trino-Time-Zone);
-        // an unparseable zone refuses at registration, like Trino
+        // X-Trino-Time-Zone is VALIDATED (an unparseable zone refuses
+        // at registration, matching Trino) but deliberately does NOT
+        // shift timestamp(3) cells: that type is zone-LESS and real
+        // Trino renders it identically for every client — a
+        // client-zone-shifted rendering would make two clients read
+        // different data from one column (round-16 review). The zone
+        // would scope literal parsing / `with time zone` rendering,
+        // neither of which this front serves.
         val timeZone =
           try Option(exchange.getRequestHeaders.getFirst("X-Trino-Time-Zone"))
             .filter(_.nonEmpty).map(java.time.ZoneId.of)
@@ -378,8 +391,17 @@ object StatementHttp {
     * concurrently-executing plain statement. */
   private def runStatement(spark: SparkSession, q: QueryState,
       sqlText: String, maxRows: Int, reg: Registry): Unit = {
+    val mapped = TrinoSql.toSpark(sqlText)
+    // backstop for the session-mutation class: a USE spelling the
+    // dedicated handler did not recognize must REFUSE here — passed
+    // through, Spark's own USE would switch the shared session's
+    // current database globally, with no restore and no Set-Schema
+    // header (round-16 review: `USE "demo"` took this path)
+    if (mapped.trim.regionMatches(true, 0, "USE ", 0, 4))
+      throw new IllegalArgumentException(
+        "unsupported USE spelling — use USE [catalog.]schema")
     def run(): Unit = {
-      val df = Lakehouse.sql(spark, TrinoSql.toSpark(sqlText))
+      val df = Lakehouse.sql(spark, mapped)
       val collected = df.limit(maxRows + 1).collect()
       if (collected.length > maxRows)
         throw new IllegalStateException(
@@ -389,16 +411,21 @@ object StatementHttp {
       q.schema = df.schema
     }
     val confs = sessionConfs(q.session)
-    if (confs.isEmpty && q.defaultSchema.isEmpty) {
+    // a schema echo matching the CURRENT database needs no mutation —
+    // it stays on the concurrent read side (after one USE the client
+    // echoes X-Trino-Schema on EVERY request; write-locking each of
+    // those would serialize the whole wire plane — round-16 review)
+    val wantDb = q.defaultSchema.filter(_ != spark.catalog.currentDatabase)
+    if (confs.isEmpty && wantDb.isEmpty) {
       reg.execLock.readLock().lock()
       try run() finally reg.execLock.readLock().unlock()
     } else {
       reg.execLock.writeLock().lock()
       try {
         val saved = applySession(spark, confs)
-        val savedDb = q.defaultSchema.map(_ => spark.catalog.currentDatabase)
+        val savedDb = wantDb.map(_ => spark.catalog.currentDatabase)
         try {
-          q.defaultSchema.foreach(spark.catalog.setCurrentDatabase)
+          wantDb.foreach(spark.catalog.setCurrentDatabase)
           run()
         } finally {
           savedDb.foreach(spark.catalog.setCurrentDatabase)
@@ -447,7 +474,12 @@ object StatementHttp {
             val text = q.prepared.getOrElse(name,
               throw new IllegalArgumentException(
                 s"prepared statement not found: $name"))
-            val args = Option(usingRaw).map(splitArgs).getOrElse(Seq.empty)
+            // the greedy USING capture swallows a bare trailing `;` —
+            // strip it here, never inside a quoted final argument
+            // (a quoted arg ends in its quote, not `;`)
+            val args = Option(usingRaw)
+              .map(u => splitArgs(u.trim.stripSuffix(";")))
+              .getOrElse(Seq.empty)
             runStatement(spark, q, bindParameters(text, args), maxRows, reg)
           case UseRx(cat, sch) =>
             // Trino's USE answers X-Trino-Set-Catalog/-Schema response
@@ -467,7 +499,7 @@ object StatementHttp {
         }
       } catch { case scala.util.control.NonFatal(e) => q.failed = Some(e) }
     }
-    val zone = q.timeZone.getOrElse(java.time.ZoneOffset.UTC)
+    val zone: java.time.ZoneId = java.time.ZoneOffset.UTC // see POST: timestamp(3) is zone-less
     val n = mapper.createObjectNode()
     n.put("id", q.id)
     n.put("infoUri", s"http://127.0.0.1:$port/ui/query/${q.id}")
@@ -565,8 +597,7 @@ object StatementHttp {
     * (`toPlainString` — the Trino protocol's decimal serialization; a
     * JSON number would round-trip through client doubles and lose
     * precision), timestamps in Trino's `yyyy-MM-dd HH:mm:ss.SSS` text
-    * form rendered in the CLIENT's `X-Trino-Time-Zone` when sent, else
-    * UTC — the session zone this engine fixes
+    * form rendered in UTC — the session zone this engine fixes
     * (`spark.sql.session.timeZone=UTC` everywhere) — never the JVM
     * default zone, which would shift wall-clock text on a server whose
     * OS zone differs. Everything stays CSV-compatible. */

@@ -23,7 +23,10 @@ package graft.engine
   *  5. `SHOW CATALOGS` → a literal relation listing `iceberg` — the
   *     alias this front serves the session catalog under (the readiness
   *     probe at seed.sh:49 greps for it) — plus `spark_catalog`.
-  *  6. double-quoted identifiers → backticks: Trino's `"name"` is
+  *  6. `ARRAY[...]` → `array(...)` — Trino's array constructor, which
+  *     Spark's parser rejects (balanced-bracket scan, nested
+  *     constructors recurse; element access `x[1]` never triggers).
+  *  7. double-quoted identifiers → backticks: Trino's `"name"` is
   *     ALWAYS an identifier, Spark's default dialect parses it as a
   *     STRING LITERAL — verbatim pass-through would hand a client
   *     quoting a column a constant string instead of the column
@@ -45,6 +48,7 @@ object TrinoSql {
     // still names THIS catalog: strip the backticked prefix like the
     // bare one
     s = s.replace("`iceberg`.", "")
+    s = rewriteArrayLiterals(s)
     s = rewriteUnnest(s)
     if (s.toUpperCase.startsWith("CREATE SCHEMA"))
       s = s.replaceAll("(?is)\\s+WITH\\s*\\(.*\\)\\s*$", "")
@@ -119,6 +123,46 @@ object TrinoSql {
     }
     out ++= f(seg.toString)
     out.toString
+  }
+
+  /** Trino `ARRAY[...]` constructor → Spark `array(...)` — core Trino
+    * syntax (Superset emits it for IN-list style filters; seed-shaped
+    * clients may too) that Spark's parser rejects. Word-bounded,
+    * quote-aware, bracket-BALANCED scan; nested constructors rewrite
+    * through the recursion (`ARRAY[ARRAY[1], ARRAY[2]]` →
+    * `array(array(1), array(2))`). `my_array[1]` (element access on an
+    * identifier) never triggers: only the bare keyword does. */
+  private def rewriteArrayLiterals(s: String): String = {
+    var from = 0
+    var cur = s
+    while (from < cur.length) {
+      val at = indexOfKeyword(cur, "ARRAY", from)
+      if (at < 0) return cur
+      var i = at + "ARRAY".length
+      while (i < cur.length && cur.charAt(i).isWhitespace) i += 1
+      if (i >= cur.length || cur.charAt(i) != '[') { from = at + 1 }
+      else {
+        val open = i
+        var depth = 0
+        var quote: Char = 0
+        while (i < cur.length && (depth > 0 || i == open)) {
+          val c = cur.charAt(i)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else c match {
+            case '\'' | '`' => quote = c
+            case '[' => depth += 1
+            case ']' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val inner = cur.substring(open + 1, i - 1)
+        cur = cur.substring(0, at) + "array(" +
+          rewriteArrayLiterals(inner) + ")" + cur.substring(i)
+        from = at + 1
+      }
+    }
+    cur
   }
 
   /** `UNNEST( <balanced> ) AS <alias>(<col>)` →

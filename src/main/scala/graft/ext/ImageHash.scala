@@ -269,8 +269,16 @@ object ImageHash {
     *     cluster, where keySize 2's collision term ~N²/2¹⁴ ≈ 6×10¹¹
     *     candidates dwarfs 84·N explode rows and per-node spill is
     *     1/executors of the total). */
-  def nearDupPairsBlocked(hashes: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int, blocks: Int = 9, keySize: Int = 2): DataFrame = {
+  /** The ONE compound-block key builder every Manku-keyed surface
+    * shares ([[nearDupPairsBlocked]] and the keyframe video join
+    * [[Multimodal.videoNearDupPairsKeyframe]] — the recall-critical
+    * key math must never silently diverge between them): an array of
+    * C(blocks, keySize) bucket keys per hash, each a combo-tagged
+    * concatenation of `keySize` exact blocks. Validity requires live
+    * HERE so no caller can reach the empty-combos silent-no-candidates
+    * state. */
+  private[graft] def blockKeyCols(h: org.apache.spark.sql.Column,
+      maxDist: Int, blocks: Int, keySize: Int): org.apache.spark.sql.Column = {
     require(blocks >= 2 && blocks <= 63,
       s"blocks must be in [2, 63], got $blocks")
     require(keySize >= 1 && keySize < blocks,
@@ -280,17 +288,20 @@ object ImageHash {
         s"$maxDist > $blocks - $keySize")
     val width = (63 + blocks - 1) / blocks
     val mask = (1L << width) - 1
-    def blockVal(h: org.apache.spark.sql.Column, i: Int) =
+    def blockVal(i: Int) =
       call_function("shiftrightunsigned", h, lit(i * width)).bitwiseAND(lit(mask))
     val combos = (0 until blocks).combinations(keySize).toSeq
-    def keyCols(h: org.apache.spark.sql.Column) = array(
-      combos.zipWithIndex.map { case (combo, ci) =>
-        combo.foldLeft(lit(ci.toLong): org.apache.spark.sql.Column)(
-          (acc, i) => acc * (mask + 1) + blockVal(h, i))
-      }: _*)
+    array(combos.zipWithIndex.map { case (combo, ci) =>
+      combo.foldLeft(lit(ci.toLong): org.apache.spark.sql.Column)(
+        (acc, i) => acc * (mask + 1) + blockVal(i))
+    }: _*)
+  }
+
+  def nearDupPairsBlocked(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, blocks: Int = 9, keySize: Int = 2): DataFrame = {
     val keyed = hashes
       .select(col(idCol), col(hashCol),
-        explode(keyCols(col(hashCol))).as("key"))
+        explode(blockKeyCols(col(hashCol), maxDist, blocks, keySize)).as("key"))
     val a = keyed.select(col(idCol).as("id_a"), col(hashCol).as("ha"), col("key"))
     val b = keyed.select(col(idCol).as("id_b"), col(hashCol).as("hb"), col("key"))
     a.join(b, Seq("key"))

@@ -463,21 +463,36 @@ object Multimodal {
     * dimensions + mean luma; frame-level corruption yields that frame's
     * row with decode_ok=false, container-level corruption one sentinel
     * row. */
+  /** The ONE sampled-video-chunk enumeration every frame-consuming
+    * surface shares ([[aviFrameFeatures]] and the keyframe hasher
+    * [[videoKeyframePhashes]] must sample IDENTICAL frames or the luma
+    * and pHash planes silently diverge): container validation, RIFF
+    * walk to 'movi', every `stride`-th '00dc'/'00db' chunk up to
+    * `maxFrames`, as (frameIndex, start, end) byte spans. Throws on
+    * container-level damage — each caller maps that to its own
+    * corrupt-blob shape. */
+  private def sampledAviChunks(b: Array[Byte], stride: Int,
+      maxFrames: Int): List[(Int, Int, Int)] = {
+    if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(b, 8, 4, "US-ASCII") != "AVI ")
+      throw new IllegalArgumentException("not an AVI")
+    val top = riffChunks(b, 12, b.length)
+    val (ms, me) = riffList(b, top, "movi")
+      .getOrElse(throw new IllegalArgumentException("no movi"))
+    riffChunks(b, ms, me).iterator
+      .filter(c => c._1 == "00dc" || c._1 == "00db")
+      .zipWithIndex
+      .filter { case (_, i) => i % stride == 0 }
+      .take(maxFrames)
+      .map { case ((_, s, e), i) => (i, s, e) }
+      .toList
+  }
+
   private[graft] def aviFrameFeatures(id: Long, b: Array[Byte],
       stride: Int, maxFrames: Int): List[AviFrame] =
     try {
-      if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
-        new String(b, 8, 4, "US-ASCII") != "AVI ")
-        throw new IllegalArgumentException("not an AVI")
-      val top = riffChunks(b, 12, b.length)
-      val (ms, me) = riffList(b, top, "movi")
-        .getOrElse(throw new IllegalArgumentException("no movi"))
-      riffChunks(b, ms, me).iterator
-        .filter(c => c._1 == "00dc" || c._1 == "00db")
-        .zipWithIndex
-        .filter { case (_, i) => i % stride == 0 }
-        .take(maxFrames)
-        .map { case ((_, s, e), i) =>
+      sampledAviChunks(b, stride, maxFrames)
+        .map { case (i, s, e) =>
           try {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(b, s, e - s))
@@ -708,21 +723,12 @@ object Multimodal {
     media.select("media_id", "media").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
         try {
-          if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
-            new String(b, 8, 4, "US-ASCII") != "AVI ")
-            throw new IllegalArgumentException("not an AVI")
-          val top = riffChunks(b, 12, b.length)
-          val (ms, me) = riffList(b, top, "movi")
-            .getOrElse(throw new IllegalArgumentException("no movi"))
-          riffChunks(b, ms, me).iterator
-            .filter(c => c._1 == "00dc" || c._1 == "00db")
-            .zipWithIndex
-            .filter { case (_, i) => i % stride == 0 }
-            .take(maxFrames)
-            .flatMap { case ((_, s, e), i) =>
-              ImageHash.phashOfBytes(java.util.Arrays.copyOfRange(b, s, e))
-                .map(h => (id, i.toLong, h))
-            }.toList
+          // THE shared chunk enumeration (sampledAviChunks) — this
+          // surface and the luma plane must sample IDENTICAL frames
+          sampledAviChunks(b, stride, maxFrames).flatMap { case (i, s, e) =>
+            ImageHash.phashOfBytes(java.util.Arrays.copyOfRange(b, s, e))
+              .map(h => (id, i.toLong, h))
+          }
         } catch { case _: Exception => Nil } // corrupt container: no prints
       }).toDF("media_id", "frame_index", "phash")
   }
@@ -740,21 +746,13 @@ object Multimodal {
     * pHash), frame_index as the band (the q253/q255 shape). */
   def videoNearDupPairsKeyframe(keyframes: DataFrame, maxDist: Int = 7,
       minShared: Int = 1, blocks: Int = 9, keySize: Int = 2): DataFrame = {
-    require(maxDist <= blocks - keySize,
-      s"blocked recall guarantee needs maxDist <= blocks - keySize: " +
-        s"$maxDist > $blocks - $keySize")
-    val width = (63 + blocks - 1) / blocks
-    val mask = (1L << width) - 1
-    def blockVal(h: org.apache.spark.sql.Column, i: Int) =
-      call_function("shiftrightunsigned", h, lit(i * width)).bitwiseAND(lit(mask))
-    val combos = (0 until blocks).combinations(keySize).toSeq
-    def keyCols(h: org.apache.spark.sql.Column) = array(
-      combos.zipWithIndex.map { case (combo, ci) =>
-        combo.foldLeft(lit(ci.toLong): org.apache.spark.sql.Column)(
-          (acc, i) => acc * (mask + 1) + blockVal(h, i))
-      }: _*)
+    // THE shared Manku key builder (ImageHash.blockKeyCols — carries
+    // the recall-critical math AND the blocks/keySize validity
+    // requires, so an invalid keySize refuses instead of silently
+    // yielding zero candidates)
     val keyed = keyframes.select(col("media_id"), col("frame_index"),
-      explode(keyCols(col("phash"))).as("key"))
+      explode(ImageHash.blockKeyCols(col("phash"), maxDist, blocks, keySize))
+        .as("key"))
     val candidates = keyed.select(col("media_id").as("id_a"),
         col("frame_index"), col("key"))
       .join(keyed.select(col("media_id").as("id_b"),

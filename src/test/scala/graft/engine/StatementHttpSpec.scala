@@ -354,6 +354,21 @@ class StatementHttpSpec extends SparkSpec {
       assert(unknown.at("/stats/state").asText() === "FAILED")
       assert(unknown.at("/error/message").asText()
         .contains("prepared statement not found"))
+      // a bare trailing semicolon must not corrupt the last argument
+      // (the CLI always terminates statements with one)
+      val (gotSemi, finSemi, _, _) = runPrepared(server,
+        "EXECUTE q1 USING 10, 3;", echo)
+      assert(finSemi.at("/stats/state").asText() === "FINISHED")
+      assert(gotSemi.map(_.head.asLong()) === Seq(11L, 12L, 13L))
+      // ARRAY[...] literals are ONE argument — brackets are nesting,
+      // not top-level commas
+      val (_, _, added2, _) = runPrepared(server,
+        "PREPARE q2 FROM SELECT size(?) AS n, ? AS tag", Map.empty)
+      val echo2 = Map(added2.get._1 -> added2.get._2)
+      val (gotArr, finArr, _, _) = runPrepared(server,
+        "EXECUTE q2 USING ARRAY[1,2,3], 'x'", echo2)
+      assert(finArr.at("/stats/state").asText() === "FINISHED")
+      assert(gotArr.map(r => (r(0).asInt(), r(1).asText())) === Seq((3, "x")))
       // DEALLOCATE answers its header
       val (_, fin3, _, dealloc) = runPrepared(server,
         "DEALLOCATE PREPARE q1", echo)
@@ -452,7 +467,7 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
-  test("GET /v1/info answers the client handshake; X-Trino-Time-Zone renders timestamp cells in the client zone") {
+  test("GET /v1/info answers the client handshake; timestamp(3) cells render IDENTICALLY for every client zone") {
     val server = StatementHttp.start(spark)
     try {
       // the trino-python-client/JDBC handshake: GET /v1/info, refuse
@@ -465,39 +480,55 @@ class StatementHttpSpec extends SparkSpec {
       assert(n.at("/coordinator").asBoolean())
       assert(!n.at("/starting").asBoolean())
       assert(n.at("/nodeVersion/version").asText().nonEmpty)
-      // one instant, rendered per-client: UTC default vs +09:00 header
+      // timestamp(3) is a zone-LESS type: real Trino renders it the
+      // same for every client — a client-zone-shifted rendering would
+      // hand two clients different data from one column
       val sql = "SELECT CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS ts"
-      val utcPost = client.send(HttpRequest.newBuilder(
-        URI.create(server.uri("/v1/statement")))
-        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
-        HttpResponse.BodyHandlers.ofString())
-      var node = mapper.readTree(utcPost.body())
-      while (node.hasNonNull("nextUri") && !node.has("data"))
-        node = mapper.readTree(client.send(HttpRequest.newBuilder(
-          URI.create(node.get("nextUri").asText())).GET().build(),
+      def cell(zone: Option[String]): String = {
+        def hdr(b: HttpRequest.Builder) =
+          zone.fold(b)(z => b.header("X-Trino-Time-Zone", z))
+        var node = mapper.readTree(client.send(hdr(HttpRequest.newBuilder(
+          URI.create(server.uri("/v1/statement"))))
+          .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
           HttpResponse.BodyHandlers.ofString()).body())
-      assert(node.at("/data/0/0").asText() === "2026-01-01 00:00:00.000")
-      val tokyoPost = client.send(HttpRequest.newBuilder(
-        URI.create(server.uri("/v1/statement")))
-        .header("X-Trino-Time-Zone", "Asia/Tokyo")
-        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
-        HttpResponse.BodyHandlers.ofString())
-      var node2 = mapper.readTree(tokyoPost.body())
-      while (node2.hasNonNull("nextUri") && !node2.has("data"))
-        node2 = mapper.readTree(client.send(HttpRequest.newBuilder(
-          URI.create(node2.get("nextUri").asText()))
-          .header("X-Trino-Time-Zone", "Asia/Tokyo").GET().build(),
-          HttpResponse.BodyHandlers.ofString()).body())
-      // session zone is UTC, so the stored instant is 2026-01-01T00:00Z
-      // → 09:00 wall-clock in Tokyo
-      assert(node2.at("/data/0/0").asText() === "2026-01-01 09:00:00.000")
-      // an unparseable zone refuses at registration
+        while (node.hasNonNull("nextUri") && !node.has("data"))
+          node = mapper.readTree(client.send(hdr(HttpRequest.newBuilder(
+            URI.create(node.get("nextUri").asText()))).GET().build(),
+            HttpResponse.BodyHandlers.ofString()).body())
+        node.at("/data/0/0").asText()
+      }
+      assert(cell(None) === "2026-01-01 00:00:00.000")
+      assert(cell(Some("Asia/Tokyo")) === "2026-01-01 00:00:00.000")
+      // ...while an unparseable zone still refuses at registration
+      // (the header is validated like Trino's, just not applied to
+      // zone-less cell text)
       val bad = client.send(HttpRequest.newBuilder(
         URI.create(server.uri("/v1/statement")))
         .header("X-Trino-Time-Zone", "Not/AZone")
         .POST(HttpRequest.BodyPublishers.ofString("SELECT 1")).build(),
         HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() === 400)
+    } finally server.stop()
+  }
+
+  test("quoted USE spellings resolve or refuse — never fall through to a global schema switch") {
+    val server = StatementHttp.start(spark)
+    try {
+      assert(run(server, "CREATE SCHEMA IF NOT EXISTS iceberg.usequoted;")
+        ._3.at("/stats/state").asText() === "FINISHED")
+      val dbBefore = spark.catalog.currentDatabase
+      // Trino's double-quoted identifier spelling matches the handler
+      val (_, fin, _, _, setSchema) = runWithHeaders(server,
+        "USE \"iceberg\".\"usequoted\"")
+      assert(fin.at("/stats/state").asText() === "FINISHED")
+      assert(setSchema === Some("usequoted"))
+      assert(spark.catalog.currentDatabase === dbBefore,
+        "USE must never mutate the shared session's current database")
+      // a USE the handler cannot parse REFUSES instead of reaching
+      // Spark's own USE (which would switch the database globally)
+      val (_, weird, _, _, _) = runWithHeaders(server, "USE `odd`.`spelling`.`x`")
+      assert(weird.at("/stats/state").asText() === "FAILED")
+      assert(spark.catalog.currentDatabase === dbBefore)
     } finally server.stop()
   }
 

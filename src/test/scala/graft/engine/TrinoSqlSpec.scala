@@ -37,6 +37,19 @@ class TrinoSqlSpec extends AnyFunSuite {
       === "SELECT * FROM `demo`.`events`")
   }
 
+  test("ARRAY[...] constructors map to array(...); element access and literals are untouched") {
+    assert(TrinoSql.toSpark("SELECT ARRAY[1, 2, 3] AS a")
+      === "SELECT array(1, 2, 3) AS a")
+    assert(TrinoSql.toSpark("SELECT ARRAY[ARRAY[1], ARRAY[2, 3]] AS a")
+      === "SELECT array(array(1), array(2, 3)) AS a")
+    // element access on an identifier is NOT a constructor
+    assert(TrinoSql.toSpark("SELECT my_array[1] FROM t")
+      === "SELECT my_array[1] FROM t")
+    // inside a string literal it is data
+    assert(TrinoSql.toSpark("SELECT 'use ARRAY[1] here' AS s")
+      === "SELECT 'use ARRAY[1] here' AS s")
+  }
+
   test("a quoted identifier genuinely resolves the COLUMN through Spark, not a string literal") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
