@@ -406,6 +406,15 @@ object Layout {
   def readAt(spark: SparkSession, table: String, tag: String): DataFrame =
     readManifest(spark, tagSnapshot(spark, table, tag))
 
+  /** Read the table at a COMMIT SEQUENCE (Trino Iceberg's numeric
+    * `FOR VERSION AS OF <snapshot-id>` form — the spelling `SELECT
+    * snapshot_id FROM "t$snapshots"` workflows paste): resolves the
+    * committed manifest for `seq` directly; an uncommitted/expired seq
+    * fails loudly in the manifest load, never a silent live read. */
+  def readAtSeq(spark: SparkSession, table: String, seq: Long): DataFrame =
+    readManifest(spark,
+      Manifests.loadSnapshot(Manifests.root(spark, table), seq))
+
   /** Tagged scan WITH manifest pruning (the Iceberg scan-planning path:
     * `ManifestEvaluator` deciding from stats which data files exist for
     * this query): files whose manifest bounds prove no row can match

@@ -69,6 +69,25 @@ class TimeTravelSpec extends SparkSpec {
     assert(got === ((1L, 2L)), "name sanitization must not alias distinct tags")
   }
 
+  test("numeric FOR VERSION AS OF resolves a commit sequence directly") {
+    val t = freshName("tt_seq_")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "s1")
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "s2")
+    val root = Manifests.root(spark, t)
+    val refs = Manifests.loadRefs(root)
+    val seq1 = refs.tags("s1")
+    val got = Lakehouse.sql(spark,
+      s"SELECT id FROM $t FOR VERSION AS OF $seq1 ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L))
+    // an uncommitted sequence fails loudly
+    intercept[Exception] {
+      Lakehouse.sql(spark, s"SELECT * FROM $t FOR VERSION AS OF 999999")
+    }
+  }
+
   test("FOR TIMESTAMP AS OF resolves the latest snapshot at or before the instant") {
     val t = freshName("tt_ts_")
     Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
