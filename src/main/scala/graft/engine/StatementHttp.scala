@@ -411,18 +411,12 @@ object StatementHttp {
       q.schema = df.schema
     }
     val confs = sessionConfs(q.session)
-    // a schema echo matching the CURRENT database needs no mutation —
-    // it stays on the concurrent read side (after one USE the client
-    // echoes X-Trino-Schema on EVERY request; write-locking each of
-    // those would serialize the whole wire plane — round-16 review)
-    val wantDb = q.defaultSchema.filter(_ != spark.catalog.currentDatabase)
-    if (confs.isEmpty && wantDb.isEmpty) {
-      reg.execLock.readLock().lock()
-      try run() finally reg.execLock.readLock().unlock()
-    } else {
+    def runWriteSide(): Unit = {
       reg.execLock.writeLock().lock()
       try {
         val saved = applySession(spark, confs)
+        // decided UNDER the write lock (no writer can be mid-mutation)
+        val wantDb = q.defaultSchema.filter(_ != spark.catalog.currentDatabase)
         val savedDb = wantDb.map(_ => spark.catalog.currentDatabase)
         try {
           wantDb.foreach(spark.catalog.setCurrentDatabase)
@@ -433,6 +427,31 @@ object StatementHttp {
         }
       } finally reg.execLock.writeLock().unlock()
     }
+    if (confs.nonEmpty) runWriteSide()
+    else {
+      // a schema echo matching the CURRENT database needs no mutation —
+      // it stays on the concurrent read side (after one USE the client
+      // echoes X-Trino-Schema on EVERY request; write-locking each of
+      // those would serialize the whole wire plane — round-16 review).
+      // The match is decided UNDER the read lock (round-16 advisor:
+      // deciding it before acquisition raced a write-locked statement's
+      // temporary setCurrentDatabase — the read path could observe the
+      // writer's schema, take the cheap side, then run against the
+      // RESTORED database): while any read lock is held no writer is
+      // mid-mutation, so currentDatabase here is the restored default.
+      reg.execLock.readLock().lock()
+      val needsSwitch =
+        try q.defaultSchema.exists(_ != spark.catalog.currentDatabase)
+        catch {
+          case t: Throwable => reg.execLock.readLock().unlock(); throw t
+        }
+      if (!needsSwitch) {
+        try run() finally reg.execLock.readLock().unlock()
+      } else {
+        reg.execLock.readLock().unlock()
+        runWriteSide()
+      }
+    }
   }
 
   /** One paging step. Token 0 EXECUTES the statement (synchronously —
@@ -441,7 +460,14 @@ object StatementHttp {
     * page; token t serves rows [t·pageSize, (t+1)·pageSize). */
   private def page(spark: SparkSession, q: QueryState, token: Long,
       port: Int, pageSize: Int, maxRows: Int, reg: Registry): String = {
-    if (q.rows == null && q.failed.isEmpty) {
+    // execute-once under the query's own monitor (the same one retire()
+    // uses): two concurrent GETs of one nextUri — a client retry racing
+    // its own timed-out request — must not BOTH see rows==null and run
+    // the statement twice; with side-effecting paths (EXECUTE of a
+    // prepared INSERT, session-conf apply/restore) double-execution
+    // duplicates writes (round-16 advisor). The loser blocks, re-checks,
+    // and serves the winner's cached result.
+    q.synchronized { if (q.rows == null && q.failed.isEmpty) {
       try {
         q.sql match {
           case SetSessionRx(k, raw) =>
@@ -498,7 +524,7 @@ object StatementHttp {
           case _ => runStatement(spark, q, q.sql, maxRows, reg)
         }
       } catch { case scala.util.control.NonFatal(e) => q.failed = Some(e) }
-    }
+    } }
     val zone: java.time.ZoneId = java.time.ZoneOffset.UTC // see POST: timestamp(3) is zone-less
     val n = mapper.createObjectNode()
     n.put("id", q.id)
