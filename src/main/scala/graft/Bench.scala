@@ -97,6 +97,8 @@ object Bench {
       // round-16 new/changed: q244 localization family, quad cross-modal,
       // SQL time travel, video bundle serve
       "q258", "q259", "q260", "q261", "q262", "q263", "q264", "q265",
+      // round-17 new: SQL CDC feed + SQL MERGE INTO
+      "q266", "q267",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")
@@ -160,9 +162,9 @@ object Bench {
     // the entry with a clean time) — the round-11 verdict's ask #2: the
     // drift comparison belongs IN the artifact, against the last run the
     // entry actually appeared in, whatever round that was.
-    val lastTimes: Map[String, Double] = {
+    val (lastTimes, lastHashes): (Map[String, Double], Map[String, String]) = {
       val histDir = java.nio.file.Paths.get("target", "bench_history")
-      if (!java.nio.file.Files.exists(histDir)) Map.empty
+      if (!java.nio.file.Files.exists(histDir)) (Map.empty, Map.empty)
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         // Files.list holds a directory handle until closed (round-12
@@ -173,25 +175,59 @@ object Bench {
             listing.iterator()).asScala.toSeq
             .sortBy(_.getFileName.toString) // ts-stamped names
           finally listing.close()
-        sorted.foldLeft(Map.empty[String, Double]) { (acc, p) =>
-          try {
-            val node = om.readTree(java.nio.file.Files.readAllBytes(p))
-            val qs = node.get("queries")
-            val runSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
-            if (qs == null || runSf != sfDir) acc // same-SF runs only
-            else {
-              val it = qs.properties().iterator()
-              var m = acc
-              while (it.hasNext) {
-                val e = it.next()
-                val v = e.getValue.asDouble()
-                if (v > 0) m = m.updated(e.getKey, v) // later files win
+        sorted.foldLeft((Map.empty[String, Double], Map.empty[String, String])) {
+          case ((accT, accH), p) =>
+            try {
+              val node = om.readTree(java.nio.file.Files.readAllBytes(p))
+              val qs = node.get("queries")
+              val runSf = Option(node.get("sf")).map(_.asText()).getOrElse("")
+              if (qs == null || runSf != sfDir) (accT, accH) // same-SF runs only
+              else {
+                val it = qs.properties().iterator()
+                var m = accT
+                while (it.hasNext) {
+                  val e = it.next()
+                  val v = e.getValue.asDouble()
+                  if (v > 0) m = m.updated(e.getKey, v) // later files win
+                }
+                // per-entry SHAPE hash recorded by newer runs: when the
+                // entry's time updates from this file, its hash (or its
+                // absence — pre-field file) updates WITH it, so time and
+                // shape always describe the same run
+                var h = accH
+                val hs = node.get("query_hash")
+                val it2 = qs.properties().iterator()
+                while (it2.hasNext) {
+                  val e = it2.next()
+                  if (e.getValue.asDouble() > 0) {
+                    val hv = Option(hs).flatMap(n => Option(n.get(e.getKey)))
+                      .map(_.asText())
+                    h = hv.fold(h - e.getKey)(v => h.updated(e.getKey, v))
+                  }
+                }
+                (m, h)
               }
-              m
-            }
-          } catch { case _: Exception => acc }
+            } catch { case _: Exception => (accT, accH) }
         }
       }
+    }
+    // Shape-change marker (VERDICT r16 #6): a RESTRUCTURED entry — its
+    // gated SQL changed since the history run its "last clean" time came
+    // from — compares against a DIFFERENT query, so its drift row is a
+    // restructure artifact, not host noise (r16 shipped q258 at 2.33×/
+    // q244 at 1.50× exactly this way). Identity = md5 of the entry's
+    // oracle SQL (the gated text both engines run); spec-gated entries
+    // without oracle SQL hash their name — undetectable restructures
+    // there are accepted and documented. Restructured entries are
+    // EXCLUDED from the drift gate and listed under "restructured".
+    def entryHash(n: String): String = {
+      val basis = SparkEntry.oracleSql.getOrElse(n, n)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(basis.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+    }
+    val restructured: Set[String] = lastTimes.keySet.filter { n =>
+      lastHashes.get(n).exists(_ != entryHash(n))
     }
     // Round-7 lesson (`target/bench_latest.json`): a query that OOMs the
     // SparkContext poisons every query after it — each "fails" in
@@ -409,7 +445,10 @@ object Bench {
     }
     def driftRatio(n: String): Option[Double] = lastTimes.get(n).flatMap { prev =>
       val now = entryMin(n)
-      if (now > 0 && prev > 0 && now - prev > 0.4) Some(now / prev) else None
+      // a restructured entry's "last clean" timed a DIFFERENT query —
+      // it reports under "restructured", never as drift
+      if (restructured.contains(n)) None
+      else if (now > 0 && prev > 0 && now - prev > 0.4) Some(now / prev) else None
     }
     def drifted(n: String): Boolean = driftRatio(n).exists(_ > driftLimit)
     val driftFlagged = timedBuf.keys.toSeq.filter(drifted)
@@ -517,8 +556,15 @@ object Bench {
       .mkString("{", ",", "}")
     val driftJson =
       s"""{"n_compared":${deltaPairs.size},"worst":$driftWorst}"""
+    // per-entry shape hashes (consumed by the NEXT run's restructure
+    // detection) + this run's restructured list
+    val hashJson = timedBuf.keys.toSeq.sorted
+      .map(n => "\"" + n + "\":\"" + entryHash(n) + "\"")
+      .mkString("{", ",", "}")
+    val restructuredJson = restructured.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val wallS = (System.nanoTime() - wallT0) / 1e9
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"warm_groups":$residentJson,"resident_families":$residentOfJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"delta_vs_last_run":$deltas,"drift_suspects":$driftSuspectsJson,"drift_gate_ok":$driftGateOk,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"session_rebuilds":$rebuilds,"rotation_parity":$parity,"rotated_out":$rotJson,"warm":$warmJson,"warm_groups":$residentJson,"resident_families":$residentOfJson,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"delta_vs_last_run":$deltas,"drift_suspects":$driftSuspectsJson,"drift_gate_ok":$driftGateOk,"restructured":$restructuredJson,"query_hash":$hashJson,"wall_s":$wallS%.1f,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout; at 230 entries the full
     // per-query line is ~10 KB and the tail has truncated it mid-map two
     // rounds running (BENCH_r08/r09 `parsed: null`). Persist the full line
@@ -541,7 +587,7 @@ object Bench {
       "q24_cosine_topk")
     val hq = results.filter(r => headlines.contains(r._1))
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"drift":$driftJson,"drift_suspects":$driftSuspectsJson,"drift_gate_ok":$driftGateOk,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"drift":$driftJson,"drift_suspects":$driftSuspectsJson,"drift_gate_ok":$driftGateOk,"restructured":$restructuredJson,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
     // Stop Spark BEFORE the final prints: the driver parses the LAST stdout
     // line as JSON, and shutdown must not be able to interleave output
     // after it (build.sbt already strips sbt's own [info]/[success] noise).

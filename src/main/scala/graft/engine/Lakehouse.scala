@@ -52,9 +52,22 @@ object Lakehouse {
   /** Ad-hoc SQL entry point (README.md:49-50, §3.3) — the full statement
     * surface is whatever Spark SQL parses, plus the ref-addressed
     * time-travel spellings ([[TimeTravel.rewrite]]: `FOR VERSION AS OF
-    * 'tag'` → [[Layout.readAt]], `"table@branch"` → the branch fork). */
+    * 'tag'` → [[Layout.readAt]], `"table@branch"` → the branch fork),
+    * the live-catalog `information_schema` shim ([[InfoSchema.rewrite]]
+    * — the Superset dataset-refresh introspection path), the CDC /
+    * maintenance verbs ([[TableFunctions.rewrite]]:
+    * `TABLE(system.table_changes(...))` → the changelog scan;
+    * `ALTER TABLE ... EXECUTE expire_snapshots(...)` →
+    * [[Layout.expireSnapshots]]), and `MERGE INTO`
+    * ([[MergeSql]] — Spark's v1 parquet catalog refuses the statement
+    * natively; the rewrite lands it on the Layout commit machinery). */
   def sql(spark: SparkSession, text: String): DataFrame =
-    spark.sql(TimeTravel.rewrite(spark, text))
+    MergeSql.maybeExecute(spark, text)
+      .orElse(TableFunctions.maybeExecute(spark, text))
+      .getOrElse {
+        spark.sql(TimeTravel.rewrite(spark,
+          TableFunctions.rewrite(spark, InfoSchema.rewrite(spark, text))))
+      }
 
   /** Result delivery as CSV-with-header — the Trino-CLI `--output-format
     * CSV` shape (seed.sh:9, S12). Distributed write; callers coalesce(1)

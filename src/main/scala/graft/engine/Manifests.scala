@@ -101,10 +101,18 @@ object Manifests {
   final case class Refs(head: Long, nextSeq: Long,
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
       tags: Map[String, Long],
-      snaps: Map[String, String] = Map.empty) {
+      snaps: Map[String, String] = Map.empty,
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      expired: Seq[Long] = Seq.empty) {
     def snapName(seq: Long): String =
       Option(snaps).flatMap(_.get(seq.toString)).getOrElse(f"snap-$seq%06d.json")
     def snapsOrEmpty: Map[String, String] = Option(snaps).getOrElse(Map.empty)
+    /** Seqs retired by `expire_snapshots` retention: their manifests
+      * survive as commit-log HISTORY, but time travel to them refuses
+      * loudly — their unreferenced data files are GC'd, so a read would
+      * otherwise fail three layers down on missing parquet. Null-safe
+      * for pre-field refs files, like [[snapsOrEmpty]]. */
+    def expiredOrEmpty: Set[Long] = Option(expired).map(_.toSet).getOrElse(Set.empty)
   }
 
   /** A commit lost the refs compare-and-swap: someone else committed

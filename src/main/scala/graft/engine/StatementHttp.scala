@@ -183,6 +183,11 @@ object StatementHttp {
     "(?is)^USE\\s+(?:\"?([A-Za-z_]\\w*)\"?\\.)?\"?([A-Za-z_]\\w*)\"?\\s*;?\\s*$".r
   private val PrepareRx = "(?is)^PREPARE\\s+([A-Za-z_]\\w*)\\s+FROM\\s+(.+)$".r
   private val ExecuteRx = "(?is)^EXECUTE\\s+([A-Za-z_]\\w*)(?:\\s+USING\\s+(.+))?\\s*;?\\s*$".r
+  // trino-python-client ≥ 431 sends parameterized queries as ONE
+  // statement with the text inline ('' = escaped quote) instead of the
+  // PREPARE round-trip — both spellings share bindParameters
+  private val ExecuteImmediateRx =
+    "(?is)^EXECUTE\\s+IMMEDIATE\\s+'((?:[^']|'')*)'(?:\\s+USING\\s+(.+))?\\s*;?\\s*$".r
   private val DeallocateRx = "(?is)^DEALLOCATE\\s+PREPARE\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
 
   /** Substitute `?` parameter markers OUTSIDE quoted spans with the
@@ -496,6 +501,12 @@ object StatementHttp {
             q.deallocatedPrepare = Some(name)
             q.rows = Array(Row(true))
             q.schema = StructType(Seq(StructField("result", BooleanType)))
+          case ExecuteImmediateRx(text, usingRaw) =>
+            val args = Option(usingRaw)
+              .map(u => splitArgs(u.trim.stripSuffix(";")))
+              .getOrElse(Seq.empty)
+            runStatement(spark, q,
+              bindParameters(text.replace("''", "'"), args), maxRows, reg)
           case ExecuteRx(name, usingRaw) =>
             val text = q.prepared.getOrElse(name,
               throw new IllegalArgumentException(

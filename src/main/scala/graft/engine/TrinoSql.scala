@@ -11,7 +11,10 @@ package graft.engine
   *
   *  1. `iceberg.` catalog prefix → the session catalog. Trino names the
   *     catalog in `iceberg.properties`; here the engine IS the catalog,
-  *     so `iceberg.demo.events` resolves as `demo.events`.
+  *     so `iceberg.demo.events` resolves as `demo.events`. Bare and
+  *     quoted spellings both strip, HEAD-of-chain only — a schema or
+  *     table genuinely named `iceberg` mid-chain survives
+  *     ([[stripCatalogPrefix]]).
   *  2. bare `varchar` → `STRING` (Spark requires a length on VARCHAR;
   *     `varchar(n)` is kept verbatim).
   *  3. `FROM UNNEST(expr) AS t(n)` → `FROM (SELECT explode(expr) AS n)
@@ -35,24 +38,160 @@ package graft.engine
   */
 object TrinoSql {
 
+  // Trino's catalog-qualified SHOW family — what the trino SQLAlchemy
+  // dialect and CLI emit while introspecting (`SHOW SCHEMAS FROM
+  // iceberg`, `SHOW TABLES FROM iceberg.demo`, `SHOW COLUMNS FROM t`).
+  // Lowered to information_schema selects (resolved live by
+  // [[InfoSchema]]) so one shim serves both spellings, with Trino's own
+  // output column names (`Schema` / `Table` / `Column`,`Type`,...).
+  private val ShowSchemasRx =
+    ("(?is)^SHOW\\s+SCHEMAS(?:\\s+(?:FROM|IN)\\s+(\"?[A-Za-z_]\\w*\"?))?" +
+      "(?:\\s+LIKE\\s+('(?:[^']|'')*'))?\\s*$").r
+  private val ShowTablesRx =
+    ("(?is)^SHOW\\s+TABLES(?:\\s+(?:FROM|IN)\\s+((?:\"?[A-Za-z_]\\w*\"?)" +
+      "(?:\\.\"?[A-Za-z_]\\w*\"?)?))?(?:\\s+LIKE\\s+('(?:[^']|'')*'))?\\s*$").r
+  private val ShowColumnsRx =
+    ("(?is)^SHOW\\s+COLUMNS\\s+(?:FROM|IN)\\s+((?:\"?[A-Za-z_]\\w*\"?)" +
+      "(?:\\.\"?[A-Za-z_]\\w*\"?){0,2})\\s*$").r
+
+  private def unq(leg: String): String = leg.replace("\"", "")
+
+  private def requireCatalog(c: String): Unit =
+    if (!c.equalsIgnoreCase("iceberg") && !c.equalsIgnoreCase("spark_catalog"))
+      throw new IllegalArgumentException(s"catalog not found: $c")
+
+  /** Lower a SHOW SCHEMAS/TABLES/COLUMNS statement to an
+    * information_schema select, or None for every other statement. */
+  private def lowerShow(t: String): Option[String] = t match {
+    case ShowSchemasRx(cat, like) =>
+      Option(cat).map(unq).foreach(requireCatalog)
+      val where = Option(like).map(p => s" WHERE schema_name LIKE $p").getOrElse("")
+      Some("SELECT schema_name AS `Schema` FROM information_schema.schemata" +
+        s"$where ORDER BY schema_name")
+    case ShowTablesRx(chain, like) =>
+      val schemaExpr = Option(chain).map(_.split('.').map(unq)) match {
+        case None => "current_database()"
+        case Some(Array(s)) => s"'$s'"
+        case Some(Array(c, s)) => requireCatalog(c); s"'$s'"
+        case Some(other) => throw new IllegalArgumentException(
+          s"bad SHOW TABLES qualifier: ${other.mkString(".")}")
+      }
+      val likeClause = Option(like).map(p => s" AND table_name LIKE $p").getOrElse("")
+      Some("SELECT table_name AS `Table` FROM information_schema.tables" +
+        s" WHERE table_schema = $schemaExpr$likeClause ORDER BY table_name")
+    case ShowColumnsRx(chain) =>
+      val (schemaExpr, table) = chain.split('.').map(unq) match {
+        case Array(tb) => ("current_database()", tb)
+        case Array(s, tb) => (s"'$s'", tb)
+        case Array(c, s, tb) => requireCatalog(c); (s"'$s'", tb)
+        case other => throw new IllegalArgumentException(
+          s"bad SHOW COLUMNS qualifier: ${other.mkString(".")}")
+      }
+      Some("SELECT column_name AS `Column`, data_type AS `Type`, " +
+        "'' AS `Extra`, '' AS `Comment` FROM information_schema.columns" +
+        s" WHERE table_schema = $schemaExpr AND table_name = '$table'" +
+        " ORDER BY ordinal_position")
+    case _ => None
+  }
+
   def toSpark(sql: String): String = {
     val t = sql.trim.stripSuffix(";").trim
     if (t.toUpperCase.matches("SHOW\\s+CATALOGS"))
       return "SELECT * FROM VALUES ('iceberg'), ('spark_catalog') AS t(catalog)"
+    lowerShow(t) match {
+      case Some(lowered) => return lowered
+      case None =>
+    }
     var s = mapOutsideQuotes(t) { seg =>
-      seg.replaceAll("(?i)\\biceberg\\.", "")
-        .replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "STRING")
+      seg.replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "STRING")
     }
     s = requoteIdentifiers(s)
-    // a client quoting the catalog leg ("iceberg"."demo"."events")
-    // still names THIS catalog: strip the backticked prefix like the
-    // bare one
-    s = s.replace("`iceberg`.", "")
+    s = stripCatalogPrefix(s)
     s = rewriteArrayLiterals(s)
     s = rewriteUnnest(s)
     if (s.toUpperCase.startsWith("CREATE SCHEMA"))
       s = s.replaceAll("(?is)\\s+WITH\\s*\\(.*\\)\\s*$", "")
     s
+  }
+
+  /** Strip the `iceberg` CATALOG qualifier — bare or backticked — from
+    * the HEAD of identifier chains only (round-16 advisor: the previous
+    * global string replace also stripped a schema or table genuinely
+    * named `iceberg` — `"iceberg"."iceberg"."t"` collapsed to bare `t`,
+    * resolving in the wrong database — and corrupted single-quoted
+    * literals containing the text). Runs AFTER [[requoteIdentifiers]],
+    * so the input has only single-quoted literals (copied verbatim) and
+    * backticked identifiers. Head position = the previous significant
+    * character is not `.` — a mid-chain `iceberg` leg is a real schema
+    * or table name and survives; after a strip the cursor is marked
+    * mid-chain so `iceberg.iceberg.t` keeps its SECOND leg (the schema
+    * actually named iceberg). */
+  private def stripCatalogPrefix(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var prevSig: Char = 0 // last significant (non-whitespace) char seen
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // lookahead from j: optional whitespace then '.' → Some(dot index)
+    def dotAfter(j0: Int): Int = {
+      var j = j0
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (j < s.length && s.charAt(j) == '.') j else -1
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { // copy the literal verbatim ('' stays inside)
+        out += c; i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          val d = s.charAt(i); out += d; i += 1
+          if (d == '\'') {
+            if (i < s.length && s.charAt(i) == '\'') { out += '\''; i += 1 }
+            else closed = true
+          }
+        }
+        prevSig = '\''
+      } else if (c == '`') {
+        val start = i
+        i += 1
+        val name = new StringBuilder
+        var closed = false
+        while (i < s.length && !closed) {
+          val d = s.charAt(i)
+          if (d == '`') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '`') { name += '`'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { name += d; i += 1 }
+        }
+        val dot = dotAfter(i)
+        if (closed && prevSig != '.' && dot >= 0 &&
+          name.toString.equalsIgnoreCase("iceberg")) {
+          i = dot + 1
+          prevSig = '.' // the next leg is mid-chain: never re-stripped
+        } else {
+          out ++= s.substring(start, i)
+          prevSig = '`'
+        }
+      } else if (isWordChar(c)) {
+        // always entered at a word boundary: words are consumed whole
+        // below, and a strip leaves the cursor just past a '.'
+        val start = i
+        while (i < s.length && isWordChar(s.charAt(i))) i += 1
+        val word = s.substring(start, i)
+        val dot = dotAfter(i)
+        if (prevSig != '.' && dot >= 0 && word.equalsIgnoreCase("iceberg")) {
+          i = dot + 1
+          prevSig = '.'
+        } else {
+          out ++= word
+          prevSig = word.last
+        }
+      } else {
+        out += c
+        if (!c.isWhitespace) prevSig = c
+        i += 1
+      }
+    }
+    out.toString
   }
 
   /** Trino `"identifier"` → Spark `` `identifier` ``. In Trino a

@@ -37,7 +37,7 @@ object Registry {
       Round6Queries.all ++ Round7Queries.all ++ Round7bQueries.all ++
       Round8Queries.all ++ Round10Queries.all ++ Round11Queries.all ++
       Round12Queries.all ++ Round13Queries.all ++ Round14Queries.all ++
-      Round15Queries.all ++ Round16Queries.all
+      Round15Queries.all ++ Round16Queries.all ++ Round17Queries.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -454,6 +454,29 @@ class PlanQualitySpec extends SparkSpec {
       "q265_video_neardup_keyframe").foreach { name =>
       assertEqui(name, executed(run(name)))
     }
+    // round-17 SQL surfaces: the CDC feed's per-step generators are
+    // pruned manifest scans + broadcast semi-joins (the q266 aggregate
+    // plans THROUGH the changelog temp view, so its joins are in this
+    // plan), and MERGE INTO's kept/insert sides are equi-joins on the
+    // ON keys — none may degrade to nested-loop/cartesian (a changelog
+    // over a wide window or a merge against a large source would go
+    // all-pairs). q267's own output plan is post-commit (scan+agg), so
+    // the merge join shape is locked on MergeSql.planOnly directly.
+    assertEqui("q266_table_changes_sql", executed(run("q266_table_changes_sql")))
+    locally {
+      import graft.engine.MergeSql
+      import spark.implicits._
+      val t = "pq_merge_t_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val u = "pq_merge_u_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable(t)
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v").write.saveAsTable(u)
+      val merged = MergeSql.planOnly(spark,
+        s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      assertEqui("merge_into(planOnly)", executed(merged))
+      spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $u")
+    }
     // q257/q259's CC stage localCheckpoints its edge inputs (lineage
     // truncated — asserting on the query's own plan would be VACUOUS
     // for the edge generators), so the cross-modal EDGE plans are

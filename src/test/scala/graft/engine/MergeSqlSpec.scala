@@ -1,0 +1,100 @@
+package graft.engine
+
+import graft.SparkSpec
+
+/** L26 — SQL-surface MERGE INTO: the Trino/Iceberg statement lands on
+  * the Layout copy-on-write commit machinery; standard semantics
+  * (clause order, cardinality rule) enforced. */
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshName(p: String) =
+    p + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private def rows(t: String): Seq[(Long, String, Long)] =
+    spark.table(t).as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+
+  test("upsert: WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT") {
+    val t = freshName("mg_ups_")
+    val u = freshName("mg_upd_")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Seq((2L, "B2", 99L), (3L, "c", 30L)).toDF("id", "v", "x").write.saveAsTable(u)
+    val n = Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v, x = s.x
+         |WHEN NOT MATCHED THEN INSERT (id, v, x) VALUES (s.id, s.v, s.x)"""
+        .stripMargin).collect().head.getLong(0)
+    assert(n === 2L, "one update + one insert")
+    assert(rows(t) === Seq((1L, "a", 10L), (2L, "B2", 99L), (3L, "c", 30L)))
+    // MERGE is re-runnable: same statement, same final state
+    Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v, x = s.x
+         |WHEN NOT MATCHED THEN INSERT (id, v, x) VALUES (s.id, s.v, s.x)"""
+        .stripMargin).collect()
+    assert(rows(t) === Seq((1L, "a", 10L), (2L, "B2", 99L), (3L, "c", 30L)))
+  }
+
+  test("WHEN MATCHED DELETE with AND condition; clause order is textual") {
+    val t = freshName("mg_del_")
+    val u = freshName("mg_dsrc_")
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "x")
+      .write.saveAsTable(t)
+    Seq((1L, "del", 0L), (2L, "upd", 25L)).toDF("id", "v", "x")
+      .write.saveAsTable(u)
+    // the DELETE clause is FIRST: a row matching its condition deletes
+    // even though the later UPDATE clause would also match
+    val n = Lakehouse.sql(spark,
+      s"""MERGE INTO $t USING $u AS s ON ${t.split('.').last}.id = s.id
+         |WHEN MATCHED AND s.v = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET x = s.x""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n === 2L, "one delete + one update")
+    assert(rows(t) === Seq((2L, "b", 25L), (3L, "c", 30L)))
+  }
+
+  test("subquery source and unqualified bare-name aliases") {
+    val t = freshName("mg_sub_")
+    Seq((1L, "a", 1L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Lakehouse.sql(spark,
+      s"""MERGE INTO $t t USING (SELECT 1 AS id, 'A' AS v UNION ALL
+         |                       SELECT 9 AS id, 'z' AS v) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+        .stripMargin).collect()
+    val got = spark.table(t).as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "A", Some(1L)), (9L, "z", None)),
+      "unlisted INSERT columns land NULL")
+  }
+
+  test("the standard's cardinality rule: two source matches refuse loudly") {
+    val t = freshName("mg_card_")
+    val u = freshName("mg_cdup_")
+    Seq((1L, "a", 1L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Seq((1L, "x1", 1L), (1L, "x2", 2L)).toDF("id", "v", "x").write.saveAsTable(u)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark,
+        s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality"))
+    assert(rows(t) === Seq((1L, "a", 1L)), "refused merge mutates nothing")
+  }
+
+  test("merge composes with snapshots: tags keep reading the pre-merge state") {
+    val t = freshName("mg_tt_")
+    val u = freshName("mg_ttu_")
+    Seq((1L, "old", 1L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "pre")
+    Seq((1L, "new", 2L)).toDF("id", "v", "x").write.saveAsTable(u)
+    Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v, x = s.x""".stripMargin).collect()
+    assert(rows(t) === Seq((1L, "new", 2L)))
+    val pre = Lakehouse.sql(spark,
+      s"SELECT v FROM $t FOR VERSION AS OF 'pre'").as[String].collect().toSeq
+    assert(pre === Seq("old"))
+  }
+}

@@ -532,6 +532,101 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("Superset dataset lifecycle: introspect the five seeded tables over the socket, then drive chart SQL from the introspected schema") {
+    // the WHOLE flow the reference's init performs (init_db.py:28-40 →
+    // fetch_metadata() → the trino dialect's information_schema selects;
+    // then the table-chart SQL over the introspected columns)
+    val server = StatementHttp.start(spark)
+    try {
+      // the dialect's get_schema_names, verbatim
+      val (_, schemas, _) = run(server,
+        """SELECT "schema_name" FROM "information_schema"."schemata"""")
+      assert(schemas.map(_.head.asText()).contains("demo"))
+      // get_table_names: BASE TABLE only, schema-bound
+      val (_, tnames, _) = run(server,
+        """SELECT "table_name" FROM "information_schema"."tables" """ +
+          """WHERE "table_schema" = 'demo' AND "table_type" = 'BASE TABLE' """ +
+          """ORDER BY "table_name"""")
+      val seeded = Seq("events", "orders", "products", "transactions", "users")
+      assert(seeded.toSet.subsetOf(tnames.map(_.head.asText()).toSet),
+        s"all five seeded datasets introspect; got ${tnames.map(_.head.asText())}")
+      // fetch_metadata() per dataset: the dialect's get_columns — sent
+      // as the parameterized EXECUTE IMMEDIATE the trino client uses
+      val getCols = "SELECT \"column_name\", \"data_type\", " +
+        "\"column_default\", UPPER(\"is_nullable\") AS \"is_nullable\" " +
+        "FROM \"information_schema\".\"columns\" " +
+        "WHERE \"table_schema\" = ? AND \"table_name\" = ? " +
+        "ORDER BY \"ordinal_position\" ASC"
+      val introspected = seeded.map { tb =>
+        val (cols, rows, fin) = run(server,
+          s"EXECUTE IMMEDIATE '${getCols.replace("'", "''")}' USING 'demo', '$tb'")
+        assert(fin.at("/stats/state").asText() === "FINISHED",
+          s"get_columns failed for $tb: $fin")
+        assert(cols === Seq("column_name", "data_type", "column_default",
+          "is_nullable"))
+        assert(rows.nonEmpty, s"$tb introspects at least one column")
+        rows.foreach(r => assert(Set("YES", "NO").contains(r(3).asText())))
+        tb -> rows.map(r => (r.head.asText(), r(1).asText()))
+      }.toMap
+      assert(introspected("events") === Seq(
+        ("id", "bigint"), ("ts", "timestamp(3)"), ("event_type", "varchar"),
+        ("payload", "varchar"), ("user_id", "bigint"), ("amount", "double")))
+      // chart legs over the INTROSPECTED schema (init_db.py's table
+      // chart: first five columns, raw mode + the count metric)
+      val chartCols = introspected("events").take(5).map(_._1)
+      val (rc, raw, _) = run(server,
+        s"""SELECT ${chartCols.map(c => s""""$c"""").mkString(", ")}
+           |FROM "iceberg"."demo"."events" LIMIT 100""".stripMargin)
+      assert(rc === chartCols)
+      assert(raw.size === 100)
+      val (_, agg, _) = run(server,
+        """SELECT COUNT(*) AS count FROM "iceberg"."demo"."events"""")
+      assert(agg.map(_.head.asLong()) === Seq(200L))
+      // catalog-qualified SHOW — the CLI spellings of the same surface
+      val (sc, st, _) = run(server, "SHOW TABLES FROM iceberg.demo")
+      assert(sc === Seq("Table"))
+      assert(seeded.toSet.subsetOf(st.map(_.head.asText()).toSet))
+      val (cc, cshow, _) = run(server, "SHOW COLUMNS FROM iceberg.demo.products")
+      assert(cc === Seq("Column", "Type", "Extra", "Comment"))
+      assert(cshow.map(r => r.head.asText()) ===
+        Seq("product_id", "name", "category", "price", "stock", "created_at"))
+    } finally server.stop()
+  }
+
+  test("CDC and MERGE reach the wire: table_changes and MERGE INTO over /v1/statement") {
+    val server = StatementHttp.start(spark)
+    try {
+      import spark.implicits._
+      val t = "wire_cdc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+      Layout.snapshot(spark, t, "w0")
+      Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(t)
+      Layout.snapshot(spark, t, "w1")
+      val refs = Manifests.loadRefs(Manifests.root(spark, t))
+      val (s0, s1) = (refs.tags("w0"), refs.tags("w1"))
+      val (cols, feed, fin) = run(server,
+        s"SELECT _change_type, id, v FROM TABLE(system.table_changes(" +
+          s"'default', '$t', $s0, $s1)) ORDER BY id")
+      assert(fin.at("/stats/state").asText() === "FINISHED")
+      assert(cols === Seq("_change_type", "id", "v"))
+      assert(feed.map(r => (r.head.asText(), r(1).asLong())) ===
+        Seq(("insert", 2L)))
+      // MERGE INTO over the wire — the Trino statement, Trino's
+      // affected-rows answer
+      val (mc, mrows, mfin) = run(server,
+        s"""MERGE INTO $t AS t USING (SELECT 2 AS id, 'B' AS v) AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      assert(mfin.at("/stats/state").asText() === "FINISHED")
+      assert(mc === Seq("rows"))
+      assert(mrows.map(_.head.asLong()) === Seq(1L))
+      val (_, after, _) = run(server, s"SELECT v FROM $t WHERE id = 2")
+      assert(after.map(_.head.asText()) === Seq("B"))
+      spark.sql(s"DROP TABLE $t")
+    } finally server.stop()
+  }
+
   test("DELETE abandons a registered query; unknown ids 404") {
     val server = StatementHttp.start(spark)
     try {

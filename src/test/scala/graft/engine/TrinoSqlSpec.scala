@@ -37,6 +37,28 @@ class TrinoSqlSpec extends AnyFunSuite {
       === "SELECT * FROM `demo`.`events`")
   }
 
+  test("catalog strip is HEAD-of-chain only: a schema/table named iceberg survives") {
+    // round-16 advisor: the old global replace collapsed
+    // "iceberg"."iceberg"."t" to bare t — the catalog leg must strip,
+    // the schema genuinely NAMED iceberg must stay
+    assert(TrinoSql.toSpark("""SELECT * FROM "iceberg"."iceberg"."t"""")
+      === "SELECT * FROM `iceberg`.`t`")
+    assert(TrinoSql.toSpark("SELECT * FROM iceberg.iceberg.t")
+      === "SELECT * FROM iceberg.t")
+    // mid-chain quoted leg: schema.table where the TABLE is named iceberg
+    assert(TrinoSql.toSpark("""SELECT * FROM "demo"."iceberg"""")
+      === "SELECT * FROM `demo`.`iceberg`")
+    assert(TrinoSql.toSpark("SELECT * FROM demo.iceberg")
+      === "SELECT * FROM demo.iceberg")
+    // a single-quoted literal containing the quoted-catalog text is data
+    val lit = """SELECT 'see `iceberg`.demo and "iceberg".x' AS s"""
+    assert(TrinoSql.toSpark(lit)
+      === """SELECT 'see `iceberg`.demo and "iceberg".x' AS s""")
+    // a bare column named iceberg (no trailing dot) is untouched
+    assert(TrinoSql.toSpark("SELECT iceberg FROM t WHERE iceberg > 1")
+      === "SELECT iceberg FROM t WHERE iceberg > 1")
+  }
+
   test("ARRAY[...] constructors map to array(...); element access and literals are untouched") {
     assert(TrinoSql.toSpark("SELECT ARRAY[1, 2, 3] AS a")
       === "SELECT array(1, 2, 3) AS a")
