@@ -97,8 +97,8 @@ object Bench {
       // round-16 new/changed: q244 localization family, quad cross-modal,
       // SQL time travel, video bundle serve
       "q258", "q259", "q260", "q261", "q262", "q263", "q264", "q265",
-      // round-17 new: SQL CDC feed + SQL MERGE INTO
-      "q266", "q267",
+      // round-17 new: SQL CDC feed + SQL MERGE INTO + metadata tables
+      "q266", "q267", "q268",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")

@@ -121,8 +121,14 @@ object InfoSchema {
       .createOrReplaceTempView("__info_schema_views")
 
     val columns = tables.flatMap { case (d, n, _) =>
-      val schema = spark.table(s"`$d`.`$n`").schema
-      schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      // one UNRESOLVABLE table (dropped path, broken view) must not
+      // take down the whole introspection plane — Superset refreshes
+      // one dataset while another is mid-migration; the broken table
+      // simply lists no columns (it still appears in `tables`)
+      val schema =
+        try spark.table(s"`$d`.`$n`").schema.fields.toSeq
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      schema.zipWithIndex.map { case (f, i) =>
         (cat, d, n, f.name, (i + 1).toLong, null: String,
           if (f.nullable) "YES" else "NO", StatementHttp.trinoType(f.dataType))
       }

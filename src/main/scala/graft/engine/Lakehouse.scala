@@ -58,15 +58,19 @@ object Lakehouse {
     * maintenance verbs ([[TableFunctions.rewrite]]:
     * `TABLE(system.table_changes(...))` → the changelog scan;
     * `ALTER TABLE ... EXECUTE expire_snapshots(...)` →
-    * [[Layout.expireSnapshots]]), and `MERGE INTO`
-    * ([[MergeSql]] — Spark's v1 parquet catalog refuses the statement
-    * natively; the rewrite lands it on the Layout commit machinery). */
+    * [[Layout.expireSnapshots]]), the Iceberg metadata tables
+    * ([[MetaSql.rewrite]]: `` `t$snapshots` `` / `$history` /
+    * `$refs` / `$files` answered from the manifest store), and
+    * `MERGE INTO` ([[MergeSql]] — Spark's v1 parquet catalog refuses
+    * the statement natively; the rewrite lands it on the Layout commit
+    * machinery). */
   def sql(spark: SparkSession, text: String): DataFrame =
     MergeSql.maybeExecute(spark, text)
       .orElse(TableFunctions.maybeExecute(spark, text))
       .getOrElse {
         spark.sql(TimeTravel.rewrite(spark,
-          TableFunctions.rewrite(spark, InfoSchema.rewrite(spark, text))))
+          MetaSql.rewrite(spark,
+            TableFunctions.rewrite(spark, InfoSchema.rewrite(spark, text)))))
       }
 
   /** Result delivery as CSV-with-header — the Trino-CLI `--output-format

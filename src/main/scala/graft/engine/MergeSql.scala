@@ -163,11 +163,25 @@ object MergeSql {
     i
   }
 
+  /** Read an identifier chain (dots allowed); a BACKTICKED leg unwraps
+    * to its inner name — the wire plane's Trino `"t"` arrives requoted
+    * as `` `t` `` and must still parse as the target/source/alias. */
   private def readWord(s: String, from: Int): (String, Int) = {
     val start = skipWs(s, from)
     var i = start
-    while (i < s.length && (isWordChar(s.charAt(i)) || s.charAt(i) == '.')) i += 1
-    (s.substring(start, i), i)
+    val out = new StringBuilder
+    var more = true
+    while (more && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '`') {
+        i += 1
+        while (i < s.length && s.charAt(i) != '`') { out += s.charAt(i); i += 1 }
+        require(i < s.length, "unterminated backtick in MERGE identifier")
+        i += 1
+      } else if (isWordChar(c) || c == '.') { out += c; i += 1 }
+      else more = false
+    }
+    (out.toString, i)
   }
 
   // -------------------------------------------------------------- parse

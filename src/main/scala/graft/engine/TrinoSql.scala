@@ -40,7 +40,9 @@ object TrinoSql {
 
   // Trino's catalog-qualified SHOW family — what the trino SQLAlchemy
   // dialect and CLI emit while introspecting (`SHOW SCHEMAS FROM
-  // iceberg`, `SHOW TABLES FROM iceberg.demo`, `SHOW COLUMNS FROM t`).
+  // iceberg`, `SHOW TABLES FROM iceberg.demo`, `SHOW COLUMNS FROM t`,
+  // and `DESCRIBE t` / `DESC t` — Trino's documented SHOW COLUMNS
+  // aliases, matched whole-statement so ORDER BY ... DESC never hits).
   // Lowered to information_schema selects (resolved live by
   // [[InfoSchema]]) so one shim serves both spellings, with Trino's own
   // output column names (`Schema` / `Table` / `Column`,`Type`,...).
@@ -51,8 +53,8 @@ object TrinoSql {
     ("(?is)^SHOW\\s+TABLES(?:\\s+(?:FROM|IN)\\s+((?:\"?[A-Za-z_]\\w*\"?)" +
       "(?:\\.\"?[A-Za-z_]\\w*\"?)?))?(?:\\s+LIKE\\s+('(?:[^']|'')*'))?\\s*$").r
   private val ShowColumnsRx =
-    ("(?is)^SHOW\\s+COLUMNS\\s+(?:FROM|IN)\\s+((?:\"?[A-Za-z_]\\w*\"?)" +
-      "(?:\\.\"?[A-Za-z_]\\w*\"?){0,2})\\s*$").r
+    ("(?is)^(?:SHOW\\s+COLUMNS\\s+(?:FROM|IN)|DESCRIBE|DESC)\\s+" +
+      "((?:\"?[A-Za-z_]\\w*\"?)(?:\\.\"?[A-Za-z_]\\w*\"?){0,2})\\s*$").r
 
   private def unq(leg: String): String = leg.replace("\"", "")
 

@@ -111,5 +111,38 @@ object Round17Queries {
            |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
            |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q266, q267)
+  /** Q268 (L27, Iceberg metadata tables from SQL): the `$snapshots`
+    * inspection relation — `SELECT ... FROM `t$snapshots`` (the wire's
+    * Trino `"t$snapshots"` requotes to this) answered from the manifest
+    * store. The gate pins the MANIFEST-RECORDED record counts of two
+    * commits (base < 300, base+append < 600) against DuckDB counting
+    * the raw parquet — the stats the snapshot rows carry must equal
+    * the data they claim to describe. snapshot_id/committed_at are
+    * engine-internal (non-deterministic across runs) and stay out of
+    * the projection; MetaSqlSpec pins the paste-into-FOR-VERSION
+    * workflow on them instead. */
+  val q268 = GQuery("q268_meta_snapshots_sql", (s, d) => {
+    import graft.engine.{Lakehouse, Layout}
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val table = s"metasql_$run"
+    val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+    ev.where(col("event_id") < 300).write.saveAsTable(table)
+    Layout.snapshot(s, table, "m1")
+    ev.where(col("event_id") >= 300 && col("event_id") < 600)
+      .write.mode("append").saveAsTable(table)
+    Layout.snapshot(s, table, "m2")
+    Lakehouse.sql(s,
+      s"""SELECT operation, record_count
+         |FROM `$table$$snapshots`
+         |WHERE operation = 'snapshot'
+         |ORDER BY record_count""".stripMargin)
+  },
+    Some("""SELECT 'snapshot' AS operation, count(*)::BIGINT AS record_count
+           |FROM events WHERE event_id < 300
+           |UNION ALL
+           |SELECT 'snapshot', count(*)::BIGINT
+           |FROM events WHERE event_id < 600
+           |ORDER BY record_count""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q266, q267, q268)
 }

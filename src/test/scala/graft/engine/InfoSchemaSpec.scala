@@ -89,6 +89,10 @@ class InfoSchemaSpec extends SparkSpec {
     assert(colsDf.columns.toSeq === Seq("Column", "Type", "Extra", "Comment"))
     assert(colsDf.collect().map(r => (r.getString(0), r.getString(1))).toSeq
       === Seq(("o_id", "bigint"), ("o_total", "double")))
+    // DESCRIBE / DESC are Trino's SHOW COLUMNS aliases
+    val desc = Lakehouse.sql(spark, TrinoSql.toSpark(s"DESCRIBE $db.orders"))
+    assert(desc.columns.toSeq === Seq("Column", "Type", "Extra", "Comment"))
+    assert(desc.count() === 2L)
     // LIKE filters; unknown catalog refuses like Trino's NOT_FOUND
     val liked = Lakehouse.sql(spark,
       TrinoSql.toSpark(s"SHOW TABLES FROM $db LIKE 'ord%'"))

@@ -69,6 +69,19 @@ class MergeSqlSpec extends SparkSpec {
       "unlisted INSERT columns land NULL")
   }
 
+  test("backticked identifiers parse: the wire's requoted MERGE spelling works") {
+    val t = freshName("mg_bt_")
+    val u = freshName("mg_btu_")
+    Seq((1L, "a", 1L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Seq((1L, "A", 9L)).toDF("id", "v", "x").write.saveAsTable(u)
+    // what TrinoSql.toSpark produces from Trino's "t" AS "tgt" quoting
+    Lakehouse.sql(spark,
+      s"""MERGE INTO `$t` AS `tgt` USING `$u` AS `src` ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET v = src.v, x = src.x""".stripMargin)
+      .collect()
+    assert(rows(t) === Seq((1L, "A", 9L)))
+  }
+
   test("the standard's cardinality rule: two source matches refuse loudly") {
     val t = freshName("mg_card_")
     val u = freshName("mg_cdup_")

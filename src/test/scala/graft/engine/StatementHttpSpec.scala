@@ -623,6 +623,21 @@ class StatementHttpSpec extends SparkSpec {
       assert(mrows.map(_.head.asLong()) === Seq(1L))
       val (_, after, _) = run(server, s"SELECT v FROM $t WHERE id = 2")
       assert(after.map(_.head.asText()) === Seq("B"))
+      // Iceberg metadata tables over the wire — Trino's quoted spelling
+      // "t$snapshots" requotes through the dialect shim
+      val (mcols, msnaps, msfin) = run(server,
+        "SELECT operation, record_count FROM \"" + t +
+          "$snapshots\" ORDER BY snapshot_id")
+      assert(msfin.at("/stats/state").asText() === "FINISHED")
+      assert(mcols === Seq("operation", "record_count"))
+      assert(msnaps.map(_.head.asText()).contains("merge"),
+        "the wire MERGE's own commit is visible in $snapshots")
+      // maintenance over the wire: ALTER TABLE EXECUTE optimize
+      val (ocols, orows, ofin) = run(server,
+        s"ALTER TABLE $t EXECUTE optimize(file_size_threshold => '1GB')")
+      assert(ofin.at("/stats/state").asText() === "FINISHED")
+      assert(ocols === Seq("files"))
+      assert(orows.map(_.head.asInt()) === Seq(1))
       spark.sql(s"DROP TABLE $t")
     } finally server.stop()
   }
