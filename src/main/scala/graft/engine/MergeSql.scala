@@ -74,11 +74,19 @@ object MergeSql {
   private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
   /** Index of case-insensitive keyword `word` at or after `from`, at
-    * paren depth 0 and outside quotes; -1 if absent. */
+    * paren depth 0, outside quotes, AND outside `CASE ... END`
+    * expressions — a merge assignment like `SET x = CASE WHEN c THEN 1
+    * ELSE 2 END` must not have its inner WHEN mistaken for a clause
+    * boundary (that split mangled the statement); -1 if absent. */
   private def topLevelKeyword(s: String, word: String, from: Int): Int = {
     var i = from
     var depth = 0
+    var caseDepth = 0
     var quote: Char = 0
+    def kwAt(j: Int, w: String): Boolean =
+      s.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !isWordChar(s.charAt(j - 1))) &&
+        (j + w.length >= s.length || !isWordChar(s.charAt(j + w.length)))
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote != 0) {
@@ -86,18 +94,18 @@ object MergeSql {
           if (i + 1 < s.length && s.charAt(i + 1) == quote) i += 1
           else quote = 0
         }
+        i += 1
       } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
+        case '\'' | '"' | '`' => quote = c; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
         case _ =>
-          if (depth == 0 &&
-            s.regionMatches(true, i, word, 0, word.length) &&
-            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-            (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length))))
-            return i
+          if (depth == 0 && kwAt(i, "CASE")) { caseDepth += 1; i += 4 }
+          else if (depth == 0 && caseDepth > 0 && kwAt(i, "END")) {
+            caseDepth -= 1; i += 3
+          } else if (depth == 0 && caseDepth == 0 && kwAt(i, word)) return i
+          else i += 1
       }
-      i += 1
     }
     -1
   }

@@ -32,18 +32,24 @@ object TableFunctions {
       "(?:[A-Za-z_]+\\s*=>\\s*)?(\\d+)\\s*,\\s*" +
       "(?:[A-Za-z_]+\\s*=>\\s*)?(\\d+)\\s*\\)\\s*\\)").r
 
+  // the table leg accepts the wire's requoted backticked spelling too
+  private val TableP2 = "(`[^`]+`|[A-Za-z_][\\w.]*)"
   private val ExpireRx = (
-    "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+EXECUTE\\s+" +
+    "(?is)^ALTER\\s+TABLE\\s+" + TableP2 + "\\s+EXECUTE\\s+" +
       "expire_snapshots\\s*\\(\\s*(?:retention_threshold\\s*=>\\s*)?" +
       "'([^']+)'\\s*\\)\\s*;?\\s*$").r
   private val OptimizeRx = (
-    "(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][\\w.]*)\\s+EXECUTE\\s+" +
+    "(?is)^ALTER\\s+TABLE\\s+" + TableP2 + "\\s+EXECUTE\\s+" +
       "optimize\\s*(?:\\(\\s*(?:file_size_threshold\\s*=>\\s*)?" +
       "'([^']+)'\\s*\\))?\\s*;?\\s*$").r
   // any OTHER procedure refuses loudly instead of dying in Spark's
   // parser with an unrelated error
   private val ExecuteRx =
-    "(?is)^ALTER\\s+TABLE\\s+[A-Za-z_][\\w.]*\\s+EXECUTE\\s+([A-Za-z_]\\w*).*$".r
+    ("(?is)^ALTER\\s+TABLE\\s+" + TableP2 +
+      "\\s+EXECUTE\\s+([A-Za-z_]\\w*).*$").r
+
+  private def unquote(t: String): String =
+    if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
 
   /** Trino duration literal ('7d', '12h', '30m', '45s', '500ms') →
     * milliseconds. */
@@ -133,22 +139,24 @@ object TableFunctions {
     sql.trim match {
       case ExpireRx(table, threshold) =>
         val cutoff = System.currentTimeMillis() - parseDuration(threshold)
-        val victims = Layout.expireSnapshotsOlderThan(spark, table, cutoff)
+        val victims =
+          Layout.expireSnapshotsOlderThan(spark, unquote(table), cutoff)
         Some(victims.toDF("expired_snapshot_seq"))
       case OptimizeRx(table, sizeOrNull) =>
         val target = Option(sizeOrNull).map(parseSize)
           .getOrElse(128L * 1024 * 1024)
-        val files = Layout.compactToFileSize(spark, table, target)
+        val files = Layout.compactToFileSize(spark, unquote(table), target)
         Some(Seq(files).toDF("files"))
-      case ExecuteRx(proc)
+      case ExecuteRx(_, proc)
           if !proc.equalsIgnoreCase("expire_snapshots") &&
             !proc.equalsIgnoreCase("optimize") =>
         throw new IllegalArgumentException(
           s"table procedure not supported: $proc — available: " +
             "expire_snapshots(retention_threshold => <duration>), " +
             "optimize(file_size_threshold => <size>)")
-      case t if t.toUpperCase.startsWith("ALTER TABLE") &&
-          "(?is).*\\bEXECUTE\\b.*".r.matches(t) =>
+      case t if "(?is)^ALTER\\s+TABLE\\s+\\S+\\s+EXECUTE\\b.*".r.matches(t) =>
+        // EXECUTE must follow the table name — an ALTER whose COLUMN
+        // happens to be named execute is plain DDL and passes through
         throw new IllegalArgumentException(
           s"cannot parse ALTER TABLE EXECUTE statement: $sql")
       case _ => None

@@ -82,6 +82,20 @@ class MergeSqlSpec extends SparkSpec {
     assert(rows(t) === Seq((1L, "A", 9L)))
   }
 
+  test("CASE WHEN inside merge expressions never splits the clause list") {
+    val t = freshName("mg_case_")
+    val u = freshName("mg_caseu_")
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Seq((1L, "hi", 5L), (2L, "lo", 1L)).toDF("id", "v", "x").write.saveAsTable(u)
+    // the inner WHEN/THEN/END are expression syntax, not clause bounds
+    Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET
+         |  v = CASE WHEN s.x > 3 THEN concat(s.v, '!') ELSE s.v END,
+         |  x = s.x""".stripMargin).collect()
+    assert(rows(t) === Seq((1L, "hi!", 5L), (2L, "lo", 1L)))
+  }
+
   test("the standard's cardinality rule: two source matches refuse loudly") {
     val t = freshName("mg_card_")
     val u = freshName("mg_cdup_")

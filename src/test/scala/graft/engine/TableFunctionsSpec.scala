@@ -70,6 +70,19 @@ class TableFunctionsSpec extends SparkSpec {
       Lakehouse.sql(spark, "ALTER TABLE t EXECUTE vacuum('7d')")
     }
     assert(e.getMessage.contains("not supported"))
+    // an ALTER whose COLUMN is named execute is plain DDL, not a
+    // procedure call — it must pass through to Spark untouched
+    val t2 = freshName("tf_ddl_")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t2)
+    Lakehouse.sql(spark, s"ALTER TABLE $t2 ADD COLUMNS (execute INT)")
+    assert(spark.table(t2).columns.contains("execute"))
+    // the wire's requoted backticked table spelling parses
+    Seq.tabulate(8)(i => (i.toLong, s"x$i")).toDF("id", "v")
+      .repartition(4).write.saveAsTable(s"${t2}_bt")
+    val files = Lakehouse.sql(spark,
+      s"ALTER TABLE `${t2}_bt` EXECUTE optimize(file_size_threshold => '1GB')")
+      .collect().head.getInt(0)
+    assert(files === 1)
     assert(TableFunctions.parseDuration("7d") === 7L * 86400000)
     assert(TableFunctions.parseDuration("90m") === 90L * 60000)
     intercept[IllegalArgumentException](TableFunctions.parseDuration("7 fortnights"))
