@@ -68,11 +68,54 @@ object InfoSchema {
     in
   }
 
+  /** The scope a statement PROVABLY restricts `columns` to — the trino
+    * dialect's get_columns always carries `"table_schema" = 'x' AND
+    * "table_name" = 'y'`, and resolving every catalog table's schema
+    * for that one answer is the walk that would hurt at 10⁴ tables.
+    * Extraction is deliberately conservative — scope ONLY when:
+    *
+    *   - exactly one `information_schema.columns` reference (two
+    *     instances could carry different predicates);
+    *   - no OR / NOT outside string literals (a disjunction or
+    *     negation could select rows OUTSIDE any equality literal);
+    *   - at most one distinct equality literal per column.
+    *
+    * Under those guards the equalities are conjunction members, so a
+    * row outside the scope cannot satisfy the statement anyway —
+    * scoping changes cost, never results. Anything else → full walk. */
+  private[engine] def columnsScope(sql: String)
+      : (Option[String], Option[String]) = {
+    val colRefs = RefRx.findAllMatchIn(sql).count(m =>
+      !insideLiteral(sql, m.start) && m.group(1).equalsIgnoreCase("columns"))
+    if (colRefs != 1) return (None, None)
+    val risky = "(?i)\\b(OR|NOT)\\b".r.findAllMatchIn(sql)
+      .exists(m => !insideLiteral(sql, m.start))
+    if (risky) return (None, None)
+    def eqLit(colName: String): Option[String] = {
+      // the lookbehind rejects a longer identifier (`my_table_name`)
+      // AND any qualified spelling (`c.table_name`, `"c"."table_name"`)
+      // — a qualifier could name ANOTHER relation in a join, and
+      // scoping on it would drop rows the statement wants; unscoped =
+      // full walk, always correct
+      val rx = ("(?i)(?<![A-Za-z_0-9.\"`])[\"`]?" + colName +
+        "[\"`]?\\s*=\\s*'((?:[^']|'')*)'").r
+      val vals = rx.findAllMatchIn(sql)
+        .filter(m => !insideLiteral(sql, m.start))
+        .map(_.group(1).replace("''", "'")).toSeq.distinct
+      if (vals.size == 1) Some(vals.head) else None
+    }
+    (eqLit("table_schema"), eqLit("table_name"))
+  }
+
+  /** Observability hook for the scoping contract: how many tables the
+    * last refresh resolved schemas for (-1 before any refresh). */
+  @volatile private[engine] var lastColumnsWalk: Int = -1
+
   /** Rewrite `information_schema.<rel>` references to the freshly
     * refreshed temp views; a no-op for statements without any. */
   def rewrite(spark: SparkSession, sql: String): String = {
     if (!referenced(sql)) return sql
-    refresh(spark)
+    refresh(spark, columnsScope(sql))
     val out = new StringBuilder
     var last = 0
     RefRx.findAllMatchIn(sql).foreach { m =>
@@ -95,8 +138,13 @@ object InfoSchema {
     * `__info_schema_*`; TEMPORARY tables (database-less — including
     * these views themselves and [[TimeTravel]]'s pinned registrations)
     * are NOT catalog objects and are excluded, matching Trino, where
-    * information_schema lists only catalog-owned relations. */
-  def refresh(spark: SparkSession): Unit = {
+    * information_schema lists only catalog-owned relations. `scope`
+    * restricts the COLUMNS walk (the only per-table-schema-resolving
+    * build) to the (schema, table) the statement provably filters to
+    * — [[columnsScope]]'s conjunction guards make this a cost change,
+    * never a result change. */
+  def refresh(spark: SparkSession,
+      scope: (Option[String], Option[String]) = (None, None)): Unit = {
     import spark.implicits._
     val cat = "iceberg" // the alias this engine serves the catalog under
     val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted.toSeq
@@ -120,7 +168,12 @@ object InfoSchema {
       .toDF("table_catalog", "table_schema", "table_name", "view_definition")
       .createOrReplaceTempView("__info_schema_views")
 
-    val columns = tables.flatMap { case (d, n, _) =>
+    val (wantSchema, wantTable) = scope
+    val inScope = tables.filter { case (d, n, _) =>
+      wantSchema.forall(_ == d) && wantTable.forall(_ == n)
+    }
+    lastColumnsWalk = inScope.size
+    val columns = inScope.flatMap { case (d, n, _) =>
       // one UNRESOLVABLE table (dropped path, broken view) must not
       // take down the whole introspection plane — Superset refreshes
       // one dataset while another is mid-migration; the broken table

@@ -105,6 +105,41 @@ class InfoSchemaSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
+  test("the dialect's get_columns shape scopes the refresh to ONE table; anything ambiguous walks fully") {
+    val db = freshName("infodb_")
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"CREATE TABLE $db.one (a INT) USING parquet")
+    spark.sql(s"CREATE TABLE $db.two (b INT) USING parquet")
+    // the dialect's exact shape: conjunction of both equality literals
+    // → the refresh resolves exactly ONE table's schema, not the whole
+    // catalog (the walk that would hurt at 10⁴ tables)
+    val got = Lakehouse.sql(spark,
+      s"""SELECT column_name FROM information_schema.columns
+         |WHERE table_schema = '$db' AND table_name = 'one'""".stripMargin)
+      .as[String].collect().toSeq
+    assert(got === Seq("a"))
+    assert(InfoSchema.lastColumnsWalk === 1,
+      s"dialect shape must scope to one table, walked ${InfoSchema.lastColumnsWalk}")
+    // an OR makes equality literals non-conjunctive → FULL walk, and
+    // the result still carries rows outside any single scope
+    val both = Lakehouse.sql(spark,
+      s"""SELECT column_name FROM information_schema.columns
+         |WHERE table_schema = '$db' AND
+         |      (table_name = 'one' OR table_name = 'two')
+         |ORDER BY column_name""".stripMargin).as[String].collect().toSeq
+    assert(both === Seq("a", "b"))
+    assert(InfoSchema.lastColumnsWalk > 1, "OR must disable scoping")
+    // a QUALIFIED column could name another join relation → no scope
+    assert(InfoSchema.columnsScope(
+      "SELECT * FROM information_schema.columns c JOIN x ON " +
+        "c.table_name = x.n WHERE x.table_name = 'o'") === ((None, None)))
+    // a longer identifier is not the scoping column
+    assert(InfoSchema.columnsScope(
+      "SELECT * FROM information_schema.columns WHERE my_table_name = 'z'")
+      === ((None, None)))
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("unserved relations refuse loudly; references inside literals are data") {
     val e = intercept[IllegalArgumentException] {
       Lakehouse.sql(spark, "SELECT * FROM information_schema.parameters")
