@@ -67,6 +67,7 @@ object Lakehouse {
   def sql(spark: SparkSession, text: String): DataFrame =
     MergeSql.maybeExecute(spark, text)
       .orElse(TableFunctions.maybeExecute(spark, text))
+      .orElse(ShowStats.maybeExecute(spark, text))
       .getOrElse {
         spark.sql(TimeTravel.rewrite(spark,
           MetaSql.rewrite(spark,

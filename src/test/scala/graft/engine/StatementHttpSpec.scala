@@ -638,6 +638,13 @@ class StatementHttpSpec extends SparkSpec {
       assert(ofin.at("/stats/state").asText() === "FINISHED")
       assert(ocols === Seq("files"))
       assert(orows.map(_.head.asInt()) === Seq(1))
+      // SHOW STATS FOR over the wire — Trino's column-statistics shape
+      val (scols, srows, sfin) = run(server, s"SHOW STATS FOR $t")
+      assert(sfin.at("/stats/state").asText() === "FINISHED")
+      assert(scols === Seq("column_name", "data_size",
+        "distinct_values_count", "nulls_fraction", "row_count",
+        "low_value", "high_value"))
+      assert(srows.last.apply(4).asDouble() === 2.0, "summary row_count")
       spark.sql(s"DROP TABLE $t")
     } finally server.stop()
   }
