@@ -28,6 +28,10 @@ object ShowStats {
 
   private val Rx =
     "(?is)^SHOW\\s+STATS\\s+FOR\\s+(`[^`]+`|[A-Za-z_][\\w.]*)\\s*;?\\s*$".r
+  // Trino's subquery form: SHOW STATS FOR (SELECT ... ) — stats of the
+  // filtered relation, what the cost estimator actually asks
+  private val RxQuery =
+    "(?is)^SHOW\\s+STATS\\s+FOR\\s*\\((.+)\\)\\s*;?\\s*$".r
 
   private def unquote(t: String): String =
     if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
@@ -35,6 +39,10 @@ object ShowStats {
   def maybeExecute(spark: SparkSession, sql: String): Option[DataFrame] =
     sql.trim match {
       case Rx(tableRaw) => Some(stats(spark, unquote(tableRaw)))
+      case RxQuery(inner) =>
+        // the inner text takes the FULL statement surface (time travel,
+        // info schema, ...) — route it back through Lakehouse.sql
+        Some(statsOf(spark, Lakehouse.sql(spark, inner.trim)))
       case _ => None
     }
 
@@ -44,8 +52,10 @@ object ShowStats {
     case _ => false
   }
 
-  def stats(spark: SparkSession, table: String): DataFrame = {
-    val df = spark.table(table)
+  def stats(spark: SparkSession, table: String): DataFrame =
+    statsOf(spark, spark.table(table))
+
+  def statsOf(spark: SparkSession, df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
     val aggs = Seq(count(lit(1)).as("__n")) ++ fields.flatMap { f =>
       val c = col(s"`${f.name}`")

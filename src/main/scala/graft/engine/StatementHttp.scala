@@ -302,6 +302,19 @@ object StatementHttp {
               sendErr(exchange, 400, s"invalid X-Trino-Time-Zone: ${e.getMessage}")
               return
           }
+        // X-Trino-Catalog is VALIDATED like USE's catalog leg: the
+        // engine serves ONE catalog (aliased `iceberg`); silently
+        // accepting a stranger's catalog echo would resolve its
+        // unqualified names HERE while the client believes it is
+        // elsewhere — Trino answers CATALOG_NOT_FOUND, so do we
+        val badCatalog = Option(exchange.getRequestHeaders
+          .getFirst("X-Trino-Catalog")).filter(_.nonEmpty)
+          .filterNot(c => c.equalsIgnoreCase("iceberg") ||
+            c.equalsIgnoreCase("spark_catalog"))
+        if (badCatalog.isDefined) {
+          sendErr(exchange, 400, s"catalog not found: ${badCatalog.get}")
+          return
+        }
         val id = f"graft_${System.currentTimeMillis()}%d_${reg.counter.incrementAndGet()}%05d"
         val slug = java.util.UUID.randomUUID().toString.take(8)
         reg.queries.put(id,

@@ -104,6 +104,16 @@ object TrinoSql {
       case Some(lowered) => return lowered
       case None =>
     }
+    // Trino's parenthesized EXPLAIN options — `EXPLAIN (TYPE
+    // DISTRIBUTED)` / `(TYPE LOGICAL)` / `(FORMAT TEXT)` — what SQL
+    // Lab's Explain button emits; Spark's parser rejects the parens, so
+    // the option list maps to the closest Spark mode (EXTENDED) and the
+    // inner statement recurses through the full shim
+    val ExplainRx = "(?is)^EXPLAIN\\s*\\(\\s*[A-Za-z_ ,]*\\)\\s+(.+)$".r
+    t match {
+      case ExplainRx(inner) => return "EXPLAIN EXTENDED " + toSpark(inner)
+      case _ =>
+    }
     var s = mapOutsideQuotes(t) { seg =>
       seg.replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "STRING")
     }

@@ -40,6 +40,16 @@ class ShowStatsSpec extends SparkSpec {
     assert(summary.isNullAt(0) && summary.getDouble(4) === 4.0)
   }
 
+  test("the subquery form profiles the FILTERED relation") {
+    val t = freshName("ss_q_")
+    Seq.tabulate(10)(i => (i.toLong, i % 3)).toDF("id", "g").write.saveAsTable(t)
+    val rows = Lakehouse.sql(spark,
+      s"SHOW STATS FOR (SELECT id FROM $t WHERE g = 0)").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("id", null))
+    assert(rows.last.getDouble(4) === 4.0, "rows 0,3,6,9 → count 4")
+    assert(rows.head.getString(5) === "0" && rows.head.getString(6) === "9")
+  }
+
   test("complex columns render with NULL stats instead of erroring; backticked tables parse") {
     val t = freshName("ss_cx_")
     Seq((1L, Seq(1, 2))).toDF("id", "arr").write.saveAsTable(t)

@@ -649,6 +649,22 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("an unknown X-Trino-Catalog echo refuses at registration, never a silent accept") {
+    val server = StatementHttp.start(spark)
+    try {
+      def post(catalog: String): Int = client.send(
+        HttpRequest.newBuilder(URI.create(server.uri("/v1/statement")))
+          .header("X-Trino-Catalog", catalog)
+          .POST(HttpRequest.BodyPublishers.ofString("SELECT 1")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(post("iceberg") === 200)
+      assert(post("spark_catalog") === 200)
+      // a stranger's catalog would resolve unqualified names HERE while
+      // the client believes it is elsewhere — Trino's CATALOG_NOT_FOUND
+      assert(post("hive") === 400)
+    } finally server.stop()
+  }
+
   test("DELETE abandons a registered query; unknown ids 404") {
     val server = StatementHttp.start(spark)
     try {

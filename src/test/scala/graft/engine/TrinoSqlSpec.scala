@@ -72,6 +72,15 @@ class TrinoSqlSpec extends AnyFunSuite {
       === "SELECT 'use ARRAY[1] here' AS s")
   }
 
+  test("Trino's parenthesized EXPLAIN options map to Spark's EXTENDED mode") {
+    assert(TrinoSql.toSpark("EXPLAIN (TYPE DISTRIBUTED) SELECT * FROM iceberg.demo.t")
+      === "EXPLAIN EXTENDED SELECT * FROM demo.t")
+    assert(TrinoSql.toSpark("EXPLAIN (FORMAT TEXT, TYPE LOGICAL) SELECT 1")
+      === "EXPLAIN EXTENDED SELECT 1")
+    // Spark's own bare EXPLAIN passes through untouched
+    assert(TrinoSql.toSpark("EXPLAIN SELECT 1") === "EXPLAIN SELECT 1")
+  }
+
   test("a quoted identifier genuinely resolves the COLUMN through Spark, not a string literal") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
