@@ -33,7 +33,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object MetaSql {
 
   private val Rx = "`([A-Za-z_][A-Za-z_0-9.]*)\\$([A-Za-z_]+)`".r
-  private val Served = Set("snapshots", "history", "refs", "files")
+  private val Served = Set("snapshots", "history", "refs", "files", "partitions")
 
   private def insideLiteral(s: String, pos: Int): Boolean = {
     var i = 0
@@ -119,6 +119,21 @@ object MetaSql {
           .map(f => (f.path, "PARQUET", f.records, f.bytes))
           .toDF("file_path", "file_format", "record_count",
             "file_size_in_bytes")
+      case "partitions" =>
+        // per-partition rollup of the HEAD manifest — the partition is
+        // the hive-style `k=v` path segments ("" for unpartitioned
+        // files), same convention as [[MetaTables.filesMetadata]]
+        val refs = Manifests.loadRefs(root)
+        require(refs.head >= 0,
+          s"$table has no committed snapshots — commit or snapshot first")
+        val segRx = "[^/]+=[^/]*".r
+        Manifests.loadSnapshot(root, refs.head).files
+          .groupBy(f => segRx.findAllIn(f.path).mkString("/"))
+          .toSeq.sortBy(_._1)
+          .map { case (part, fs) =>
+            (part, fs.size.toLong, fs.map(_.records).sum, fs.map(_.bytes).sum)
+          }
+          .toDF("partition", "file_count", "record_count", "total_bytes")
     }
   }
 }

@@ -74,6 +74,23 @@ class MetaSqlSpec extends SparkSpec {
     assert(joined._1 === joined._2, "$snapshots head row ≡ $files sum")
   }
 
+  test("$partitions rolls the head manifest up per hive-style partition") {
+    val t = freshName("ms_part_")
+    Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").saveAsTable(t)
+    Layout.snapshot(spark, t, "p1")
+    val got = Lakehouse.sql(spark,
+      s"SELECT partition, record_count FROM `$t$$partitions` ORDER BY partition")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("part=a", 2L), ("part=b", 1L)))
+    // totals reconcile with $snapshots
+    val total = Lakehouse.sql(spark,
+      s"SELECT sum(record_count) FROM `$t$$partitions`")
+      .collect().head.getLong(0)
+    assert(total === 3L)
+  }
+
   test("unversioned tables and unknown suffixes refuse loudly; literals are data") {
     val t = freshName("ms_bad_")
     Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
