@@ -110,6 +110,99 @@ class MergeSqlSpec extends SparkSpec {
     assert(rows(t) === Seq((1L, "a", 1L)), "refused merge mutates nothing")
   }
 
+  test("extra matched pairs whose clause conditions are false do not refuse " +
+      "(standard: only an APPLIED update/delete by >1 rows is an error)") {
+    val t = freshName("mg_app_")
+    val u = freshName("mg_appu_")
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "x").write.saveAsTable(t)
+    // id=1 matches TWO source rows, but the clause condition selects
+    // only the x=5 pair — valid per the standard; the row updates once
+    Seq((1L, "hot", 5L), (1L, "cold", 0L), (2L, "warm", 0L))
+      .toDF("id", "v", "x").write.saveAsTable(u)
+    val n = Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN MATCHED AND s.x >= 5 THEN UPDATE SET v = s.v, x = s.x"""
+        .stripMargin).as[Long].collect().head
+    assert(n === 1L, "one row updated")
+    assert(rows(t) === Seq((1L, "hot", 5L), (2L, "b", 2L)),
+      "the applicable pair wins; no per-pair duplication of target rows")
+  }
+
+  test("insert-only MERGE skips the cardinality check and never duplicates " +
+      "target rows on multi-matching sources") {
+    val t = freshName("mg_insonly_")
+    val u = freshName("mg_insonlyu_")
+    Seq((1L, "a", 1L)).toDF("id", "v", "x").write.saveAsTable(t)
+    // id=1 matches twice — with no MATCHED clause that is NOT an error
+    // (round-17 advisor: the standard raises only for applied clauses)
+    Seq((1L, "m1", 1L), (1L, "m2", 2L), (9L, "new", 9L))
+      .toDF("id", "v", "x").write.saveAsTable(u)
+    val n = Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v, s.x)"""
+        .stripMargin).as[Long].collect().head
+    assert(n === 1L, "one row inserted")
+    assert(rows(t) === Seq((1L, "a", 1L), (9L, "new", 9L)))
+  }
+
+  test("duplicate assignment to one column in UPDATE SET refuses at parse") {
+    val t = freshName("mg_dup_")
+    val u = freshName("mg_dupu_")
+    Seq((1L, "a", 1L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Seq((1L, "b", 2L)).toDF("id", "v", "x").write.saveAsTable(u)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark,
+        s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = 'one', v = 'two'""".stripMargin)
+    }
+    assert(e.getMessage.contains("duplicate assignment"))
+    assert(rows(t) === Seq((1L, "a", 1L)), "refused merge mutates nothing")
+  }
+
+  test("CASE expression inside a clause AND condition parses (the clause's " +
+      "THEN is found CASE-aware, round-17 verdict #3)") {
+    val t = freshName("mg_ccond_")
+    val u = freshName("mg_ccondu_")
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Seq((1L, "hi", 5L), (2L, "lo", 1L)).toDF("id", "v", "x").write.saveAsTable(u)
+    Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN MATCHED AND CASE WHEN s.x > 3 THEN true ELSE false END
+         |  THEN UPDATE SET v = s.v, x = s.x""".stripMargin).collect()
+    assert(rows(t) === Seq((1L, "hi", 5L), (2L, "b", 2L)),
+      "only the CASE-selected pair updates")
+  }
+
+  test("fused pre-pass: a full three-clause MERGE runs few jobs and reports " +
+      "exact affected counts") {
+    val t = freshName("mg_jobs_")
+    val u = freshName("mg_jobsu_")
+    Seq.tabulate(40)(i => (i.toLong, s"v$i", i.toLong)).toDF("id", "v", "x")
+      .coalesce(1).write.saveAsTable(t)
+    Seq.tabulate(40)(i => ((i + 20).toLong, s"s$i", i.toLong))
+      .toDF("id", "v", "x").coalesce(1).write.saveAsTable(u)
+    def jobCount: Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val before = jobCount
+    val n = Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN MATCHED AND s.id % 2 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v, s.x)"""
+        .stripMargin).as[Long].collect().head
+    val jobs = jobCount - before
+    // matched ids 20..39: 10 even deleted, 10 odd updated; 40..59 insert
+    assert(n === 40L, s"10 deleted + 10 updated + 20 inserted, got $n")
+    // the plan-locked job budget (round-17 verdict #2): ONE fused
+    // pre-pass aggregate (AQE stages it as ~3 jobs) + the commit write
+    // (~4 AQE jobs for the union-of-joins) + the post-write schema read
+    // + manifest stats + the result collect = 10 measured. Before the
+    // fusion the three separate pre-passes (cardinality, u/d counts,
+    // inserted.count) added ~5 more; the lock fails loudly if any
+    // per-statement pre-pass creeps back in.
+    assert(jobs <= 10, s"MERGE ran $jobs jobs — a pre-pass crept back in")
+  }
+
   test("merge composes with snapshots: tags keep reading the pre-merge state") {
     val t = freshName("mg_tt_")
     val u = freshName("mg_ttu_")
