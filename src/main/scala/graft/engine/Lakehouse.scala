@@ -61,11 +61,13 @@ object Lakehouse {
     * [[Layout.expireSnapshots]]), the Iceberg metadata tables
     * ([[MetaSql.rewrite]]: `` `t$snapshots` `` / `$history` /
     * `$refs` / `$files` answered from the manifest store), and
-    * `MERGE INTO` ([[MergeSql]] — Spark's v1 parquet catalog refuses
-    * the statement natively; the rewrite lands it on the Layout commit
-    * machinery). */
+    * `MERGE INTO` ([[MergeSql]]) and row-level `DELETE FROM` /
+    * `UPDATE ... SET` ([[DmlSql]]) — Spark's v1 parquet catalog refuses
+    * all three natively; the rewrites land them on the Layout commit
+    * machinery. */
   def sql(spark: SparkSession, text: String): DataFrame =
     MergeSql.maybeExecute(spark, text)
+      .orElse(DmlSql.maybeExecute(spark, text))
       .orElse(TableFunctions.maybeExecute(spark, text))
       .orElse(ShowStats.maybeExecute(spark, text))
       .getOrElse {

@@ -1299,12 +1299,28 @@ object Layout {
     require(toSeq >= fromSeq,
       s"end snapshot $toSeq precedes start snapshot $fromSeq")
     val root = Manifests.root(spark, table)
-    val window = Manifests.listSnapshots(root)
-      .filter(s => s.seq >= fromSeq && s.seq <= toSeq).sortBy(_.seq)
-    require(window.headOption.exists(_.seq == fromSeq),
-      s"start snapshot $fromSeq of $table is not committed")
-    require(window.lastOption.exists(_.seq == toSeq),
-      s"end snapshot $toSeq of $table is not committed")
+    def snapAt(seq: Long, what: String): Manifests.Snapshot =
+      try Manifests.loadSnapshot(root, seq)
+      catch { case scala.util.control.NonFatal(_) =>
+        throw new IllegalArgumentException(
+          s"$what snapshot $seq of $table is not committed")
+      }
+    snapAt(fromSeq, "start")
+    // Walk the PARENT chain from `to` back to `from` — never the raw
+    // seq ordering: after a rollback ([[assignHead]]) abandoned commits
+    // share the seq space with the new line, and a consecutive-seq
+    // pairing would diff non-parent-child snapshots, emitting change
+    // rows for transitions that never happened (round-17 advisor).
+    // Trino's Iceberg table_changes walks ancestry the same way and
+    // errors when `from` is not an ancestor of `to`.
+    var chain = List(snapAt(toSeq, "end"))
+    while (chain.head.seq != fromSeq && chain.head.parent >= fromSeq)
+      chain = snapAt(chain.head.parent, "intermediate") :: chain
+    require(chain.head.seq == fromSeq,
+      s"snapshot $fromSeq of $table is not an ancestor of $toSeq — the " +
+        "change window must be a linear parent chain (a rollback " +
+        "abandoned the commits in between)")
+    val window = chain
     val expired = Manifests.loadRefs(root).expiredOrEmpty
     window.foreach(s => require(!expired.contains(s.seq),
       s"snapshot ${s.seq} of $table inside the change window was " +

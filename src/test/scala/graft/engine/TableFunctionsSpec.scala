@@ -164,4 +164,111 @@ class TableFunctionsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(named === 1L)
   }
+
+  test("table_changes named arguments bind BY NAME in any order; unknown " +
+      "names and positional-after-named refuse") {
+    val t = freshName("tf_named_")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "n0")
+    val n0 = seqOfTag(t, "n0")
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "n1")
+    val n1 = seqOfTag(t, "n1")
+    // REORDERED named args (the round-17 advisor's trap: the old parser
+    // accepted names but bound positionally — table => first would have
+    // read schema 't')
+    val reordered = Lakehouse.sql(spark,
+      s"""SELECT id FROM TABLE(system.table_changes(
+         |  table_name => '$t', schema_name => 'default',
+         |  end_snapshot_id => $n1, start_snapshot_id => $n0))""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(reordered === Seq(2L))
+    val unk = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark,
+        s"SELECT * FROM TABLE(system.table_changes(banana => '$t', " +
+          s"schema_name => 'default', start_snapshot_id => $n0, " +
+          s"end_snapshot_id => $n1))")
+    }
+    assert(unk.getMessage.contains("unknown table_changes argument"))
+    val mixed = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark,
+        s"SELECT * FROM TABLE(system.table_changes(" +
+          s"schema_name => 'default', '$t', $n0, $n1))")
+    }
+    assert(mixed.getMessage.contains("positional"))
+    val badType = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark,
+        s"SELECT * FROM TABLE(system.table_changes('default', '$t', " +
+          s"'$n0', $n1))")
+    }
+    assert(badType.getMessage.contains("snapshot id"))
+  }
+
+  test("rollback_to_snapshot via ALTER TABLE EXECUTE: content restores, " +
+      "the restore commit parents off the target, and the abandoned " +
+      "window falls off the ancestor chain") {
+    val t = freshName("tf_rb_")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "r0")
+    val r0 = seqOfTag(t, "r0")
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "r1")
+    val r1 = seqOfTag(t, "r1")
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "r2")
+    val back = Lakehouse.sql(spark,
+      s"ALTER TABLE $t EXECUTE rollback_to_snapshot(snapshot_id => $r0)")
+      .as[Long].collect().head
+    assert(back === r0)
+    // the PLAIN SQL plane reads the restored content immediately
+    assert(Lakehouse.sql(spark, s"SELECT id FROM $t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L))
+    // the restore commit's parent IS the rollback target (Iceberg's
+    // shape: later commits parent off the rolled-back snapshot)
+    val refs = Manifests.loadRefs(Manifests.root(spark, t))
+    val head = Manifests.loadSnapshot(Manifests.root(spark, t), refs.head)
+    assert(head.parent === r0, "restore commit parents off the target")
+    assert(head.operation.startsWith("rollback"))
+    // the abandoned r1..r2 line is NOT an ancestor of the new head:
+    // a change window crossing it refuses (parent-chain walk, round-17
+    // advisor) instead of diffing transitions that never happened
+    val e = intercept[IllegalArgumentException] {
+      Layout.changelog(spark, t, r1, refs.head).collect()
+    }
+    assert(e.getMessage.contains("ancestor"))
+    // while a window along the surviving chain (r0 -> restore) serves
+    val along = Layout.changelog(spark, t, r0, refs.head)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    // COW restore: the old file set swaps for the restored copy
+    assert(along.getOrElse("insert", 0L) === 1L)
+    // the abandoned tags still read their immutable state (time travel
+    // by tag is ancestry-independent)
+    assert(Lakehouse.sql(spark,
+      s"SELECT count(*) FROM $t FOR VERSION AS OF 'r1'")
+      .collect().head.getLong(0) === 2L)
+  }
+
+  test("CALL system.rollback_to_snapshot spelling works; uncommitted " +
+      "targets and unknown system procedures refuse") {
+    val t = freshName("tf_call_")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "c0")
+    val c0 = seqOfTag(t, "c0")
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "c1")
+    val back = Lakehouse.sql(spark,
+      s"CALL iceberg.system.rollback_to_snapshot('default', '$t', $c0)")
+      .as[Long].collect().head
+    assert(back === c0)
+    assert(spark.table(t).count() === 1L)
+    val missing = intercept[Exception] {
+      Lakehouse.sql(spark,
+        s"ALTER TABLE $t EXECUTE rollback_to_snapshot(987654)")
+    }
+    assert(missing.getMessage.contains("no committed snapshot"))
+    val unk = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark, "CALL system.register_table('a', 'b', 'c')")
+    }
+    assert(unk.getMessage.contains("system procedure not supported"))
+  }
 }
