@@ -418,6 +418,34 @@ object StatementHttp {
     if (mapped.trim.regionMatches(true, 0, "USE ", 0, 4))
       throw new IllegalArgumentException(
         "unsupported USE spelling — use USE [catalog.]schema")
+    // SHOW SESSION lists the session properties THIS client has
+    // accumulated (its X-Trino-Session echo) over the served property
+    // surface — clients list properties right after SET SESSION, and
+    // the answer is per-query-state, so it must come from `q`, not from
+    // the shared Spark conf (another client's temporary override must
+    // never show here). Pure read side: no lock, no mutation.
+    val ShowSessionRx =
+      "(?is)^\\s*SHOW\\s+SESSION(?:\\s+LIKE\\s+'((?:[^']|'')*)')?\\s*;?\\s*$".r
+    ShowSessionRx.findFirstMatchIn(sqlText).foreach { m =>
+      import spark.implicits._
+      val joinDist = q.session.getOrElse("join_distribution_type", "AUTOMATIC")
+      val base = Seq(("join_distribution_type", joinDist, "AUTOMATIC",
+        "varchar", "The join method to use: AUTOMATIC, PARTITIONED, BROADCAST"))
+      val sparkProps = q.session.toSeq.filter(_._1.startsWith("spark."))
+        .sortBy(_._1).map { case (k, v) =>
+          (k, v, "", "varchar", "Spark session configuration pass-through")
+        }
+      val df = (base ++ sparkProps)
+        .toDF("Name", "Value", "Default", "Type", "Description")
+      val filtered = Option(m.group(1)).map(_.replace("''", "'")) match {
+        case Some(p) =>
+          df.filter(org.apache.spark.sql.functions.col("Name").like(p))
+        case None => df
+      }
+      q.rows = filtered.collect()
+      q.schema = filtered.schema
+      return
+    }
     def run(): Unit = {
       val df = Lakehouse.sql(spark, mapped)
       val collected = df.limit(maxRows + 1).collect()

@@ -114,6 +114,20 @@ object TrinoSql {
       case ExplainRx(inner) => return "EXPLAIN EXTENDED " + toSpark(inner)
       case _ =>
     }
+    // Trino's bare `ANALYZE t [WITH (...)]` (the stats-collection verb
+    // its clients issue) — Spark spells it `ANALYZE TABLE t COMPUTE
+    // STATISTICS`; the WITH property list names Trino-connector knobs
+    // (columns, sample percentage) this engine's full-scan stats pass
+    // subsumes, so it drops like CREATE SCHEMA's. The rewritten text
+    // recurses so the table chain still gets requoting + catalog strip.
+    val AnalyzeRx = ("(?is)^ANALYZE\\s+(?!TABLE\\b)" +
+      "((?:\"?[A-Za-z_]\\w*\"?)(?:\\.\"?[A-Za-z_]\\w*\"?){0,2})" +
+      "(?:\\s+WITH\\s*\\(.*\\))?\\s*$").r
+    t match {
+      case AnalyzeRx(chain) =>
+        return toSpark(s"ANALYZE TABLE $chain COMPUTE STATISTICS")
+      case _ =>
+    }
     var s = mapOutsideQuotes(t) { seg =>
       seg.replaceAll("(?i)\\bvarchar\\b(?!\\s*\\()", "STRING")
     }

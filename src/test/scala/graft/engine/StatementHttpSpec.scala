@@ -649,6 +649,65 @@ class StatementHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("row-level DML, snapshot rollback, SHOW SESSION and bare ANALYZE " +
+      "reach the wire") {
+    val server = StatementHttp.start(spark)
+    try {
+      import spark.implicits._
+      val t = "wire_dml_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.saveAsTable(t)
+      Layout.snapshot(spark, t, "d0")
+      val d0 = Manifests.loadRefs(Manifests.root(spark, t)).tags("d0")
+      // DELETE / UPDATE in Trino's quoted spelling — the dialect shim
+      // requotes and DmlSql routes to the Layout verbs
+      val (dcols, drows, dfin) = run(server,
+        s"""DELETE FROM "$t" WHERE "id" = 2""")
+      assert(dfin.at("/stats/state").asText() === "FINISHED")
+      assert(dcols === Seq("rows"))
+      assert(drows.map(_.head.asLong()) === Seq(1L))
+      val (_, urows, ufin) = run(server,
+        s"""UPDATE "$t" SET "v" = 'z' WHERE "id" = 3""")
+      assert(ufin.at("/stats/state").asText() === "FINISHED")
+      assert(urows.map(_.head.asLong()) === Seq(1L))
+      val (_, state, _) = run(server, s"SELECT id, v FROM $t ORDER BY id")
+      assert(state.map(r => (r.head.asLong(), r(1).asText())) ===
+        Seq((1L, "a"), (3L, "z")))
+      // rollback over the wire: back to the d0 snapshot
+      val (rcols, rrows, rfin) = run(server,
+        s"""ALTER TABLE "$t" EXECUTE rollback_to_snapshot($d0)""")
+      assert(rfin.at("/stats/state").asText() === "FINISHED")
+      assert(rcols === Seq("rolled_back_to"))
+      assert(rrows.map(_.head.asLong()) === Seq(d0))
+      val (_, restored, _) = run(server, s"SELECT count(*) FROM $t")
+      assert(restored.map(_.head.asLong()) === Seq(3L))
+      // bare ANALYZE (Trino's spelling; Spark wants ANALYZE TABLE ...)
+      val (_, _, afin) = run(server, s"""ANALYZE "$t"""")
+      assert(afin.at("/stats/state").asText() === "FINISHED")
+      assert(Lakehouse.tableStats(spark, t).isDefined,
+        "ANALYZE must land catalog statistics")
+      // SHOW SESSION: the per-client property list — this client's
+      // echoed overrides, served property defaults otherwise
+      val (srows0, sfin0, _, _, _) = runWithHeaders(server, "SHOW SESSION")
+      assert(sfin0.at("/stats/state").asText() === "FINISHED")
+      val names0 = srows0.map(_.head.asText())
+      assert(names0.contains("join_distribution_type"))
+      assert(srows0.find(_.head.asText() == "join_distribution_type")
+        .get(1).asText() === "AUTOMATIC")
+      val (srows1, _, _, _, _) = runWithHeaders(server, "SHOW SESSION",
+        session = Map("join_distribution_type" -> "PARTITIONED",
+          "spark.sql.shuffle.partitions" -> "7"))
+      val byName = srows1.map(r => r.head.asText() -> r(1).asText()).toMap
+      assert(byName("join_distribution_type") === "PARTITIONED")
+      assert(byName("spark.sql.shuffle.partitions") === "7")
+      val (srows2, _, _, _, _) = runWithHeaders(server,
+        "SHOW SESSION LIKE 'join%'")
+      assert(srows2.map(_.head.asText()) === Seq("join_distribution_type"))
+      spark.sql(s"DROP TABLE $t")
+    } finally server.stop()
+  }
+
   test("an unknown X-Trino-Catalog echo refuses at registration, never a silent accept") {
     val server = StatementHttp.start(spark)
     try {
