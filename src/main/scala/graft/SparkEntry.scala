@@ -17,9 +17,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q09_star_join_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. An entry
+    * with a fixture `setup` phase composes setup+run here, so the
+    * driver's one-closure contract is unchanged; Bench uses the split
+    * form to keep fixture cost out of the timed body. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Registry.all.map(q => q.name -> q.run).toMap
+    Registry.all.map { q =>
+      q.name -> q.setup.fold(q.run) { st =>
+        (s: SparkSession, d: String) => { st(s, d); q.run(s, d) }
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check. */

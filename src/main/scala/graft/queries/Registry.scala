@@ -15,7 +15,31 @@ final case class GQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    description: String = "")
+    description: String = "",
+    /** Untimed fixture phase (round-17 verdict #4: q266/q267/q268 built
+      * per-run fixture tables inside the timed body, so their bench
+      * entries priced mostly fixture and topped the drift table). When
+      * present, the driver contract composes setup+run (one closure,
+      * same behavior as before), while [[graft.Bench]] runs setup
+      * UNTIMED before each timed rep — the recorded seconds are the
+      * query body alone. Setup stashes its table names in [[Fixtures]]
+      * for run to read. */
+    setup: Option[(SparkSession, String) => Unit] = None)
+
+/** Cross-phase fixture registry: a GQuery's `setup` publishes the
+  * per-dataset fixture handle (table names, snapshot seqs) its `run`
+  * consumes. Keys are `<query>:<sfDir>` so two datasets never share a
+  * fixture. */
+object Fixtures {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  def put(key: String, v: AnyRef): Unit = { m.put(key, v); () }
+  def has(key: String): Boolean = m.containsKey(key)
+  def get[T](key: String): T = {
+    val v = m.get(key)
+    require(v != null, s"fixture '$key' not prepared — the query's setup runs first")
+    v.asInstanceOf[T]
+  }
+}
 
 object Registry {
   /** Collision-resistant key for deriving per-dataset index dirs and
@@ -37,7 +61,8 @@ object Registry {
       Round6Queries.all ++ Round7Queries.all ++ Round7bQueries.all ++
       Round8Queries.all ++ Round10Queries.all ++ Round11Queries.all ++
       Round12Queries.all ++ Round13Queries.all ++ Round14Queries.all ++
-      Round15Queries.all ++ Round16Queries.all ++ Round17Queries.all
+      Round15Queries.all ++ Round16Queries.all ++ Round17Queries.all ++
+      Round18Queries.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -11,10 +11,20 @@ import graft.Tables
   * [[graft.engine.MergeSql]], both reaching the Layout machinery from
   * pure SQL text through [[graft.engine.Lakehouse.sql]]). Fixtures are
   * per-run UUID tables built from the events parquet, so the oracle
-  * recomputes every change row / merged row from raw data. */
+  * recomputes every change row / merged row from raw data.
+  *
+  * Round-18 restructure (VERDICT r17 #4): fixture construction moved
+  * to the `setup` phase, which Bench runs UNTIMED — the recorded
+  * seconds price the query body (the CDC scan / the merge), not the
+  * fixture's create+snapshot+commit lifecycle. Read-only fixtures
+  * (q266/q268) build once per dataset; the mutating merge fixture
+  * (q267) rebuilds per call because the statement consumes it. */
 object Round17Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private def fresh(p: String): String =
+    p + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
   /** Q266 (L24, SQL CDC feed): the append-matrix fixture the round-16
     * brief asked for — base commit (< 300), append commit (300–599),
@@ -29,10 +39,14 @@ object Round17Queries {
     * Scale note: each generator reads only the step's CHANGED files,
     * resolved driver-side from manifest set-diffs — O(changed data),
     * never a table scan. */
-  val q266 = GQuery("q266_table_changes_sql", (s, d) => {
-    import graft.engine.{Lakehouse, Layout, Manifests}
-    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val table = s"cdcsql_$run"
+  private def q266Setup(s: SparkSession, d: String): Unit = {
+    import graft.engine.{Layout, Manifests}
+    val key = s"q266:$d"
+    if (Fixtures.has(key)) {
+      val (table, _, _) = Fixtures.get[(String, Long, Long)](key)
+      if (s.catalog.tableExists(table)) return
+    }
+    val table = fresh("cdcsql_")
     val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
     ev.where(col("event_id") < 300).write.saveAsTable(table)
     Layout.snapshot(s, table, "c0")
@@ -42,7 +56,12 @@ object Round17Queries {
     Layout.deleteWhere(s, table, col("event_id") % 7 === 0)
     Layout.snapshot(s, table, "c2")
     val refs = Manifests.loadRefs(Manifests.root(s, table))
-    val (from, to) = (refs.tags("c0"), refs.tags("c2"))
+    Fixtures.put(key, (table, refs.tags("c0"), refs.tags("c2")))
+  }
+
+  val q266 = GQuery("q266_table_changes_sql", (s, d) => {
+    import graft.engine.Lakehouse
+    val (table, from, to) = Fixtures.get[(String, Long, Long)](s"q266:$d")
     Lakehouse.sql(s,
       s"""SELECT _change_type, _change_ordinal, count(*) AS n,
          |  CAST(sum(event_id) AS BIGINT) AS id_sum
@@ -61,7 +80,8 @@ object Round17Queries {
            |SELECT _change_type, _change_ordinal, count(*)::BIGINT AS n,
            |  CAST(sum(event_id) AS BIGINT) AS id_sum
            |FROM ch GROUP BY _change_type, _change_ordinal
-           |ORDER BY _change_ordinal, _change_type""".stripMargin))
+           |ORDER BY _change_ordinal, _change_type""".stripMargin),
+    setup = Some(q266Setup))
 
   /** Q267 (L26, SQL MERGE INTO): the idempotent-upsert fixture —
     * target = events < 400, source = events 200–599, all three clause
@@ -72,16 +92,21 @@ object Round17Queries {
     * merge law (values copy verbatim), so the oracle recomputes the
     * merged state exactly from set algebra over the raw parquet. The
     * statement goes through [[graft.engine.Lakehouse.sql]] — the same
-    * text a wire client POSTs. */
-  val q267 = GQuery("q267_merge_into_sql", (s, d) => {
-    import graft.engine.Lakehouse
-    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val table = s"mgsql_$run"
-    val src = s"mgsrc_$run"
+    * text a wire client POSTs. The fixture rebuilds per call (the
+    * merge consumes its target), but UNTIMED in Bench's setup phase. */
+  private def q267Setup(s: SparkSession, d: String): Unit = {
+    val table = fresh("mgsql_")
+    val src = fresh("mgsrc_")
     val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
     ev.where(col("event_id") < 400).write.saveAsTable(table)
     ev.where(col("event_id") >= 200 && col("event_id") < 600)
       .write.saveAsTable(src)
+    Fixtures.put(s"q267:$d", (table, src))
+  }
+
+  val q267 = GQuery("q267_merge_into_sql", (s, d) => {
+    import graft.engine.Lakehouse
+    val (table, src) = Fixtures.get[(String, String)](s"q267:$d")
     Lakehouse.sql(s,
       s"""MERGE INTO $table AS t USING $src AS s ON t.event_id = s.event_id
          |WHEN MATCHED AND s.event_id % 10 = 0 THEN DELETE
@@ -109,7 +134,8 @@ object Round17Queries {
            |SELECT event_type, count(*)::BIGINT AS n,
            |  CAST(sum(event_id) AS BIGINT) AS id_sum,
            |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-           |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin))
+           |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin),
+    setup = Some(q267Setup))
 
   /** Q268 (L27, Iceberg metadata tables from SQL): the `$snapshots`
     * inspection relation — `SELECT ... FROM `t$snapshots`` (the wire's
@@ -121,16 +147,24 @@ object Round17Queries {
     * engine-internal (non-deterministic across runs) and stay out of
     * the projection; MetaSqlSpec pins the paste-into-FOR-VERSION
     * workflow on them instead. */
-  val q268 = GQuery("q268_meta_snapshots_sql", (s, d) => {
-    import graft.engine.{Lakehouse, Layout}
-    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val table = s"metasql_$run"
+  private def q268Setup(s: SparkSession, d: String): Unit = {
+    import graft.engine.Layout
+    val key = s"q268:$d"
+    if (Fixtures.has(key) &&
+      s.catalog.tableExists(Fixtures.get[String](key))) return
+    val table = fresh("metasql_")
     val ev = t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
     ev.where(col("event_id") < 300).write.saveAsTable(table)
     Layout.snapshot(s, table, "m1")
     ev.where(col("event_id") >= 300 && col("event_id") < 600)
       .write.mode("append").saveAsTable(table)
     Layout.snapshot(s, table, "m2")
+    Fixtures.put(key, table)
+  }
+
+  val q268 = GQuery("q268_meta_snapshots_sql", (s, d) => {
+    import graft.engine.Lakehouse
+    val table = Fixtures.get[String](s"q268:$d")
     Lakehouse.sql(s,
       s"""SELECT operation, record_count
          |FROM `$table$$snapshots`
@@ -142,7 +176,8 @@ object Round17Queries {
            |UNION ALL
            |SELECT 'snapshot', count(*)::BIGINT
            |FROM events WHERE event_id < 600
-           |ORDER BY record_count""".stripMargin))
+           |ORDER BY record_count""".stripMargin),
+    setup = Some(q268Setup))
 
   val all: Seq[GQuery] = Seq(q266, q267, q268)
 }
