@@ -76,6 +76,49 @@ object ChangeFeed {
     write(cursor, batch.toSeq)
   }
 
+  /** Recover a follower stranded by a ROLLBACK: after
+    * [[Layout.assignHead]] abandons the commits past the rollback
+    * target, a cursor pointing into the abandoned line makes every
+    * [[poll]] refuse (the changelog's ancestor walk — correctly: those
+    * transitions never happened on the surviving line). `rebase` moves
+    * the cursor BACK to the fork point — the newest snapshot that is an
+    * ancestor of BOTH the cursor and the current head — so the next
+    * poll replays the surviving line from the divergence. At-least-once
+    * holds: rows committed before the fork were already delivered once
+    * and are not replayed; rows on the abandoned line were delivered
+    * but no longer exist (the consumer's `_change_version_id` dedup
+    * plus compensating logic owns that — same contract as Kafka
+    * consumers after a truncating leader change). Refuses when the
+    * cursor is still an ancestor of head (nothing to recover — poll
+    * works) so an accidental rebase cannot silently rewind a healthy
+    * follower. Cost: two driver-side parent-chain walks, zero data I/O.
+    * Returns the fork seq now in the cursor. */
+  def rebase(spark: SparkSession, table: String, cursorPath: String): Long = {
+    val cursor = Paths.get(cursorPath)
+    val cur = read(cursor).getOrElse(throw new IllegalStateException(
+      s"no cursor at $cursorPath — call init first"))
+    val root = Manifests.root(spark, table)
+    def ancestors(seq: Long): Seq[Long] = {
+      var chain = List.empty[Long]
+      var at = seq
+      while (at >= 0) {
+        chain = at :: chain
+        at = Manifests.loadSnapshot(root, at).parent
+      }
+      chain
+    }
+    val head = Manifests.loadRefs(root).head
+    val headChain = ancestors(head).toSet
+    require(!headChain.contains(cur),
+      s"cursor $cur is an ancestor of head $head — the feed is healthy, " +
+        "poll instead of rebasing")
+    val fork = ancestors(cur).filter(headChain.contains).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"cursor $cur of $table shares no ancestor with head $head"))
+    write(cursor, fork)
+    fork
+  }
+
   private def write(cursor: Path, seq: Long): Unit = {
     Option(cursor.getParent).foreach(Files.createDirectories(_))
     val tmp = cursor.resolveSibling(cursor.getFileName.toString + ".tmp")

@@ -46,12 +46,48 @@ object DmlSql {
 
   private val DeleteRx = "(?is)^\\s*DELETE\\s+FROM\\s+".r
   private val UpdateRx = "(?is)^\\s*UPDATE\\s+".r
+  private val TruncateRx = "(?is)^\\s*TRUNCATE\\s+TABLE\\s+".r
 
-  /** Execute the statement if it IS a DELETE/UPDATE; None otherwise. */
+  /** Execute the statement if it IS a DELETE/UPDATE/TRUNCATE; None
+    * otherwise. TRUNCATE is intercepted for SAFETY, not convenience:
+    * Spark's native TRUNCATE deletes the files under the table
+    * location in place — on a versioned table that location is the
+    * latest commit directory, whose files the head manifest (and any
+    * tag pointing at it) records as immutable. Routed here it becomes
+    * an unconditioned COW delete commit: the table empties, every
+    * snapshot keeps reading its exact bytes. */
   def maybeExecute(spark: SparkSession, sql: String): Option[DataFrame] = {
     val s = sql.trim.stripSuffix(";").trim
     DeleteRx.findFirstMatchIn(s).map(m => delete(spark, s, m.end))
       .orElse(UpdateRx.findFirstMatchIn(s).map(m => update(spark, s, m.end)))
+      .orElse(TruncateRx.findFirstMatchIn(s).map(m => truncate(spark, s, m.end)))
+  }
+
+  /** Refuse a DML target that is a VIEW before any work: the
+    * copy-on-write commit would otherwise fail three layers down
+    * (DROP TABLE on a view) after having written the rewrite. */
+  private def requireTableTarget(spark: SparkSession, table: String,
+      what: String): Unit = {
+    val leaf = table.split('.').last
+    val db = table.split('.').dropRight(1).lastOption
+    val isView =
+      try {
+        val t = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(leaf, db))
+        t.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+      } catch { case scala.util.control.NonFatal(_) => false }
+    require(!isView, s"$what target $table is a view — DML needs a table")
+  }
+
+  private def truncate(spark: SparkSession, s: String, afterKw: Int): DataFrame = {
+    import spark.implicits._
+    val (table, i1) = readWord(s, afterKw)
+    require(table.nonEmpty, "TRUNCATE TABLE: missing table name")
+    require(s.substring(skipWs(s, i1)).isEmpty,
+      s"cannot parse TRUNCATE statement tail: ${s.substring(i1).trim}")
+    requireTableTarget(spark, table, "TRUNCATE")
+    val n = Layout.deleteWhere(spark, table, lit(true))
+    Seq(n).toDF("rows")
   }
 
   /** Refuse subquery predicates with a targeted message: a SELECT
@@ -79,6 +115,7 @@ object DmlSql {
     import spark.implicits._
     val (table, i1) = readWord(s, afterFrom)
     require(table.nonEmpty, "DELETE FROM: missing table name")
+    requireTableTarget(spark, table, "DELETE")
     val rest = s.substring(skipWs(s, i1))
     val whereText =
       if (rest.isEmpty) None
@@ -98,6 +135,7 @@ object DmlSql {
     import spark.implicits._
     val (table, i1) = readWord(s, afterUpdate)
     require(table.nonEmpty, "UPDATE: missing table name")
+    requireTableTarget(spark, table, "UPDATE")
     val (setKw, i2) = readWord(s, i1)
     require(setKw.equalsIgnoreCase("SET"),
       s"UPDATE: expected SET, found '$setKw'")

@@ -82,4 +82,42 @@ class ChangeFeedSpec extends SparkSpec {
     assert(byType("delete") === 2L && byType("insert") === 1L)
     ChangeFeed.commit(cursor, batch)
   }
+
+  test("a follower whose cursor points into a rolled-back line surfaces " +
+      "the ancestor refusal instead of emitting phantom change rows") {
+    val t = freshName("cf_rb_")
+    val cursor = java.nio.file.Files.createTempDirectory("cf")
+      .resolve("cursor").toString
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "base")
+    val base = Manifests.loadRefs(Manifests.root(spark, t)).tags("base")
+    Seq((2L, "b")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "grown")
+    // the follower catches up to the soon-to-be-abandoned head
+    ChangeFeed.init(spark, t, cursor)
+    // rollback abandons the grown commit; the restore commit parents
+    // off base, so the follower's cursor is no longer an ancestor
+    graft.engine.Lakehouse.sql(spark,
+      s"ALTER TABLE $t EXECUTE rollback_to_snapshot($base)").collect()
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.poll(spark, t, cursor).foreach(_.changes.collect())
+    }
+    assert(e.getMessage.contains("ancestor"),
+      "the feed must refuse the non-ancestor window loudly — a " +
+        "consecutive-seq diff would fabricate transitions")
+    // recovery: rebase moves the cursor to the fork point (the base
+    // commit — the newest common ancestor), and the next poll serves
+    // the SURVIVING line (the restore commit) instead of refusing
+    val fork = ChangeFeed.rebase(spark, t, cursor)
+    assert(fork === base, "the fork point is the rollback target")
+    val replay = ChangeFeed.poll(spark, t, cursor).get
+    assert(replay.fromSeq === base)
+    replay.changes.collect() // serves without refusing
+    ChangeFeed.commit(cursor, replay)
+    // a HEALTHY follower cannot be accidentally rewound
+    val healthy = intercept[IllegalArgumentException] {
+      ChangeFeed.rebase(spark, t, cursor)
+    }
+    assert(healthy.getMessage.contains("healthy"))
+  }
 }

@@ -89,6 +89,33 @@ class DmlSqlSpec extends SparkSpec {
     assert(rows(t) === Seq((1L, "a", 1L)), "refused statements mutate nothing")
   }
 
+  test("TRUNCATE TABLE routes through the COW commit: table empties, tags " +
+      "keep their bytes; view targets refuse before any work") {
+    val t = freshName("dml_trunc_")
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "full")
+    val n = Lakehouse.sql(spark, s"TRUNCATE TABLE $t").as[Long].collect().head
+    assert(n === 2L)
+    assert(spark.table(t).count() === 0L)
+    // the snapshot still reads its immutable files — Spark's native
+    // TRUNCATE would have deleted them in place under the manifest
+    assert(Lakehouse.sql(spark,
+      s"SELECT count(*) FROM $t FOR VERSION AS OF 'full'")
+      .collect().head.getLong(0) === 2L)
+    // a VIEW target refuses before the rewrite machinery runs
+    val v = freshName("dml_view_")
+    Lakehouse.createView(spark, v, s"SELECT * FROM $t")
+    val e1 = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark, s"DELETE FROM $v WHERE 1 = 1")
+    }
+    assert(e1.getMessage.contains("view"))
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark, s"TRUNCATE TABLE $v")
+    }
+    assert(e2.getMessage.contains("view"))
+    spark.sql(s"DROP VIEW $v")
+  }
+
   test("DML composes with snapshots: a tag keeps reading the pre-DML state, " +
       "and the change feed sees the COW rewrite") {
     val t = freshName("dml_tt_")
