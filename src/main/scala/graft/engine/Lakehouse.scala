@@ -69,6 +69,7 @@ object Lakehouse {
     MergeSql.maybeExecute(spark, text)
       .orElse(DmlSql.maybeExecute(spark, text))
       .orElse(TableFunctions.maybeExecute(spark, text))
+      .orElse(AlterSql.maybeExecute(spark, text))
       .orElse(ShowStats.maybeExecute(spark, text))
       .getOrElse {
         spark.sql(TimeTravel.rewrite(spark,

@@ -891,6 +891,56 @@ object Layout {
     ()
   }
 
+  /** Create a NEW tag at an existing committed snapshot (Iceberg's
+    * `ALTER TABLE t CREATE TAG x AS OF VERSION s`): a refs-CAS insert
+    * with the shared assignability guard — the target must be committed
+    * and still readable. Differs from [[snapshot]] (which COMMITS the
+    * current state then tags it) and [[assignTag]] (which MOVES an
+    * existing tag): this pins a name to history, metadata-only. */
+  def tagAt(spark: SparkSession, table: String, tag: String, seq: Long): Unit = {
+    val root = Manifests.root(spark, table)
+    Manifests.updateRefs(root) { r =>
+      require(!r.tags.contains(tag),
+        s"snapshot tag '$tag' already exists for $table")
+      requireAssignable(root, r, seq, table, s"tag $tag")
+      r.copy(tags = r.tags + (tag -> seq))
+    }
+    ()
+  }
+
+  /** Drop ONE tag (Iceberg's `ALTER TABLE t DROP TAG x`): dereference
+    * it and let the GC reclaim whatever no remaining ref pins. Fork
+    * tags are branch anchors, not client refs — dropping the branch is
+    * the verb that removes them. */
+  def dropTag(spark: SparkSession, table: String, tag: String): Unit = {
+    require(!tag.startsWith("__fork_"),
+      s"'$tag' anchors a branch — DROP BRANCH removes it")
+    require(listSnapshots(spark, table).contains(tag),
+      s"$table has no tag $tag")
+    expireSnapshots(spark, table, listSnapshots(spark, table).toSet - tag)
+    ()
+  }
+
+  /** Fork `branch` from a committed SNAPSHOT SEQ (Iceberg's
+    * `CREATE BRANCH b AS OF VERSION s`) — [[createBranchAt]] keyed by
+    * seq instead of tag name: the fork manifest re-commits the target
+    * snapshot under the fork ref (metadata-only), then the branch's
+    * writable copy populates from it. */
+  def createBranchAtSeq(spark: SparkSession, table: String, branch: String,
+      seq: Long): String = {
+    val bt = branchTableName(table, branch)
+    require(!spark.catalog.tableExists(bt),
+      s"branch '$branch' already exists for $table")
+    val root = Manifests.root(spark, table)
+    requireNotExpired(root, seq, table)
+    val snap = Manifests.loadSnapshot(root, seq)
+    Manifests.commit(spark, table, s"fork:$branch@$seq", snap.basePath,
+      snap.schemaJson, snap.files, tag = Some(forkTag(branch)),
+      deletes = snap.deleteEntries, eqDeletes = snap.eqDeleteEntries)
+    readAtSeq(spark, table, seq).write.saveAsTable(bt)
+    bt
+  }
+
   /** Expire snapshot tags (Iceberg `expire_snapshots`): every tag NOT in
     * `keep` is dereferenced and its name returned, then the GC reclaims
     * every data file no remaining tag and no live table state references.
