@@ -128,5 +128,33 @@ object Round18Queries {
       Fixtures.put(s"q271:$d", (table, baseSeq))
     }))
 
-  val all: Seq[GQuery] = Seq(q269, q270, q271)
+  /** Q272 (L31, SQL column DDL): `RENAME COLUMN` then `DROP COLUMN`
+    * through the SQL plane — both refused natively by Spark's v1
+    * catalog, executed here as COW commits — then the surviving
+    * two-column state aggregated under the RENAMED name. The oracle
+    * recomputes from the raw parquet, so a rename that dropped rows, a
+    * drop that touched the wrong column, or a rewrite that reordered
+    * values into the wrong rows all hash-fail. */
+  val q272 = GQuery("q272_column_ddl_sql", (s, d) => {
+    import graft.engine.Lakehouse
+    val table = Fixtures.get[String](s"q272:$d")
+    Lakehouse.sql(s,
+      s"ALTER TABLE $table RENAME COLUMN event_type TO etype").collect()
+    Lakehouse.sql(s, s"ALTER TABLE $table DROP COLUMN value").collect()
+    Lakehouse.sql(s,
+      s"""SELECT etype, count(*) AS n,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM $table GROUP BY etype ORDER BY etype""".stripMargin)
+  },
+    Some("""SELECT event_type AS etype, count(*)::BIGINT AS n,
+           |  CAST(sum(event_id) AS BIGINT) AS id_sum
+           |FROM events WHERE event_id < 600
+           |GROUP BY event_type ORDER BY etype""".stripMargin),
+    setup = Some((s, d) => {
+      val table = fresh("ddlsql_")
+      eventsTable(s, d, table)
+      Fixtures.put(s"q272:$d", table)
+    }))
+
+  val all: Seq[GQuery] = Seq(q269, q270, q271, q272)
 }

@@ -16,7 +16,11 @@ import graft.queries.Registry
   * filter pushdown, column pruning, broadcast of bounded sides. */
 class PlanQualitySpec extends SparkSpec {
 
-  private def run(name: String): DataFrame = Registry.byName(name).run(spark, sf0001)
+  private def run(name: String): DataFrame = {
+    val q = Registry.byName(name)
+    q.setup.foreach(_(spark, sf0001)) // fixture phase (q266+ split it out)
+    q.run(spark, sf0001)
+  }
 
   private def executed(df: DataFrame): SparkPlan = {
     df.write.format("noop").mode("overwrite").save() // finalize AQE

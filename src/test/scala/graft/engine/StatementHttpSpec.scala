@@ -704,6 +704,15 @@ class StatementHttpSpec extends SparkSpec {
       val (srows2, _, _, _, _) = runWithHeaders(server,
         "SHOW SESSION LIKE 'join%'")
       assert(srows2.map(_.head.asText()) === Seq("join_distribution_type"))
+      // ref DDL over the wire: CREATE TAG in Trino's quoted spelling,
+      // then time-travel to it
+      val (_, tagRows, tfin) = run(server,
+        s"""ALTER TABLE "$t" CREATE TAG wire_tag""")
+      assert(tfin.at("/stats/state").asText() === "FINISHED")
+      assert(tagRows.map(_.head.asText()) === Seq("wire_tag"))
+      val (_, tagged, _) = run(server,
+        s"SELECT count(*) FROM $t FOR VERSION AS OF 'wire_tag'")
+      assert(tagged.map(_.head.asLong()) === Seq(3L))
       spark.sql(s"DROP TABLE $t")
     } finally server.stop()
   }
