@@ -590,6 +590,31 @@ class StatementHttpSpec extends SparkSpec {
       assert(cc === Seq("Column", "Type", "Extra", "Comment"))
       assert(cshow.map(r => r.head.asText()) ===
         Seq("product_id", "name", "category", "price", "stock", "created_at"))
+      // a dataset built on a VIEW (init_db.py's saved-query layer):
+      // create the view over the wire, introspect its columns AND its
+      // stored definition — the dialect's get_view_definition, which
+      // round 17 served as NULL (the "introspects blind" gap)
+      val (_, _, vfin) = run(server,
+        """CREATE OR REPLACE VIEW "demo"."big_events" AS """ +
+          """SELECT "id", "amount" FROM "demo"."events" WHERE "amount" > 50""")
+      assert(vfin.at("/stats/state").asText() === "FINISHED")
+      val (_, vtype, _) = run(server,
+        """SELECT "table_type" FROM "information_schema"."tables" """ +
+          """WHERE "table_schema" = 'demo' AND "table_name" = 'big_events'""")
+      assert(vtype.map(_.head.asText()) === Seq("VIEW"))
+      val (_, vdef, _) = run(server,
+        """SELECT "view_definition" FROM "information_schema"."views" """ +
+          """WHERE "table_schema" = 'demo' AND "table_name" = 'big_events'""")
+      assert(vdef.size === 1 && !vdef.head.head.isNull &&
+        vdef.head.head.asText().contains("50"),
+        s"get_view_definition carries the stored body, got $vdef")
+      val (vcols, vrows, _) = run(server,
+        s"EXECUTE IMMEDIATE '${getCols.replace("'", "''")}' USING 'demo', 'big_events'")
+      assert(vcols === Seq("column_name", "data_type", "column_default",
+        "is_nullable"))
+      assert(vrows.map(r => (r.head.asText(), r(1).asText())) ===
+        Seq(("id", "bigint"), ("amount", "double")))
+      run(server, """DROP VIEW "demo"."big_events"""")
     } finally server.stop()
   }
 
