@@ -47,6 +47,8 @@ object DmlSql {
   private val DeleteRx = "(?is)^\\s*DELETE\\s+FROM\\s+".r
   private val UpdateRx = "(?is)^\\s*UPDATE\\s+".r
   private val TruncateRx = "(?is)^\\s*TRUNCATE\\s+TABLE\\s+".r
+  private val InsertOverwriteRx =
+    "(?is)^\\s*INSERT\\s+OVERWRITE\\s+(?:TABLE\\s+)?".r
 
   /** Execute the statement if it IS a DELETE/UPDATE/TRUNCATE; None
     * otherwise. TRUNCATE is intercepted for SAFETY, not convenience:
@@ -61,6 +63,45 @@ object DmlSql {
     DeleteRx.findFirstMatchIn(s).map(m => delete(spark, s, m.end))
       .orElse(UpdateRx.findFirstMatchIn(s).map(m => update(spark, s, m.end)))
       .orElse(TruncateRx.findFirstMatchIn(s).map(m => truncate(spark, s, m.end)))
+      .orElse(InsertOverwriteRx.findFirstMatchIn(s)
+        .map(m => insertOverwrite(spark, s, m.end)))
+  }
+
+  /** `INSERT OVERWRITE [TABLE] t <query>` — the same in-place-delete
+    * hazard class as TRUNCATE: Spark's native path clears the files
+    * under the table location before writing, and on a versioned table
+    * those are the latest commit directory's manifest-recorded bytes.
+    * Routed here the query's result commits through [[Layout.overwrite]]
+    * (single write to a fresh commit dir + pointer swap), so every tag
+    * keeps reading its exact files. Static `PARTITION (...)` specs
+    * refuse loudly — partition-scoped overwrite composes differently
+    * (delete-matching + append) and a silent full-table overwrite under
+    * a partition spec would destroy data the user meant to keep. */
+  private def insertOverwrite(spark: SparkSession, s: String,
+      afterKw: Int): DataFrame = {
+    import spark.implicits._
+    val (table, i1) = readWord(s, afterKw)
+    require(table.nonEmpty, "INSERT OVERWRITE: missing table name")
+    requireTableTarget(spark, table, "INSERT OVERWRITE")
+    val rest = s.substring(skipWs(s, i1)).trim
+    require(!rest.toUpperCase.startsWith("PARTITION"),
+      "INSERT OVERWRITE with a PARTITION spec is not supported — " +
+        "DELETE the partition's rows, then INSERT INTO")
+    require(rest.nonEmpty, "INSERT OVERWRITE: missing source query")
+    val target = Layout.readCurrent(spark, table).schema
+    val src = spark.sql(rest)
+    require(src.schema.fields.length == target.fields.length,
+      s"INSERT OVERWRITE query yields ${src.schema.fields.length} columns, " +
+        s"$table has ${target.fields.length}")
+    // position-based with a cast to the table's types — INSERT's
+    // standard column resolution
+    val aligned = src.toDF(target.fieldNames.toIndexedSeq: _*)
+      .select(target.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+        .toIndexedSeq: _*)
+    Layout.overwrite(spark, table, aligned, operation = "insert-overwrite")
+    val n = spark.table(table).count()
+    Seq(n).toDF("rows")
   }
 
   /** Refuse a DML target that is a VIEW before any work: the

@@ -33,7 +33,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object MetaSql {
 
   private val Rx = "`([A-Za-z_][A-Za-z_0-9.]*)\\$([A-Za-z_]+)`".r
-  private val Served = Set("snapshots", "history", "refs", "files", "partitions")
+  private val Served = Set("snapshots", "history", "refs", "files",
+    "partitions", "manifests", "properties")
 
   private def insideLiteral(s: String, pos: Int): Boolean = {
     var i = 0
@@ -119,6 +120,41 @@ object MetaSql {
           .map(f => (f.path, "PARQUET", f.records, f.bytes))
           .toDF("file_path", "file_format", "record_count",
             "file_size_in_bytes")
+      case "manifests" =>
+        // one manifest file per commit in this engine; added/existing
+        // splits computed against the parent's file set — driver-side
+        // metadata, the same set-diffs the changelog runs
+        val bySeq = snaps.map(s => s.seq -> s).toMap
+        snaps.sortBy(-_.seq).map { s =>
+          val parentPaths = bySeq.get(s.parent)
+            .map(_.files.map(_.path).toSet).getOrElse(Set.empty[String])
+          val (existing, added) =
+            s.files.partition(f => parentPaths.contains(f.path))
+          val mpath = root.resolve(
+            Manifests.loadRefs(root).snapName(s.seq)).toString
+          val mlen =
+            try java.nio.file.Files.size(java.nio.file.Paths.get(mpath))
+            catch { case scala.util.control.NonFatal(_) => -1L }
+          (mpath, mlen, s.seq, added.size.toLong, added.map(_.records).sum,
+            existing.size.toLong, existing.map(_.records).sum)
+        }.toDF("path", "length", "added_snapshot_id",
+          "added_data_files_count", "added_rows_count",
+          "existing_data_files_count", "existing_rows_count")
+      case "properties" =>
+        // catalog-recorded table properties plus the engine-shaped
+        // basics (provider, location) — Trino's $properties shape
+        val leaf = table.split('.').last
+        val db = table.split('.').dropRight(1).lastOption
+        val meta =
+          try Some(spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(leaf, db)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        val base = Seq(
+          "provider" -> meta.flatMap(_.provider).getOrElse("parquet"),
+          "location" -> meta.map(_.location.toString).getOrElse(""))
+        val props = meta.map(_.properties.toSeq).getOrElse(Nil)
+          .filterNot { case (k, _) => k.startsWith("transient_") }
+        (base ++ props).sortBy(_._1).toDF("key", "value")
       case "partitions" =>
         // per-partition rollup of the HEAD manifest — the partition is
         // the hive-style `k=v` path segments ("" for unpartitioned

@@ -116,6 +116,36 @@ class DmlSqlSpec extends SparkSpec {
     spark.sql(s"DROP VIEW $v")
   }
 
+  test("INSERT OVERWRITE routes through the COW commit: content replaces, " +
+      "tags keep their bytes, partition specs refuse") {
+    val t = freshName("dml_iow_")
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "x").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "orig")
+    val n = Lakehouse.sql(spark,
+      s"INSERT OVERWRITE TABLE $t SELECT id + 10, upper(v), x FROM $t")
+      .as[Long].collect().head
+    assert(n === 2L)
+    assert(rows(t) === Seq((11L, "A", 1L), (12L, "B", 2L)))
+    // the tag still reads the pre-overwrite rows — native INSERT
+    // OVERWRITE would have deleted its files in place
+    assert(Lakehouse.sql(spark,
+      s"SELECT id FROM $t FOR VERSION AS OF 'orig' ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // arity mismatch and PARTITION specs refuse loudly
+    val arity = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark, s"INSERT OVERWRITE $t SELECT 1")
+    }
+    assert(arity.getMessage.contains("columns"))
+    val part = intercept[IllegalArgumentException] {
+      Lakehouse.sql(spark,
+        s"INSERT OVERWRITE $t PARTITION (x = 1) SELECT 1, 'a'")
+    }
+    assert(part.getMessage.contains("PARTITION"))
+    // plain INSERT INTO passes through to Spark untouched
+    Lakehouse.sql(spark, s"INSERT INTO $t VALUES (99, 'z', 9)")
+    assert(spark.table(t).count() === 3L)
+  }
+
   test("DML composes with snapshots: a tag keeps reading the pre-DML state, " +
       "and the change feed sees the COW rewrite") {
     val t = freshName("dml_tt_")

@@ -99,10 +99,35 @@ class MetaSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no committed snapshots"))
     val e2 = intercept[IllegalArgumentException] {
-      Lakehouse.sql(spark, s"SELECT * FROM `$t$$manifests`")
+      Lakehouse.sql(spark, s"SELECT * FROM `$t$$bogus`")
     }
     assert(e2.getMessage.contains("not served"))
     val lit = "SELECT 'see `t$snapshots` here' AS s"
     assert(MetaSql.rewrite(spark, lit) === lit)
+  }
+
+  test("$manifests reports per-commit added/existing splits; $properties " +
+      "lists the catalog's table metadata") {
+    val t = freshName("ms_man_")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.saveAsTable(t)
+    Layout.snapshot(spark, t, "m1")
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").saveAsTable(t)
+    Layout.snapshot(spark, t, "m2")
+    val man = Lakehouse.sql(spark,
+      s"""SELECT added_snapshot_id, length, added_rows_count,
+         |  existing_rows_count
+         |FROM `$t$$manifests` ORDER BY added_snapshot_id""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(man.size === 2)
+    // first commit: everything added; second: the append added 1 row,
+    // the base 2 rows carried as existing
+    assert(man.head._3 === 2L && man.head._4 === 0L)
+    assert(man.last._3 === 1L && man.last._4 === 2L)
+    assert(man.forall(_._2 > 0L), "manifest files have real sizes")
+    val props = Lakehouse.sql(spark,
+      s"SELECT key, value FROM `$t$$properties` ORDER BY key")
+      .as[(String, String)].collect().toMap
+    assert(props("provider").equalsIgnoreCase("parquet"))
+    assert(props("location").nonEmpty)
   }
 }
