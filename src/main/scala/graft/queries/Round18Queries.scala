@@ -156,5 +156,37 @@ object Round18Queries {
       Fixtures.put(s"q272:$d", table)
     }))
 
-  val all: Seq[GQuery] = Seq(q269, q270, q271, q272)
+  /** Q273 (L30, INSERT OVERWRITE interception): the statement Spark
+    * would execute as an in-place file delete routes through the COW
+    * commit instead — the query's result (survivors under an id bound,
+    * values doubled) replaces the table, then the state aggregates.
+    * The oracle recomputes the overwritten state from raw parquet, so
+    * a position-misresolved column, a dropped cast, or any leaked
+    * pre-overwrite row hash-fails. */
+  val q273 = GQuery("q273_insert_overwrite_sql", (s, d) => {
+    import graft.engine.Lakehouse
+    val table = Fixtures.get[String](s"q273:$d")
+    Lakehouse.sql(s,
+      s"INSERT OVERWRITE TABLE $table " +
+        s"SELECT event_id, event_type, value * 2 FROM $table " +
+        "WHERE event_id < 300").collect()
+    Lakehouse.sql(s,
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |  round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
+         |FROM $table GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+  },
+    Some("""SELECT event_type, count(*)::BIGINT AS n,
+           |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+           |  round(CAST(sum(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+           |FROM events WHERE event_id < 300
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    setup = Some((s, d) => {
+      val table = fresh("iowsql_")
+      eventsTable(s, d, table)
+      Fixtures.put(s"q273:$d", table)
+    }))
+
+  val all: Seq[GQuery] = Seq(q269, q270, q271, q272, q273)
 }
