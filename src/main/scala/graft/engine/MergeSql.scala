@@ -20,7 +20,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   MERGE INTO t [AS a] USING s|(subquery) [AS b] ON <cond>
   *     [WHEN MATCHED [AND c1] THEN UPDATE SET x = e1, ...]
   *     [WHEN MATCHED [AND c2] THEN DELETE]
-  *     [WHEN NOT MATCHED [AND c3] THEN INSERT [(cols)] VALUES (...)]
+  *     [WHEN NOT MATCHED [BY TARGET] [AND c3] THEN INSERT [(cols)] VALUES (...)]
+  *     [WHEN NOT MATCHED BY SOURCE [AND c4] THEN UPDATE SET ... | DELETE]
+  *
+  * `NOT MATCHED BY SOURCE` (Spark SQL's full-sync clause; `BY TARGET`
+  * is the standard alias for plain NOT MATCHED) acts on target rows
+  * with NO source match — the other half of a one-statement table
+  * sync. Its conditions and UPDATE expressions may reference only
+  * target columns (source columns are definitionally absent; naming
+  * one refuses in analysis). Guards are disjoint by construction
+  * (`__smatch` vs `NOT __smatch`), so the clause composes with the
+  * matched projections in the SAME single left join — no extra join
+  * for the kept side; its affected counts cost one anti-join aggregate
+  * run only when such clauses exist.
   *
   * Plan shape — Spark-first, no row-at-a-time anything:
   *
@@ -78,6 +90,11 @@ object MergeSql {
   private final case class NotMatched(cond: Option[String],
       cols: Seq[String], values: Seq[String])
 
+  private sealed trait Clause
+  private final case class MatchedC(m: Matched) extends Clause
+  private final case class NotMatchedC(nm: NotMatched) extends Clause
+  private final case class NotBySourceC(m: Matched) extends Clause
+
   private val HeadRx = "(?is)^\\s*MERGE\\s+INTO\\s+".r
 
   /** Execute the statement if it IS a MERGE INTO; None otherwise. */
@@ -91,19 +108,29 @@ object MergeSql {
 
   private final case class Parsed(table: String, targetAlias: String,
       sourceRel: String, sourceAlias: String, cond: String,
-      matched: Seq[Matched], notMatched: Option[NotMatched])
+      matched: Seq[Matched], notMatched: Option[NotMatched],
+      notBySource: Seq[Matched])
 
   /** Parse one `WHEN ...` clause. The clause's THEN is located with the
     * CASE-aware scanner, so a condition like `AND CASE WHEN s.x > 1
     * THEN true ELSE false END` parses instead of mangling (round-17
     * verdict "What's wrong #3"). */
-  private def parseClause(cl: String): Either[Matched, NotMatched] = {
-    val head = "(?is)^WHEN\\s+(NOT\\s+)?MATCHED\\b".r.findFirstMatchIn(cl)
+  private def parseClause(cl: String): Clause = {
+    val head = ("(?is)^WHEN\\s+(NOT\\s+)?MATCHED" +
+      "(?:\\s+BY\\s+(SOURCE|TARGET))?\\b").r.findFirstMatchIn(cl)
       .getOrElse(throw new IllegalArgumentException(
         s"cannot parse MERGE clause: $cl — supported: WHEN MATCHED " +
           "[AND c] THEN UPDATE SET ... | DELETE; WHEN NOT MATCHED " +
-          "[AND c] THEN INSERT [(cols)] VALUES (...)"))
-    val isNotMatched = head.group(1) != null
+          "[BY TARGET] [AND c] THEN INSERT [(cols)] VALUES (...); " +
+          "WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE"))
+    val isNot = head.group(1) != null
+    val byLeg = Option(head.group(2)).map(_.toUpperCase)
+    require(isNot || byLeg.isEmpty,
+      s"BY ${byLeg.getOrElse("")} requires NOT MATCHED: $cl")
+    val bySource = isNot && byLeg.contains("SOURCE")
+    // NOT MATCHED [BY TARGET] inserts; NOT MATCHED BY SOURCE acts on
+    // unmatched TARGET rows like a matched clause does
+    val isNotMatched = isNot && !bySource
     val condStart = skipWs(cl, head.end)
     val thenIdx = topLevelKeyword(cl, "THEN", condStart)
     require(thenIdx > 0, s"cannot parse MERGE clause (missing THEN): $cl")
@@ -125,7 +152,7 @@ object MergeSql {
           splitTop(c.stripPrefix("(").stripSuffix(")"))
             .map(_.stripPrefix("`").stripSuffix("`"))).getOrElse(Nil)
         val vals = splitTop(values.trim.stripPrefix("(").stripSuffix(")"))
-        Right(NotMatched(cond, cols, vals))
+        NotMatchedC(NotMatched(cond, cols, vals))
       case other => throw new IllegalArgumentException(
         s"WHEN NOT MATCHED supports only INSERT [(cols)] VALUES (...): $other")
     } else action match {
@@ -143,11 +170,14 @@ object MergeSql {
           .collectFirst { case (c, hits) if hits.size > 1 => c }
         require(dup.isEmpty,
           s"duplicate assignment to column '${dup.getOrElse("")}' in UPDATE SET")
-        Left(Matched(cond, isDelete = false, assigns))
+        val m = Matched(cond, isDelete = false, assigns)
+        if (bySource) NotBySourceC(m) else MatchedC(m)
       case d if d.equalsIgnoreCase("DELETE") =>
-        Left(Matched(cond, isDelete = true, Nil))
+        val m = Matched(cond, isDelete = true, Nil)
+        if (bySource) NotBySourceC(m) else MatchedC(m)
       case other => throw new IllegalArgumentException(
-        s"WHEN MATCHED supports only UPDATE SET ... or DELETE: $other")
+        s"WHEN ${if (bySource) "NOT MATCHED BY SOURCE" else "MATCHED"} " +
+          s"supports only UPDATE SET ... or DELETE: $other")
     }
   }
 
@@ -214,10 +244,12 @@ object MergeSql {
 
     var matched = Seq.newBuilder[Matched]
     var notM: Option[NotMatched] = None
+    var nbs = Seq.newBuilder[Matched]
     clauses.foreach { cl =>
       parseClause(cl) match {
-        case Left(m) => matched += m
-        case Right(nm) =>
+        case MatchedC(m) => matched += m
+        case NotBySourceC(m) => nbs += m
+        case NotMatchedC(nm) =>
           require(notM.isEmpty, "MERGE INTO: at most one WHEN NOT MATCHED clause")
           notM = Some(nm)
       }
@@ -225,7 +257,12 @@ object MergeSql {
     val ms = matched.result()
     require(ms.count(!_.isDelete) <= 1, "MERGE INTO: at most one UPDATE clause")
     require(ms.count(_.isDelete) <= 1, "MERGE INTO: at most one DELETE clause")
-    Parsed(table, targetAlias, sourceRel, sourceAlias, cond, ms, notM)
+    val ns = nbs.result()
+    require(ns.count(!_.isDelete) <= 1,
+      "MERGE INTO: at most one NOT MATCHED BY SOURCE UPDATE clause")
+    require(ns.count(_.isDelete) <= 1,
+      "MERGE INTO: at most one NOT MATCHED BY SOURCE DELETE clause")
+    Parsed(table, targetAlias, sourceRel, sourceAlias, cond, ms, notM, ns)
   }
 
   // ------------------------------------------------------------- execute
@@ -263,6 +300,24 @@ object MergeSql {
     val delIdx = p.matched.indexWhere(_.isDelete)
     val updPred = if (updIdx < 0) "false" else clausePred(updIdx)
     val delPred = if (delIdx < 0) "false" else clausePred(delIdx)
+    // NOT MATCHED BY SOURCE predicates: the unmatched-guard makes them
+    // disjoint from every matched-clause predicate, so both families
+    // ride the SAME left join's projections
+    def nbsClausePred(k: Int): String = {
+      val own = s"coalesce((${p.notBySource(k).cond.getOrElse("true")}), false)"
+      val priors = p.notBySource.take(k).map(c =>
+        s"NOT coalesce((${c.cond.getOrElse("true")}), false)")
+      (Seq(s"NOT coalesce($sa.__smatch, false)", own) ++ priors).mkString(" AND ")
+    }
+    val nbsUpdIdx = p.notBySource.indexWhere(!_.isDelete)
+    val nbsDelIdx = p.notBySource.indexWhere(_.isDelete)
+    val nbsUpdPred = if (nbsUpdIdx < 0) "false" else nbsClausePred(nbsUpdIdx)
+    val nbsDelPred = if (nbsDelIdx < 0) "false" else nbsClausePred(nbsDelIdx)
+    val nbsAssigns: Map[String, String] =
+      if (nbsUpdIdx < 0) Map.empty
+      else p.notBySource(nbsUpdIdx).assignments.toMap
+    nbsAssigns.keys.foreach(c => require(tcols.exists(_.name == c),
+      s"NOT MATCHED BY SOURCE UPDATE SET names unknown column '$c' of ${p.table}"))
     // "some MATCHED clause applies to this pair" — the cardinality
     // rule's unit, and the dedupe window's ordering key
     val applicablePred =
@@ -275,23 +330,26 @@ object MergeSql {
       s"UPDATE SET names unknown column '$c' of ${p.table}"))
     val keptSelect = tcols.map { f =>
       val c = s"`${f.name}`"
-      assigns.get(f.name) match {
-        case Some(expr) =>
-          s"CASE WHEN $updPred THEN CAST(($expr) AS ${f.dataType.sql}) " +
-            s"ELSE $ta.$c END AS $c"
-        case None => s"$ta.$c AS $c"
-      }
+      val arms = Seq(
+        assigns.get(f.name).map(e =>
+          s"WHEN $updPred THEN CAST(($e) AS ${f.dataType.sql})"),
+        nbsAssigns.get(f.name).map(e =>
+          s"WHEN $nbsUpdPred THEN CAST(($e) AS ${f.dataType.sql})")).flatten
+      if (arms.isEmpty) s"$ta.$c AS $c"
+      else s"CASE ${arms.mkString(" ")} ELSE $ta.$c END AS $c"
     }.mkString(",\n  ")
+    val keptFilter = s"NOT coalesce(($delPred), false) AND " +
+      s"NOT coalesce(($nbsDelPred), false)"
     val kept =
-      if (p.matched.isEmpty)
-        // insert-only merge: no matched clause can change or delete a
-        // target row, so the kept side is the target verbatim — no join
+      if (p.matched.isEmpty && p.notBySource.isEmpty)
+        // insert-only merge: no clause can change or delete a target
+        // row, so the kept side is the target verbatim — no join
         // (and no per-pair duplication for multi-matching source rows)
         spark.sql("SELECT " +
           tcols.map(f => s"`${f.name}`").mkString(", ") + s" FROM $tgtView")
       else if (!dedupe)
         spark.sql(
-          s"SELECT\n  $keptSelect\n$joinFrom\nWHERE NOT coalesce(($delPred), false)")
+          s"SELECT\n  $keptSelect\n$joinFrom\nWHERE $keptFilter")
       else {
         // inner projections keep both aliases resolvable; the outer
         // block keeps rank-1 per target row (applicable pair first —
@@ -302,7 +360,7 @@ object MergeSql {
           s"""SELECT $names FROM (
              |  SELECT
              |  $keptSelect,
-             |  ($delPred) AS __del,
+             |  (($delPred) OR ($nbsDelPred)) AS __del,
              |  row_number() OVER (PARTITION BY $ta.`__tid`
              |    ORDER BY CASE WHEN $applicablePred THEN 0 ELSE 1 END) AS __rn
              |  $joinFrom) __m
@@ -374,7 +432,11 @@ object MergeSql {
       var updated = 0L
       var deleted = 0L
       var multiMatch = false
-      if (p.matched.nonEmpty) {
+      // the kept side joins whenever ANY clause acts on target rows —
+      // multi-match detection must cover the NOT-MATCHED-BY-SOURCE-only
+      // statement too (its unmatched rows are single, but a
+      // multi-matched row would still duplicate through the left join)
+      if (p.matched.nonEmpty || p.notBySource.nonEmpty) {
         val pre = spark.sql(
           s"""SELECT coalesce(max(__app), 0L), coalesce(max(__cnt), 0L),
              |  coalesce(sum(__u), 0L), coalesce(sum(__d), 0L)
@@ -395,6 +457,32 @@ object MergeSql {
         multiMatch = pre.getLong(1) > 1L
         updated = pre.getLong(2)
         deleted = pre.getLong(3)
+      }
+      // NOT MATCHED BY SOURCE affected counts: one anti-join aggregate,
+      // run only when such clauses exist (unmatched target rows never
+      // appear in the inner-join pre-pass). Clause conditions reference
+      // target columns only — a source column here fails analysis
+      // loudly, which is the contract.
+      if (p.notBySource.nonEmpty) {
+        def antiPred(idx: Int): String =
+          if (idx < 0) "false"
+          else {
+            val own =
+              s"coalesce((${p.notBySource(idx).cond.getOrElse("true")}), false)"
+            val priors = p.notBySource.take(idx).map(c =>
+              s"NOT coalesce((${c.cond.getOrElse("true")}), false)")
+            (own +: priors).mkString(" AND ")
+          }
+        val nbsUpd = antiPred(p.notBySource.indexWhere(!_.isDelete))
+        val nbsDel = antiPred(p.notBySource.indexWhere(_.isDelete))
+        val row = spark.sql(
+          s"""SELECT coalesce(sum(CASE WHEN $nbsUpd THEN 1 ELSE 0 END), 0L),
+             |  coalesce(sum(CASE WHEN $nbsDel THEN 1 ELSE 0 END), 0L)
+             |FROM $tgtView AS $ta
+             |LEFT ANTI JOIN $srcRel ON (${p.cond})""".stripMargin)
+          .collect().head
+        updated += row.getLong(0)
+        deleted += row.getLong(1)
       }
       val b = if (multiMatch) build(spark, p, tgtView, dedupe = true) else b0
       // inserted count observed on the COMMITTED materialization — the

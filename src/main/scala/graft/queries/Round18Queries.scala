@@ -188,5 +188,49 @@ object Round18Queries {
       Fixtures.put(s"q273:$d", table)
     }))
 
-  val all: Seq[GQuery] = Seq(q269, q270, q271, q272, q273)
+  /** Q274 (L26″, full-sync MERGE): all FOUR clause kinds in one
+    * statement — matched UPDATE, unmatched-by-target INSERT,
+    * unmatched-by-source DELETE — the one-statement table sync.
+    * After the merge the target must be exactly the source's key set
+    * with matched rows updated; the oracle recomputes that state by
+    * set algebra from raw parquet, so a leaked unmatched-by-source
+    * row, a dropped matched row, or a misapplied clause hash-fails. */
+  val q274 = GQuery("q274_merge_full_sync_sql", (s, d) => {
+    import graft.engine.Lakehouse
+    val (table, src) = Fixtures.get[(String, String)](s"q274:$d")
+    Lakehouse.sql(s,
+      s"""MERGE INTO $table AS t USING $src AS s ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET event_type = concat(s.event_type, '_m')
+         |WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+         |  VALUES (s.event_id, concat(s.event_type, '_i'), s.value)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+    Lakehouse.sql(s,
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |  round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
+         |FROM $table GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+  },
+    Some("""WITH merged AS (
+           |  SELECT event_id, event_type || '_m' AS event_type, value
+           |  FROM events WHERE event_id >= 200 AND event_id < 400
+           |  UNION ALL
+           |  SELECT event_id, event_type || '_i', value
+           |  FROM events WHERE event_id >= 400 AND event_id < 600)
+           |SELECT event_type, count(*)::BIGINT AS n,
+           |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+           |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin),
+    setup = Some((s, d) => {
+      val table = fresh("fsync_")
+      val src = fresh("fsrc_")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.where(col("event_id") < 400).write.saveAsTable(table)
+      ev.where(col("event_id") >= 200 && col("event_id") < 600)
+        .write.saveAsTable(src)
+      Fixtures.put(s"q274:$d", (table, src))
+    }))
+
+  val all: Seq[GQuery] = Seq(q269, q270, q271, q272, q273, q274)
 }

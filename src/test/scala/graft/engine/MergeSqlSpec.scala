@@ -203,6 +203,63 @@ class MergeSqlSpec extends SparkSpec {
     assert(jobs <= 10, s"MERGE ran $jobs jobs — a pre-pass crept back in")
   }
 
+  test("WHEN NOT MATCHED BY SOURCE completes the full-sync statement: " +
+      "update + insert + delete-unmatched in one MERGE") {
+    val t = freshName("mg_nbs_")
+    val u = freshName("mg_nbsu_")
+    Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L))
+      .toDF("id", "v", "x").write.saveAsTable(t)
+    Seq((2L, "B", 20L), (4L, "D", 40L)).toDF("id", "v", "x").write.saveAsTable(u)
+    val n = Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v, x = s.x
+         |WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v, s.x)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      .as[Long].collect().head
+    // 1 updated (id=2) + 1 inserted (id=4) + 2 deleted (ids 1,3)
+    assert(n === 4L, s"full-sync affects 4 rows, got $n")
+    assert(rows(t) === Seq((2L, "B", 20L), (4L, "D", 40L)),
+      "the target becomes exactly the source")
+  }
+
+  test("NOT MATCHED BY SOURCE with a condition updates only the selected " +
+      "unmatched rows; BY TARGET aliases plain NOT MATCHED") {
+    val t = freshName("mg_nbsc_")
+    val u = freshName("mg_nbscu_")
+    Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 9L))
+      .toDF("id", "v", "x").write.saveAsTable(t)
+    Seq((2L, "B", 20L), (5L, "E", 50L)).toDF("id", "v", "x").write.saveAsTable(u)
+    val n = Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN NOT MATCHED BY TARGET THEN INSERT VALUES (s.id, s.v, s.x)
+         |WHEN NOT MATCHED BY SOURCE AND t.x > 5
+         |  THEN UPDATE SET v = concat(t.v, '_stale')""".stripMargin)
+      .as[Long].collect().head
+    // 1 inserted (id=5) + 1 updated (id=3, x=9>5); id=1 untouched
+    assert(n === 2L)
+    assert(rows(t) === Seq((1L, "a", 1L), (2L, "b", 2L),
+      (3L, "c_stale", 9L), (5L, "E", 50L)))
+  }
+
+  test("NBS-only statement with a multi-matching source keeps each " +
+      "matched target row exactly once") {
+    val t = freshName("mg_nbsm_")
+    val u = freshName("mg_nbsmu_")
+    Seq((1L, "keep", 1L), (9L, "drop", 9L)).toDF("id", "v", "x")
+      .write.saveAsTable(t)
+    // id=1 matches TWICE; no MATCHED clause applies, but the left join
+    // would duplicate it without the dedupe path
+    Seq((1L, "m1", 1L), (1L, "m2", 2L)).toDF("id", "v", "x")
+      .write.saveAsTable(u)
+    val n = Lakehouse.sql(spark,
+      s"""MERGE INTO $t AS t USING $u AS s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      .as[Long].collect().head
+    assert(n === 1L, "only the unmatched row deletes")
+    assert(rows(t) === Seq((1L, "keep", 1L)),
+      "the multi-matched row survives exactly once")
+  }
+
   test("merge composes with snapshots: tags keep reading the pre-merge state") {
     val t = freshName("mg_tt_")
     val u = freshName("mg_ttu_")
