@@ -100,7 +100,7 @@ object Bench {
       // round-17 new: SQL CDC feed + SQL MERGE INTO + metadata tables
       "q266", "q267", "q268",
       // round-18 new: SQL row-level DML + snapshot rollback + column DDL
-      "q269", "q270", "q271", "q272", "q273", "q274",
+      "q269", "q270", "q271", "q272", "q273", "q274", "q275",
       // drift-watch (VERDICT r10 What's-wrong #2 named regressors)
       "q78", "q88", "q55", "q182")
     val group = sys.env.get("SPARK_GRAFT_BENCH_GROUP")

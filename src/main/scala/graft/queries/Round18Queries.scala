@@ -232,5 +232,43 @@ object Round18Queries {
       Fixtures.put(s"q274:$d", (table, src))
     }))
 
-  val all: Seq[GQuery] = Seq(q269, q270, q271, q272, q273, q274)
+  /** Q275 (L31′, ref DDL + branch read): `CREATE TAG` pins the base
+    * commit, the table grows and rewrites, then `CREATE BRANCH ... AS
+    * OF VERSION <base>` forks the pinned history and the branch reads
+    * back through the `` `t@branch` `` spelling — the
+    * reproduce-from-history workflow in pure SQL. The oracle recomputes
+    * the base state from raw parquet, so a fork that leaked any later
+    * commit's rows (or dropped base rows) hash-fails. */
+  val q275 = GQuery("q275_branch_ddl_sql", (s, d) => {
+    import graft.engine.Lakehouse
+    val (table, baseSeq) = Fixtures.get[(String, Long)](s"q275:$d")
+    val branch = fresh("repro_")
+    Lakehouse.sql(s,
+      s"ALTER TABLE $table CREATE BRANCH $branch AS OF VERSION $baseSeq")
+      .collect()
+    Lakehouse.sql(s,
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM `$table@$branch`
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  },
+    Some("""SELECT event_type, count(*)::BIGINT AS n,
+           |  CAST(sum(event_id) AS BIGINT) AS id_sum
+           |FROM events WHERE event_id < 300
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    setup = Some((s, d) => {
+      import graft.engine.{Lakehouse, Manifests}
+      val table = fresh("brddl_")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.where(col("event_id") < 300).write.saveAsTable(table)
+      Lakehouse.sql(s, s"ALTER TABLE $table CREATE TAG base").collect()
+      ev.where(col("event_id") >= 300 && col("event_id") < 600)
+        .write.mode("append").saveAsTable(table)
+      Lakehouse.sql(s, s"DELETE FROM $table WHERE event_id % 7 = 0").collect()
+      val baseSeq = Manifests.loadRefs(Manifests.root(s, table)).tags("base")
+      Fixtures.put(s"q275:$d", (table, baseSeq))
+    }))
+
+  val all: Seq[GQuery] = Seq(q269, q270, q271, q272, q273, q274, q275)
 }
