@@ -31,6 +31,11 @@ object Clustering {
     * Nodes = every id appearing in `srcCol`/`dstCol`. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // NOTE (r18): the two union branches re-reference the caller's pair
+    // plan, but its exchanges are reused within this one job — an eager
+    // pre-checkpoint of the pair plan measured SLOWER on every CC-backed
+    // gate query (q56 2.2 → 3.0 s, q88 3.3 → 4.5 s): it adds a
+    // materialization job + a cached copy without removing real work.
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()

@@ -34,11 +34,17 @@ object GraphAlgos {
     * pairs; self-loops dropped). Output: (src, dst) directed
     * low-(deg, id) → high-(deg, id). */
   def orient(edges: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // One upstream execution (the r18 graph-tier fix): `e` feeds both the
+    // degree count and the two orientation joins below — without the
+    // checkpoint the caller's edge plan (q204: the full co-occurrence
+    // pair count, ~4.5 s at sf0.1) executed once per reference inside the
+    // single orientation job.
     val e = edges.select(col(xCol).as("x"), col(yCol).as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("x"),
         greatest(col("x"), col("y")).as("y"))
       .distinct()
+      .localCheckpoint()
     val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     e.join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
@@ -74,6 +80,10 @@ object GraphAlgos {
     require(maxDepth >= 0, "maxDepth must be >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
+    // Union-branch duplication of the caller's plan is absorbed by
+    // exchange reuse inside the one symmetrization job (r18 measured: an
+    // extra eager checkpoint of `fwd` here REGRESSED q205 3.2 → 4.0 s —
+    // it adds a materialization job without removing real work).
     val fwd = edges.select(col(xCol).as("src"), col(yCol).as("dst"))
     val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -130,7 +140,9 @@ object GraphAlgos {
         greatest(col("x"), col("y")).as("y"))
       .distinct()
     // symmetric edge table: degree = out-degree over both directions;
-    // checkpointed once, filtered per sweep, never re-cached
+    // checkpointed once, filtered per sweep, never re-cached (the union
+    // branches share fwd's distinct exchange — reuse absorbs the apparent
+    // double execution; an extra fwd checkpoint measured slower, r18)
     val e = fwd.unionAll(fwd.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
     var alive = e.select(col("x").as("id")).distinct().localCheckpoint()

@@ -45,12 +45,16 @@ object LabelProp {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
+    // Materialize the caller's edge plan ONCE (the r18 PageRank fix): the
+    // nodes checkpoint and the edge working set used to execute the
+    // upstream graph build independently — two full runs of an arbitrarily
+    // expensive plan. Derive both from one cached copy.
+    val edgesW = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = edgesW.select(col("src").as("id"))
+      .union(edgesW.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
-    val edgesW = e.localCheckpoint()
 
     var labels = nodes.withColumn("lab", col("id"))
     for (_ <- 1 to rounds) {

@@ -64,7 +64,14 @@ object PageRank {
       handleDangling: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
 
+    // Materialize the caller's edge plan ONCE. Everything below (nodes,
+    // outdeg, edgesW, dangling) re-reads `e`; without this checkpoint each
+    // eager materialization re-executed the arbitrarily expensive upstream
+    // (the gate graph's join+distinct build) — 4 full executions measured
+    // at ~2 s each on the sf0.1 purchase graph (r18 GraphProbe: iters=1 ≈
+    // iters=5 ≈ 9 s, all prefix). One execution, cached blocks after.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -137,7 +144,9 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     require(seeds.nonEmpty, "seed set must be non-empty")
 
+    // One upstream execution (see run()).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
