@@ -78,6 +78,12 @@ object BpeTrainer {
       minPairCount: Long = 2L): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
     var words = wordTable(docs, textCol).localCheckpoint()
+    // Lazy per-round checkpoints (r18): the NEXT round's top-1 collect
+    // materializes this round's re-map, so each round costs ONE job
+    // instead of two, and the final round's re-map (never read) is never
+    // computed at all. The previous generation unpersists only after the
+    // collect proves its successor materialized.
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -85,6 +91,7 @@ object BpeTrainer {
       val top = pairCounts(words)
         .orderBy(col("n").desc, col("l"), col("r")) // fused top-1
         .limit(1).collect()
+      prev.foreach(_.unpersist()); prev = None
       top.headOption.filter(_.getAs[Long]("n") >= minPairCount) match {
         case None => done = true // corpus exhausted below the floor
         case Some(row) =>
@@ -92,12 +99,13 @@ object BpeTrainer {
           merges += Merge(rank, l, r, row.getAs[Long]("n"))
           val next = words
             .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
-            .localCheckpoint() // cut the fold chain: one round, one plan
-          words.unpersist()
+            .localCheckpoint(eager = false) // cut the fold chain lazily
+          prev = Some(words)
           words = next
           rank += 1
       }
     }
+    prev.foreach(_.unpersist())
     words.unpersist()
     merges.result()
   }

@@ -97,6 +97,9 @@ object WordPiece {
       minPairCount: Long = 2L): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
     var words = wordTable(docs, textCol).localCheckpoint()
+    // Lazy per-round checkpoints — one job per round instead of two, and
+    // the final round's re-map is never computed (see [[BpeTrainer]]).
+    var prev: Option[DataFrame] = None
     val out = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -110,6 +113,7 @@ object WordPiece {
           (col("n").cast("double") / (col("nl") * col("nr"))).as("score"))
         .orderBy(col("score").desc, col("l"), col("r")) // fused top-1
         .limit(1).collect()
+      prev.foreach(_.unpersist()); prev = None
       top.headOption match {
         case None => done = true
         case Some(row) =>
@@ -117,12 +121,13 @@ object WordPiece {
           out += Merge(rank, l, r, row.getAs[Long]("n"), row.getAs[Double]("score"))
           val next = words
             .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
-            .localCheckpoint()
-          words.unpersist()
+            .localCheckpoint(eager = false)
+          prev = Some(words)
           words = next
           rank += 1
       }
     }
+    prev.foreach(_.unpersist())
     words.unpersist()
     out.result()
   }
@@ -157,6 +162,11 @@ object WordPiece {
       StructField("n_tokens", IntegerType, nullable = false)))
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
     val textIdx = docs.schema.fieldIndex(textCol)
+    // NOTE (r18): a conditional repartition before this mapPartitions was
+    // measured and REJECTED — at gate scale the memoized encode is so
+    // cheap that 32 spread tasks cost 6x the single task's total CPU in
+    // fixed per-task overhead, for no wall win. The stage is job-overhead
+    // bound, not CPU bound.
     docs.mapPartitions { rows =>
       val vocabSet = bc.value
       val memo = new java.util.LinkedHashMap[String, Array[String]](1 << 12, 0.75f, true) {
