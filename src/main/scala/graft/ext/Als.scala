@@ -1,7 +1,5 @@
 package graft.ext
 
-import breeze.linalg.{DenseMatrix, DenseVector}
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -25,14 +23,15 @@ import graft.functions.VectorFunctions
   *
   * One half-iteration = one equi-join of the ratings with the fixed-side
   * factor table, then `aggregateByKey` over PRIMITIVE stat arrays
-  * (ΣffT, Σrf — rank²+rank doubles per key): map-side combine reduces
-  * each partition to one stat row per present key, so the exchange
-  * carries ≤ |keys|·P stat arrays regardless of rating count, with ZERO
-  * row amplification (see [[solveSide]] for why this beats the SQL
-  * explode formulation 8×). The per-key rank×rank ridge solve runs
-  * INSIDE the partitions of the solved side (breeze LAPACK per key, no
-  * driver round-trip); factor tables localCheckpoint per half-iteration
-  * (the KMeans/BpeTrainer lineage rule). Driver state: nothing but conf.
+  * (upper-triangle ΣffT + Σrf — rank(rank+1)/2 + rank doubles per key):
+  * map-side combine reduces each partition to one stat row per present
+  * key, so the exchange carries ≤ |keys|·P stat arrays regardless of
+  * rating count, with ZERO row amplification (see [[solveSide]] for why
+  * this beats the SQL explode formulation 8×). The per-key rank×rank
+  * ridge solve runs INSIDE the partitions of the solved side (in-place
+  * Cholesky per key — the system is SPD — no driver round-trip); factor
+  * tables localCheckpoint per half-iteration (the KMeans/BpeTrainer
+  * lineage rule). Driver state: nothing but conf.
   *
   * Determinism: the hash init is a pure column expression
   * (`xxhash64(id, pos)`), so runs are reproducible; the per-key float
@@ -55,22 +54,32 @@ object Als {
   /** One half-iteration: re-solve `solveCol`'s factors with
     * `fixedCol`'s factors held fixed.
     *
-    * The per-key sufficient statistics (ΣffT, Σrf — rank²+rank doubles)
-    * accumulate via `aggregateByKey` over PRIMITIVE arrays: map-side
-    * combine, ONE stat-array row per (key, partition) across the
-    * exchange, zero row amplification. (A first draft expressed this as
-    * a codegen'd posexplode + (key, pos) groupBy — SQL aggregation can
-    * only see the array elementwise — and the 73× row blow-up through
-    * two exchanges made the gate query 8× slower than this form; this is
-    * the documented justification for the RDD aggregation.) The
-    * rank×rank ridge solve runs in the same stage, per key, partitions
-    * of the solved side — no driver round-trip. */
+    * The per-key sufficient statistics accumulate via `aggregateByKey`
+    * over PRIMITIVE arrays: map-side combine, ONE stat-array row per
+    * (key, partition) across the exchange, zero row amplification. (A
+    * first draft expressed this as a codegen'd posexplode + (key, pos)
+    * groupBy — SQL aggregation can only see the array elementwise — and
+    * the 73× row blow-up through two exchanges made the gate query 8×
+    * slower than this form; this is the documented justification for the
+    * RDD aggregation.) ΣffT is SYMMETRIC, so only the upper triangle is
+    * accumulated and shuffled — rank(rank+1)/2 + rank doubles per stat
+    * row instead of rank² + rank, a 39% cut of the dominant shuffle at
+    * rank 8 (r18: the stat-array exchange, not the ratings, carries most
+    * of this query's bytes — its size is #mapPartitions × #keys ×
+    * statBytes, so the payload narrowing is the lever that survives any
+    * partitioning; an attempt to pre-partition+cache the ratings RDD
+    * instead WIDENED the combine's map side and tripled the stat bytes).
+    * The per-key ridge solve runs INSIDE the partitions of the solved
+    * side as an in-place Cholesky on the unpacked system — ΣffT + λI is
+    * symmetric positive definite by construction — replacing the breeze
+    * LU dispatch whose per-call overhead dominated the solve stage. */
   private def solveSide(ratings: DataFrame, solveCol: String,
       fixedCol: String, fixed: DataFrame, rank: Int,
       lambda: Double): DataFrame = {
     val spark = ratings.sparkSession
     import spark.implicits._
-    val statSize = rank * rank + rank
+    val tri = rank * (rank + 1) / 2
+    val statSize = tri + rank
     val rKeyed = ratings
       .select(col(fixedCol).cast("long"), col(solveCol).cast("long"),
         col("r").cast("double"))
@@ -84,12 +93,14 @@ object Als {
       .aggregateByKey(new Array[Double](statSize))(
         (acc, fr) => {
           val (f, r) = fr
+          // upper triangle row-major: (i,j), j >= i, at base(i) + (j - i)
           var i = 0
+          var p = 0
           while (i < rank) {
             val fi = f(i)
-            var j = 0
-            while (j < rank) { acc(i * rank + j) += fi * f(j); j += 1 }
-            acc(rank * rank + i) += fi * r
+            var j = i
+            while (j < rank) { acc(p) += fi * f(j); j += 1; p += 1 }
+            acc(tri + i) += fi * r
             i += 1
           }
           acc
@@ -99,16 +110,63 @@ object Als {
           while (q < statSize) { a(q) += b(q); q += 1 }
           a
         })
-      .map { case (sid, st) =>
-        val a = new DenseMatrix[Double](rank, rank,
-          java.util.Arrays.copyOfRange(st, 0, rank * rank))
-        val b = DenseVector(
-          java.util.Arrays.copyOfRange(st, rank * rank, statSize))
-        var i = 0
-        while (i < rank) { a(i, i) += lambda; i += 1 }
-        (sid, (a \ b).toArray.toSeq)
-      }
+      .map { case (sid, st) => (sid, choleskySolve(st, rank, tri, lambda).toSeq) }
     spark.createDataset(solved).toDF("id", "f")
+  }
+
+  /** Solve (ΣffT + λI) x = Σrf from the packed-upper-triangle stat array:
+    * unpack, Cholesky-factor in place (the system is symmetric positive
+    * definite — ΣffT is a Gram matrix and λ > 0), then forward/back
+    * substitution. Equivalent to the previous breeze `\` to machine
+    * precision (AlsSpec's 1e-6 reference agreement holds), without the
+    * per-call generic-dispatch overhead that dominated the solve stage. */
+  private[ext] def choleskySolve(st: Array[Double], rank: Int, tri: Int,
+      lambda: Double): Array[Double] = {
+    val a = new Array[Double](rank * rank)
+    var i = 0
+    var p = 0
+    while (i < rank) {
+      var j = i
+      while (j < rank) {
+        a(i * rank + j) = st(p); a(j * rank + i) = st(p); j += 1; p += 1
+      }
+      a(i * rank + i) += lambda
+      i += 1
+    }
+    // in-place lower-triangular Cholesky: a(i,j) for j <= i becomes L
+    i = 0
+    while (i < rank) {
+      var j = 0
+      while (j <= i) {
+        var s = a(i * rank + j)
+        var k = 0
+        while (k < j) { s -= a(i * rank + k) * a(j * rank + k); k += 1 }
+        if (i == j) a(i * rank + i) = math.sqrt(s)
+        else a(i * rank + j) = s / a(j * rank + j)
+        j += 1
+      }
+      i += 1
+    }
+    val x = new Array[Double](rank)
+    // forward: L y = b
+    i = 0
+    while (i < rank) {
+      var s = st(tri + i)
+      var k = 0
+      while (k < i) { s -= a(i * rank + k) * x(k); k += 1 }
+      x(i) = s / a(i * rank + i)
+      i += 1
+    }
+    // back: L^T x = y
+    i = rank - 1
+    while (i >= 0) {
+      var s = x(i)
+      var k = i + 1
+      while (k < rank) { s -= a(k * rank + i) * x(k); k += 1 }
+      x(i) = s / a(i * rank + i)
+      i -= 1
+    }
+    x
   }
 
   /** Train on (userCol, itemCol, ratingCol) with `iters` full

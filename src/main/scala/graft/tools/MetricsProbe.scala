@@ -39,6 +39,17 @@ object MetricsProbe {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(e.stageInfo.numTasks)
+        if (sys.env.contains("GRAFT_PROBE_STAGES")) {
+          val si = e.stageInfo
+          val tm = si.taskMetrics
+          val sw = if (tm != null) tm.shuffleWriteMetrics.bytesWritten else 0L
+          val sr = if (tm != null) tm.shuffleReadMetrics.totalBytesRead else 0L
+          if (sw > 5000000 || sr > 5000000 ||
+              (tm != null && tm.executorRunTime > 2000))
+            println(f"[stage] ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+              f"time=${if (tm != null) tm.executorRunTime else 0L}%6dms " +
+              f"sw=${sw / 1e6}%8.1fMB sr=${sr / 1e6}%8.1fMB  ${si.name.take(90)}")
+        }
         ()
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {

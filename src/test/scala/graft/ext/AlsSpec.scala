@@ -94,4 +94,39 @@ class AlsSpec extends SparkSpec {
       }
     }
   }
+
+  test("choleskySolve matches breeze LU on random SPD ridge systems") {
+    // the r18 solver swap: packed-triangle stats + in-place Cholesky must
+    // reproduce the previous breeze `\` path to machine precision
+    val rnd = new scala.util.Random(7)
+    for (rank <- Seq(1, 2, 4, 8); _ <- 1 to 5) {
+      val tri = rank * (rank + 1) / 2
+      // build stats from k random factor/rating observations, exactly as
+      // the aggregateByKey seqOp does
+      val st = new Array[Double](tri + rank)
+      val full = DenseMatrix.zeros[Double](rank, rank)
+      val rhs = DenseVector.zeros[Double](rank)
+      for (_ <- 1 to rank + 3) {
+        val f = Array.fill(rank)(rnd.nextDouble() - 0.5)
+        val r = rnd.nextDouble()
+        var i = 0; var p = 0
+        while (i < rank) {
+          var j = i
+          while (j < rank) { st(p) += f(i) * f(j); j += 1; p += 1 }
+          st(tri + i) += f(i) * r
+          i += 1
+        }
+        val fv = DenseVector(f)
+        full += fv * fv.t
+        rhs += fv * r
+      }
+      val lambda = 0.1
+      (0 until rank).foreach(d => full(d, d) += lambda)
+      val want = (full \ rhs).toArray
+      val got = Als.choleskySolve(st, rank, tri, lambda)
+      want.zip(got).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"rank $rank: $a vs $b")
+      }
+    }
+  }
 }
