@@ -63,7 +63,10 @@ object Dsir {
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val cols = col(idCol) +: extra.map(col)
-    docs.select((cols :+ concat(ws, bis).as("__ngs")): _*)
+    // Spread the doc stream before the explode (r18): the md5-per-n-gram
+    // bucketing is multi-second CPU that otherwise runs single-core on
+    // the gate's one-row-group scan; identity at production scale.
+    Fanout.spread(docs).select((cols :+ concat(ws, bis).as("__ngs")): _*)
       .select((cols :+ size(col("__ngs")).cast("long").as("__nng") :+
         explode(col("__ngs")).as("__ng")): _*)
       .select((cols :+ col("__nng") :+
