@@ -56,13 +56,21 @@ object Clustering {
         .select(col("node"), col("component"), lit(false).as("__own"))
       // the row's OWN previous label rides through the same groupBy (the
       // __own flag), so the convergence check is a scan of the checkpoint —
-      // no separate next⋈labels join+shuffle per round
+      // no separate next⋈labels join+shuffle per round. The changed-label
+      // count rides the SAME materialization as an observed metric (r18):
+      // the eager checkpoint is a tracked action, so obs.get returns the
+      // count its job computed — one job per round where a separate
+      // .count() used to add a second (the CC-backed dedup gate queries
+      // are job-count bound: 2-4 s of task time under 32-42 jobs).
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.withColumn("__own", lit(true))
         .unionAll(neighborMin).unionAll(doubled)
         .groupBy("node").agg(min(col("component")).as("component"),
           min(when(col("__own"), col("component"))).as("__old"))
+        .observe(obs, sum(when(col("component") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      val changed = next.where(col("component") =!= col("__old")).count()
+      val changed = obs.getAsJava.get("changed").asInstanceOf[Long]
       labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
