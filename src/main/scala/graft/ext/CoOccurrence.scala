@@ -32,10 +32,16 @@ object CoOccurrence {
   def pairCounts(membership: DataFrame, basketCol: String, itemCol: String,
       maxBasketSize: Int): DataFrame = {
     require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
+    // repartition-by-key + dropDuplicates ≡ distinct with the same single
+    // exchange, but the dedup aggregate runs post-exchange on every core
+    // instead of fusing into the (single-task, one-row-group) scan stage
+    // as a near-useless partial agg over mostly-unique pairs (r18, the
+    // purchaseGraph note).
     val m = membership
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
+      .repartition(col("__b"), col("__i"))
+      .dropDuplicates()
     val sized = m.groupBy("__b").agg(count(lit(1)).as("__sz"))
       .where(col("__sz") <= maxBasketSize)
       .select("__b")

@@ -76,7 +76,8 @@ object GraphAlgos {
     * levels 0..maxDepth. Output: (node, dist) — exact integers, one row
     * per reached node. */
   def bfsDistances(edges: DataFrame, xCol: String, yCol: String,
-      source: Long, maxDepth: Int): DataFrame = {
+      source: Long, maxDepth: Int, assumeSymmetric: Boolean = false,
+      broadcastNodeLimit: Long = 20000000L): DataFrame = {
     require(maxDepth >= 0, "maxDepth must be >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -84,18 +85,34 @@ object GraphAlgos {
     // exchange reuse inside the one symmetrization job (r18 measured: an
     // extra eager checkpoint of `fwd` here REGRESSED q205 3.2 → 4.0 s —
     // it adds a materialization job without removing real work).
+    // `assumeSymmetric` (r18): a caller whose edge list already contains
+    // both directions of every edge, dedup'd (the purchase graph — its
+    // two directions cannot collide by id parity), skips the union +
+    // distinct re-symmetrization, which re-doubled 1.1M rows only to
+    // dedup them back. The result is identical BY THE CALLER'S CONTRACT;
+    // reachability semantics do not change.
     val fwd = edges.select(col(xCol).as("src"), col(yCol).as("dst"))
-    val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val e =
+      if (assumeSymmetric) fwd.localCheckpoint()
+      else fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
 
     var visited = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
     var frontier = visited.select("node")
+    // Broadcast the frontier and the visited set when the graph's node
+    // set is bounded (the PageRank/kCore broadcastNodeLimit pattern,
+    // r18): the checkpointed edge table then never crosses an exchange
+    // per level — it was being re-exchanged at every level (~43 MB per
+    // gate query). Both sides are ≤ N node-id rows; beyond the limit the
+    // joins degrade to the shuffle form.
+    val bcast = e.select(col("src")).distinct().count() <= broadcastNodeLimit
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
     var d = 0
     while (d < maxDepth && frontier.limit(1).count() > 0) {
       d += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
+      val next = side(frontier).join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(side(visited.select("node")), Seq("node"), "left_anti")
         .localCheckpoint()
       visited = visited.unionAll(next.withColumn("dist", lit(d)))
         .localCheckpoint()

@@ -43,7 +43,7 @@ object LabelProp {
     * synchronous updates (run an undirected graph as both directions).
     * Output: (id, community). */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, broadcastNodeLimit: Long = 20000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     // Materialize the caller's edge plan ONCE (the r18 PageRank fix): the
     // nodes checkpoint and the edge working set used to execute the
@@ -57,9 +57,16 @@ object LabelProp {
       .localCheckpoint()
 
     var labels = nodes.withColumn("lab", col("id"))
+    // Broadcast the N-row label side of both per-round joins when the
+    // node set is bounded (the PageRank/kCore broadcastNodeLimit pattern,
+    // r18): the checkpointed edge table then never crosses an exchange —
+    // it was being RE-EXCHANGED every round (~124 MB per gate query).
+    // Label arithmetic is exact integers; partitioning cannot change it.
+    val bcast = nodes.count() <= broadcastNodeLimit
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
     for (_ <- 1 to rounds) {
       val mode = edgesW
-        .join(labels.select(col("id").as("src"), col("lab")), "src")
+        .join(side(labels.select(col("id").as("src"), col("lab"))), "src")
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("c"))
         // argmax by (count DESC, label ASC): maximize (c, -lab)
@@ -67,7 +74,7 @@ object LabelProp {
         .agg(max_by(col("lab"), struct(col("c"), (-col("lab")).as("nl")))
           .as("nlab"))
         .withColumnRenamed("dst", "id")
-      labels = labels.join(mode, Seq("id"), "left")
+      labels = labels.join(side(mode), Seq("id"), "left")
         .select(col("id"), coalesce(col("nlab"), col("lab")).as("lab"))
         .localCheckpoint(eager = false)
     }

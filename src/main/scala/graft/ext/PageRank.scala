@@ -36,18 +36,22 @@ import org.apache.spark.sql.functions._
   *
   * == 100 TB design ==
   *
-  * The edge table is the working set: joined with out-degrees ONCE and
-  * localCheckpoint'd (on a cluster: persist DISK_ONLY), it never
-  * re-shuffles. Each iteration is exactly two slim exchanges — the N-row
-  * rank table hashing to the edge partitioning for the src join, and the
-  * (dst, BIGINT) partial-aggregated contribution shuffle — plus an N-row
-  * localCheckpoint that truncates the lineage (the BpeTrainer/KMeans
-  * per-round discipline; without it the plan doubles every iteration).
-  * Driver state is zero rows — the one exception is the dangling-mass
-  * term, a 1-row integer aggregate per iteration, read only when the
-  * graph actually has sinks (the k-row-centroid bounded-read class).
-  * Skewed in-degree (a hub page) concentrates one aggregation key; the
-  * partial aggregation absorbs it map-side before the exchange.
+  * The plain (src, dst) edge table is the working set, materialized ONCE
+  * (localCheckpoint; on a cluster: persist DISK_ONLY); out-degree rides
+  * the N-row NODE table, where a per-node fact belongs. When the node
+  * set fits `broadcastNodeLimit` (default 2·10⁷ ids — the kCore bound),
+  * each iteration broadcasts the rank table into the src join and the
+  * contribution table into the update join, so the edge table NEVER
+  * crosses an exchange and the only shuffle is the (dst, BIGINT)
+  * partial-aggregated contribution exchange; beyond the limit both joins
+  * degrade to the shuffle form. An N-row lazy localCheckpoint truncates
+  * lineage per iteration (the BpeTrainer/KMeans per-round discipline;
+  * without it the plan doubles every iteration). Driver state is zero
+  * rows — the one exception is the dangling-mass term, a 1-row integer
+  * aggregate per iteration, read only when the graph actually has sinks
+  * (the k-row-centroid bounded-read class). Skewed in-degree (a hub
+  * page) concentrates one aggregation key; the partial aggregation
+  * absorbs it map-side before the exchange.
   */
 object PageRank {
 
@@ -61,7 +65,8 @@ object PageRank {
     * redistributes uniformly when `handleDangling` (Brin/Page
     * dangling-node convention). */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      handleDangling: Boolean = true): DataFrame = {
+      handleDangling: Boolean = true,
+      broadcastNodeLimit: Long = 20000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
 
     // Materialize the caller's edge plan ONCE. Everything below (nodes,
@@ -72,25 +77,34 @@ object PageRank {
     // iters=5 ≈ 9 s, all prefix). One execution, cached blocks after.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
+    // The out-degree rides the N-row NODE table, not an edge-table copy
+    // (r18): the old (src, dst, outdeg) edge working set cost a second
+    // edge-sized checkpoint job and 50% more cached bytes for a column
+    // that is a per-NODE fact. Sinks are simply the outdeg-NULL rows —
+    // the separate anti-join + checkpoint is gone too.
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .localCheckpoint()
     val nNodes = nodes.count()
-
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // Edge working set, built once: (src, dst, outdeg).
-    val edgesW = e.join(outdeg, "src").localCheckpoint()
-
-    // Sinks: nodes with no out-edges. Resolved once; the per-iteration
-    // dangling read only happens when they exist (zero on the gate graph,
-    // whose union-of-both-directions construction has none).
-    val danglingNodes = nodes.join(
-      outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint()
+    val danglingNodes = nodes.where(col("outdeg").isNull).select("id")
     val hasDangling = handleDangling && danglingNodes.limit(1).count() > 0
 
-    var ranks = nodes.withColumn("ri", lit(1000000L)).localCheckpoint()
+    var ranks = nodes.withColumn("ri", lit(1000000L))
+      .select("id", "outdeg", "ri").localCheckpoint()
+    // Broadcast the N-row side of both per-iteration joins when the node
+    // set is bounded (the kCore broadcastNodeLimit pattern, r18): the
+    // checkpointed edge working set then never crosses an exchange at all
+    // — measured 115 MB of per-query shuffle at sf0.1 was edgesW being
+    // RE-EXCHANGED every iteration because AQE-coalesced checkpoint
+    // partitioning does not satisfy the join's requirement. The exact
+    // integer arithmetic is partitioning-independent, so the result is
+    // unchanged by construction. Beyond the limit the joins degrade to
+    // the shuffle form.
+    val bcastRanks = nNodes <= broadcastNodeLimit
+    def side(df: DataFrame) = if (bcastRanks) broadcast(df) else df
     for (_ <- 1 to iters) {
       val danglingShare: Long =
         if (!hasDangling) 0L
@@ -101,8 +115,8 @@ object PageRank {
           val s = row.getLong(0)
           (2L * s + nNodes) / (2L * nNodes)
         }
-      val contribs = edgesW
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+      val contribs = e
+        .join(side(ranks.withColumnRenamed("id", "src")), "src")
         .select(col("dst"),
           expr("(2 * ri + outdeg) div (2 * outdeg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
@@ -113,8 +127,8 @@ object PageRank {
       // iteration k reading k−1's checkpointed blocks. With sinks present
       // the dangling aggregate forces materialization anyway (eager ≡ lazy
       // there).
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
+      ranks = nodes.join(side(contribs), Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
           (lit(150000L) +
             expr(s"(85 * (coalesce(m, 0) + ${danglingShare}L) + 50) div 100"))
             .as("ri"))
@@ -140,33 +154,35 @@ object PageRank {
     * are ignored after a `require` that at least one seed is present. */
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[Long], iters: Int,
-      handleDangling: Boolean = true): DataFrame = {
+      handleDangling: Boolean = true,
+      broadcastNodeLimit: Long = 20000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(seeds.nonEmpty, "seed set must be non-empty")
 
-    // One upstream execution (see run()).
+    // One upstream execution; out-degree rides the node table (see run()).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .withColumn("is_seed", col("id").isin(seeds: _*))
+      .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .localCheckpoint()
     val nNodes = nodes.count()
     val nSeeds = nodes.where(col("is_seed")).count()
     require(nSeeds > 0, "no seed id exists in the graph")
     val seedBase = (150000L * nNodes) / nSeeds
 
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesW = e.join(outdeg, "src").localCheckpoint()
-    val danglingNodes = nodes.select("id").join(
-      outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint()
+    val danglingNodes = nodes.where(col("outdeg").isNull).select("id")
     val hasDangling = handleDangling && danglingNodes.limit(1).count() > 0
 
     var ranks = nodes
       .withColumn("ri", when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)))
-      .select("id", "ri").localCheckpoint()
+      .select("id", "outdeg", "ri").localCheckpoint()
+    // broadcast the bounded N-row join sides — see run()
+    val bcastRanks = nNodes <= broadcastNodeLimit
+    def side(df: DataFrame) = if (bcastRanks) broadcast(df) else df
     for (_ <- 1 to iters) {
       val danglingShare: Long =
         if (!hasDangling) 0L
@@ -176,14 +192,14 @@ object PageRank {
           val s = row.getLong(0)
           (2L * s + nSeeds) / (2L * nSeeds) // restart at a seed
         }
-      val contribs = edgesW
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+      val contribs = e
+        .join(side(ranks.withColumnRenamed("id", "src")), "src")
         .select(col("dst"),
           expr("(2 * ri + outdeg) div (2 * outdeg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
         .withColumnRenamed("dst", "id")
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
+      ranks = nodes.join(side(contribs), Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
           (when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)) +
             expr("(85 * (coalesce(m, 0) + " +
               s"CASE WHEN is_seed THEN ${danglingShare}L ELSE 0L END) + 50)" +
@@ -201,11 +217,19 @@ object PageRank {
     * Symmetric by construction, so it exercises the dangling-free path;
     * dangling semantics are spec-held on synthetic graphs. */
   def purchaseGraph(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // repartition-by-key + dropDuplicates ≡ distinct (same one exchange —
+    // the aggregate's distribution requirement is already satisfied), but
+    // the dedup hash aggregate runs AFTER the exchange on every core
+    // instead of fusing into the scan task as a map-side partial
+    // aggregate. On the gate's one-row-group inputs the scan stage is a
+    // single task, so the pre-exchange partial agg serialized the whole
+    // build; mostly-unique pairs make it near-useless anyway (r18).
     val cp = orders.join(lineitem,
         orders("o_orderkey") === lineitem("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
+      .repartition(col("src"), col("dst"))
+      .dropDuplicates()
     // The two directions cannot collide (even vs odd ids), so a plain
     // union-all suffices — no second distinct shuffle.
     cp.union(cp.select(col("dst").as("src"), col("src").as("dst")))

@@ -777,7 +777,11 @@ object Round7Queries {
   val q205 = GQuery("q205_bfs_distances", (s, d) => {
     import graft.ext.{GraphAlgos, PageRank}
     val g = PageRank.purchaseGraph(t(s, d, "orders"), t(s, d, "lineitem"))
-    GraphAlgos.bfsDistances(g, "src", "dst", source = 2L, maxDepth = 4)
+    // the purchase graph is symmetric and dup-free by construction (both
+    // directions unioned over disjoint even/odd id spaces) — skip the
+    // re-symmetrization (r18)
+    GraphAlgos.bfsDistances(g, "src", "dst", source = 2L, maxDepth = 4,
+      assumeSymmetric = true)
       .select(col("node").as("node_id"), col("dist"))
       .orderBy("node_id")
   },
