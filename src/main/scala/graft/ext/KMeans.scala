@@ -193,31 +193,44 @@ object KMeans {
     * afterwards. Output: (cid, cv: Array[Double]), k rows. */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIter: Int): DataFrame = {
+    val spark = vecs.sparkSession
     val unitized = unitize(vecs, vecCol, "__nv").select(col(idCol), col("__nv"))
-    val seed = unitized
+      .localCheckpoint(true)
+    // Each farthest-first pick is ONE row — the k-row-centroid bounded
+    // driver-read class. Collect it and fold the vector back in as a
+    // LITERAL column (r18): the old 1-row checkpoint + broadcast per
+    // round cost 2 extra jobs each on a loop that is pure job overhead,
+    // and the final union-of-k-frames another. Arithmetic is unchanged —
+    // the same cosine against the same vector, literal vs broadcast.
+    val seedRow = unitized
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(1)
-      .select(col(idCol).cast("long").as("cid"), col("__nv").as("cv"))
-      .localCheckpoint(true)
-    var picked = Seq(seed)
+      .select(col(idCol).cast("long"), col("__nv"))
+      .head()
+    var chosen = Seq((seedRow.getLong(0), seedRow.getSeq[Double](1).toArray))
     // (id, vector, similarity to the nearest picked centroid)
-    var state = unitized.crossJoin(broadcast(seed.select(col("cv").as("__c"))))
+    var state = unitized
       .select(col(idCol), col("__nv"),
-        VectorFunctions.cosine(col("__nv"), col("__c")).as("__best"))
+        VectorFunctions.cosine(col("__nv"), typedLit(chosen.head._2)).as("__best"))
       .localCheckpoint(true)
     for (round <- 1 until k) {
-      val next = state.orderBy(col("__best").asc, col(idCol)).limit(1)
-        .select(col(idCol).cast("long").as("cid"), col("__nv").as("cv"))
-        .localCheckpoint(true)
-      picked :+= next
+      val row = state.orderBy(col("__best").asc, col(idCol)).limit(1)
+        .select(col(idCol).cast("long"), col("__nv"))
+        .head()
+      val cv = row.getSeq[Double](1).toArray
+      chosen :+= ((row.getLong(0), cv))
       if (round < k - 1)
-        state = state.crossJoin(broadcast(next.select(col("cv").as("__c"))))
+        // lazy: the next round's TakeOrdered head materializes this fold,
+        // so each init round costs ONE job (the BpeTrainer r18 pattern)
+        // at the same k·N arithmetic
+        state = state
           .select(col(idCol), col("__nv"),
             greatest(col("__best"),
-              VectorFunctions.cosine(col("__nv"), col("__c"))).as("__best"))
-          .localCheckpoint(true)
+              VectorFunctions.cosine(col("__nv"), typedLit(cv))).as("__best"))
+          .localCheckpoint(eager = false)
     }
-    var centroids = picked.reduce(_ unionByName _).localCheckpoint(true)
+    import spark.implicits._
+    var centroids = chosen.toDF("cid", "cv").localCheckpoint(true)
     for (_ <- 0 until maxIter) {
       val assigned = assign(unitized, idCol, "__nv", centroids)
       val means = unitize(
