@@ -613,7 +613,22 @@ object Bench {
     } catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     val headlines = Seq("q08_join_agg", "q09_star_join_revenue", "q15_topk",
       "q24_cosine_topk")
-    val hq = results.filter(r => headlines.contains(r._1))
+    // Driver-legible per-query coverage (VERDICT r18 next-round #2): the
+    // compact summary used to carry ONLY the 4 headlines, so the driver's
+    // PERF comparison had n_common=4 of 172 and its scaling heuristic ran
+    // on sub-second overhead-bound entries. Include the slowest entries —
+    // the data-bound set whose round-over-round ratios actually measure
+    // the engine — alongside the headlines: top 20 by min-of-passes plus
+    // every entry ≥ 1 s, capped at 40 names (~1.1 KB) so the summary stays
+    // inside the driver's tail-capture budget. Entry TIMES are unchanged;
+    // this only widens which of them the compact line repeats.
+    val slowSet: Set[String] = {
+      val ok = results.filter(_._2 > 0)
+      val byTime = ok.sortBy(-_._2)
+      (byTime.take(20) ++ ok.filter(_._2 >= 1.0)).map(_._1).distinct
+        .take(40).toSet
+    }
+    val hq = results.filter(r => headlines.contains(r._1) || slowSet(r._1))
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"entries":${results.size},"rotated_out":${rotatedOut.size},"rotation_parity":$parity,"error_count":${results.count(_._2 < 0)},"session_rebuilds":$rebuilds,"warm_s":${warmed.map(_._2).sum}%.1f,"canary":{"name":"$canaryName","times":$canaryJson,"spread":$canarySpread%.2f,"ok":$canaryOk,"contended_spans":$contendedJson,"retimed":$retimedJson,"repair_verdicts":$repairVerdictsJson},"canary_ok":$canaryOk,"drift":$driftJson,"drift_suspects":$driftSuspectsJson,"drift_gate_ok":$driftGateOk,"restructured":$restructuredJson,"wall_s":$wallS%.1f,"sf":"$sfDir","full":"target/bench_latest.json"}"""
     // Stop Spark BEFORE the final prints: the driver parses the LAST stdout

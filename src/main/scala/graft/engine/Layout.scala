@@ -382,16 +382,21 @@ object Layout {
       .withColumn("__fpn", regexp_replace(col("__fp"), "^file:/*", "/"))
       .join(broadcast(fileSeq), col("__fpn") === fileSeq("__fsp"), "left")
       .drop("__fsp", "__fpn")
+    // Key-column grouping reads each file's FOOTER ON THE DRIVER (r19):
+    // `spark.read.parquet(path)` schema inference submits one Spark job
+    // per call per plan CONSTRUCTION — measured 48 such footer jobs in
+    // one q231 rep. Entries then read grouped per (key column, dataSeq):
+    // one reader over the group's files instead of one per file.
     val byKeyCol: Map[String, Seq[Manifests.FileEntry]] =
-      eqs.groupBy { e =>
-        spark.read.parquet(e.path).schema.fields.head.name
-      }
+      eqs.groupBy(e => Manifests.firstFieldName(e.path))
     byKeyCol.toSeq.sortBy(_._1).foldLeft(tagged) {
       case (df, (keyCol, entries)) =>
-        val keys = entries.map(e =>
-          spark.read.parquet(e.path)
-            .select(col(keyCol).as("__eq_key"),
-              lit(e.dataSeq).as("__eq_dseq")))
+        val keys = entries.groupBy(_.dataSeq).toSeq.sortBy(_._1)
+          .map { case (dseq, es) =>
+            spark.read.parquet(es.map(_.path): _*)
+              .select(col(keyCol).as("__eq_key"),
+                lit(dseq).as("__eq_dseq"))
+          }
           .reduce(_ unionByName _)
         df.join(broadcast(keys),
           df(keyCol) === keys("__eq_key") &&
@@ -603,19 +608,34 @@ object Layout {
     val tableCols = spark.table(table).columns.toSet
     require(updates.columns.toSet == tableCols,
       s"updates must carry the table's full schema ($tableCols)")
-    require(updates.groupBy(col(keyCol)).count()
+    // Execute the caller's updates plan ONCE (r19): the duplicate-key
+    // guard, the data-file write, and the eq-delete key write each forced
+    // a full re-execution of an arbitrarily expensive updates plan — the
+    // dominant cost of the q231/q235 lifecycle entries. One
+    // localCheckpoint materializes the O(batch) rows; the three consumers
+    // read cached blocks. ContextCleaner reclaims the blocks once the
+    // plan is unreachable (the engine-wide checkpoint discipline).
+    val up = updates.localCheckpoint()
+    require(up.groupBy(col(keyCol)).count()
       .filter(col("count") > 1).isEmpty,
       s"updates must have at most one row per $keyCol " +
         "(same-commit rows are outside equality-delete scope)")
     val seq = Manifests.loadRefs(Manifests.root(spark, table)).nextSeq
     val dataDir = newCommitDir(spark, table)
-    updates.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+    up.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
       .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val newEntries = Manifests
       .collectStats(spark, Manifests.listDataFiles(dataDir))
       .map(_.copy(dataSeq = seq))
     val eqDir = newCommitDir(spark, table)
-    updates.select(col(keyCol)).distinct()
+    // The guard above proved at most one row per key, so the key
+    // projection is already distinct — no dedup exchange needed (r19).
+    // coalesce(1): a delete-key set is manifest-scale metadata (O(batch)
+    // keys, one slim column) and every reader pays per-FILE plan work —
+    // without it the checkpoint's N partitions minted N eq-delete files
+    // and the MOR read's plan construction ran N footer probes per
+    // reference (measured: q231 jobs 36 → 121 before this line).
+    up.select(col(keyCol)).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(eqDir.toString)
     val eqEntries = Manifests
       .collectStats(spark, Manifests.listDataFiles(eqDir))
@@ -708,12 +728,13 @@ object Layout {
         "left_semi"))
     val byEq =
       if (newEq.isEmpty) Nil
-      else newEq.groupBy(e =>
-          spark.read.parquet(e.path).schema.fields.head.name)
+      // driver-side footer probe + one grouped reader (the applyEqDeletes
+      // r19 note: a DataFrameReader schema inference is a Spark job per
+      // file per plan construction)
+      else newEq.groupBy(e => Manifests.firstFieldName(e.path))
         .toSeq.sortBy(_._1).map { case (keyCol, entries) =>
-          val keys = entries.map(e => spark.read.parquet(e.path)
-              .select(col(keyCol).as("__eq_key")))
-            .reduce(_ unionByName _)
+          val keys = spark.read.parquet(entries.map(_.path): _*)
+            .select(col(keyCol).as("__eq_key"))
           oldVisible.join(broadcast(keys),
             oldVisible(keyCol) === keys("__eq_key"), "left_semi")
         }

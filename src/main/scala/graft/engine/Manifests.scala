@@ -264,55 +264,86 @@ object Manifests {
         .toList.sortBy(_._1)
     }
 
-  /** Per-file manifest statistics in ONE distributed footer pass: record
-    * count + per-column min/max bounds. Footers only — column stats and
-    * block metadata, never data pages — so a 100 k-file table costs 100 k
-    * footer reads spread over the cluster.
-    *
-    * Bounds discipline (the skipping-safety rule): a column's bounds are
-    * recorded only if EVERY row-group chunk of that column carries usable
-    * statistics. One stats-less chunk could hide values outside the other
-    * chunks' range, so any such column is left unbounded ("cannot skip")
-    * rather than narrowed. All-null chunks (stats present, no non-null
-    * values) are legitimately skippable and do not widen bounds. */
+  /** Per-file manifest statistics in ONE footer pass: record count +
+    * per-column min/max bounds ([[statsOf]] per file). Footers only —
+    * column stats and block metadata, never data pages. Small file sets
+    * read on the driver; a 100 k-file table costs 100 k footer reads
+    * spread over the cluster (see the branch note below). */
   def collectStats(spark: SparkSession,
       files: Seq[(String, Long)]): Seq[FileEntry] = {
     if (files.isEmpty) return Seq.empty
-    import spark.implicits._
-    val slices = math.max(1, math.min(files.size,
-      spark.sparkContext.defaultParallelism))
-    spark.createDataset(files).repartition(slices)
-      .mapPartitions { it =>
-        val conf = new Configuration()
-        it.map { case (path, bytes) =>
-          val reader = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new HPath(path), conf))
-          try {
-            val blocks = reader.getFooter.getBlocks.asScala
-            val records = reader.getRecordCount
-            val byCol = blocks.flatMap(_.getColumns.asScala)
-              .groupBy(_.getPath.toDotString)
-            val bounds = byCol.flatMap { case (name, chunks) =>
-              val stats = chunks.map(_.getStatistics)
-              // any chunk with absent/empty stats poisons the column
-              if (stats.exists(s => s == null || s.isEmpty)) None
-              else {
-                val nonNull = stats.filter(_.hasNonNullValue)
-                if (nonNull.isEmpty) None // all-null column: no bounds
-                else {
-                  val merged = nonNull.reduce { (a, b) =>
-                    val c = a.copy(); c.mergeStatistics(b); c
-                  }
-                  Some(name -> (merged.minAsString, merged.maxAsString))
-                }
-              }
+    // Small commits read their footers ON THE DRIVER (r19): a footer is
+    // O(KB) metadata, and the distributed pass costs a whole Spark job
+    // (dataset + repartition exchange + collect = 2 stages) to read a
+    // handful of them — pure job overhead on every MOR commit/snapshot
+    // (the q231/q235 lifecycle ran 4-6 such jobs per entry). Production
+    // commits with many files keep the distributed pass: 100 k footers
+    // belong on the cluster, not the driver. Iceberg itself plans
+    // manifests driver-side at exactly this scale boundary.
+    val driverMax = sys.props.getOrElse("graft.stats.driver.files", "64").toInt
+    if (files.size <= driverMax) {
+      val conf = new Configuration()
+      files.map { case (path, bytes) => statsOf(path, bytes, conf) }
+        .sortBy(_.path)
+    } else {
+      import spark.implicits._
+      val slices = math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism))
+      spark.createDataset(files).repartition(slices)
+        .mapPartitions { it =>
+          val conf = new Configuration()
+          it.map { case (path, bytes) => statsOf(path, bytes, conf) }
+        }
+        .collect().toSeq.sortBy(_.path)
+    }
+  }
+
+  /** First field name of a parquet file's schema, read from the footer
+    * ON THE DRIVER — no Spark job. The eq-delete key-column probe:
+    * `spark.read.parquet(path).schema` submits a footer-inference job
+    * per call per plan construction (measured: 48 such jobs inside one
+    * q231 rep before this existed). */
+  def firstFieldName(path: String): String = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(path), new Configuration()))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.get(0).getName
+    finally reader.close()
+  }
+
+  /** One file's footer → manifest entry (record count + per-column
+    * min/max bounds) — the shared kernel of both [[collectStats]] paths.
+    *
+    * Bounds discipline (the skipping-safety rule): a column's bounds are
+    * recorded only if EVERY row-group chunk of that column carries usable
+    * statistics — one stats-less chunk could hide values outside the
+    * other chunks' range. All-null chunks do not widen bounds. */
+  private def statsOf(path: String, bytes: Long,
+      conf: Configuration): FileEntry = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(path), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val records = reader.getRecordCount
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      val bounds = byCol.flatMap { case (name, chunks) =>
+        val stats = chunks.map(_.getStatistics)
+        // any chunk with absent/empty stats poisons the column
+        if (stats.exists(s => s == null || s.isEmpty)) None
+        else {
+          val nonNull = stats.filter(_.hasNonNullValue)
+          if (nonNull.isEmpty) None // all-null column: no bounds
+          else {
+            val merged = nonNull.reduce { (a, b) =>
+              val c = a.copy(); c.mergeStatistics(b); c
             }
-            FileEntry(path, records, bytes,
-              bounds.map { case (k, v) => k -> v._1 }.toMap,
-              bounds.map { case (k, v) => k -> v._2 }.toMap)
-          } finally reader.close()
+            Some(name -> (merged.minAsString, merged.maxAsString))
+          }
         }
       }
-      .collect().toSeq.sortBy(_.path)
+      FileEntry(path, records, bytes,
+        bounds.map { case (k, v) => k -> v._1 }.toMap,
+        bounds.map { case (k, v) => k -> v._2 }.toMap)
+    } finally reader.close()
   }
 }

@@ -144,8 +144,14 @@ object Mview {
     require(last >= 0, s"view $view was never created over $source")
     val nextTag = s"${tagPrefix(view)}${last + 1}"
     Layout.snapshot(spark, source, nextTag)
-    val (ins, ret) = Layout.morDeltas(spark, source,
+    // Materialize each delta ONCE (r19): the isEmpty probe and the
+    // summarize below otherwise each re-execute the delta plan — and the
+    // retraction side's plan re-SCANS fromTag's whole visible row set per
+    // execution. The checkpointed output is window-sized.
+    val (ins0, ret0) = Layout.morDeltas(spark, source,
       s"${tagPrefix(view)}$last", nextTag)
+    val ins = ins0.localCheckpoint()
+    val ret = ret0.localCheckpoint()
     if (ins.isEmpty && ret.isEmpty) return
     val negated = summarize(ret, keys, measures).select(
       (keys.map(col) ++ measures.map(m => (-col(m.alias)).as(m.alias))): _*)
@@ -275,8 +281,13 @@ object Mview {
     val tagB = s"${tagPrefix(view)}${lastB + 1}"
     Layout.snapshot(spark, srcA, tagA)
     Layout.snapshot(spark, srcB, tagB)
-    val (insA, retA) = Layout.morDeltas(spark, srcA, oldTagA, tagA)
-    val (insB, retB) = Layout.morDeltas(spark, srcB, oldTagB, tagB)
+    // one execution per delta (the refreshMor note): isEmpty + the signed
+    // fold below otherwise re-run each delta plan, re-scanning fromTag's
+    // visible rows on the retraction sides
+    val (insA0, retA0) = Layout.morDeltas(spark, srcA, oldTagA, tagA)
+    val (insB0, retB0) = Layout.morDeltas(spark, srcB, oldTagB, tagB)
+    val insA = insA0.localCheckpoint(); val retA = retA0.localCheckpoint()
+    val insB = insB0.localCheckpoint(); val retB = retB0.localCheckpoint()
     val dA = insA.withColumn("__sgn", lit(1L))
       .unionByName(retA.withColumn("__sgn", lit(-1L)))
     val dB = insB.withColumn("__sgn", lit(1L))

@@ -91,27 +91,71 @@ object Als {
     val solved = rKeyed.join(fKeyed)
       .map { case (_, ((sid, r), f)) => (sid, (f, r)) }
       .aggregateByKey(new Array[Double](statSize))(
-        (acc, fr) => {
-          val (f, r) = fr
-          // upper triangle row-major: (i,j), j >= i, at base(i) + (j - i)
-          var i = 0
-          var p = 0
-          while (i < rank) {
-            val fi = f(i)
-            var j = i
-            while (j < rank) { acc(p) += fi * f(j); j += 1; p += 1 }
-            acc(tri + i) += fi * r
-            i += 1
-          }
-          acc
-        },
-        (a, b) => {
-          var q = 0
-          while (q < statSize) { a(q) += b(q); q += 1 }
-          a
-        })
+        (acc, fr) => accumulate(acc, fr._1, fr._2, rank, tri),
+        mergeStats(statSize))
       .map { case (sid, st) => (sid, choleskySolve(st, rank, tri, lambda).toSeq) }
     spark.createDataset(solved).toDF("id", "f")
+  }
+
+  /** The BROADCAST half-iteration (r19, VERDICT r18 #3 resolved one level
+    * deeper): when the fixed-side key count fits
+    * `graft.als.broadcastKeyLimit` (default 5·10⁶ keys ≈ 360 MB of rank-8
+    * factors), the factor table collects to the driver and broadcasts as
+    * a hash map, and the stats accumulate over a ratings layout
+    * PRE-PARTITIONED BY THE SOLVE KEY (built once per direction in
+    * [[train]]): aggregateByKey with the layout's own partitioner —
+    * ZERO exchange, one stage per half-iteration. Each key's stats live
+    * in exactly one partition, so the #mapPartitions × #keys stat-bytes
+    * blow-up of the join form cannot occur at all (q203 measured: 284 MB
+    * of per-query shuffle → ~15 MB, all of it the two one-time ratings
+    * layouts). A measured r18 attempt that pre-partitioned the ratings
+    * for the JOIN form tripled the stat bytes — the fix is not where the
+    * ratings sit but that the accumulation's OWN key matches the stored
+    * partitioning, which only the broadcast join makes possible. Beyond
+    * the key limit [[solveSide]]'s shuffle form is unchanged. */
+  private def solveSideBroadcast(spark: org.apache.spark.sql.SparkSession,
+      rBySolve: org.apache.spark.rdd.RDD[(Long, (Long, Double))],
+      fixed: DataFrame, rank: Int, lambda: Double): DataFrame = {
+    import spark.implicits._
+    val tri = rank * (rank + 1) / 2
+    val statSize = tri + rank
+    val fMap: Map[Long, Array[Double]] = fixed
+      .select(col("id").cast("long"), col("f"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (k, v) => (k, v.toArray) }.toMap
+    val bc = spark.sparkContext.broadcast(fMap)
+    val solved = rBySolve
+      .aggregateByKey(new Array[Double](statSize))( // partitioner matches: no shuffle
+        (acc, ir) => {
+          val f = bc.value.getOrElse(ir._1, null)
+          if (f != null) accumulate(acc, f, ir._2, rank, tri) else acc
+        },
+        mergeStats(statSize))
+      .map { case (sid, st) => (sid, choleskySolve(st, rank, tri, lambda).toSeq) }
+    spark.createDataset(solved).toDF("id", "f")
+  }
+
+  /** Fold one rating into the packed stat array: upper-triangle ffT
+    * row-major ((i,j), j ≥ i, at base(i) + (j − i)) plus Σrf. */
+  private def accumulate(acc: Array[Double], f: Array[Double], r: Double,
+      rank: Int, tri: Int): Array[Double] = {
+    var i = 0
+    var p = 0
+    while (i < rank) {
+      val fi = f(i)
+      var j = i
+      while (j < rank) { acc(p) += fi * f(j); j += 1; p += 1 }
+      acc(tri + i) += fi * r
+      i += 1
+    }
+    acc
+  }
+
+  private def mergeStats(statSize: Int)
+      : (Array[Double], Array[Double]) => Array[Double] = (a, b) => {
+    var q = 0
+    while (q < statSize) { a(q) += b(q); q += 1 }
+    a
   }
 
   /** Solve (ΣffT + λI) x = Σrf from the packed-upper-triangle stat array:
@@ -141,8 +185,15 @@ object Als {
         var s = a(i * rank + j)
         var k = 0
         while (k < j) { s -= a(i * rank + k) * a(j * rank + k); k += 1 }
-        if (i == j) a(i * rank + i) = math.sqrt(s)
-        else a(i * rank + j) = s / a(j * rank + j)
+        if (i == j) {
+          // SPD by construction (λ > 0 enforced in train); a non-positive
+          // pivot means pathological stats — fail loudly, never sqrt(<0)
+          // into silent NaN factors (ADVICE r18)
+          if (s <= 0.0) throw new ArithmeticException(
+            s"choleskySolve: non-positive pivot $s at $i — system not " +
+              "positive definite (lambda too small or degenerate stats)")
+          a(i * rank + i) = math.sqrt(s)
+        } else a(i * rank + j) = s / a(j * rank + j)
         j += 1
       }
       i += 1
@@ -175,16 +226,64 @@ object Als {
       ratingCol: String, rank: Int, iters: Int,
       lambda: Double = 0.1): Model = {
     require(rank >= 1 && iters >= 1, "need rank >= 1 and iters >= 1")
+    // λ > 0 is what makes every per-key system SPD (Gram + λI) — the
+    // precondition choleskySolve's sqrt relies on (ADVICE r18: λ = 0 on a
+    // rank-deficient key would otherwise yield silent NaN factors where
+    // breeze `\` raised MatrixSingularException)
+    require(lambda > 0.0, "lambda must be > 0 (ridge term keeps each " +
+      "per-key normal-equation system positive definite)")
     val r = ratings.select(col(userCol).cast("long").as("u"),
       col(itemCol).cast("long").as("i"),
       col(ratingCol).cast("double").as("r"))
       .localCheckpoint()
+    val spark = r.sparkSession
+    import spark.implicits._
     var items = initFactors(r.select(col("i").as("id")).distinct(), rank)
       .localCheckpoint()
     var users: DataFrame = null
-    for (_ <- 1 to iters) {
-      users = solveSide(r, "u", "i", items, rank, lambda).localCheckpoint()
-      items = solveSide(r, "i", "u", users, rank, lambda).localCheckpoint()
+    // Broadcast regime bound: the per-half-iteration factor collect must
+    // fit the driver and every executor (keys × (8 + 8·rank) bytes;
+    // 5·10⁶ rank-8 keys ≈ 360 MB). One cheap distinct-count job over the
+    // checkpointed blocks decides; beyond the bound the join-form
+    // shuffle path below is what runs — the pre-r19 plan, unchanged.
+    val keyLimit =
+      sys.props.getOrElse("graft.als.broadcastKeyLimit", "5000000").toLong
+    val row = r.select(countDistinct(col("u")).as("nu"),
+      countDistinct(col("i")).as("ni")).head()
+    val maxKeys = math.max(row.getLong(0), row.getLong(1))
+    if (maxKeys <= keyLimit) {
+      // One ratings layout PER DIRECTION, partitioned by that direction's
+      // solve key and cached: every half-iteration then accumulates
+      // exchange-free against it (see solveSideBroadcast). Width targets
+      // `ratingsPerTask` ratings per combine task, capped at the session
+      // parallelism — the measured per-task-overhead sweet spot.
+      val perTask =
+        sys.props.getOrElse("graft.als.ratingsPerTask", "250000").toLong
+      val nRatings = r.count()
+      val width = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (nRatings + perTask - 1) / perTask)).toInt
+      val part = new org.apache.spark.HashPartitioner(width)
+      val base = r.as[(Long, Long, Double)].rdd
+      val rByU = base.map { case (u, i, rv) => (u, (i, rv)) }
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rByI = base.map { case (u, i, rv) => (i, (u, rv)) }
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 1 to iters) {
+        users = solveSideBroadcast(spark, rByU, items, rank, lambda)
+          .localCheckpoint()
+        items = solveSideBroadcast(spark, rByI, users, rank, lambda)
+          .localCheckpoint()
+      }
+      rByU.unpersist(false)
+      rByI.unpersist(false)
+    } else {
+      for (_ <- 1 to iters) {
+        users = solveSide(r, "u", "i", items, rank, lambda).localCheckpoint()
+        items = solveSide(r, "i", "u", users, rank, lambda).localCheckpoint()
+      }
     }
     Model(rank, users, items)
   }

@@ -30,28 +30,56 @@ object Clustering {
     * Output: (node, component) — component = min node id reachable.
     * Nodes = every id appearing in `srcCol`/`dstCol`. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, broadcastNodeLimit: Long = 20000000L): DataFrame = {
     // NOTE (r18): the two union branches re-reference the caller's pair
     // plan, but its exchanges are reused within this one job — an eager
     // pre-checkpoint of the pair plan measured SLOWER on every CC-backed
     // gate query (q56 2.2 → 3.0 s, q88 3.3 → 4.5 s): it adds a
     // materialization job + a cached copy without removing real work.
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val symRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
+    var labels = symRaw.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(true)
+    // Bounded-broadcast regime (r19 — the LabelProp/PageRank pattern,
+    // finally applied to CC): when the node set fits the bound, the N-row
+    // label table broadcasts into the per-round joins and the symmetric
+    // edge table — stored hash-partitioned by dst via
+    // repartitionCheckpoint, because a plain Spark 4 checkpoint forgets
+    // its partitioning — NEVER crosses an exchange: the neighbor-min
+    // PRE-AGGREGATION groupBy(dst) is satisfied by the stored
+    // partitioning, so each round shuffles three N-row branches instead
+    // of re-exchanging edge-sized rows twice. Beyond the bound every join
+    // keeps the shuffle form below. min() over integer labels is
+    // partitioning-independent — labels are identical by construction.
+    val bcast = labels.count() <= broadcastNodeLimit
+    val sym =
+      if (bcast) org.apache.spark.sql.graft.CheckpointOps
+        .repartitionCheckpoint(symRaw, "dst")
+      else symRaw
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor-min: each edge forwards src's current label to dst
-      val neighborMin = sym.join(labels, sym("src") === labels("node"))
-        .select(col("dst").as("node"), col("component"), lit(false).as("__own"))
+      // neighbor-min: each edge forwards src's current label to dst; in
+      // the broadcast regime the per-dst min pre-aggregates EXCHANGE-FREE
+      // on the stored dst partitioning, so only N rows enter the union
+      val nmJoin = sym
+        .join(side(labels.select(col("node").as("src"), col("component"))),
+          "src")
+      val neighborMin =
+        if (bcast) nmJoin.groupBy(col("dst"))
+          .agg(min(col("component")).as("component"))
+          .select(col("dst").as("node"), col("component"),
+            lit(false).as("__own"))
+        else nmJoin
+          .select(col("dst").as("node"), col("component"),
+            lit(false).as("__own"))
       // pointer doubling: component(x) ← component(component(x))
       val doubled = labels.select(col("node"), col("component").as("__via"))
-        .join(labels.select(col("node").as("__via2"), col("component")),
+        .join(side(labels.select(col("node").as("__via2"), col("component"))),
           col("__via") === col("__via2"))
         .select(col("node"), col("component"), lit(false).as("__own"))
       // the row's OWN previous label rides through the same groupBy (the
@@ -67,8 +95,11 @@ object Clustering {
         .unionAll(neighborMin).unionAll(doubled)
         .groupBy("node").agg(min(col("component")).as("component"),
           min(when(col("__own"), col("component"))).as("__old"))
-        .observe(obs, sum(when(col("component") =!= col("__old"), 1L)
-          .otherwise(0L)).as("changed"))
+        // coalesce: sum over an EMPTY observed relation is null (ADVICE
+        // r18 — the null happened to unbox to 0L and converge correctly,
+        // but that is fragile); the metric is now never null
+        .observe(obs, coalesce(sum(when(col("component") =!= col("__old"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint(true)
       val changed = obs.getAsJava.get("changed").asInstanceOf[Long]
       labels = next.select(col("node"), col("component"))

@@ -33,9 +33,20 @@ object Fanout {
     * within input partitions first (SPARK-23207), so the partitioning is
     * a pure function of the data — and every consumer downstream of it
     * in this engine aggregates with order-independent arithmetic
-    * (integers, per-row-rounded DECIMAL sums). */
+    * (integers, per-row-rounded DECIMAL sums).
+    *
+    * CONTRACT: `df` must be scan-shaped (no exchange between the scan
+    * and this call — true of every call site). The parallelism probe
+    * reads the LEAF scans' split counts from the un-adapted physical
+    * plan, never `df.rdd`: under AQE, touching `.rdd` finalizes the
+    * adaptive plan and eagerly executes any upstream shuffle stages —
+    * a silent double execution (ADVICE r18). Leaf split planning is
+    * driver-side only; no job runs. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val leafParts = df.queryExecution.sparkPlan.collectLeaves()
+      .map(l => scala.util.Try(l.execute().getNumPartitions).getOrElse(target))
+    val cur = if (leafParts.isEmpty) target else leafParts.max
+    if (cur < target) df.repartition(target) else df
   }
 }

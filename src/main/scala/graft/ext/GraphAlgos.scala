@@ -107,15 +107,32 @@ object GraphAlgos {
     // joins degrade to the shuffle form.
     val bcast = e.select(col("src")).distinct().count() <= broadcastNodeLimit
     def side(df: DataFrame) = if (bcast) broadcast(df) else df
+    // The VISITED side grows per level (unlike PageRank/LabelProp's fixed
+    // N-row side) — re-check the bound against its TRACKED row count each
+    // level and degrade that side to the shuffle anti-join once it
+    // outgrows the limit (ADVICE r18: near the limit each level would
+    // otherwise collect-and-rebroadcast a growing multi-hundred-MB set).
+    // The count comes from the per-level observed metric — no extra job.
+    var visitedRows = 1L
+    def visitedSide(df: DataFrame) =
+      if (bcast && visitedRows <= broadcastNodeLimit) broadcast(df) else df
     var d = 0
-    while (d < maxDepth && frontier.limit(1).count() > 0) {
+    var frontierRows = 1L // level 0: the source row
+    while (d < maxDepth && frontierRows > 0) {
       d += 1
+      val obs = new org.apache.spark.sql.Observation()
       val next = side(frontier).join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(side(visited.select("node")), Seq("node"), "left_anti")
+        .join(visitedSide(visited.select("node")), Seq("node"), "left_anti")
+        // the frontier-emptiness check rides the eager checkpoint's own
+        // job as an observed metric (VERDICT r18 #9) — one job per level
+        // where a separate limit(1).count() used to add a second
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
+      frontierRows = obs.getAsJava.get("n").asInstanceOf[Long]
+      visitedRows += frontierRows
       visited = visited.unionAll(next.withColumn("dist", lit(d)))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       frontier = next
     }
     visited
@@ -168,7 +185,16 @@ object GraphAlgos {
       val a = alive.withColumnRenamed("id", name)
       if (bcast) broadcast(a) else a
     }
-    def survivingDegrees = e
+    // x-partitioned edge blocks in the broadcast regime (r19, the
+    // LabelProp move): the broadcast semi-joins preserve the stored
+    // partitioning, so the per-sweep degree groupBy(x) runs exchange-free
+    // — one edge-sized head exchange replaces one slim exchange stage per
+    // sweep. Integer counts; partitioning cannot change them.
+    val eW =
+      if (bcast) org.apache.spark.sql.graft.CheckpointOps
+        .repartitionCheckpoint(e, "x")
+      else e
+    def survivingDegrees = eW
       .join(side("x"), Seq("x"), "left_semi")
       .join(side("y"), Seq("y"), "left_semi")
       .groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))

@@ -206,7 +206,11 @@ object KMeans {
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(1)
       .select(col(idCol).cast("long"), col("__nv"))
-      .head()
+      .collect().headOption
+      // loud empty-input contract (ADVICE r18): head() on an empty frame
+      // threw a bare NoSuchElementException three calls deep
+      .getOrElse(throw new IllegalArgumentException(
+        "KMeans.fit: input has no rows — cannot seed centroids"))
     var chosen = Seq((seedRow.getLong(0), seedRow.getSeq[Double](1).toArray))
     // (id, vector, similarity to the nearest picked centroid)
     var state = unitized

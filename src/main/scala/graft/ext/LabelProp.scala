@@ -49,10 +49,10 @@ object LabelProp {
     // nodes checkpoint and the edge working set used to execute the
     // upstream graph build independently — two full runs of an arbitrarily
     // expensive plan. Derive both from one cached copy.
-    val edgesW = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edgesRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
-    val nodes = edgesW.select(col("src").as("id"))
-      .union(edgesW.select(col("dst").as("id")))
+    val nodes = edgesRaw.select(col("src").as("id"))
+      .union(edgesRaw.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
 
@@ -64,6 +64,23 @@ object LabelProp {
     // Label arithmetic is exact integers; partitioning cannot change it.
     val bcast = nodes.count() <= broadcastNodeLimit
     def side(df: DataFrame) = if (bcast) broadcast(df) else df
+    // In the broadcast regime, store the edge blocks HASH-PARTITIONED BY
+    // dst (r19, VERDICT r18 #4): the broadcast src-join preserves the
+    // stored partitioning, and HashPartitioning(dst) satisfies BOTH
+    // downstream aggregations' distributions — the (dst, lab) count AND
+    // the per-dst argmax — so every per-round exchange disappears. The
+    // (dst, label) pair stream is near-unique (neighbor-label combos ≈
+    // edge count), which defeated the partial agg and shuffled ~19 MB per
+    // round. Cost: one edge-sized exchange at the head, amortized over
+    // all rounds. repartitionCheckpoint (not plain localCheckpoint):
+    // Spark 4.x checkpoints drop the partitioning to Unknown, which would
+    // silently re-insert the per-round exchange. In the shuffle regime
+    // the per-round src join re-exchanges the edges anyway, so the head
+    // repartition buys nothing and is skipped.
+    val edgesW = if (bcast)
+      org.apache.spark.sql.graft.CheckpointOps
+        .repartitionCheckpoint(edgesRaw, "dst")
+    else edgesRaw
     for (_ <- 1 to rounds) {
       val mode = edgesW
         .join(side(labels.select(col("id").as("src"), col("lab"))), "src")

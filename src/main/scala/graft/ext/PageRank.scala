@@ -105,6 +105,16 @@ object PageRank {
     // the shuffle form.
     val bcastRanks = nNodes <= broadcastNodeLimit
     def side(df: DataFrame) = if (bcastRanks) broadcast(df) else df
+    // In the broadcast regime, store the edge blocks hash-partitioned by
+    // dst (r19, the LabelProp move): the broadcast src-join preserves the
+    // stored partitioning and the per-iteration contribution groupBy(dst)
+    // then needs NO exchange at all — one edge-sized head exchange
+    // replaces one (slim, partial-aggregated) exchange stage per
+    // iteration. Exact integer arithmetic; partitioning cannot change it.
+    val eW =
+      if (bcastRanks) org.apache.spark.sql.graft.CheckpointOps
+        .repartitionCheckpoint(e, "dst")
+      else e
     for (_ <- 1 to iters) {
       val danglingShare: Long =
         if (!hasDangling) 0L
@@ -115,7 +125,7 @@ object PageRank {
           val s = row.getLong(0)
           (2L * s + nNodes) / (2L * nNodes)
         }
-      val contribs = e
+      val contribs = eW
         .join(side(ranks.withColumnRenamed("id", "src")), "src")
         .select(col("dst"),
           expr("(2 * ri + outdeg) div (2 * outdeg)").as("c"))
@@ -183,6 +193,12 @@ object PageRank {
     // broadcast the bounded N-row join sides — see run()
     val bcastRanks = nNodes <= broadcastNodeLimit
     def side(df: DataFrame) = if (bcastRanks) broadcast(df) else df
+    // dst-partitioned edge blocks: exchange-free contribution groupBy per
+    // iteration in the broadcast regime — see run()
+    val eW =
+      if (bcastRanks) org.apache.spark.sql.graft.CheckpointOps
+        .repartitionCheckpoint(e, "dst")
+      else e
     for (_ <- 1 to iters) {
       val danglingShare: Long =
         if (!hasDangling) 0L
@@ -192,7 +208,7 @@ object PageRank {
           val s = row.getLong(0)
           (2L * s + nSeeds) / (2L * nSeeds) // restart at a seed
         }
-      val contribs = e
+      val contribs = eW
         .join(side(ranks.withColumnRenamed("id", "src")), "src")
         .select(col("dst"),
           expr("(2 * ri + outdeg) div (2 * outdeg)").as("c"))

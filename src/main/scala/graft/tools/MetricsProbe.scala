@@ -34,8 +34,15 @@ object MetricsProbe {
     val shufWrite = new AtomicLong(0L)
     val shufRead = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        { jobs.incrementAndGet(); () }
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (sys.env.contains("GRAFT_PROBE_JOBS")) {
+          val names = e.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
+          println(s"[job] ${e.jobId} stages=${e.stageInfos.size} " +
+            names.mkString(" | ").take(160))
+        }
+        ()
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(e.stageInfo.numTasks)
