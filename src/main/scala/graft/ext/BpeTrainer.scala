@@ -83,6 +83,11 @@ object BpeTrainer {
     // instead of two, and the final round's re-map (never read) is never
     // computed at all. The previous generation unpersists only after the
     // collect proves its successor materialized.
+    // LoopScope (r19): every per-round query is vocabulary-bounded —
+    // AQE's stage-per-job execution added one extra job per round of
+    // pure scheduling (see WordPiece.train, where it was ~5).
+    val loopWidth = words.rdd.getNumPartitions
+    LoopScope.bounded(docs.sparkSession, loopWidth) {
     var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -108,6 +113,7 @@ object BpeTrainer {
     prev.foreach(_.unpersist())
     words.unpersist()
     merges.result()
+    }
   }
 
   /** Encode `textCol` with a learned merge table: the training word

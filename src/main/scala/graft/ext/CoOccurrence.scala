@@ -32,15 +32,24 @@ object CoOccurrence {
   def pairCounts(membership: DataFrame, basketCol: String, itemCol: String,
       maxBasketSize: Int): DataFrame = {
     require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
-    // repartition-by-key + dropDuplicates ≡ distinct with the same single
-    // exchange, but the dedup aggregate runs post-exchange on every core
-    // instead of fusing into the (single-task, one-row-group) scan stage
-    // as a near-useless partial agg over mostly-unique pairs (r18, the
-    // purchaseGraph note).
+    // ONE explicit-width exchange feeds the whole basket plane (r19).
+    // Hash by BASKET at the session parallelism with an explicit count —
+    // REPARTITION_BY_NUM, so AQE cannot coalesce it: the downstream
+    // per-basket pair generation EXPANDS ~16× (1.4M memberships → 10.4M
+    // pairs at sf0.1), and AQE — which sizes stages by their INPUT bytes,
+    // blind to the fan-out — had coalesced that generation stage to 8
+    // tasks, the dominant serial span of q200/q204 (22 s of task time on
+    // a quarter of the cores). HashPartitioning(__b) then satisfies
+    // EVERY downstream step at once: the (b, i) dedup, the basket-size
+    // count, the size-cap join, and the pair self-join all run with NO
+    // further exchange (subset-clustering; the r18 dedup note still
+    // holds — the dedup agg runs post-exchange on every core). The only
+    // other exchange left is the unavoidable pair-count aggregation.
+    val w = math.max(2, membership.sparkSession.sparkContext.defaultParallelism / 2)
     val m = membership
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__b").isNotNull && col("__i").isNotNull)
-      .repartition(col("__b"), col("__i"))
+      .repartition(w, col("__b"))
       .dropDuplicates()
     val sized = m.groupBy("__b").agg(count(lit(1)).as("__sz"))
       .where(col("__sz") <= maxBasketSize)

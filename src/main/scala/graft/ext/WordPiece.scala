@@ -99,6 +99,12 @@ object WordPiece {
     var words = wordTable(docs, textCol).localCheckpoint()
     // Lazy per-round checkpoints — one job per round instead of two, and
     // the final round's re-map is never computed (see [[BpeTrainer]]).
+    // The whole loop runs inside [[LoopScope.bounded]] (r19): every
+    // per-round query is vocabulary-bounded, and AQE's stage-per-job
+    // execution cost ~5 jobs/round of pure scheduling (q189 measured 75
+    // jobs for 1.6 s of task time).
+    val loopWidth = words.rdd.getNumPartitions
+    LoopScope.bounded(docs.sparkSession, loopWidth) {
     var prev: Option[DataFrame] = None
     val out = Seq.newBuilder[Merge]
     var rank = 0
@@ -130,6 +136,7 @@ object WordPiece {
     prev.foreach(_.unpersist())
     words.unpersist()
     out.result()
+    }
   }
 
   /** The encoder vocabulary: the alphabet of `docs` (initial + `##`
